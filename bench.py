@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with total + per-query wall seconds.
+
+Execution is forced through the JVM-side noop sink (full pipeline runs, no
+driver collect, no Python serialization in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as e
+    from collection_templates_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = e.queries()
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session startup
+    from collection_templates_spark.sources.testdata import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.schema  # footer read only
+
+    per_query: dict[str, float] = {}
+    t_all = time.time()
+    for name, fn in qs.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

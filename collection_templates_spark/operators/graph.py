@@ -1,0 +1,91 @@
+"""Distributed graph reachability (transitive closure).
+
+Replaces the reference's per-member DFS over the Wikidata ``subclass_of``
+ontology (reference: airflow/dags/create_collections.py:548-606 — a RocksDB
+point-lookup DFS with an lru_cache) with a set-at-a-time iterative
+frontier expansion, so validation becomes ONE semi-join instead of 29M
+driver-side graph walks (SURVEY.md §2.3 J13, §7 step 4).
+
+Scale notes (the subclass graph is ~3.4M edges, the instance set ~100M):
+- We never materialize the full closure of the *instance* layer — only the
+  closure of the small class-level graph, then semi-join instances to it.
+- Each iteration is join + distinct (one shuffle each); lineage is cut with
+  ``localCheckpoint`` so the plan doesn't grow linearly with depth.
+- Cycles are tolerated: ``distinct`` + the subtract-known step make every
+  frontier strictly new pairs, so a cycle converges instead of looping.
+- Skew: the ancestor side of popular classes (Q5 "human" subtree) is hot;
+  AQE skew-join handles it, and ``repartition`` on ``src`` before the loop
+  keeps the join co-partitioned across iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """All (src, dst) pairs such that dst is reachable from src.
+
+    ``edges`` is a DataFrame with columns ``src``/``dst`` (direct edges are
+    included in the result). Stops early when a fixpoint is reached.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    closure = e
+    frontier = e
+    for i in range(max_iterations):
+        # expand: follow one more edge from the current frontier
+        grown = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+        )
+        new_pairs = grown.join(closure, ["src", "dst"], "left_anti")
+        if checkpoint_every and (i % checkpoint_every == 0):
+            new_pairs = new_pairs.localCheckpoint(eager=True)
+        if new_pairs.isEmpty():
+            break
+        closure = closure.unionByName(new_pairs).localCheckpoint(eager=True)
+        frontier = new_pairs
+    return closure
+
+
+def reachable_from(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """BFS from a seed set: returns (seed, reached) pairs.
+
+    Cheaper than a full closure when only a subset of nodes matters (the
+    reference only ever asks "is collection-type reachable from member-type",
+    so seeding with the distinct member types bounds the state).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    seeds = sources.select(F.col(sources.columns[0]).alias("seed")).distinct()
+    reached = seeds.select("seed", F.col("seed").alias("node"))
+    frontier = reached
+    for _ in range(max_iterations):
+        grown = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("seed", e["dst"].alias("node"))
+            .distinct()
+        )
+        new_pairs = grown.join(reached, ["seed", "node"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new_pairs.isEmpty():
+            break
+        reached = reached.unionByName(new_pairs).localCheckpoint(eager=True)
+        frontier = new_pairs
+    return reached

@@ -1,0 +1,681 @@
+"""Operator-inventory queries over the driver's synthetic tables.
+
+Every entry exercises one row (or cluster of rows) of SURVEY.md §2's operator
+inventory, re-expressed on the TPC-H-ish testdata so the driver can check it
+against a DuckDB oracle (``ORACLE_SQL``). The *pipeline-shaped* versions of
+the same operators (real N-Triples/collections semantics) live under
+``collection_templates_spark.operators`` and are tested in ``tests/``.
+
+Determinism rules (the driver hash-compares values):
+- every aggregate / computed column is aliased identically in Spark and SQL;
+- doubles are ``round()``-ed (sums to 2dp, means/medians to 4dp) so fp
+  summation order can't flip the hash;
+- arrays are sorted and joined to strings;
+- every window / top-k has a total-order tie-breaker.
+
+Scale notes are inline per query; the common ones: dimension joins
+(region/nation/part-allowlist) are broadcast; aggregations are partial
+(map-side) by construction; filters sit directly on the parquet scan so
+pushdown + column pruning reach the file source.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from collection_templates_spark.operators.graph import transitive_closure
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from collection_templates_spark.sources.testdata import load_table
+
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan→filter→partial-agg→final-agg (A4/A5/A6 shape; TPC-H Q1).
+
+    Whole pipeline stays in whole-stage codegen; the only shuffle is the
+    6-group final aggregation (map-side combine first).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def filter_pushdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tight predicate stack on the scan (P2/P8/P12 analog; TPC-H Q6).
+
+    All four predicates push to the parquet reader (min/max pruning on
+    l_shipdate); projection prunes to 4 columns.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def agg_entity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple→entity grouping analog (A1, create_kv.py:108-125).
+
+    The reference accumulates adjacent rows per subject; here groupBy makes
+    adjacency irrelevant. 'first/last wins' for single-valued predicates
+    becomes an explicit deterministic ``min_by``; multi-valued accumulation
+    becomes a sorted distinct list.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def agg_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status histogram with derived buckets (A5, create_merged.py:873-881)."""
+    o = _t(spark, sf_dir, "orders")
+    n_open = F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+    n_finished = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    n_pending = F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+    return o.groupBy("o_orderpriority").agg(
+        n_open.alias("n_open"),
+        n_finished.alias("n_finished"),
+        n_pending.alias("n_pending"),
+        (n_open + n_pending).alias("n_nonfinal"),
+        F.round(n_finished.cast("double") / F.count("*"), 4).alias("finished_ratio"),
+    )
+
+
+def agg_member_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean + EXACT median with clamps (A6/F6, create_merged.py:966-977).
+
+    ``percentile`` (exact, interpolating — numpy-median semantics), not
+    ``percentile_approx``: the reference uses np.median. Clamp to 1e-8 as the
+    reference does for rank_feature positivity.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+            F.round(F.greatest(F.avg("c_acctbal"), F.lit(1e-8)), 4).alias(
+                "avg_bal_clamped"
+            ),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+def agg_merge_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-merge semantics (A8, create_merged.py:549-576): min-id winner,
+    count sum, set-union of attributes, deterministic flags."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min("o_orderkey").alias("merged_id"),
+        F.count("*").alias("members_count"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+        F.max("o_orderpriority").alias("max_priority"),
+        (F.count("*") > 1).cast("int").alias("is_merged"),
+    )
+
+
+def date_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time daily rollup (the batch analog of a tumbling window)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def join_inner_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim⋈dim star join (J1/J5). nation/region broadcast; the
+    orders⋈customer join shuffles on the key both sides already need."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def join_left_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + default-on-miss (J7: ranks.get(id, 0))."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+def join_semi_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast left-semi against a small allowlist (J3/Opt-3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    allow = p.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")).select(
+        "p_partkey"
+    )
+    return (
+        li.join(F.broadcast(allow), li.l_partkey == allow.p_partkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def join_anti_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join = the snapshot 'archive' branch (U4/D4, update_es.py:306-311)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def snapshot_diff_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer snapshot diff with hash-equality routing (J14/D2/F15,
+    update_es.py:249-313): insert / archive / update / noop per id.
+
+    The canonical state string is built from integer-cents so the sha256
+    compare is engine-portable (doubles never enter the hash).
+    """
+    o = _t(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+
+    def snap(df: DataFrame, cond) -> DataFrame:
+        return (
+            df.filter(cond)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+                F.count("*").alias("cnt"),
+            )
+            .withColumn(
+                "state_hash",
+                F.sha2(F.concat_ws("|", F.col("cents"), F.col("cnt")), 256),
+            )
+        )
+
+    prev = snap(o, F.col("o_orderdate") < split).alias("p")
+    curr = snap(o, F.col("o_orderdate") >= split).alias("c")
+    joined = prev.join(curr, F.col("p.o_custkey") == F.col("c.o_custkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("p.o_custkey"), F.col("c.o_custkey")).alias("custkey"),
+        F.when(F.col("p.o_custkey").isNull(), "insert")
+        .when(F.col("c.o_custkey").isNull(), "archive")
+        .when(F.col("p.state_hash") != F.col("c.state_hash"), "update")
+        .otherwise("noop")
+        .alias("op"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / top-k / dedup (SURVEY §2.5, §2.8)
+# ---------------------------------------------------------------------------
+
+
+def window_dup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate counting via window (A7, create_merged.py:992-1017)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand", "p_size")
+    return (
+        p.withColumn("n_dups", F.count("*").over(w))
+        .filter(F.col("n_dups") > 1)
+        .select("p_partkey", "p_brand", "p_size", "n_dups")
+    )
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k with the reference's log-rank sort key (O2/O4/F5:
+    log2(rank+1)/max(len,10), create_merged.py:884-886)."""
+    o = _t(spark, sf_dir, "orders")
+    score = F.log2(F.col("o_totalprice") + 1) / F.greatest(
+        F.length("o_orderstatus"), F.lit(10)
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("score"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            "rn",
+            F.round("score", 6).alias("score_r"),
+        )
+    )
+
+
+def window_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-keep-first-by-sort (O6, uniq_members create_merged.py:365-370)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data — the
+    # full key list makes the kept row a total order (engine-independent).
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.asc("l_linenumber"),
+        F.asc("l_partkey"),
+        F.asc("l_suppkey"),
+        F.asc("l_extendedprice"),
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream table (batch analog of
+    Structured Streaming session windows; 30-minute inactivity gap)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    us = F.unix_micros("ts")
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_us), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("new_sess").alias("n_sessions"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def set_union_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union + membership flags (U1/U2/U5 merge routing)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    tagged = c.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit(1).alias("in_customer"),
+        F.lit(0).alias("in_supplier"),
+    ).unionByName(
+        s.select(
+            F.col("s_nationkey").alias("nationkey"),
+            F.lit(0).alias("in_customer"),
+            F.lit(1).alias("in_supplier"),
+        )
+    )
+    return tagged.groupBy("nationkey").agg(
+        F.max("in_customer").alias("in_customer"),
+        F.max("in_supplier").alias("in_supplier"),
+        (F.max("in_customer") + F.max("in_supplier") == 2)
+        .cast("int")
+        .alias("in_both"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def scalar_curate_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_name-style regexp chain (F1/F12/F13, create_merged.py:373-380):
+    underscore→space, strip parenthetical, strip chars, ucfirst — all native
+    column expressions, zero Python in the hot path."""
+    p = _t(spark, sf_dir, "part")
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("p_name"), "_", " "), " \\(.*\\)$", ""),
+        "[.'-]",
+        "",
+    )
+    tmp = p.select("p_partkey", cleaned.alias("cleaned"))
+    return tmp.select(
+        "p_partkey",
+        F.concat(
+            F.upper(F.substring("cleaned", 1, 1)), F.expr("substring(cleaned, 2)")
+        ).alias("curated"),
+        F.size(F.split("cleaned", " ")).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph (SURVEY §2.3 J13)
+# ---------------------------------------------------------------------------
+
+
+def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative transitive closure (J13 ontology reachability) over the
+    customer→nation→region containment hierarchy; oracle is a recursive CTE.
+    """
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    edges = n.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+    ).unionByName(
+        c.select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
+        )
+    )
+    return transitive_closure(edges)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "agg_pricing_summary": agg_pricing_summary,
+    "filter_pushdown_revenue": filter_pushdown_revenue,
+    "agg_entity_pivot": agg_entity_pivot,
+    "agg_status_histogram": agg_status_histogram,
+    "agg_member_metrics": agg_member_metrics,
+    "agg_merge_collections": agg_merge_collections,
+    "date_daily_rollup": date_daily_rollup,
+    "join_inner_enrich": join_inner_enrich,
+    "join_left_default": join_left_default,
+    "join_semi_allowlist": join_semi_allowlist,
+    "join_anti_archive": join_anti_archive,
+    "snapshot_diff_merge": snapshot_diff_merge,
+    "window_dup_count": window_dup_count,
+    "window_topk_per_group": window_topk_per_group,
+    "window_dedup_keep_first": window_dedup_keep_first,
+    "window_sessionize": window_sessionize,
+    "set_union_membership": set_union_membership,
+    "scalar_curate_name": scalar_curate_name,
+    "graph_transitive_closure": graph_transitive_closure,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "filter_pushdown_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "agg_entity_pivot": """
+        SELECT user_id,
+               count(*) AS n_events,
+               arg_min(event_type, event_id) AS first_type,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id
+    """,
+    "agg_status_histogram": """
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_nonfinal,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 4) AS finished_ratio
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_member_metrics": """
+        SELECT n_name AS nation_name,
+               round(avg(c_acctbal), 4) AS avg_bal,
+               round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+               round(greatest(avg(c_acctbal), 1e-8), 4) AS avg_bal_clamped,
+               count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "agg_merge_collections": """
+        SELECT o_custkey AS custkey,
+               min(o_orderkey) AS merged_id,
+               count(*) AS members_count,
+               round(sum(o_totalprice), 2) AS total_price,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+               max(o_orderpriority) AS max_priority,
+               CAST(count(*) > 1 AS INT) AS is_merged
+        FROM orders GROUP BY o_custkey
+    """,
+    "date_daily_rollup": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "join_inner_enrich": """
+        SELECT r_name AS region_name, n_name AS nation_name,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "join_left_default": """
+        SELECT c_custkey AS custkey,
+               count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "join_semi_allowlist": """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part
+            WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3'))
+        GROUP BY l_returnflag
+    """,
+    "join_anti_archive": """
+        SELECT c_mktsegment AS segment, count(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "snapshot_diff_merge": """
+        WITH prev AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+                   count(*) AS cnt
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_custkey
+        ), curr AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+                   count(*) AS cnt
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+            GROUP BY o_custkey
+        ), hp AS (
+            SELECT o_custkey,
+                   sha256(CAST(cents AS VARCHAR) || '|' || CAST(cnt AS VARCHAR)) AS h
+            FROM prev
+        ), hc AS (
+            SELECT o_custkey,
+                   sha256(CAST(cents AS VARCHAR) || '|' || CAST(cnt AS VARCHAR)) AS h
+            FROM curr
+        )
+        SELECT coalesce(hp.o_custkey, hc.o_custkey) AS custkey,
+               CASE WHEN hp.o_custkey IS NULL THEN 'insert'
+                    WHEN hc.o_custkey IS NULL THEN 'archive'
+                    WHEN hp.h <> hc.h THEN 'update'
+                    ELSE 'noop' END AS op
+        FROM hp FULL OUTER JOIN hc ON hp.o_custkey = hc.o_custkey
+    """,
+    "window_dup_count": """
+        SELECT p_partkey, p_brand, p_size, n_dups FROM (
+            SELECT p_partkey, p_brand, p_size,
+                   count(*) OVER (PARTITION BY p_brand, p_size) AS n_dups
+            FROM part)
+        WHERE n_dups > 1
+    """,
+    "window_topk_per_group": """
+        SELECT custkey, o_orderkey, rn, round(score, 6) AS score_r FROM (
+            SELECT o_custkey AS custkey, o_orderkey,
+                   log2(o_totalprice + 1) / greatest(length(o_orderstatus), 10) AS score,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY log2(o_totalprice + 1) / greatest(length(o_orderstatus), 10) DESC,
+                                o_orderkey ASC) AS rn
+            FROM orders)
+        WHERE rn <= 3
+    """,
+    "window_dedup_keep_first": """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_orderkey
+                ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC,
+                         l_extendedprice ASC) AS rn
+            FROM lineitem)
+        WHERE rn = 1
+        GROUP BY l_returnflag
+    """,
+    "window_sessionize": """
+        SELECT user_id, count(*) AS n_events, sum(new_sess) AS n_sessions FROM (
+            SELECT user_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        GROUP BY user_id
+    """,
+    "set_union_membership": """
+        SELECT nationkey,
+               max(in_customer) AS in_customer,
+               max(in_supplier) AS in_supplier,
+               CAST(max(in_customer) + max(in_supplier) = 2 AS INT) AS in_both
+        FROM (
+            SELECT c_nationkey AS nationkey, 1 AS in_customer, 0 AS in_supplier
+            FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey, 0 AS in_customer, 1 AS in_supplier
+            FROM supplier)
+        GROUP BY nationkey
+    """,
+    "scalar_curate_name": """
+        SELECT p_partkey,
+               upper(substr(cleaned, 1, 1)) || substr(cleaned, 2) AS curated,
+               len(string_split(cleaned, ' ')) AS n_tokens
+        FROM (
+            SELECT p_partkey,
+                   regexp_replace(
+                       regexp_replace(replace(p_name, '_', ' '), ' \\(.*\\)$', ''),
+                       '[.''-]', '', 'g') AS cleaned
+            FROM part)
+    """,
+    "graph_transitive_closure": """
+        WITH RECURSIVE edges(src, dst) AS (
+            SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+                   'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+            UNION ALL
+            SELECT 'C' || CAST(c_custkey AS VARCHAR),
+                   'N' || CAST(c_nationkey AS VARCHAR) FROM customer
+        ), closure(src, dst) AS (
+            SELECT DISTINCT src, dst FROM edges
+            UNION
+            SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+        )
+        SELECT src, dst FROM closure
+    """,
+}
