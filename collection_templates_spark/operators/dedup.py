@@ -1,0 +1,313 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+- Exact dedup is one hash-groupBy (map-side combine, one shuffle on the
+  normalized-text hash — never on the text itself).
+- All-pairs similarity is never computed: candidates come from inverted
+  shingle index (small corpora), LSH band buckets (MinHash), or band-chunk
+  exact-match blocking (SimHash). Each is a self-equi-join on a short key —
+  shuffle on the bucket id, AQE splits skewed buckets.
+- Hot shingles (stopword trigrams) are the skew risk: ``max_bucket_size``
+  drops degenerate buckets exactly like a salting guard would.
+
+The reference's only dedup is keep-first-by-name (SURVEY §2.5 O6 / §2.4 A7);
+this module is the LLM-corpus extension suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: F.Column) -> F.Column:
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate detection on normalized text: every row keeps its
+    group's canonical (min) id and a duplicate flag.
+
+    The window partitions by the normalized text itself; Spark hashes the
+    key for the shuffle so long texts cost one pass. For 100 TB, swap the
+    raw key for ``xxhash64(norm)`` + a collision-check pass.
+    """
+    norm = normalize_text(F.col(text_col))
+    w = Window.partitionBy("___norm")
+    return (
+        df.withColumn("___norm", norm)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", (F.col(id_col) != F.col("canonical_id")).cast("int"))
+        .drop("___norm")
+    )
+
+
+def word_shingles(text: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-grams of normalized text (empty array if < n words)."""
+    toks = F.split(normalize_text(text), " ")
+    # sequence(1, 0) would DESCEND in Spark — short docs need an explicit
+    # empty-array branch, not a clamped bound.
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def _shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_bucket_size: int | None
+) -> DataFrame:
+    """Inverted index (shingle → doc) with degenerate-bucket drop."""
+    # Shuffle 8-byte hashes, not shingle strings: the join/groupBy key is
+    # xxhash64(shingle) — same candidate pairs and (collision-negligibly)
+    # same intersection counts at a fraction of the shuffle volume.
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    ).select("doc", F.xxhash64("s").alias("shingle"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("shingle")
+        exploded = (
+            exploded.withColumn("___bucket", F.count("*").over(w))
+            .filter(F.col("___bucket") <= max_bucket_size)
+            .drop("___bucket")
+        )
+    return exploded
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard similarity for every candidate pair sharing
+    at least one shingle. Columns: doc1 < doc2, jaccard (rounded 6dp).
+
+    Candidate generation is the inverted-index self-join; exact for any
+    threshold > 0 because a pair with jaccard > 0 shares a shingle. At scale,
+    pre-filter with MinHash LSH (``minhash_lsh_pairs``) instead of the raw
+    index.
+    """
+    idx = _shingle_index(df, id_col, text_col, n, max_bucket_size)
+    sizes = idx.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    common = (
+        idx.alias("a")
+        .join(idx.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_shingles").alias("n2"))
+    return (
+        common.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per doc: for each of ``num_hashes`` seeded hash
+    functions, the min over the doc's shingle set. One explode + one groupBy;
+    the 64 mins are computed as 64 aggregate expressions in a single pass
+    (map-side partial aggregation keeps shuffle volume at docs × 64 longs).
+    """
+    idx = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = idx.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, verified with exact Jaccard.
+
+    banding: signature split into b = num_hashes / rows_per_band bands; docs
+    colliding on any full band become candidates (shuffle key = (band_idx,
+    band_hash) — short and uniform). Candidates are then *verified* with
+    exact n-gram Jaccard so the output has no false positives; with r=2,
+    b=32 the miss probability at j=0.5 is (1-0.25)^32 ≈ 1e-4.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[i]
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(num_hashes // rows_per_band)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_idx", "band.band_hash")
+    candidates = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_hash"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+    # Verify per-candidate with array_intersect on the two shingle sets —
+    # linear in |candidates|, unlike the exact inverted-index pair join
+    # (which is quadratic in hot-bucket sizes). This is why LSH is the
+    # 100 TB path: candidate generation AND verification both stay cheap.
+    sets = df.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    s1 = sets.select(F.col("doc").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = sets.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    jaccard = F.round(
+        n_common / (F.size("sh1") + F.size("sh2") - n_common), 6
+    )
+    return (
+        candidates.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def simhash(text: F.Column, n: int = 3, bits: int = 64) -> F.Column:
+    """64-bit SimHash over word shingles, as native column expressions:
+    per-bit vote = sum over shingles of ±1 by that bit of xxhash64(shingle);
+    fingerprint bit = vote > 0. Produced as an array<int> of bits (portable
+    and easy to band); pack with ``conv`` if a single long is wanted."""
+    shingles = word_shingles(text, n)
+    def bit_vote(i: int) -> F.Column:
+        return F.aggregate(
+            shingles,
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1),
+        )
+    return F.array(*[(bit_vote(i) > 0).cast("int") for i in range(bits)])
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the fingerprint into ``bands`` chunks; by pigeonhole, any
+    pair within hamming distance < bands shares an identical chunk, so the
+    candidate join is an equi-join on (chunk_idx, chunk_value) — no all-pairs.
+    """
+    chunk = bits // bands
+    # explode→hash-once→64 conditional sums: one xxhash64 per shingle instead
+    # of 64 array-aggregate lambdas per doc (the naive ``simhash()`` column is
+    # kept for expression-level use, but at corpus scale this shape keeps the
+    # plan small and the hash work linear in shingle count).
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    ).select("doc", F.xxhash64("s").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    with_fp = (
+        hashed.groupBy("doc")
+        .agg(*votes)
+        .select(
+            "doc",
+            F.array(
+                *[(F.col(f"v{i}") > 0).cast("int") for i in range(bits)]
+            ).alias("fp"),
+        )
+        .localCheckpoint(eager=True)  # fingerprint computed once, reused twice
+    )
+    chunks = with_fp.select(
+        "doc",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("chunk_idx"),
+                        F.concat_ws(
+                            "", *[F.col("fp")[i] for i in range(b * chunk, (b + 1) * chunk)]
+                        ).alias("chunk_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "fp", "c.chunk_idx", "c.chunk_val")
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk_idx", "chunk_val"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc1"),
+            F.col("b.doc").alias("doc2"),
+            F.col("a.fp").alias("fp1"),
+            F.col("b.fp").alias("fp2"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.col("fp1"), F.col("fp2"), lambda x, y: (x != y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

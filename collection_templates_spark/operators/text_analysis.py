@@ -1,0 +1,162 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is native ``pyspark.sql.functions`` column expressions
+(whole-stage codegen, zero Python) — at 100 TB these run at scan speed with
+column pruning; nothing here shuffles.
+
+Operators:
+- token / character statistics + quality scoring (length, punctuation,
+  stopword ratios — the classic "is this document prose" heuristics)
+- language identification via marker-word / script heuristics
+- document fingerprinting (polynomial rolling hash, Karp-Rabin shingles)
+
+The reference has no text-corpus analytics (its text ops are name
+normalization, SURVEY.md §2.7); these are the §9-extension operators for
+LLM-corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small closed stopword sets keep language-ID a pure column expression.
+STOPWORDS_EN = (
+    "the", "a", "an", "of", "and", "or", "in", "on", "to", "is", "are",
+    "was", "for", "with", "that", "this", "it", "as", "at", "by",
+)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "dans"),
+    "es": ("el", "la", "los", "las", "es", "no", "por", "para"),
+}
+
+HASH_MOD = 2147483647  # 2^31 - 1, Mersenne prime — portable 31-base poly hash
+HASH_BASE = 31
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(text), " ")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-pretokenizer-style pieces: letter runs, single digits,
+    punctuation singletons (the GPT-2 pretokenizer shape, regex-only)."""
+    return F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    return F.when(n > 0, F.regexp_count(text, F.lit("[^A-Za-z0-9\\s]")) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] prose-quality heuristic: enough tokens, low
+    punctuation density, natural stopword rate."""
+    n_tok = F.size(tokens(text))
+    len_component = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    stop_component = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    return 0.4 * len_component + 0.3 * punct_component + 0.3 * stop_component
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language (n-gram-heuristic language ID)."""
+    toks = tokens(text)
+
+    def hits(markers: tuple[str, ...]) -> Column:
+        # N.B. markers must be closed over, not a lambda default — Spark's
+        # higher-order-function binder feeds a Column into every lambda param.
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    return {lang: hits(markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def language_id(text: Column) -> Column:
+    """argmax over marker-hit counts, 'und' (undetermined) when all zero;
+    CJK script presence short-circuits to 'zh'. Deterministic tie-break by
+    language code order via greatest-on-struct."""
+    scores = language_scores(text)
+    # struct comparison: (score, lang) max — later alphabetical code wins ties
+    # only through the explicit ordering below, so ties are deterministic.
+    pairs = [
+        F.struct(score.alias("s"), F.lit(lang).alias("l"))
+        for lang, score in sorted(scores.items())
+    ]
+    best = F.greatest(*pairs)
+    has_cjk = F.regexp_count(text, F.lit("[\\u4e00-\\u9fff]")) > 0
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best["s"] > 0, best["l"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def poly_fingerprint(text: Column) -> Column:
+    """Polynomial hash over characters: h = (h*31 + code) mod (2^31-1).
+
+    Engine-portable (pure integer arithmetic) and order-sensitive — a true
+    document fingerprint, unlike a bag-of-words hash. Runs as one
+    ``aggregate`` over the split array, fully JVM-side.
+    """
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * HASH_BASE + F.ascii(c)) % HASH_MOD,
+    )
+
+
+def rolling_shingle_hashes(text: Column, window: int = 8) -> Column:
+    """Karp-Rabin rolling-window hashes: the poly hash of every ``window``-char
+    substring, as an array. Basis for containment / near-dup detection at the
+    substring level (each value is computable from the previous in O(1); here
+    we express it as per-window aggregate — still codegen'd, no Python)."""
+    chars = F.split(text, "")
+    n = F.size(chars)
+    # sequence(1, 0) descends in Spark — empty branch for short texts
+    starts = F.when(
+        n >= window, F.sequence(F.lit(1), n - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts,
+        lambda i: F.aggregate(
+            F.slice(chars, i, window),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * HASH_BASE + F.ascii(c)) % HASH_MOD,
+        ),
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_m": F.length(t),
+            "n_tokens": F.size(tokens(t)),
+            "n_bpe_tokens": bpe_ish_token_count(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+            "quality_score": quality_score(t),
+        }
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", language_id(F.col(text_col)))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return df.withColumn("fingerprint", poly_fingerprint(norm))

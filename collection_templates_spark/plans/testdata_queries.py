@@ -443,6 +443,112 @@ def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (SURVEY §7 step 9): dedup, similarity search,
+# text analysis, multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: canonical (min) id per text group."""
+    from collection_templates_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "canonical_id", "is_duplicate")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index candidates)."""
+    from collection_templates_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + banded LSH (r=2, b=32) candidates, verified with exact
+    Jaccard — output equals the exact pair set w.p. ≈ 1 - 1e-4 per pair, so
+    the exact-Jaccard SQL is a valid oracle."""
+    from collection_templates_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) hamming ≤ 12 pairs via 4-band pigeonhole blocking.
+    Hash-function-specific — no portable SQL oracle (rows-only check)."""
+    from collection_templates_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=12)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors over the full corpus."""
+    from collection_templates_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (8 planes × 4 tables) — the 100 TB scale path.
+    Approximate by design → rows-only check; recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    from collection_templates_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish piece counting, punctuation/stopword ratios,
+    composite quality score — all native column expressions."""
+    from collection_templates_spark.operators.text_analysis import with_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_text_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic tie-breaks."""
+    from collection_templates_spark.operators.text_analysis import with_language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_language_id(docs).select("doc_id", "lang_pred")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial document fingerprint (portable integer
+    arithmetic: h = h*31 + code mod 2^31-1)."""
+    from collection_templates_spark.operators.text_analysis import with_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: documents → media table (UTF-8 payload) →
+    Arrow-batched mapInPandas feature extraction (deterministic fake decode).
+    """
+    from collection_templates_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs))
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -466,7 +572,46 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_union_membership": set_union_membership,
     "scalar_curate_name": scalar_curate_name,
     "graph_transitive_closure": graph_transitive_closure,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "text_stats": text_stats,
+    "text_language_id": text_language_id,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_features": multimodal_features,
 }
+
+# Shared oracle for the two jaccard-based dedup queries: the LSH variant is
+# candidate-generation + exact-verify, so its output equals the exact pair
+# set (miss probability ≈ 1e-4 per pair at j=0.5; the corpus's planted
+# near-dups sit at j ≥ 0.9 where the miss probability is ~0).
+_NGRAM_JACCARD_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1 AS doc1, d2 AS doc2,
+           round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.5
+"""
 
 ORACLE_SQL: dict[str, str] = {
     "agg_pricing_summary": """
@@ -677,5 +822,97 @@ ORACLE_SQL: dict[str, str] = {
             SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
         )
         SELECT src, dst FROM closure
+    """,
+    "dedup_exact": """
+        SELECT doc_id, canonical_id,
+               CAST(doc_id <> canonical_id AS INT) AS is_duplicate
+        FROM (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                   ) AS canonical_id
+            FROM documents)
+    """,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
+    "ann_cosine_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                   FROM embeddings WHERE vec_id < 8),
+        sims AS (
+            SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(
+                       q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+            FROM q, embeddings c WHERE c.vec_id <> q.qid)
+        SELECT query_id, neighbor_id, rank, sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM sims)
+        WHERE rank <= 5
+    """,
+    "text_stats": """
+        WITH base AS (
+            SELECT doc_id,
+                   string_split(lower(text), ' ') AS toks,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+                   CASE WHEN length(text) > 0
+                        THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                             * 1.0 / length(text)
+                        ELSE 0.0 END AS pr
+            FROM documents
+        ), b2 AS (
+            SELECT doc_id, len(toks) AS n_tokens, n_bpe_tokens, pr,
+                   CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, t -> t IN
+                            ('the','a','an','of','and','or','in','on','to',
+                             'is','are','was','for','with','that','this',
+                             'it','as','at','by'))) * 1.0 / len(toks)
+                        ELSE 0.0 END AS sr
+            FROM base)
+        SELECT doc_id, n_tokens, n_bpe_tokens,
+               round(pr, 6) AS punct_ratio,
+               round(sr, 6) AS stopword_ratio,
+               round(0.4 * least(n_tokens / 64.0, 1.0)
+                     + 0.3 * (1.0 - least(pr * 4, 1.0))
+                     + 0.3 * least(sr * 5, 1.0), 6) AS quality_score
+        FROM b2
+    """,
+    "text_language_id": """
+        WITH s AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(text),' '), t -> t IN
+                       ('der','die','das','und','ist','nicht','mit','ein'))) AS s_de,
+                   len(list_filter(string_split(lower(text),' '), t -> t IN
+                       ('the','and','of','to','in','is','that','with'))) AS s_en,
+                   len(list_filter(string_split(lower(text),' '), t -> t IN
+                       ('el','la','los','las','es','no','por','para'))) AS s_es,
+                   len(list_filter(string_split(lower(text),' '), t -> t IN
+                       ('le','la','les','et','est','pas','pour','dans'))) AS s_fr,
+                   len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN cjk > 0 THEN 'zh'
+                    WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+                    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                    WHEN s_en >= s_de THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM s
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in
+                       string_split(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), '')]),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+        FROM documents
+    """,
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n_bytes,
+               substr(md5(text), 1, 16) AS head_md5
+        FROM documents
     """,
 }
