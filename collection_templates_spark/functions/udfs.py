@@ -1,0 +1,92 @@
+"""Pandas-UDF wrappers for the Python-only scalar functions, plus the
+distinct→compute→join helper (Opt-6) that replaces the reference's RocksDB
+memoization caches (create_merged.py:29-31, :44-79).
+
+Every UDF here is Arrow-batched; none belongs in a hot path without going
+through ``compute_on_distinct`` first.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from collection_templates_spark.functions.hashing import namehash
+from collection_templates_spark.functions.normalize import curate_member, curate_name
+from collection_templates_spark.functions.scoring import (
+    banner_image,
+    interesting_score_stub,
+    log_probability_stub,
+)
+
+CURATED_TYPE = StructType(
+    [
+        StructField("curated", StringType()),
+        StructField("tokenized", ArrayType(StringType())),
+    ]
+)
+
+
+@F.pandas_udf(CURATED_TYPE)
+def curate_member_udf(s: pd.Series) -> pd.DataFrame:
+    out = [curate_member(v) if v is not None else None for v in s]
+    return pd.DataFrame(
+        {
+            "curated": [o[0] if o else None for o in out],
+            "tokenized": [o[1] if o else None for o in out],
+        }
+    )
+
+
+@F.pandas_udf(StringType())
+def curate_name_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: curate_name(v) if v is not None else None)
+
+
+@F.pandas_udf(StringType())
+def namehash_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: namehash(v) if v is not None else None)
+
+
+@F.pandas_udf(DoubleType())
+def interesting_score_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: interesting_score_stub(v)[0] if v is not None else None)
+
+
+@F.pandas_udf(DoubleType())
+def log_probability_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda v: log_probability_stub(v.lower().split(" ")) if v is not None else None
+    )
+
+
+@F.pandas_udf(StringType())
+def banner_image_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: banner_image(v) if v is not None else None)
+
+
+def compute_on_distinct(
+    df: DataFrame, in_col: str, udf: Column | None = None, fn=None, out_col: str = "___out"
+) -> DataFrame:
+    """Apply an expensive function to DISTINCT values of ``in_col`` and join
+    the result back (broadcast when small). ``udf`` is a ready column
+    expression over column "v"; returns df + ``out_col``.
+
+    The reference memoizes per-process in RocksDB; here distinctness IS the
+    cache, and the compute parallelizes over the cluster.
+    """
+    assert udf is not None or fn is not None
+    distinct = df.select(F.col(in_col).alias("v")).distinct()
+    expr = udf if udf is not None else fn(F.col("v"))
+    computed = distinct.select("v", expr.alias(out_col))
+    return df.join(
+        computed, df[in_col].eqNullSafe(computed["v"]), "left"
+    ).drop("v")

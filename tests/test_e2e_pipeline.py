@@ -1,0 +1,93 @@
+"""Minimum end-to-end slice (SURVEY §7): tiny NT + categorylinks fixture →
+final document, asserting curation, member validation, ranks, status counts
+and top-k against hand-computed values."""
+
+from pyspark.sql import functions as F
+
+from collection_templates_spark.plans.pipeline import PipelineInputs, run_pipeline
+
+WD = "<http://www.wikidata.org/entity/"
+WP = "<https://en.wikipedia.org/wiki/"
+P = "<http://www.wikidata.org/prop/direct/"
+
+# One category "Pink Floyd albums" (Q100, category_contains Q482994 "album")
+# with members: two real albums, one invalid page (a person), one
+# redirect-resolved album.
+NT = [
+    # category entity
+    f"{WD}Q100> {P}P4224> {WD}Q482994> .",
+    f'{WD}Q100> <http://www.w3.org/2000/01/rdf-schema#label> "Category:Pink Floyd albums"@en .',
+    f"{WP}Category:Pink_Floyd_albums> <http://schema.org/about> {WD}Q100> .",
+    # class graph: studio album -> album
+    f"{WD}Q208569> {P}P279> {WD}Q482994> .",
+    # members
+    f"{WP}The_Wall> <http://schema.org/about> {WD}Q1> .",
+    f"{WD}Q1> {P}P31> {WD}Q208569> .",
+    f'{WD}Q1> <http://www.w3.org/2000/01/rdf-schema#label> "The Wall"@en .',
+    f"{WP}Animals_(album)> <http://schema.org/about> {WD}Q2> .",
+    f"{WD}Q2> {P}P31> {WD}Q482994> .",
+    # a person page — must be invalid
+    f"{WP}Roger_Waters> <http://schema.org/about> {WD}Q3> .",
+    f"{WD}Q3> {P}P31> {WD}Q5> .",
+    # redirect member: Q4 has no types, same_as → Q1
+    f"{WP}The_Wall_(remaster)> <http://schema.org/about> {WD}Q4> .",
+    f"{WD}Q4> <http://www.w3.org/2002/07/owl#sameAs> {WD}Q1> .",
+]
+
+CATEGORYLINKS = [
+    (11, "Pink_Floyd_albums"),
+    (12, "Pink_Floyd_albums"),
+    (13, "Pink_Floyd_albums"),
+    (14, "Pink_Floyd_albums"),
+]
+
+MAPPING = [
+    ("The Wall", 11, "Q1"),
+    ("Animals (album)", 12, "Q2"),
+    ("Roger Waters", 13, "Q3"),
+    ("The Wall (remaster)", 14, "Q4"),
+    ("Category:Pink Floyd albums", 99, "Q100"),
+]
+
+QRANK = [("Q1", 5000), ("Q2", 300), ("Q100", 77)]
+DOMAINS = [("thewall", "taken"), ("animals", "available")]
+
+
+def test_minimum_slice(spark, tmp_path):
+    inputs = PipelineInputs(
+        nt_lines=spark.createDataFrame([(x,) for x in NT], ["value"]),
+        categorylinks=spark.createDataFrame(
+            CATEGORYLINKS, "cl_from bigint, cl_to string"
+        ),
+        pagelinks=spark.createDataFrame([], "pl_from bigint, pl_title string"),
+        mapping=spark.createDataFrame(
+            MAPPING, "title string, wikipedia_id bigint, qid string"
+        ),
+        qrank=spark.createDataFrame(QRANK, "id string, rank bigint"),
+        domains=spark.createDataFrame(DOMAINS, "name string, status string"),
+        created_ms=123.0,
+    )
+    result = run_pipeline(spark, inputs, workdir=str(tmp_path))
+    docs = result["merged_final"].collect()
+    assert len(docs) == 1
+    doc = docs[0]
+
+    assert doc.data.collection_name == "Pink Floyd albums"  # curate_name
+    assert doc.metadata.id == "Q100"
+    t = doc.template
+    assert t.collection_rank == 77
+    # The Wall valid (studio album ⊂ album), Animals valid (exact type),
+    # The Wall (remaster) valid via same_as redirect but dedups into
+    # "thewall" (same curated), Roger Waters invalid (human ⊄ album)
+    names = [n.normalized_name for n in t.names]
+    assert names == ["thewall", "animals"]  # rank 5000 sorts first
+    assert t.valid_members_count == 3 and t.invalid_members_count == 1
+    assert doc.metadata.members_count == 2  # post-dedup
+    assert t.taken_count == 1 and t.available_count == 1
+    wall = t.names[0]
+    assert wall.rank == 5000 and wall.cached_status == "taken"
+    assert wall.namehash.startswith("0x")
+    assert t.top10_names == t.names
+
+    ops = {r.id: r.op for r in result["operations"].collect()}
+    assert ops == {"Q100": "insert"}

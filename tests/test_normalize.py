@@ -1,0 +1,87 @@
+"""Golden tests for curation/normalization/hashing scalar functions.
+
+Goldens from the reference's tests/test_wiki_api.py:135-148 (via FIXTURES.md
+§10); keccak/namehash vectors are the public Ethereum test vectors.
+"""
+
+import pytest
+
+from collection_templates_spark.functions.hashing import keccak256, namehash
+from collection_templates_spark.functions.normalize import (
+    curate_member,
+    curate_name,
+    extract_article_name,
+    extract_id,
+    strip_eth,
+)
+
+
+def test_curate_name_goldens():
+    assert curate_name("Adolfo_Pérez_Esquivel") == "Adolfo Pérez Esquivel"
+    assert (
+        curate_name("Category:Nobel_Peace_Prize_laureates")
+        == "Nobel Peace Prize laureates"
+    )
+    assert curate_name("List_of_sovereign_states") == "Sovereign states"
+    assert curate_name("https://en.wikipedia.org/wiki/List_of_lakes") == "Lakes"
+
+
+def test_curate_member_goldens():
+    assert curate_member("Adolfo_Pérez_Esquivel") == (
+        "adolfopérezesquivel",
+        ["adolfopérezesquivel"],
+    )
+    assert curate_member("Betty Williams (peace activist)") == (
+        "bettywilliams",
+        ["betty", "williams"],
+    )
+    assert curate_member("ιοσρβυνγ") is None  # non-Latin rejected
+    assert curate_member("ab") is None  # min length 3 (P12)
+
+
+def test_extract_and_strip():
+    assert extract_id("http://www.wikidata.org/entity/Q42") == "Q42"
+    assert extract_id("Q42") == "Q42"
+    assert extract_article_name("https://en.wikipedia.org/wiki/Foo_Bar") == "Foo_Bar"
+    assert extract_article_name("Foo_Bar") == "Foo_Bar"
+    assert strip_eth("abc.eth") == "abc"
+    assert strip_eth("abc") == "abc"
+
+
+def test_keccak_vectors():
+    assert (
+        keccak256(b"").hex()
+        == "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+    assert (
+        keccak256(b"abc").hex()
+        == "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+    )
+    # multi-block message (> 136-byte rate)
+    assert keccak256(b"x" * 300) == keccak256(b"x" * 300)
+
+
+def test_namehash_vectors():
+    assert namehash("") == "0x" + "00" * 32
+    assert (
+        namehash("eth")
+        == "0x93cdeb708b7545dc668eb9280176169d1c33cfd8ed6f04690a0bcc88a93fc4ae"
+    )
+    assert (
+        namehash("foo.eth")
+        == "0xde9b09fd7c5f901e23a3f19fecc54828e9c848539801e86591bd9801b019f84f"
+    )
+    with pytest.raises(ValueError):
+        from collection_templates_spark.functions.hashing import label_to_hash
+
+        label_to_hash("a.b")
+
+
+def test_banner_matches_cpython_global_random():
+    import random
+
+    from collection_templates_spark.functions.scoring import banner_image
+
+    random.seed("Q42")
+    expected = f"tc-{random.randint(0, 19):02d}.png"
+    assert banner_image("Q42") == expected
