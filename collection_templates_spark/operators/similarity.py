@@ -13,8 +13,11 @@ so results are stable across engines and fp summation orders.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 
 def _as_double(arr: F.Column) -> F.Column:
@@ -64,19 +67,6 @@ def cosine_topk(
     )
 
 
-def _sign_bits(vec: F.Column, planes: list[list[float]]) -> F.Column:
-    """Sign bit of the projection on each pseudo-random hyperplane."""
-    return F.concat_ws(
-        "",
-        *[
-            (dot(_as_double(vec), F.array(*[F.lit(w) for w in plane])) > 0)
-            .cast("int")
-            .cast("string")
-            for plane in planes
-        ],
-    )
-
-
 def _deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Fixed pseudo-random hyperplanes from a splitmix-style integer stream —
     reproducible across runs/engines with no RNG library dependency."""
@@ -101,8 +91,8 @@ def lsh_cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 16,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH bucket join, cosine only within buckets.
@@ -110,29 +100,45 @@ def lsh_cosine_topk(
     ``n_tables`` independent plane sets; a corpus vector is a candidate if it
     lands in the same bucket as the query in ANY table. The candidate join is
     an equi-join on (table_idx, bucket) — corpus shuffles once on short keys
-    instead of broadcasting every query against every row. Recall grows with
-    n_tables; verified vs brute force in tests.
+    instead of broadcasting every query against every row.
+
+    Tuning: per-table match probability for angle θ is (1-θ/π)^n_planes, so
+    more planes = smaller buckets but lower recall; recall across tables is
+    1-(1-p)^n_tables. The 4×16 default measures ≥0.9 recall@5 on the weakly
+    clustered synthetic embeddings (random 64-dim, best cosines ~0.3-0.5);
+    tighter corpora tolerate more planes. Verified vs brute force in
+    tests/test_sources_custom.py::test_lsh_ann_recall.
     """
     tables = [
         _deterministic_planes(dim, n_planes, seed=1000 + t) for t in range(n_tables)
     ]
 
+    # All tables' buckets in one Arrow-batched numpy matmul per partition:
+    # n_tables × n_planes native dot-product expressions would explode the
+    # codegen tree (64 array-literal aggregates per row); one (rows × dim) @
+    # (dim × planes·tables) GEMM is the vectorized-UDF fast path.
+    stacked = np.vstack([np.array(t) for t in tables])  # (tables·planes, dim)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ stacked.T > 0).astype(np.uint8)  # (rows, tables·planes)
+        out = []
+        for row in signs:
+            out.append(
+                [
+                    "".join(map(str, row[t * n_planes : (t + 1) * n_planes]))
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
     def bucketize(df: DataFrame, id_alias: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(f"{id_alias}_vec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table_idx"),
-                            _sign_bits(F.col(vec_col), tables[t]).alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(id_alias, f"{id_alias}_vec", "tb.table_idx", "tb.bucket")
+            F.posexplode(buckets_udf(F.col(vec_col))).alias("table_idx", "bucket"),
+        )
 
     qb = bucketize(queries, "query_id")
     cb = bucketize(corpus, "neighbor_id")

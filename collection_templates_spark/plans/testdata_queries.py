@@ -535,6 +535,25 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 analog: per-source token frequency table (explode + count)."""
+    from collection_templates_spark.operators.search import token_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_frequencies(docs, min_count=5).select(
+        F.col("grp").alias("source"), "token", "n"
+    )
+
+
+def search_bm25ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 batch search analogue: TF-IDF scoring of a fixed query over the
+    documents corpus, deterministic top-20."""
+    from collection_templates_spark.operators.search import search_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_corpus(docs, "spark hash join", k=20)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: documents → media table (UTF-8 payload) →
     Arrow-batched mapInPandas feature extraction (deterministic fake decode).
@@ -581,6 +600,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
+    "text_token_frequencies": text_token_frequencies,
+    "search_bm25ish": search_bm25ish,
     "multimodal_features": multimodal_features,
 }
 
@@ -914,5 +935,42 @@ ORACLE_SQL: dict[str, str] = {
                octet_length(encode(text)) AS n_bytes,
                substr(md5(text), 1, 16) AS head_md5
         FROM documents
+    """,
+    "text_token_frequencies": """
+        SELECT source, token, count(*) AS n
+        FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+        GROUP BY source, token
+        HAVING count(*) >= 5
+    """,
+    "search_bm25ish": """
+        WITH tf AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(text),' '),
+                       t -> t = 'spark')) AS tf_spark,
+                   len(list_filter(string_split(lower(text),' '),
+                       t -> t = 'hash')) AS tf_hash,
+                   len(list_filter(string_split(lower(text),' '),
+                       t -> t = 'join')) AS tf_join
+            FROM documents
+        ), stats AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                   sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+                   sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join
+            FROM tf
+        ), scored AS (
+            SELECT doc_id,
+                   round(tf_spark * ln((n + 1.0) / (df_spark + 1.0))
+                       + tf_hash * ln((n + 1.0) / (df_hash + 1.0))
+                       + tf_join * ln((n + 1.0) / (df_join + 1.0)), 6) AS score
+            FROM tf, stats
+        )
+        SELECT doc_id, rank, score FROM (
+            SELECT doc_id, score, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scored WHERE score > 0)
+        WHERE rank <= 20
     """,
 }

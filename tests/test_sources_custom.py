@@ -1,0 +1,178 @@
+"""SQL-dump reader (S3), custom collections (S8/O5/F11), streaming, search."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from collection_templates_spark.operators.custom_collections import (
+    prepare_custom_collections,
+    produce_custom_update_operations,
+    tokenize_name,
+)
+from collection_templates_spark.schemas import CUSTOM_COLLECTION_SCHEMA
+from collection_templates_spark.sources.sqldump import read_sql_dump
+
+
+def test_sql_dump_reader(spark):
+    lines = [
+        "INSERT INTO `categorylinks` VALUES "
+        "(1,'Cats','x'),(2,'Dogs_(pets)','y'),(3,'O\\'Brien''s','z');",
+        "-- comment line",
+        "INSERT INTO `categorylinks` VALUES (4,'Multi,comma','w');",
+    ]
+    df = read_sql_dump(
+        spark.createDataFrame([(x,) for x in lines], ["value"]),
+        field_indexes=(0, 1),
+        field_names=("cl_from", "cl_to"),
+    )
+    rows = {(r.cl_from, r.cl_to) for r in df.collect()}
+    assert rows == {
+        ("1", "Cats"),
+        ("2", "Dogs_(pets)"),
+        ("3", "O'Briens"),
+        ("4", "Multi,comma"),
+    }
+
+
+def _raw_custom(spark, rows):
+    return spark.createDataFrame(
+        [json.loads(r) if isinstance(r, str) else r for r in rows],
+        CUSTOM_COLLECTION_SCHEMA,
+    )
+
+
+CUSTOM = {
+    "data": {
+        "collection_id": "cust-1",
+        "collection_name": "My picks",
+        "labels": [
+            {"label": "x", "normalized_label": None, "tokenized_label": None},  # skip
+            {"label": None, "normalized_label": "catsanddogs", "tokenized_label": None},
+            {"label": None, "normalized_label": None, "tokenized_label": ["big", "sur"]},
+            {"label": None, "normalized_label": "zebra", "tokenized_label": ["zebra"]},
+        ],
+        "collection_description": None,
+        "collection_keywords": ["pets"],
+        "banner_image": None,
+        "avatar_emoji": "🐈",
+    },
+    "commands": {"sort_labels": "a-z", "collection_rank": 5, "member_rank": 7},
+}
+
+
+def test_custom_collections_prepare(spark):
+    domains = spark.createDataFrame(
+        [("bigsur", "taken")], "name string, status string"
+    )
+    docs = prepare_custom_collections(
+        _raw_custom(spark, [CUSTOM]), domains, created_ms=42.0
+    ).collect()
+    assert len(docs) == 1
+    d = docs[0]
+    names = [n.normalized_name for n in d.template.names]
+    assert names == ["bigsur", "catsanddogs", "zebra"]  # a-z sort; skip applied
+    assert d.template.names[0].cached_status == "taken"
+    assert d.template.names[0].rank == 7
+    assert d.template.collection_rank == 5
+    assert d.metadata.members_count == 3
+    assert d.data.avatar_emoji == "🐈"
+    assert d.template.names[0].namehash.startswith("0x")
+    assert d.template.nonavailable_members_count == 1
+
+
+def test_custom_update_ops(spark):
+    domains = spark.createDataFrame([("x", "taken")], "name string, status string")
+    docs = prepare_custom_collections(_raw_custom(spark, [CUSTOM]), domains, 1.0)
+    known = spark.createDataFrame([("cust-1",)], "id string")
+    ops = {r.id: r.op for r in produce_custom_update_operations(docs, known).collect()}
+    assert ops == {"cust-1": "update"}
+    ops2 = {r.id: r.op for r in produce_custom_update_operations(docs, None).collect()}
+    assert ops2 == {"cust-1": "create"}
+
+
+def test_tokenize_name_fallback():
+    # reference _SPLIT_RE keeps whole alnum runs (wordninja, when present,
+    # subdivides them); non-alnum separators always split
+    assert tokenize_name("abc123def") == ["abc123def"]
+    # non-alnum separators are kept as their own tokens (reference
+    # load_custom_collections.py:148-156 appends non-simple segments as-is)
+    assert tokenize_name("hello-world") == ["hello", "-", "world"]
+    assert tokenize_name("it's") == ["it's"]
+
+
+def test_streaming_custom_collections(spark, tmp_path):
+    drop = tmp_path / "drops"
+    drop.mkdir()
+    (drop / "batch1.jsonl").write_text(json.dumps(CUSTOM) + "\n")
+    domains = spark.createDataFrame([("x", "taken")], "name string, status string")
+
+    from collection_templates_spark.streaming.custom_stream import (
+        stream_custom_collections,
+    )
+
+    q = stream_custom_collections(
+        spark,
+        str(drop),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        domains,
+        created_ms=1.0,
+    )
+    q.awaitTermination(120)
+    docs = spark.read.parquet(str(tmp_path / "out" / "docs"))
+    assert docs.count() == 1
+    ops = spark.read.parquet(str(tmp_path / "out" / "ops")).collect()
+    assert ops[0].op == "create"
+    # restart with no new files → no duplicates (checkpointed exactly-once)
+    q2 = stream_custom_collections(
+        spark, str(drop), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        domains, created_ms=1.0,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out" / "docs")).count() == 1
+
+
+def test_windowed_event_counts_batch(spark):
+    from collection_templates_spark.streaming.custom_stream import (
+        windowed_event_counts,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", "click", 1.0),
+         (2, "2024-01-01 00:05:00", "click", 2.0),
+         (3, "2024-01-01 00:15:00", "view", 3.0)],
+        "event_id bigint, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r.window_start), r.event_type): r.n_events
+           for r in windowed_event_counts(ev).collect()}
+    assert out[("2024-01-01 00:00:00", "click")] == 2
+    assert out[("2024-01-01 00:10:00", "view")] == 1
+
+
+def test_search_corpus(spark):
+    from collection_templates_spark.operators.search import search_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "spark join spark"), (2, "hash join"), (3, "nothing here")],
+        "doc_id bigint, text string",
+    )
+    out = search_corpus(docs, "spark join", k=5).collect()
+    assert [r.doc_id for r in out] == [1, 2]  # doc 1 has 2×spark + join
+    assert out[0].rank == 1
+
+
+def test_lsh_ann_recall(spark):
+    """Promised by ann_lsh_topk: sign-LSH recall vs brute force ≥ 0.5."""
+    from collection_templates_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id) for r in lsh_cosine_topk(emb, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"LSH recall {recall}"
