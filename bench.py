@@ -28,12 +28,13 @@ def main() -> None:
     spark = get_spark("bench")
     qs = e.queries()
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session startup
-    from collection_templates_spark.sources.testdata import load_tables
+    # warm the JVM (codegen, parquet reader, shuffle machinery) once so
+    # per-query numbers measure the queries, not session startup
+    from collection_templates_spark.sources.testdata import load_table, load_tables
 
     for df in load_tables(spark, sf_dir).values():
         df.schema  # footer read only
+    load_table(spark, "lineitem", sf_dir).groupBy("l_returnflag").count().collect()
 
     per_query: dict[str, float] = {}
     t_all = time.time()

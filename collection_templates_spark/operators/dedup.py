@@ -86,34 +86,61 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram-set Jaccard similarity for every candidate pair sharing
-    at least one shingle. Columns: doc1 < doc2, jaccard (rounded 6dp).
+    """EXACT n-gram-set Jaccard pairs ≥ threshold. Columns: doc1 < doc2,
+    jaccard (rounded 6dp).
 
-    Candidate generation is the inverted-index self-join; exact for any
-    threshold > 0 because a pair with jaccard > 0 shares a shingle. At scale,
-    pre-filter with MinHash LSH (``minhash_lsh_pairs``) instead of the raw
-    index.
+    Uses **prefix filtering** (AllPairs/PPJoin family): per doc, only the
+    ⌊(1-τ)·n⌋+1 globally-rarest shingles are indexed. Any pair with
+    J ≥ τ must overlap within both prefixes (pigeonhole on the shared
+    frequency order), so candidate generation joins tiny prefixes instead
+    of full inverted lists — the hot-shingle quadratic blowup (stopword
+    trigrams) never materializes. Verification computes the exact Jaccard
+    from the full shingle sets via array_intersect — result identical to the
+    naive all-pairs join.
     """
-    idx = _shingle_index(df, id_col, text_col, n, max_bucket_size)
-    sizes = idx.groupBy("doc").agg(F.count("*").alias("n_shingles"))
-    common = (
-        idx.alias("a")
-        .join(idx.alias("b"), "shingle")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_shingles").alias("n1"))
-    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_shingles").alias("n2"))
-    return (
-        common.join(s1, "doc1")
-        .join(s2, "doc2")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
-            ),
+    sets = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias(
+            "sh"
+        ),
+    ).filter(F.size("sh") > 0)
+
+    idx = sets.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
+    df_counts = idx.groupBy("shingle").agg(F.count("*").alias("df"))
+    if max_bucket_size is not None:
+        df_counts = df_counts.filter(F.col("df") <= max_bucket_size)
+    # per doc: order shingles rarest-first (global df, then hash for a total
+    # order shared by every doc), keep the prefix
+    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("n")).cast("int") + 1
+    prefix = (
+        idx.join(df_counts, "shingle")
+        .groupBy("doc", "n")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+                ),
+                F.lit(1),
+                prefix_len,
+            ).alias("pref")
         )
+        .select("doc", F.explode(F.transform("pref", lambda s: s["shingle"])).alias("shingle"))
+    )
+    candidates = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+    s1 = sets.select(F.col("doc").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = sets.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    jaccard = F.round(n_common / (F.size("sh1") + F.size("sh2") - n_common), 6)
+    return (
+        candidates.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )

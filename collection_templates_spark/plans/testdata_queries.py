@@ -183,6 +183,55 @@ def date_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True pivot (A1's predicate→column reshaping as a first-class op):
+    one column per event type, counts per user."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .select("user_id", *[F.col(t).alias(f"n_{t}") for t in types])
+    )
+
+
+def agg_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping flags — subtotal/total rows in one pass
+    (beyond-reference engine surface; reference has no grouping sets)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .rollup("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested/JSON field access (F14 analog, update_es.py:116-130):
+    extract props.k, aggregate per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def join_inner_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈dim⋈dim⋈dim star join (J1/J5). nation/region broadcast; the
     orders⋈customer join shuffles on the key both sides already need."""
@@ -579,6 +628,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_member_metrics": agg_member_metrics,
     "agg_merge_collections": agg_merge_collections,
     "date_daily_rollup": date_daily_rollup,
+    "agg_pivot_event_types": agg_pivot_event_types,
+    "agg_rollup_daily": agg_rollup_daily,
+    "scalar_json_extract": scalar_json_extract,
     "join_inner_enrich": join_inner_enrich,
     "join_left_default": join_left_default,
     "join_semi_allowlist": join_semi_allowlist,
@@ -702,6 +754,34 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "agg_pivot_event_types": """
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "agg_rollup_daily": """
+        SELECT coalesce(day, 'ALL') AS day,
+               coalesce(event_type, 'ALL') AS event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value
+              FROM events)
+        GROUP BY ROLLUP(day, event_type)
+    """,
+    "scalar_json_extract": """
+        SELECT event_type,
+               count(k) AS n_with_k,
+               sum(k) AS sum_k,
+               max(k) AS max_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type
     """,
     "join_inner_enrich": """
         SELECT r_name AS region_name, n_name AS nation_name,
