@@ -603,6 +603,58 @@ def search_bm25ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_corpus(docs, "spark hash join", k=20)
 
 
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: 32-token windows with stride 24 (8-token
+    overlap), last partial window kept — all native array ops."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(24))
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(toks, s, 32))
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+        F.size("chunk").alias("n_chunk_tokens"),
+    )
+
+
+def ann_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (IVF coarse-quantizer build step),
+    long format: (label, dim, centroid value)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame: running per-user cumulative sum over event
+    time (rows unbounded-preceding → current)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: documents → media table (UTF-8 payload) →
     Arrow-batched mapInPandas feature extraction (deterministic fake decode).
@@ -653,6 +705,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
     "text_token_frequencies": text_token_frequencies,
+    "text_chunking": text_chunking,
+    "ann_label_centroids": ann_label_centroids,
+    "window_running_total": window_running_total,
     "search_bm25ish": search_bm25ish,
     "multimodal_features": multimodal_features,
 }
@@ -1023,6 +1078,38 @@ ORACLE_SQL: dict[str, str] = {
         WHERE token <> ''
         GROUP BY source, token
         HAVING count(*) >= 5
+    """,
+    "text_chunking": """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        ), starts AS (
+            SELECT doc_id, t, i,
+                   CAST((i - 1) / 24 AS INT) AS chunk_idx
+            FROM toks, LATERAL (
+                SELECT unnest(range(1, greatest(len(t), 1) + 1, 24)) AS i)
+        )
+        SELECT doc_id, chunk_idx,
+               array_to_string(t[i:i+31], ' ') AS chunk_text,
+               len(t[i:i+31]) AS n_chunk_tokens
+        FROM starts
+    """,
+    "ann_label_centroids": """
+        SELECT label, pos,
+               round(avg(v), 6) AS centroid,
+               count(*) AS n_vectors
+        FROM (
+            SELECT label, i AS pos, embedding[i + 1]::DOUBLE AS v
+            FROM embeddings, LATERAL (
+                SELECT unnest(range(len(embedding))) AS i))
+        GROUP BY label, pos
+    """,
+    "window_running_total": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_value
+        FROM events
     """,
     "search_bm25ish": """
         WITH tf AS (
