@@ -1,0 +1,74 @@
+"""Skew utilities + stateful streaming sessionization."""
+
+from pyspark.sql import functions as F
+
+from collection_templates_spark.operators.skew import (
+    salted_join,
+    split_heavy_hitters,
+)
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    p = spark.read.parquet("/root/testdata/sf0.001/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    plain = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s"))
+    )
+    fact = li.withColumnRenamed("l_partkey", "p_partkey")
+    salted = (
+        salted_join(fact, p, "p_partkey", salt_factor=8, salt_source="l_orderkey")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_split_heavy_hitters(spark):
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(100)] + [("cold1", 1), ("cold2", 2)],
+        "k string, v int",
+    )
+    hot, cold = split_heavy_hitters(df, "k", threshold=50)
+    assert hot.count() == 100 and cold.count() == 2
+    assert {r.k for r in cold.select("k").distinct().collect()} == {"cold1", "cold2"}
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """File-source stream through applyInPandasWithState: sessions closed by
+    the 30-min gap appear in the output; the open tail session does not
+    (until timeout)."""
+    src = tmp_path / "events"
+    batch = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 7),
+            ("2024-01-01 00:10:00", 7),
+            ("2024-01-01 02:00:00", 7),  # new session (gap 110m)
+            ("2024-01-01 02:05:00", 7),
+        ],
+        "ts string, user_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch.coalesce(1).write.parquet(str(src))
+
+    from collection_templates_spark.streaming.stateful import sessionize_stream
+
+    stream = spark.readStream.schema("ts timestamp, user_id long").parquet(str(src))
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    ).parquet(str(tmp_path / "out"))
+    closed = [tuple(map(str, r)) for r in out.collect()]
+    assert closed == [
+        ("7", "2024-01-01 00:00:00", "2024-01-01 00:10:00", "2")
+    ], closed
