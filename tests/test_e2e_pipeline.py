@@ -14,6 +14,10 @@ P = "<http://www.wikidata.org/prop/direct/"
 # with members: two real albums, one invalid page (a person), one
 # redirect-resolved album.
 NT = [
+    # a "List of Pink Floyd albums" (Q200, is_a_list_of Q482994) exercising
+    # the list branch: page-id-keyed edges via pagelinks
+    f"{WD}Q200> {P}P360> {WD}Q482994> .",
+    f"{WP}List_of_Pink_Floyd_albums> <http://schema.org/about> {WD}Q200> .",
     # category entity
     f"{WD}Q100> {P}P4224> {WD}Q482994> .",
     f'{WD}Q100> <http://www.w3.org/2000/01/rdf-schema#label> "Category:Pink Floyd albums"@en .',
@@ -41,12 +45,20 @@ CATEGORYLINKS = [
     (14, "Pink_Floyd_albums"),
 ]
 
+# list branch: page 98 is the "List of Pink Floyd albums" page
+PAGELINKS = [
+    (98, "The_Wall"),
+    (98, "Animals_(album)"),
+    (98, "Roger_Waters"),
+]
+
 MAPPING = [
     ("The Wall", 11, "Q1"),
     ("Animals (album)", 12, "Q2"),
     ("Roger Waters", 13, "Q3"),
     ("The Wall (remaster)", 14, "Q4"),
     ("Category:Pink Floyd albums", 99, "Q100"),
+    ("List of Pink Floyd albums", 98, "Q200"),
 ]
 
 QRANK = [("Q1", 5000), ("Q2", 300), ("Q100", 77)]
@@ -59,7 +71,9 @@ def test_minimum_slice(spark, tmp_path):
         categorylinks=spark.createDataFrame(
             CATEGORYLINKS, "cl_from bigint, cl_to string"
         ),
-        pagelinks=spark.createDataFrame([], "pl_from bigint, pl_title string"),
+        pagelinks=spark.createDataFrame(
+            PAGELINKS, "pl_from bigint, pl_title string"
+        ),
         mapping=spark.createDataFrame(
             MAPPING, "title string, wikipedia_id bigint, qid string"
         ),
@@ -72,16 +86,20 @@ def test_minimum_slice(spark, tmp_path):
     assert len(docs) == 1
     doc = docs[0]
 
+    # the category (Q100) merged into the list (Q200) by exact name (J12);
+    # min numeric QID becomes the stable id
     assert doc.data.collection_name == "Pink Floyd albums"  # curate_name
     assert doc.metadata.id == "Q100"
     t = doc.template
-    assert t.collection_rank == 77
+    assert t.is_merged
+    assert t.collection_rank == 77  # max(category 77, list 0)
     # The Wall valid (studio album ⊂ album), Animals valid (exact type),
     # The Wall (remaster) valid via same_as redirect but dedups into
-    # "thewall" (same curated), Roger Waters invalid (human ⊄ album)
+    # "thewall" (same curated), Roger Waters invalid (human ⊄ album);
+    # the list branch revalidates The Wall / Animals and rejects Roger
     names = [n.normalized_name for n in t.names]
     assert names == ["thewall", "animals"]  # rank 5000 sorts first
-    assert t.valid_members_count == 3 and t.invalid_members_count == 1
+    assert t.valid_members_count == 5 and t.invalid_members_count == 2
     assert doc.metadata.members_count == 2  # post-dedup
     assert t.taken_count == 1 and t.available_count == 1
     wall = t.names[0]

@@ -106,6 +106,25 @@ def test_letters_merge_and_rename(spark):
     assert not out["Towns"].is_merged  # singleton rename via m2
 
 
+def test_letters_pattern_goldens(spark):
+    rows = [
+        _coll("Q1", "Peaks, A to F", []),          # m1 range → rename
+        _coll("Q2", "Peaks, G to Z", []),          # merges with Q1
+        _coll("Q10", "Ships (current)", []),       # m2 explicit parens
+        _coll("Q11", "Complete lists of lakes", []),  # m3 "... lists of X"
+        _coll("Q12", "Bridges: Q", []),            # m1 single letter → rename
+        _coll("Q13", "Words by frequency (A)", []),  # m1 "(A)" suffix
+    ]
+    out = {r.item: r.name for r in
+           remove_collections_with_letters(make(spark, rows)).collect()}
+    assert out["Q1"] == "Peaks"          # merged pair renamed
+    assert "Q2" not in out               # absorbed into Q1
+    assert out["Q10"] == "Ships"
+    assert out["Q11"] == "Lakes"         # m3 normalized + ucfirst
+    assert out["Q12"] == "Bridges"
+    assert out["Q13"] == "Words by frequency"
+
+
 def test_remove_duplicates(spark):
     rows = [
         _coll("Q5", "Same", [_member("aa", 1)], rank=3, valid=1),
