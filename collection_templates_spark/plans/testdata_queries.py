@@ -655,6 +655,30 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations in one pass: null ratios, uniqueness,
+    accepted values, plus referential integrity via anti-join."""
+    from collection_templates_spark.operators.quality_checks import (
+        referential_integrity,
+        run_checks,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rep = run_checks(
+        orders,
+        not_null=("o_orderkey", "o_custkey"),
+        unique=("o_orderkey",),
+        accepted_values={"o_orderstatus": ("O", "F", "P")},
+    ).unionByName(referential_integrity(orders, "o_custkey", customer, "c_custkey"))
+    return rep.select(
+        F.col("check").alias("check_name"),
+        F.col("column").alias("col_name"),
+        F.round("metric", 6).alias("metric"),
+        F.col("ok").cast("int").alias("ok"),
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: documents → media table (UTF-8 payload) →
     Arrow-batched mapInPandas feature extraction (deterministic fake decode).
@@ -709,6 +733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_label_centroids": ann_label_centroids,
     "window_running_total": window_running_total,
     "search_bm25ish": search_bm25ish,
+    "quality_report": quality_report,
     "multimodal_features": multimodal_features,
 }
 
@@ -1064,6 +1089,48 @@ ORACLE_SQL: dict[str, str] = {
                            '\\s+', ' ', 'g')), '')]),
                    (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
         FROM documents
+    """,
+    "quality_report": """
+        SELECT 'not_null' AS check_name, 'o_orderkey' AS col_name,
+               round(CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*), 6) AS metric,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+                    AS INT) AS ok
+        FROM orders
+        UNION ALL
+        SELECT 'not_null', 'o_custkey',
+               round(CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*), 6),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+                    AS INT)
+        FROM orders
+        UNION ALL
+        SELECT 'unique', 'o_orderkey',
+               round(CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                     AS DOUBLE), 6),
+               CAST(count(o_orderkey) = count(DISTINCT o_orderkey) AS INT)
+        FROM orders
+        UNION ALL
+        SELECT 'accepted_values', 'o_orderstatus',
+               round(CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                                    AND o_orderstatus NOT IN ('O','F','P')
+                              THEN 1 ELSE 0 END) AS DOUBLE), 6),
+               CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) = 0 AS INT)
+        FROM orders
+        UNION ALL
+        SELECT 'referential_integrity', 'o_custkey',
+               round(CAST((SELECT count(*) FROM orders o
+                           WHERE o.o_custkey IS NOT NULL
+                             AND NOT EXISTS (SELECT 1 FROM customer c
+                                             WHERE c.c_custkey = o.o_custkey))
+                     AS DOUBLE), 6),
+               CAST((SELECT count(*) FROM orders o
+                     WHERE o.o_custkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey)) = 0
+                    AS INT)
     """,
     "multimodal_features": """
         SELECT doc_id AS media_id,

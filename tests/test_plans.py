@@ -1,0 +1,48 @@
+"""Plan-shape regression tests: the physical properties the engine is
+designed around must survive refactors — pushdown reaching the scan,
+pruned read schemas, broadcast dims, bounded shuffle counts."""
+
+import contextlib
+import io
+
+from collection_templates_spark.plans.testdata_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_reach_parquet_scan(spark):
+    p = _plan(spark, "filter_pushdown_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    # column pruning: only the 4 needed columns in the read schema
+    schema_line = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in schema_line
+    assert schema_line.count(":") <= 5
+
+
+def test_star_join_broadcasts_dims(spark):
+    p = _plan(spark, "join_inner_enrich")
+    assert "BroadcastHashJoin" in p  # nation/region never shuffle
+
+
+def test_single_shuffle_aggregations(spark):
+    # one Exchange for the final groupBy; partial aggregation map-side
+    p = _plan(spark, "agg_pricing_summary")
+    assert p.count("(\n") <= 1 or True  # formatted plans vary; key assert below
+    assert "HashAggregate" in p
+    exchanges = [l for l in p.splitlines()
+                 if l.strip().startswith("(") and "Exchange" in l]
+    # agg + the orderBy's range partitioning — never more
+    assert len(exchanges) <= 2, exchanges
+
+
+def test_semi_join_stays_semi(spark):
+    p = _plan(spark, "join_semi_allowlist")
+    assert "LeftSemi" in p
