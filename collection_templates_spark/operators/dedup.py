@@ -16,8 +16,29 @@ this module is the LLM-corpus extension suite.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+
+def _simhash_fp_udf(bits: int):
+    """Arrow-batched SimHash bit-voting over per-doc hash arrays."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def fp_udf(hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.uint64)
+
+        def fp(hs):
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits_m = (h[:, None] >> shifts) & np.uint64(1)
+            votes = (2 * bits_m.astype(np.int64) - 1).sum(axis=0)
+            return (votes > 0).astype(np.int32).tolist()
+
+        return hashes.map(fp)
+
+    return fp_udf
 
 
 def normalize_text(text: F.Column) -> F.Column:
@@ -273,34 +294,23 @@ def simhash_pairs(
     candidate join is an equi-join on (chunk_idx, chunk_value) — no all-pairs.
     """
     chunk = bits // bands
-    # explode→hash-once→64 conditional sums: one xxhash64 per shingle instead
-    # of 64 array-aggregate lambdas per doc (the naive ``simhash()`` column is
-    # kept for expression-level use, but at corpus scale this shape keeps the
-    # plan small and the hash work linear in shingle count).
+    # hash each shingle once JVM-side, then bit-vote with one numpy pass per
+    # doc: 64 per-bit conditional-sum aggregates would evaluate 64 exprs per
+    # shingle row; unpacking bits of the collected hash array in an
+    # Arrow-batched UDF is a single vectorized op.
+    fp_udf = _simhash_fp_udf(bits)
     hashed = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     ).select("doc", F.xxhash64("s").alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
     with_fp = (
         hashed.groupBy("doc")
-        .agg(*votes)
-        .select(
-            "doc",
-            F.array(
-                *[(F.col(f"v{i}") > 0).cast("int") for i in range(bits)]
-            ).alias("fp"),
-        )
+        .agg(F.collect_list("h").alias("hs"))
+        .select("doc", fp_udf("hs").alias("fp"))
         .localCheckpoint(eager=True)  # fingerprint computed once, reused twice
     )
     chunks = with_fp.select(
         "doc",
-        "fp",
         F.explode(
             F.array(
                 *[
@@ -314,18 +324,24 @@ def simhash_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("doc", "fp", "c.chunk_idx", "c.chunk_val")
-    cand = (
+    ).select("doc", "c.chunk_idx", "c.chunk_val")
+    # distinct over bare id pairs (cheap), fingerprints re-joined after —
+    # distinct over 64-int arrays would dominate the whole job
+    pair_ids = (
         chunks.alias("a")
         .join(chunks.alias("b"), ["chunk_idx", "chunk_val"])
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("doc1"),
-            F.col("b.doc").alias("doc2"),
-            F.col("a.fp").alias("fp1"),
-            F.col("b.fp").alias("fp2"),
-        )
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
         .distinct()
+    )
+    cand = (
+        pair_ids.join(
+            with_fp.select(F.col("doc").alias("doc1"), F.col("fp").alias("fp1")),
+            "doc1",
+        ).join(
+            with_fp.select(F.col("doc").alias("doc2"), F.col("fp").alias("fp2")),
+            "doc2",
+        )
     )
     hamming = F.size(
         F.filter(
