@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 
 def _as_double(arr: F.Column) -> F.Column:
@@ -60,6 +60,114 @@ def cosine_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _centroid_assign_udf(centroids: "np.ndarray"):
+    """vec → nearest-centroid ids (cosine), one GEMM per Arrow batch."""
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = centroids / np.where(norms == 0, 1, norms)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mn = m / np.where(
+            np.linalg.norm(m, axis=1, keepdims=True) == 0,
+            1,
+            np.linalg.norm(m, axis=1, keepdims=True),
+        )
+        return pd.Series((mn @ cn.T).argmax(axis=1).astype("int32"))
+
+    return assign
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer:
+    initialized from the ``n_clusters`` lowest-id vectors, each iteration =
+    one assign (GEMM UDF) + one per-dimension mean (posexplode + groupBy).
+    Distributed: per-iteration cost is one pass over the corpus; only the
+    (k × dim) centroid matrix ever reaches the driver."""
+    init = (
+        corpus.orderBy(id_col)
+        .limit(n_clusters)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.vstack([np.asarray(r[0], dtype=np.float64) for r in init])
+    for _ in range(iterations):
+        assign = _centroid_assign_udf(centroids)
+        assigned = corpus.select(
+            assign(F.col(vec_col)).alias("cluster"),
+            F.posexplode(vec_col).alias("pos", "v"),
+        )
+        means = (
+            assigned.groupBy("cluster", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        for r in means:
+            centroids[r["cluster"], r["pos"]] = r["m"]
+    return centroids
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest centroid; each
+    query probes its ``n_probe`` closest clusters and scores only those
+    rows. The inverted-list layout is the classic 100 TB ANN shape —
+    candidates shuffle on small integer cluster ids, and probing cost is
+    corpus/n_clusters × n_probe per query."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_clusters, vec_col=vec_col, id_col=id_col)
+    assign = _centroid_assign_udf(centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = centroids / np.where(norms == 0, 1, norms)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mn = m / np.where(
+            np.linalg.norm(m, axis=1, keepdims=True) == 0,
+            1,
+            np.linalg.norm(m, axis=1, keepdims=True),
+        )
+        order = (mn @ cn.T).argsort(axis=1)[:, ::-1][:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cluster"),
+    )
+    sim = F.round(cosine(F.col("query_vec"), F.col("vec")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

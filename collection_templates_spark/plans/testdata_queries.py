@@ -550,6 +550,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer, n_probe cluster
+    scan per query — the inverted-list 100 TB shape. Approximate → rows-only
+    check; recall vs brute force asserted in tests."""
+    from collection_templates_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-ish piece counting, punctuation/stopword ratios,
     composite quality score — all native column expressions."""
@@ -725,6 +735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,

@@ -176,3 +176,21 @@ def test_lsh_ann_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"LSH recall {recall}"
+
+
+def test_ivf_ann_recall(spark):
+    from pyspark.sql import functions as F
+
+    from collection_templates_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id) for r in ivf_cosine_topk(emb, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall}"
