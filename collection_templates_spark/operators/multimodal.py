@@ -77,6 +77,96 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("meta_width", IntegerType()),
+        StructField("meta_height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ms", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: real impl = PIL thumbnail. The fake
+    re-scales the byte length proportionally so size-dependent downstream
+    logic is exercisable."""
+    target = max(1, (len(payload) * width * height) // (256 * 256))
+    return (payload * (target // max(len(payload), 1) + 1))[:target]
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Arrow-batched image resize (stubbed decode — plumbing is real:
+    payload-only projection, per-batch loop, typed output schema)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        fake_resize(b, width, height) for b in pdf["payload"]
+                    ],
+                    "meta_width": width,
+                    "meta_height": height,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling plumbing (stubbed decode): one output row per
+    sampled frame with its timestamp — real impl = ffmpeg seek per
+    ``frame_ms``. The fake slices the payload deterministically so each
+    'frame' is distinct and reproducible."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, mss, payloads = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                n = min(max_frames, max(1, len(b) // 16))
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    mss.append(i * every_ms)
+                    payloads.append(bytes(b[i * 16 : (i + 1) * 16]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ms": mss,
+                    "payload": payloads,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def repartition_by_payload_size(
+    media: DataFrame, target_bytes: int = 64 * 1024 * 1024
+) -> DataFrame:
+    """Size-aware repartition before decode: media rows vary from KBs to
+    GBs, so row-count partitioning makes pathological Arrow batches. One
+    cheap aggregate estimates total payload bytes → partition count."""
+    total = media.select(
+        F.sum(F.length("payload")).alias("b")
+    ).collect()[0]["b"] or 0
+    n = max(1, int(total // target_bytes) + 1)
+    return media.repartition(n)
+
+
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
