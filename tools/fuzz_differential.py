@@ -1,0 +1,175 @@
+"""Differential query fuzzing: random ANSI-subset SQL executed by BOTH
+Spark SQL and DuckDB over the same parquet tables, results compared
+order-insensitively.
+
+The generator stays inside the dialect intersection (arithmetic, CASE,
+comparisons, AND/OR/NOT, GROUP BY with count/min/max and 2dp-rounded
+sum/avg on doubles) so a single query string is valid in both engines —
+every generated query is an independent correctness check of filter
+pushdown, null semantics, aggregation and grouping across the whole
+engine stack.
+
+Usage: python tools/fuzz_differential.py [n_queries] [seed] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = {
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "double": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "string": ["l_returnflag", "l_linestatus"],
+    },
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "double": ["o_totalprice"],
+        "string": ["o_orderstatus", "o_orderpriority"],
+    },
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "double": ["c_acctbal"],
+        "string": ["c_name", "c_mktsegment"],
+    },
+    "part": {
+        "int": ["p_partkey", "p_size"],
+        "double": ["p_retailprice"],
+        "string": ["p_name", "p_brand", "p_type"],
+    },
+}
+
+STRING_LITERALS = ["'A'", "'O'", "'F'", "'Brand#1'", "'BUILDING'", "'x'"]
+
+
+class Gen:
+    def __init__(self, rng: random.Random, table: str):
+        self.rng = rng
+        self.cols = TABLES[table]
+
+    def num_expr(self, depth: int = 0) -> str:
+        r = self.rng
+        if depth > 1 or r.random() < 0.4:
+            choices = self.cols["int"] + self.cols["double"]
+            if r.random() < 0.25:
+                return str(r.randint(0, 100))
+            return r.choice(choices)
+        a, b = self.num_expr(depth + 1), self.num_expr(depth + 1)
+        op = r.choice(["+", "-", "*"])
+        return f"({a} {op} {b})"
+
+    def predicate(self, depth: int = 0) -> str:
+        r = self.rng
+        kind = r.random()
+        if depth < 1 and kind < 0.3:
+            a, b = self.predicate(depth + 1), self.predicate(depth + 1)
+            return f"({a} {r.choice(['AND', 'OR'])} {b})"
+        if kind < 0.65:
+            return (
+                f"({self.num_expr(1)} {r.choice(['<', '<=', '>', '>=', '=', '<>'])} "
+                f"{self.num_expr(1)})"
+            )
+        col = r.choice(self.cols["string"])
+        if r.random() < 0.5:
+            return f"({col} {r.choice(['=', '<>'])} {r.choice(STRING_LITERALS)})"
+        return f"({col} IS NOT NULL)"
+
+    def agg_exprs(self) -> list[str]:
+        r = self.rng
+        out = ["count(*) AS cnt"]
+        for i in range(r.randint(1, 3)):
+            col = r.choice(self.cols["int"] + self.cols["double"])
+            fn = r.choice(["min", "max", "sum", "avg"])
+            expr = f"{fn}({col})"
+            if fn == "avg" or (fn == "sum" and col in self.cols["double"]):
+                # fp aggregates rounded; integer sums stay exact integers
+                # (Spark keeps LONG where DuckDB widens to HUGEINT — both
+                # normalize to the same decimal string)
+                expr = f"round({expr}, 2)"
+            out.append(f"{expr} AS a{i}")
+        return out
+
+    def query(self, table: str) -> str:
+        r = self.rng
+        where = self.predicate()
+        if r.random() < 0.6:
+            group = r.choice(self.cols["string"])
+            aggs = ", ".join(self.agg_exprs())
+            return (
+                f"SELECT {group}, {aggs} FROM {table} "
+                f"WHERE {where} GROUP BY {group}"
+            )
+        cols = r.sample(
+            self.cols["string"] + self.cols["int"], k=r.randint(1, 3)
+        )
+        case = (
+            f"CASE WHEN {self.predicate(1)} THEN 1 ELSE 0 END AS flag"
+        )
+        return f"SELECT {', '.join(cols)}, {case} FROM {table} WHERE {where}"
+
+
+def norm(rows) -> list[tuple]:
+    import math
+
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            # integral floats print like ints so LONG-vs-DOUBLE result-type
+            # divergence between engines doesn't read as a value mismatch
+            if v == int(v) and abs(v) < 2**53:
+                return str(int(v))
+            return repr(round(v, 6))
+        return str(v)
+
+    return sorted(tuple(cell(c) for c in row) for row in rows)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+
+    from collection_templates_spark.session import get_spark
+    from collection_templates_spark.sources.testdata import register_views
+
+    spark = get_spark("fuzz")
+    register_views(spark, sf_dir)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    rng = random.Random(seed)
+    failures = 0
+    for i in range(n):
+        table = rng.choice(list(TABLES))
+        q = Gen(rng, table).query(table)
+        try:
+            s_rows = norm([tuple(r) for r in spark.sql(q).collect()])
+        except Exception as ex:  # noqa: BLE001
+            print(f"[{i}] SPARK ERROR {ex}\n  {q}")
+            failures += 1
+            continue
+        try:
+            d_rows = norm(con.execute(q).fetchall())
+        except Exception as ex:  # noqa: BLE001
+            print(f"[{i}] DUCKDB ERROR {ex}\n  {q}")
+            failures += 1
+            continue
+        if s_rows != d_rows:
+            diff = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:2]
+            print(f"[{i}] MISMATCH rows {len(s_rows)} vs {len(d_rows)}\n  {q}\n  {diff}")
+            failures += 1
+    print(f"{n - failures}/{n} queries agree (seed={seed})")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
