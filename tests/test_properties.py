@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the pure scalar functions — no
+Spark session needed, so these run in milliseconds and sweep input space
+the golden tests can't."""
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from collection_templates_spark.functions.hashing import keccak256, namehash
+from collection_templates_spark.functions.normalize import (
+    curate_member,
+    curate_name,
+    strip_eth,
+)
+from collection_templates_spark.operators.custom_collections import tokenize_name
+
+latin_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " _-'()", max_size=60
+)
+
+
+@given(latin_text)
+@settings(max_examples=200)
+def test_curate_member_invariants(s):
+    out = curate_member(s)
+    if out is not None:
+        curated, tokens = out
+        assert len(curated) >= 3  # P12 enforced
+        assert curated == curated.lower()
+        assert " " not in curated and "." not in curated
+        for t in tokens:
+            assert t == t.lower()
+
+
+@given(latin_text.filter(lambda s: s.strip()))
+@settings(max_examples=200)
+def test_curate_name_first_char_upper(s):
+    out = curate_name(s)
+    if out and out[0].isalpha():
+        assert out[0] == out[0].upper()
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=100)
+def test_keccak_deterministic_and_sized(b):
+    h1, h2 = keccak256(b), keccak256(b)
+    assert h1 == h2 and len(h1) == 32
+
+
+@given(st.text(alphabet=string.ascii_lowercase + string.digits, min_size=1, max_size=20))
+@settings(max_examples=100)
+def test_namehash_shape_and_label_sensitivity(label):
+    h = namehash(label + ".eth")
+    assert re.fullmatch(r"0x[0-9a-f]{64}", h)
+    assert h != namehash(label + "x.eth")
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200)
+def test_tokenize_name_total(s):
+    # never raises, never yields empty/whitespace-only tokens
+    for t in tokenize_name(s):
+        assert t.strip()
+
+
+@given(st.text(max_size=30))
+def test_strip_eth_suffix(s):
+    assert strip_eth(s + ".eth") == s
+    if not s.endswith(".eth"):
+        assert strip_eth(s) == s
