@@ -62,15 +62,18 @@ def enrich_members(
         "c", "c1"
     )
 
-    # fallback: curate the db5 label when the title fails (J9)
+    # fallback: curate the db5 label when the title fails (J9). NB the
+    # curate UDF returns a struct with NULL fields on failure (not a null
+    # struct), so failure is detected on c1.curated.
+    failed1 = F.col("c1").isNull() | F.col("c1.curated").isNull()
     labels = db5.select(F.col("id").alias("member_qid"), F.col("label"))
     m = m.join(labels, "member_qid", "left")
-    cur2 = _curate_distinct(m.filter(F.col("c1").isNull()), "label")
+    cur2 = _curate_distinct(m.filter(failed1), "label")
     m = m.join(cur2, m.label.eqNullSafe(cur2.v), "left").drop("v").withColumnRenamed(
         "c", "c2"
     )
     m = m.withColumn(
-        "c", F.when(F.col("c1").isNotNull(), F.col("c1")).otherwise(F.col("c2"))
+        "c", F.when(~failed1, F.col("c1")).otherwise(F.col("c2"))
     ).filter(F.col("c").isNotNull() & F.col("c.curated").isNotNull())
 
     # ranks (J7, default 0), interesting score (F10, on distinct curated),
