@@ -43,6 +43,7 @@ def enrich_members(
     db5: DataFrame,
     qrank: DataFrame,
     domains: DataFrame,
+    score_cache_path: str | None = None,
 ) -> DataFrame:
     """Per-(collection, member) enriched rows.
 
@@ -82,11 +83,28 @@ def enrich_members(
     m = m.join(q, "member_qid", "left").withColumn(
         "rank", F.coalesce("___r", F.lit(0)).cast("long")
     )
-    score = (
-        m.select(F.col("c.curated").alias("v"))
-        .distinct()
-        .select("v", interesting_score_udf("v").alias("___score"))
-    )
+    if score_cache_path:
+        # Opt-6 across runs: the persisted score cache is refreshed with
+        # only the labels unseen so far (the reference's interesting-score
+        # RocksDB cache, its 11h52m long pole, as an incremental table)
+        from collection_templates_spark.operators.cache_tables import refresh_cache
+
+        cache = refresh_cache(
+            m.sparkSession,
+            score_cache_path,
+            m.select(F.col("c.curated").alias("curated")),
+            "curated",
+            lambda k: interesting_score_udf(k),
+        )
+        score = cache.select(
+            F.col("key").alias("v"), F.col("value").alias("___score")
+        )
+    else:
+        score = (
+            m.select(F.col("c.curated").alias("v"))
+            .distinct()
+            .select("v", interesting_score_udf("v").alias("___score"))
+        )
     m = m.join(score, m["c.curated"] == score.v, "left").drop("v")
     d = domains.select(F.col("name").alias("___dn"), F.col("status"))
     m = m.join(d, m["c.curated"] == F.col("___dn"), "left")
@@ -140,14 +158,16 @@ def enrich_collections(
     qrank: DataFrame,
     domains: DataFrame,
     mapping_titles: DataFrame | None = None,
+    score_cache_path: str | None = None,
 ) -> DataFrame:
     """Full all-info stage → COLLECTION_SCHEMA rows.
 
     mapping_titles: (qid, title) INCLUDING redirects — the keyword source
     (J10). When None, keywords fall back to the db5 label only.
+    score_cache_path: optional persisted interesting-score cache (Opt-6).
     """
     members = assemble_members(
-        enrich_members(validated, db5, qrank, domains)
+        enrich_members(validated, db5, qrank, domains, score_cache_path)
     )
 
     coll = validated.select(

@@ -110,6 +110,9 @@ def run_pipeline(spark: SparkSession, inputs: PipelineInputs, workdir: str | Non
                 inputs.qrank,
                 inputs.domains,
                 inputs.mapping.select("qid", "title"),
+                score_cache_path=(
+                    f"{workdir}/score_cache.parquet" if workdir else None
+                ),
             ),
             f"all_info_{mode}",
         )

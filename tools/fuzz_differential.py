@@ -46,6 +46,13 @@ TABLES = {
 
 STRING_LITERALS = ["'A'", "'O'", "'F'", "'Brand#1'", "'BUILDING'", "'x'"]
 
+# (left, right, left key, right key) equi-join templates
+JOINS = [
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+]
+
 
 class Gen:
     def __init__(self, rng: random.Random, table: str):
@@ -113,6 +120,25 @@ class Gen:
         return f"SELECT {', '.join(cols)}, {case} FROM {table} WHERE {where}"
 
 
+def join_query(rng: random.Random) -> str:
+    """Equi-join + filter + group-by across the joined pair; join type
+    drawn from INNER/LEFT (LEFT exercises null-propagation through aggs)."""
+    left, right, lk, rk = rng.choice(JOINS)
+    gl, gr = Gen(rng, left), Gen(rng, right)
+    how = rng.choice(["JOIN", "LEFT JOIN"])
+    group = rng.choice(gl.cols["string"])
+    aggs = ["count(*) AS cnt"]
+    side = gr if how == "JOIN" and rng.random() < 0.5 else gl
+    col = rng.choice(side.cols["double"] + side.cols["int"])
+    fn = rng.choice(["min", "max", "count"])
+    aggs.append(f"{fn}({col}) AS a0")
+    where = gl.predicate(1)
+    return (
+        f"SELECT {group}, {', '.join(aggs)} FROM {left} {how} {right} "
+        f"ON {lk} = {rk} WHERE {where} GROUP BY {group}"
+    )
+
+
 def norm(rows) -> list[tuple]:
     import math
 
@@ -149,8 +175,11 @@ def main() -> int:
     rng = random.Random(seed)
     failures = 0
     for i in range(n):
-        table = rng.choice(list(TABLES))
-        q = Gen(rng, table).query(table)
+        if rng.random() < 0.3:
+            q = join_query(rng)
+        else:
+            table = rng.choice(list(TABLES))
+            q = Gen(rng, table).query(table)
         try:
             s_rows = norm([tuple(r) for r in spark.sql(q).collect()])
         except Exception as ex:  # noqa: BLE001
