@@ -33,6 +33,11 @@ def refresh_cache(
 ) -> DataFrame:
     """Ensure every distinct ``inputs[key_col]`` exists in the cache;
     compute only the missing keys. Returns the refreshed cache DataFrame.
+
+    The refresh OVERWRITES ``cache_path``: DataFrames read from that path
+    before the refresh become invalid (their file list is gone) — always
+    use the returned frame. At real scale, prefer an append-only layout
+    partitioned by refresh date if old readers must keep working.
     """
     new_keys = inputs.select(F.col(key_col).alias("key")).distinct()
     try:
