@@ -532,6 +532,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=12)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive duplicate clusters via iterative
+    min-label propagation; every document mapped to its canonical (min-id)
+    representative. Oracle: recursive-CTE reachability min."""
+    from collection_templates_spark.operators.clustering import (
+        dedup_keep_canonical,
+    )
+    from collection_templates_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_keep_canonical(docs, pairs).select("doc_id", "cluster", "keep")
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 8 query vectors over the full corpus."""
     from collection_templates_spark.operators.similarity import cosine_topk
@@ -733,6 +747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1027,6 +1042,24 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+        edges(a, b) AS (
+            SELECT doc1, doc2 FROM pairs
+            UNION SELECT doc2, doc1 FROM pairs
+        ), reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), clusters AS (
+            SELECT a AS node, least(a, min(b)) AS cluster
+            FROM reach GROUP BY a
+        )
+        SELECT d.doc_id,
+               coalesce(c.cluster, d.doc_id) AS cluster,
+               CAST(d.doc_id = coalesce(c.cluster, d.doc_id) AS INT) AS keep
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+    """,
     "ann_cosine_topk": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qv
                    FROM embeddings WHERE vec_id < 8),
