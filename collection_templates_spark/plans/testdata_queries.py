@@ -539,10 +539,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collection_templates_spark.operators.clustering import (
         dedup_keep_canonical,
     )
-    from collection_templates_spark.operators.dedup import ngram_jaccard_pairs
+    from collection_templates_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    # LSH-candidates + exact-verify pairs equal the exact pair set on this
+    # corpus (see dedup_minhash_lsh) at roughly half the cost
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
     return dedup_keep_canonical(docs, pairs).select("doc_id", "cluster", "keep")
 
 
