@@ -415,6 +415,58 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins (custom operators Spark lacks as built-ins)
+# ---------------------------------------------------------------------------
+
+
+def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join via the union-window sort-merge pattern: each
+    purchase gets the latest prior-or-equal click by the same user."""
+    from collection_templates_spark.operators.temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = as_of_join(
+        purchases, clicks, on="user_id", right_value_cols=("event_id",)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_asof").alias("click_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("gap_us"),
+    )
+
+
+def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: purchases within 5 minutes AFTER a click by the
+    same user, aggregated per user — equi-join on (key, time-bin) instead of
+    a theta join."""
+    from collection_templates_spark.operators.temporal import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    pairs = range_join_binned(
+        clicks, purchases, "user_id", "ts", "ts", 0.0, 300.0
+    )
+    gap = F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts"))
+    return (
+        pairs.select(F.col("l.user_id").alias("user_id"), gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"), F.min("gap_us").alias("min_gap_us"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Set operations (SURVEY §2.6)
 # ---------------------------------------------------------------------------
 
@@ -742,6 +794,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_topk_per_group": window_topk_per_group,
     "window_dedup_keep_first": window_dedup_keep_first,
     "window_sessionize": window_sessionize,
+    "temporal_asof_join": temporal_asof_join,
+    "temporal_range_join": temporal_range_join,
     "set_union_membership": set_union_membership,
     "scalar_curate_name": scalar_curate_name,
     "graph_transitive_closure": graph_transitive_closure,
@@ -993,6 +1047,31 @@ ORACLE_SQL: dict[str, str] = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         GROUP BY user_id
+    """,
+    "temporal_asof_join": """
+        WITH clicks AS (SELECT user_id, ts, event_id FROM events
+                        WHERE event_type = 'click'),
+        purch AS (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id,
+               c.event_id AS click_event_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM purch p ASOF LEFT JOIN clicks c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "temporal_range_join": """
+        WITH clicks AS (SELECT user_id, ts FROM events
+                        WHERE event_type = 'click'),
+        purch AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+        SELECT c.user_id,
+               count(*) AS n_pairs,
+               min(epoch_us(p.ts) - epoch_us(c.ts)) AS min_gap_us
+        FROM clicks c JOIN purch p
+            ON c.user_id = p.user_id
+           AND p.ts >= c.ts
+           AND epoch_us(p.ts) <= epoch_us(c.ts) + 300000000
+        GROUP BY c.user_id
     """,
     "set_union_membership": """
         SELECT nationkey,
