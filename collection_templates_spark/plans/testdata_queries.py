@@ -414,6 +414,30 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window (gap-merged event-time sessions, the
+    same operator Structured Streaming uses) — one row per session. Oracle:
+    the classic lag→flag→cumsum session id construction."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (custom operators Spark lacks as built-ins)
 # ---------------------------------------------------------------------------
@@ -794,6 +818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_topk_per_group": window_topk_per_group,
     "window_dedup_keep_first": window_dedup_keep_first,
     "window_sessionize": window_sessionize,
+    "window_session_native": window_session_native,
     "temporal_asof_join": temporal_asof_join,
     "temporal_range_join": temporal_range_join,
     "set_union_membership": set_union_membership,
@@ -1047,6 +1072,29 @@ ORACLE_SQL: dict[str, str] = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         GROUP BY user_id
+    """,
+    "window_session_native": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), ids AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM ids GROUP BY user_id, sid
     """,
     "temporal_asof_join": """
         WITH clicks AS (SELECT user_id, ts, event_id FROM events
