@@ -78,27 +78,6 @@ def word_shingles(text: F.Column, n: int = 3) -> F.Column:
     )
 
 
-def _shingle_index(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_bucket_size: int | None
-) -> DataFrame:
-    """Inverted index (shingle → doc) with degenerate-bucket drop."""
-    # Shuffle 8-byte hashes, not shingle strings: the join/groupBy key is
-    # xxhash64(shingle) — same candidate pairs and (collision-negligibly)
-    # same intersection counts at a fraction of the shuffle volume.
-    exploded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
-    ).select("doc", F.xxhash64("s").alias("shingle"))
-    if max_bucket_size is not None:
-        w = Window.partitionBy("shingle")
-        exploded = (
-            exploded.withColumn("___bucket", F.count("*").over(w))
-            .filter(F.col("___bucket") <= max_bucket_size)
-            .drop("___bucket")
-        )
-    return exploded
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
