@@ -29,6 +29,16 @@ from collection_templates_spark.functions.udfs import (
 )
 
 
+def _unquote(col: F.Column) -> F.Column:
+    """Native equivalent of urllib.parse.unquote (reference unquotes image /
+    page_banner URLs, create_merged.py:443-449): '+' is NOT a space in
+    unquote semantics (pre-escape to %2B), and malformed %-sequences pass
+    through unchanged (try_url_decode → null → coalesce original)."""
+    return F.coalesce(
+        F.try_url_decode(F.regexp_replace(col, "\\+", "%2B")), col
+    )
+
+
 def _curate_distinct(titles: DataFrame, col: str) -> DataFrame:
     """(value → struct(curated, tokenized)) computed once per distinct."""
     return (
@@ -257,8 +267,12 @@ def enrich_collections(
             F.array().cast("array<string>"),
         ).alias("keywords"),
         desc.alias("description"),
-        F.transform(F.coalesce("___image", F.array().cast("array<string>")), lambda u: u).alias("image"),
-        F.coalesce("___banner", F.array().cast("array<string>")).alias("page_banner"),
+        F.transform(
+            F.coalesce("___image", F.array().cast("array<string>")), _unquote
+        ).alias("image"),
+        F.transform(
+            F.coalesce("___banner", F.array().cast("array<string>")), _unquote
+        ).alias("page_banner"),
         F.coalesce("___crank", F.lit(0)).cast("long").alias("rank"),
         F.lit(False).alias("is_merged"),
     )

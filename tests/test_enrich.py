@@ -69,6 +69,32 @@ def test_label_fallback_and_ranks(spark):
     assert [t.id for t in c.types] == ["T1"] and c.types[0].label == "thing"
 
 
+def test_image_urls_unquoted(spark):
+    db5 = spark.createDataFrame(
+        [
+            ("Q1", "Things", None,
+             ["Flag%20of%20France.svg", "plus+sign.png", "bad%zz.png"],
+             ["Banner%2C_big.jpg"]),
+            ("T1", "thing", None, None, None),
+        ],
+        "id string, label string, description string,"
+        " image array<string>, page_banner array<string>",
+    )
+    validated = spark.createDataFrame(
+        [("Q1", ["T1"], "Category:Things", [], 0, 0)],
+        "item string, type array<string>, article string,"
+        " members array<struct<qid:string,title:string>>,"
+        " valid_members_count bigint, invalid_members_count bigint",
+    )
+    qrank = spark.createDataFrame([], "id string, rank bigint")
+    domains = spark.createDataFrame([], "name string, status string")
+    c = enrich_collections(validated, db5, qrank, domains).collect()[0]
+    # urllib.parse.unquote semantics: %20 decodes, '+' survives,
+    # malformed % passes through
+    assert c.image == ["Flag of France.svg", "plus+sign.png", "bad%zz.png"]
+    assert c.page_banner == ["Banner,_big.jpg"]
+
+
 def test_member_rank_defaults_zero(spark):
     qrank = spark.createDataFrame([], "id string, rank bigint")
     domains = spark.createDataFrame([], "name string, status string")
