@@ -101,15 +101,33 @@ class Gen:
             out.append(f"{expr} AS a{i}")
         return out
 
+    def str_expr(self) -> str:
+        r = self.rng
+        col = r.choice(self.cols["string"])
+        return r.choice(
+            [
+                f"upper({col})",
+                f"lower({col})",
+                f"substr({col}, 1, 3)",
+                f"length({col})",
+                f"({col} || '_x')",
+            ]
+        )
+
     def query(self, table: str) -> str:
         r = self.rng
         where = self.predicate()
         if r.random() < 0.6:
             group = r.choice(self.cols["string"])
             aggs = ", ".join(self.agg_exprs())
+            having = (
+                f" HAVING count(*) > {r.randint(0, 5)}"
+                if r.random() < 0.4
+                else ""
+            )
             return (
                 f"SELECT {group}, {aggs} FROM {table} "
-                f"WHERE {where} GROUP BY {group}"
+                f"WHERE {where} GROUP BY {group}{having}"
             )
         cols = r.sample(
             self.cols["string"] + self.cols["int"], k=r.randint(1, 3)
@@ -117,7 +135,15 @@ class Gen:
         case = (
             f"CASE WHEN {self.predicate(1)} THEN 1 ELSE 0 END AS flag"
         )
-        return f"SELECT {', '.join(cols)}, {case} FROM {table} WHERE {where}"
+        sel = f"{', '.join(cols)}, {self.str_expr()} AS s0, {case}"
+        q = f"SELECT {sel} FROM {table} WHERE {where}"
+        if r.random() < 0.3:
+            # total order over every output column makes LIMIT a
+            # deterministic multiset even with duplicate rows
+            n_out = len(cols) + 2
+            order = ", ".join(str(i + 1) for i in range(n_out))
+            q += f" ORDER BY {order} LIMIT 100"
+        return q
 
 
 def join_query(rng: random.Random) -> str:
