@@ -98,12 +98,19 @@ def ngram_jaccard_pairs(
     from the full shingle sets via array_intersect — result identical to the
     naive all-pairs join.
     """
-    sets = df.select(
-        F.col(id_col).alias("doc"),
-        F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias(
-            "sh"
-        ),
-    ).filter(F.size("sh") > 0)
+    # materialize the hashed shingle sets ONCE: four downstream branches
+    # (df-counts, prefix, and both verify sides) would otherwise each
+    # recompute the normalize→split→shingle→hash expression chain
+    sets = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
 
     idx = sets.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
     df_counts = idx.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -189,7 +196,35 @@ def minhash_lsh_pairs(
     exact n-gram Jaccard so the output has no false positives; with r=2,
     b=32 the miss probability at j=0.5 is (1-0.25)^32 ≈ 1e-4.
     """
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # one materialization of the HASHED shingle sets (8-byte longs, cheap to
+    # checkpoint) serves signature generation AND candidate verification;
+    # the per-seed minhash functions re-hash the 64-bit shingle hash, which
+    # is statistically equivalent to hashing the shingle string
+    sets = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    idx = sets.select("doc", F.explode("sh").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        idx.groupBy("doc")
+        .agg(*mins)
+        .select(
+            "doc",
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+                "signature"
+            ),
+        )
+    )
     bands = sig.select(
         "doc",
         F.explode(
@@ -222,9 +257,6 @@ def minhash_lsh_pairs(
     # linear in |candidates|, unlike the exact inverted-index pair join
     # (which is quadratic in hot-bucket sizes). This is why LSH is the
     # 100 TB path: candidate generation AND verification both stay cheap.
-    sets = df.select(
-        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
-    )
     s1 = sets.select(F.col("doc").alias("doc1"), F.col("sh").alias("sh1"))
     s2 = sets.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2"))
     n_common = F.size(F.array_intersect("sh1", "sh2"))
