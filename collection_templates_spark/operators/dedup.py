@@ -318,7 +318,7 @@ def simhash_pairs(
         hashed.groupBy("doc")
         .agg(F.collect_list("h").alias("hs"))
         .select("doc", fp_udf("hs").alias("fp"))
-        .localCheckpoint(eager=True)  # fingerprint computed once, reused twice
+        .persist()  # three branches reuse the fingerprints (chunks + 2 joins)
     )
     chunks = with_fp.select(
         "doc",
