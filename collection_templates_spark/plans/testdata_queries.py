@@ -908,11 +908,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "agg_status_histogram": """
         SELECT o_orderpriority,
-               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
-               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
-                 + sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_nonfinal,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinal,
                round(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE
                      / count(*), 4) AS finished_ratio
         FROM orders GROUP BY o_orderpriority
@@ -944,11 +944,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "agg_pivot_event_types": """
         SELECT user_id,
-               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         FROM events GROUP BY user_id
     """,
     "agg_rollup_daily": """
@@ -963,7 +963,7 @@ ORACLE_SQL: dict[str, str] = {
     "scalar_json_extract": """
         SELECT event_type,
                count(k) AS n_with_k,
-               sum(k) AS sum_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
                max(k) AS max_k
         FROM (SELECT event_type,
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -1064,7 +1064,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY l_returnflag
     """,
     "window_sessionize": """
-        SELECT user_id, count(*) AS n_events, sum(new_sess) AS n_sessions FROM (
+        SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM (
             SELECT user_id,
                    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
