@@ -16,29 +16,37 @@ this module is the LLM-corpus extension suite.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType
+
+#: SimHash fingerprint width. 62 (not 64) because the per-shingle hash is two
+#: independent 31-bit polynomial hashes packed side by side — every bit is
+#: uniformly distributed, whereas a 64-bit layout would leave 2 constant bits
+#: whose blocking chunks degenerate into everyone-collides hot buckets.
+SIMHASH_BITS = 62
+_HASH_MOD = 2147483647  # 2^31 - 1 (Mersenne; products stay < 2^62, no overflow)
 
 
-def _simhash_fp_udf(bits: int):
-    """Arrow-batched SimHash bit-voting over per-doc hash arrays."""
+def _poly_hash(col: F.Column, base: int) -> F.Column:
+    """h = fold(h*base + codepoint) mod 2^31-1 — pure integer arithmetic,
+    reproducible in any engine (same scheme as text_analysis.poly_fingerprint)."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % _HASH_MOD,
+    )
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def fp_udf(hashes: pd.Series) -> pd.Series:
-        shifts = np.arange(bits, dtype=np.uint64)
 
-        def fp(hs):
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bits_m = (h[:, None] >> shifts) & np.uint64(1)
-            votes = (2 * bits_m.astype(np.int64) - 1).sum(axis=0)
-            return (votes > 0).astype(np.int32).tolist()
+def portable_shingle_hash(col: F.Column) -> F.Column:
+    """62-bit engine-portable shingle hash: poly(base 31) << 31 | poly(base 37).
 
-        return hashes.map(fp)
-
-    return fp_udf
+    Deliberately NOT xxhash64: the DuckDB oracle must reproduce the exact
+    fingerprints, and polynomial folds are the only hash both engines can
+    express natively (see the text_fingerprint oracle)."""
+    return _poly_hash(col, 31) * F.lit(2147483648).cast("long") + _poly_hash(col, 37)
 
 
 def normalize_text(text: F.Column) -> F.Column:
@@ -272,21 +280,52 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(text: F.Column, n: int = 3, bits: int = 64) -> F.Column:
-    """64-bit SimHash over word shingles, as native column expressions:
-    per-bit vote = sum over shingles of ±1 by that bit of xxhash64(shingle);
-    fingerprint bit = vote > 0. Produced as an array<int> of bits (portable
-    and easy to band); pack with ``conv`` if a single long is wanted."""
-    shingles = word_shingles(text, n)
-    def bit_vote(i: int) -> F.Column:
-        return F.aggregate(
-            shingles,
-            F.lit(0),
-            lambda acc, s: acc
-            + F.when(F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1),
-        )
-    return F.array(*[(bit_vote(i) > 0).cast("int") for i in range(bits)])
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Packed SimHash fingerprint per doc: ``(doc, fp: long)``.
+
+    Per-bit vote = Σ over distinct shingles of ±1 by that bit of the portable
+    shingle hash; fingerprint bit = vote > 0. Fully JVM-side: explode shingles,
+    hash once per shingle, then ``bits`` conditional-sum aggregates in ONE
+    groupBy pass (map-side partial aggregation — shuffle volume is docs × bits
+    ints, never the shingles). Docs with < n words produce no shingles and are
+    absent from the output, mirroring the other dedup operators.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    ).select("doc", portable_shingle_hash(F.col("s")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    packed = reduce(
+        operator.add,
+        [
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ],
+    )
+    return hashed.groupBy("doc").agg(*votes).select("doc", packed.alias("fp"))
+
+
+def _chunk_layout(bits: int, bands: int) -> list[tuple[int, int]]:
+    """(offset, width) per band, widths as even as possible over ``bits``."""
+    base, rem = divmod(bits, bands)
+    widths = [base + 1] * rem + [base] * (bands - rem)
+    offsets, off = [], 0
+    for w in widths:
+        offsets.append((off, w))
+        off += w
+    return offsets
 
 
 def simhash_pairs(
@@ -294,50 +333,54 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    bits: int = 64,
-    bands: int = 4,
+    bits: int = SIMHASH_BITS,
     max_hamming: int = 3,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+    """EXACT SimHash near-dup pairs: every pair of docs whose fingerprints are
+    within hamming distance ≤ ``max_hamming``. Columns: doc1 < doc2, hamming.
 
-    Blocking: split the fingerprint into ``bands`` chunks; by pigeonhole, any
-    pair within hamming distance < bands shares an identical chunk, so the
-    candidate join is an equi-join on (chunk_idx, chunk_value) — no all-pairs.
+    Blocking (multi-index hashing, Norouzi et al.): split the fingerprint into
+    ``bands`` bit-chunks; by pigeonhole a pair differing in ≤ bands-1 bits
+    shares at least one identical chunk, so candidate generation is an
+    equi-join on (chunk_idx, chunk_val) — short uniform keys, never all-pairs.
+    ``bands`` defaults to ``max_hamming + 1``, the minimum that makes the
+    guarantee hold; passing fewer bands raises rather than silently dropping
+    pairs. Verification is native ``bit_count(xor)`` on the packed longs —
+    100% recall by construction, zero false positives after the filter.
+
+    Scale note: chunk width = bits/bands. Large max_hamming → narrow chunks →
+    bigger candidate buckets (at max_hamming=12 over 62 bits, 4-5-bit chunks
+    ≈ N²/32 candidates per chunk): keep max_hamming small at corpus scale or
+    pre-partition by length/language before pairing.
     """
-    chunk = bits // bands
-    # hash each shingle once JVM-side, then bit-vote with one numpy pass per
-    # doc: 64 per-bit conditional-sum aggregates would evaluate 64 exprs per
-    # shingle row; unpacking bits of the collected hash array in an
-    # Arrow-batched UDF is a single vectorized op.
-    fp_udf = _simhash_fp_udf(bits)
-    hashed = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
-    ).select("doc", F.xxhash64("s").alias("h"))
-    with_fp = (
-        hashed.groupBy("doc")
-        .agg(F.collect_list("h").alias("hs"))
-        .select("doc", fp_udf("hs").alias("fp"))
-        .persist()  # three branches reuse the fingerprints (chunks + 2 joins)
-    )
-    chunks = with_fp.select(
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall for max_hamming={max_hamming}: "
+            "pigeonhole requires bands >= max_hamming + 1"
+        )
+    if bands > bits:
+        raise ValueError(f"bands={bands} exceeds fingerprint width {bits}")
+    fps = simhash_fingerprints(df, id_col, text_col, n, bits).persist()
+    chunks = fps.select(
         "doc",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("chunk_idx"),
-                        F.concat_ws(
-                            "", *[F.col("fp")[i] for i in range(b * chunk, (b + 1) * chunk)]
-                        ).alias("chunk_val"),
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("fp"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("chunk_val"),
                     )
-                    for b in range(bands)
+                    for i, (off, w) in enumerate(_chunk_layout(bits, bands))
                 ]
             )
         ).alias("c"),
     ).select("doc", "c.chunk_idx", "c.chunk_val")
-    # distinct over bare id pairs (cheap), fingerprints re-joined after —
-    # distinct over 64-int arrays would dominate the whole job
+    # distinct over bare id pairs (cheap, 2 longs); fingerprints re-joined after
     pair_ids = (
         chunks.alias("a")
         .join(chunks.alias("b"), ["chunk_idx", "chunk_val"])
@@ -345,21 +388,10 @@ def simhash_pairs(
         .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
         .distinct()
     )
-    cand = (
-        pair_ids.join(
-            with_fp.select(F.col("doc").alias("doc1"), F.col("fp").alias("fp1")),
-            "doc1",
-        ).join(
-            with_fp.select(F.col("doc").alias("doc2"), F.col("fp").alias("fp2")),
-            "doc2",
-        )
-    )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(F.col("fp1"), F.col("fp2"), lambda x, y: (x != y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
+    cand = pair_ids.join(
+        fps.select(F.col("doc").alias("doc1"), F.col("fp").alias("fp1")), "doc1"
+    ).join(fps.select(F.col("doc").alias("doc2"), F.col("fp").alias("fp2")), "doc2")
+    hamming = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -600,12 +600,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) hamming ≤ 12 pairs via 4-band pigeonhole blocking.
-    Hash-function-specific — no portable SQL oracle (rows-only check)."""
+    """EXACT SimHash(62) hamming ≤ 3 pairs via pigeonhole blocking
+    (bands = max_hamming + 1 = 4, so every qualifying pair shares a
+    15-16-bit chunk — 100% recall by construction). The fingerprint is
+    engine-portable (two polynomial hashes mod 2^31-1), so the oracle
+    recomputes identical fingerprints in DuckDB and brute-forces
+    bit_count(xor) at sf-test scale."""
     from collection_templates_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=12)
+    return simhash_pairs(docs, max_hamming=3)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1381,3 +1385,50 @@ ORACLE_SQL: dict[str, str] = {
         WHERE rank <= 20
     """,
 }
+
+# dedup_simhash oracle: recompute the SAME 62-bit fingerprints (two polynomial
+# hashes mod 2^31-1 per shingle, per-bit ±1 votes) in DuckDB and brute-force
+# the hamming join — feasible at oracle scale, proving the blocked Spark plan
+# exact. Generated because 62 per-bit vote expressions are mechanical.
+_SIMHASH_BITS = 62
+_SIMHASH_VOTES = ",\n           ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_PACK = "\n             + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+    for b in range(_SIMHASH_BITS)
+)
+ORACLE_SQL["dedup_simhash"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS w
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ), hashed AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(0::BIGINT,
+                   [ascii(c)::BIGINT for c in string_split(s, '')]),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) * 2147483648
+               + list_reduce(list_prepend(0::BIGINT,
+                   [ascii(c)::BIGINT for c in string_split(s, '')]),
+                   (acc, x) -> (acc * 37 + x) % 2147483647) AS h
+        FROM sh
+    ), votes AS (
+        SELECT doc_id,
+           {_SIMHASH_VOTES}
+        FROM hashed GROUP BY doc_id
+    ), fps AS (
+        SELECT doc_id,
+             ( {_SIMHASH_PACK} )::BIGINT AS fp
+        FROM votes
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""

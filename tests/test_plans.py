@@ -46,3 +46,31 @@ def test_single_shuffle_aggregations(spark):
 def test_semi_join_stays_semi(spark):
     p = _plan(spark, "join_semi_allowlist")
     assert "LeftSemi" in p
+
+
+def test_session_window_merges_exact_gap_event(spark):
+    """An event at exactly prev_ts + gap stays in the SAME session: Spark's
+    session_window extends the window end to event+gap and merges on touch
+    (verified empirically — NOT half-open exclusion). The window_session_native
+    oracle therefore correctly opens a new session only on diff STRICTLY
+    greater than the gap; this pins the boundary so neither side drifts."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(minutes=30)),       # exact gap: merges
+        (2, t0),
+        (2, t0 + datetime.timedelta(minutes=30, seconds=1)),  # > gap: splits
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    got = {r.user_id: r.n_sessions for r in out.collect()}
+    assert got == {1: 1, 2: 2}
