@@ -32,11 +32,17 @@ from collection_templates_spark.functions.udfs import (
 def _unquote(col: F.Column) -> F.Column:
     """Native equivalent of urllib.parse.unquote (reference unquotes image /
     page_banner URLs, create_merged.py:443-449): '+' is NOT a space in
-    unquote semantics (pre-escape to %2B), and malformed %-sequences pass
-    through unchanged (try_url_decode → null → coalesce original)."""
-    return F.coalesce(
-        F.try_url_decode(F.regexp_replace(col, "\\+", "%2B")), col
+    unquote semantics (pre-escape to %2B), and a malformed %-sequence passes
+    through as a literal while VALID escapes around it still decode — the
+    '%' of any non-%XX run is pre-encoded to %25 so url_decode treats it as
+    text. Escapes decoding to invalid UTF-8 (e.g. %FF) become U+FFFD in
+    both engines (url_decode and unquote use errors='replace' semantics),
+    so parity holds on mixed valid/malformed inputs too; the coalesce stays
+    as a belt-and-braces fallback."""
+    escaped = F.regexp_replace(
+        F.regexp_replace(col, "\\+", "%2B"), "%(?![0-9A-Fa-f]{2})", "%25"
     )
+    return F.coalesce(F.try_url_decode(escaped), col)
 
 
 def _curate_distinct(titles: DataFrame, col: str) -> DataFrame:

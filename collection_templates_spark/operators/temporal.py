@@ -36,7 +36,11 @@ def as_of_join(
     prior right row exists).
 
     Ties at identical timestamps resolve right-before-left (the right row
-    IS visible to a left row with the same timestamp).
+    IS visible to a left row with the same timestamp). Multiple right rows
+    sharing the same (key, right_time) resolve deterministically to the
+    greatest (right_time, *right_value_cols) tuple: the carry window orders
+    by the right-row struct itself, giving a total order without needing a
+    caller-supplied tie-break column.
     """
     lt = F.col(left_time)
     tagged_l = left.select(
@@ -67,9 +71,12 @@ def as_of_join(
         ).alias("___rrow"),
     )
     unioned = tagged_l.unionByName(tagged_r)
+    # ___rrow as the final sort key totally orders right rows that share a
+    # timestamp (struct comparison is field-wise); left rows all carry null
+    # there and only read, so their relative order is irrelevant.
     w = (
         Window.partitionBy("___k")
-        .orderBy("___t", "___side")
+        .orderBy("___t", "___side", "___rrow")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

@@ -1101,8 +1101,9 @@ ORACLE_SQL: dict[str, str] = {
         FROM ids GROUP BY user_id, sid
     """,
     "temporal_asof_join": """
-        WITH clicks AS (SELECT user_id, ts, event_id FROM events
-                        WHERE event_type = 'click'),
+        WITH clicks AS (SELECT user_id, ts, max(event_id) AS event_id
+                        FROM events WHERE event_type = 'click'
+                        GROUP BY user_id, ts),
         purch AS (SELECT user_id, ts, event_id FROM events
                   WHERE event_type = 'purchase')
         SELECT p.event_id, p.user_id,

@@ -73,7 +73,8 @@ def test_image_urls_unquoted(spark):
     db5 = spark.createDataFrame(
         [
             ("Q1", "Things", None,
-             ["Flag%20of%20France.svg", "plus+sign.png", "bad%zz.png"],
+             ["Flag%20of%20France.svg", "plus+sign.png", "bad%zz.png",
+              "Flag%20of%zz.svg", "bad%FFbyte.png"],
              ["Banner%2C_big.jpg"]),
             ("T1", "thing", None, None, None),
         ],
@@ -89,9 +90,16 @@ def test_image_urls_unquoted(spark):
     qrank = spark.createDataFrame([], "id string, rank bigint")
     domains = spark.createDataFrame([], "name string, status string")
     c = enrich_collections(validated, db5, qrank, domains).collect()[0]
-    # urllib.parse.unquote semantics: %20 decodes, '+' survives,
-    # malformed % passes through
-    assert c.image == ["Flag of France.svg", "plus+sign.png", "bad%zz.png"]
+    # urllib.parse.unquote semantics: %20 decodes, '+' survives, malformed
+    # % passes through as a literal even when valid escapes surround it,
+    # and invalid-UTF-8 escapes become U+FFFD — all matching Python.
+    from urllib.parse import unquote
+
+    expected_raw = [
+        "Flag%20of%20France.svg", "plus+sign.png", "bad%zz.png",
+        "Flag%20of%zz.svg", "bad%FFbyte.png",
+    ]
+    assert c.image == [unquote(u) for u in expected_raw]
     assert c.page_banner == ["Banner,_big.jpg"]
 
 

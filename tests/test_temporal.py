@@ -56,3 +56,19 @@ def test_range_join_binned_matches_naive(spark):
         and abs((r.ts - l.ts).total_seconds()) <= 120
     )
     assert got == naive and len(got) > 0
+
+def test_as_of_join_right_timestamp_ties_deterministic(spark):
+    """Two right rows at the same (key, ts): the greatest
+    (right_time, *right_value_cols) tuple wins, every run."""
+    left = _ts(spark, [(1, "2024-01-01 12:00:00", 100)])
+    right = _ts(spark, [
+        (1, "2024-01-01 11:00:00", 7),
+        (1, "2024-01-01 11:00:00", 9),  # tie on ts -> larger event_id wins
+        (1, "2024-01-01 11:00:00", 8),
+    ])
+    for _ in range(3):
+        out = as_of_join(
+            left, right.repartition(4), on="user_id",
+            right_value_cols=("event_id",),
+        ).collect()
+        assert [r.event_id_asof for r in out] == [9]
