@@ -3,11 +3,36 @@
 The reference uses a Ragel-generated C state machine (airflow/sql_parser.c,
 invoked create_collections.py:205-208) to pull selected columns out of
 ``INSERT INTO … VALUES (…),(…);`` statements. Here the dump is a distributed
-text scan: each line (one INSERT statement, potentially millions of tuples)
-is split into value tuples by a quote-aware scanner inside ``mapInPandas``
-— single-pass C-speed-ish per line via Python's str.find loop, parallelized
-by Spark over statements. Column pruning (the C parser's argv field mask,
-Opt-2) happens inside the scanner so only wanted fields cross into Arrow.
+text scan with TWO engines:
+
+- ``engine="native"`` (default): the tuple split and the field split are
+  JVM-side ``regexp_extract_all`` passes with possessive quantifiers (no
+  backtracking blowup), so a well-formed dump never leaves whole-stage
+  codegen — the plan contains NO Python stage at all
+  (tests/test_sources_custom.py::test_sql_dump_native_plan_has_no_python_stage).
+  Quote decoding (``\\X`` escapes and MySQL ``''`` close-reopen
+  concatenation) is a single left-to-right ``regexp_replace`` pass,
+  byte-for-byte matching the Python scanner below. Per-core throughput is
+  ~1.35× the Python path on a realistic low-escape corpus and ~parity on an
+  adversarial escape-heavy one (tests/test_sources_custom.py::
+  test_sql_dump_native_fast); the structural win at scale is that raw dump
+  lines (~1 MB each on real pagelinks) never cross the JVM→Arrow→Python
+  boundary, so the scan needs no Python worker memory and scales with JVM
+  threads alone.
+- ``engine="python"``: the original quote-aware ``str``-scanner inside
+  ``mapInPandas`` — kept as the semantics reference for the differential
+  test and for pathological inputs the regex grammar rejects.
+
+Known (malformed-input-only) divergences of the native engine, each
+exercised in tests/test_sources_custom.py::test_sql_dump_differential:
+
+- A tuple with an unterminated quote is dropped entirely (the Python
+  scanner also drops it, but additionally stops scanning the line).
+- Stray ``(``/``)`` inside an *unquoted* field make the native engine drop
+  that tuple; the Python scanner accepts them literally. Real dumps only
+  put numbers/NULL in unquoted fields.
+- Tuples appearing after a top-level ``;`` are still extracted natively;
+  the Python scanner stops at the ``;``. Real statements end at the line end.
 """
 
 from __future__ import annotations
@@ -15,8 +40,34 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
+
+# One VALUES tuple: '(' body ')' where body is runs of chars that are not
+# quotes/parens, or complete single-quoted strings with backslash escapes.
+# Possessive (*+ / ++) so malformed input fails fast instead of backtracking.
+_TUPLE_RE = r"\(((?:[^'()]++|'(?:[^'\\]++|\\.)*+')*+)\)"
+
+# One field of a tuple body (a trailing ',' is appended before matching so
+# every field, including empty ones, is terminated): either a run of one or
+# more quoted segments (MySQL ``'a''b'`` is close-then-reopen → segments
+# concatenate), or a possessive unquoted run up to the next comma (an
+# unquoted field never contains a quote in a well-formed dump, so ``[^,']``
+# keeps the scan backtrack-free).
+_FIELD_RE = r"((?:'(?:[^'\\]++|\\.)*+')++|[^,']*+),"
+
+
+def _decode_field(raw: Column) -> Column:
+    """Undo quoting exactly like the Python scanner: strip the outer quotes,
+    then one left-to-right pass turning ``\\X`` into ``X`` and the
+    close-reopen pair ``''`` into nothing (Java substitutes the empty string
+    for a non-participating ``$1``)."""
+    inner = F.regexp_replace(
+        raw.substr(F.lit(2), F.length(raw) - 2), r"\\(.)|''", "$1"
+    )
+    quoted = raw.startswith("'") & raw.endswith("'") & (F.length(raw) >= 2)
+    return F.when(quoted, inner).otherwise(raw)
 
 
 def _split_tuples(line: str) -> Iterator[list[str]]:
@@ -75,15 +126,12 @@ def _split_tuples(line: str) -> Iterator[list[str]]:
             return
 
 
-def read_sql_dump(
+def _read_sql_dump_python(
     lines: DataFrame,
     field_indexes: tuple[int, ...],
     field_names: tuple[str, ...],
-    value_col: str = "value",
+    value_col: str,
 ) -> DataFrame:
-    """Extract ``field_indexes`` of every tuple as string columns
-    ``field_names`` (the C parser's CLI field mask: `sql_parser 0 1`)."""
-    assert len(field_indexes) == len(field_names)
     schema = StructType([StructField(f, StringType()) for f in field_names])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -100,3 +148,46 @@ def read_sql_dump(
             yield pd.DataFrame(rows, columns=list(field_names))
 
     return lines.mapInPandas(run, schema)
+
+
+def read_sql_dump(
+    lines: DataFrame,
+    field_indexes: tuple[int, ...],
+    field_names: tuple[str, ...],
+    value_col: str = "value",
+    engine: str = "native",
+) -> DataFrame:
+    """Extract ``field_indexes`` of every tuple as string columns
+    ``field_names`` (the C parser's CLI field mask: `sql_parser 0 1`)."""
+    assert len(field_indexes) == len(field_names)
+    if engine == "python":
+        return _read_sql_dump_python(lines, field_indexes, field_names, value_col)
+
+    max_idx = max(field_indexes)
+    value = F.col(value_col)
+    # Scan only past the first VALUES keyword, like the scanner's line.find.
+    body = F.expr(f"substring({value_col}, locate('VALUES', {value_col}) + 6)")
+    fields = F.regexp_extract_all(
+        F.concat(F.col("___tuple"), F.lit(",")), F.lit(_FIELD_RE), F.lit(1)
+    )
+    return (
+        lines.where(
+            value.isNotNull()
+            & value.contains("INSERT")
+            & (F.expr(f"locate('VALUES', {value_col})") > 0)
+        )
+        .select(
+            F.explode(F.regexp_extract_all(body, F.lit(_TUPLE_RE), F.lit(1))).alias(
+                "___tuple"
+            )
+        )
+        .select(fields.alias("___fields"))
+        # IndexError parity: a tuple without every requested field is skipped.
+        .where(F.size("___fields") > max_idx)
+        .select(
+            *[
+                _decode_field(F.try_element_at("___fields", F.lit(i + 1))).alias(name)
+                for i, name in zip(field_indexes, field_names)
+            ]
+        )
+    )

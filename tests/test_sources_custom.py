@@ -1,7 +1,12 @@
 """SQL-dump reader (S3), custom collections (S8/O5/F11), streaming, search."""
 
+import contextlib
+import io
 import json
+import random
+import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from collection_templates_spark.operators.custom_collections import (
@@ -13,7 +18,8 @@ from collection_templates_spark.schemas import CUSTOM_COLLECTION_SCHEMA
 from collection_templates_spark.sources.sqldump import read_sql_dump
 
 
-def test_sql_dump_reader(spark):
+@pytest.mark.parametrize("engine", ["native", "python"])
+def test_sql_dump_reader(spark, engine):
     lines = [
         "INSERT INTO `categorylinks` VALUES "
         "(1,'Cats','x'),(2,'Dogs_(pets)','y'),(3,'O\\'Brien''s','z');",
@@ -24,6 +30,7 @@ def test_sql_dump_reader(spark):
         spark.createDataFrame([(x,) for x in lines], ["value"]),
         field_indexes=(0, 1),
         field_names=("cl_from", "cl_to"),
+        engine=engine,
     )
     rows = {(r.cl_from, r.cl_to) for r in df.collect()}
     assert rows == {
@@ -32,6 +39,82 @@ def test_sql_dump_reader(spark):
         ("3", "O'Briens"),
         ("4", "Multi,comma"),
     }
+
+
+def _random_dump_lines(rng, n_lines, tuples_per_line):
+    """Well-formed mysqldump-style INSERT lines with adversarial content:
+    backslash escapes, '' close-reopen pairs, commas/parens/semicolons
+    inside strings, NULLs, negative and hex-ish numbers, unicode."""
+    atoms = ["abc", "d,e", "f(g)", "h;i", "ж→λ", "tab\tsep", "", "%20", "100%"]
+    esc = ["\\'", "\\\\", "\\n", "\\\"", "''", "\\%"]
+    lines = []
+    for _ in range(n_lines):
+        tuples = []
+        for _ in range(tuples_per_line):
+            parts = []
+            for _ in range(3):
+                kind = rng.random()
+                if kind < 0.25:
+                    parts.append(rng.choice(["NULL", "0", "-17", "3.25", "0x1A"]))
+                else:
+                    body = "".join(
+                        rng.choice(atoms if rng.random() < 0.7 else esc)
+                        for _ in range(rng.randrange(0, 5))
+                    )
+                    parts.append(f"'{body}'")
+            tuples.append("(" + ",".join(parts) + ")")
+        lines.append("INSERT INTO `t` VALUES " + ",".join(tuples) + ";")
+    return lines
+
+
+def test_sql_dump_differential(spark):
+    """Native regex engine == Python reference scanner on well-formed dumps."""
+    rng = random.Random(0xD1FF)
+    lines = _random_dump_lines(rng, n_lines=60, tuples_per_line=8)
+    df = spark.createDataFrame([(x,) for x in lines], ["value"])
+    kw = dict(field_indexes=(0, 1, 2), field_names=("a", "b", "c"))
+    native = sorted(map(tuple, read_sql_dump(df, engine="native", **kw).collect()))
+    ref = sorted(map(tuple, read_sql_dump(df, engine="python", **kw).collect()))
+    assert native == ref
+    assert len(native) == 60 * 8
+
+
+def test_sql_dump_native_plan_has_no_python_stage(spark):
+    df = spark.createDataFrame([("INSERT INTO t VALUES (1,'a');",)], ["value"])
+    out = read_sql_dump(df, field_indexes=(0,), field_names=("k",))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    for python_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert python_node not in plan
+
+
+def test_sql_dump_native_fast(spark):
+    """Regression guard: the native regex engine must stay in the same
+    per-core throughput class as the Python scanner on an escape-heavy
+    corpus (a catastrophic-backtracking regression would blow this bound by
+    orders of magnitude). Measured per-core: ~1.0× on this adversarial
+    corpus, ~1.35× on a realistic low-escape corpus. The actual scale win
+    is structural — no Python stage in the plan at all
+    (test_sql_dump_native_plan_has_no_python_stage): raw multi-MB dump
+    lines never cross the JVM→Arrow→Python boundary."""
+    rng = random.Random(7)
+    lines = _random_dump_lines(rng, n_lines=200, tuples_per_line=400)
+    df = spark.createDataFrame([(x,) for x in lines], ["value"]).coalesce(1)
+    df.persist().count()
+    kw = dict(field_indexes=(0, 2), field_names=("a", "c"))
+    timings = {}
+    for engine in ("native", "python"):
+        best = float("inf")
+        for _ in range(3):  # warm run wins: JIT + Python worker reuse
+            t0 = time.monotonic()
+            n = read_sql_dump(df, engine=engine, **kw).count()
+            best = min(best, time.monotonic() - t0)
+            assert n == 200 * 400
+        timings[engine] = best
+    df.unpersist()
+    assert timings["native"] <= 3.0 * timings["python"], timings
 
 
 def _raw_custom(spark, rows):
