@@ -68,7 +68,10 @@ def search_corpus(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
-    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    # constant partition key: only k rows ever reach this window (the
+    # limit(k) above), so one partition is correct — the lit(0) spec just
+    # keeps WindowExec from warning about a missing partition.
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rank", "score"
     )

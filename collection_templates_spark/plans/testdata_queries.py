@@ -1079,10 +1079,13 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "window_session_native": """
         WITH flagged AS (
+            -- >= (not >): session_window merges half-open [ts, ts+gap)
+            -- intervals, so an event exactly gap after the previous one
+            -- starts a NEW session in Spark.
             SELECT user_id, ts, value,
                    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                                > 1800000000
+                                >= 1800000000
                         THEN 1 ELSE 0 END AS new_sess
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
