@@ -1,0 +1,222 @@
+"""Corpus-derived unigram language model: the public-equivalent of the
+reference's external NameRank artifacts (F9/F10) and wordninja (F11).
+
+Reference semantics being re-expressed:
+- F9  ``namerank.nlp_inspector.ngrams.sequence_log_probability(
+  name.lower().split(' '))`` — airflow/dags/create_merged.py:942-943 and
+  airflow/dags/load_custom_collections.py:291.
+- F10 ``namerank.inspect_label(label)`` → (interesting_score, best
+  tokenization) — airflow/dags/create_merged.py:942 (configure_interesting_score).
+- F11 ``wordninja.split(token)`` — airflow/dags/load_custom_collections.py:152.
+
+The reference ships model files (an n-gram table, a ranked wordlist) that are
+external artifacts, not public dependencies.  The public-equivalent here
+derives the frequency table FROM A CORPUS DATAFRAME and implements the
+published algorithms exactly:
+
+- unigram sequence log-probability with Laplace (add-one) smoothing:
+  ``lp(t) = ln((n_t + 1) / (N + V))`` summed over tokens — so unseen tokens
+  get the uniform smoothed mass rather than -inf;
+- interesting score = per-token geometric-mean probability
+  ``exp(sum(lp)/len(tokens))`` ∈ (0, 1), paired with the best tokenization;
+- word splitting = the wordninja dynamic program (public algorithm): words
+  costed ``ln((rank+1) * ln(V))`` by descending frequency rank, shortest
+  total-cost segmentation via a left-to-right DP with backtracking.
+
+Everything model-side is a plain DataFrame (token, n, log_prob) built with
+native explode/groupBy — at 100 TB the corpus scan is the only big stage and
+it is one partial-aggregated shuffle.  The vocabulary (bounded by
+``max_vocab``, frequency-ranked) is the only thing collected, and only when a
+Python-side model object is actually needed (the DP splitter); pure scoring
+stays JVM-side via a broadcast join (see ``score_names``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+# one tokenizer convention for model building, shared with the oracle SQL:
+# lowercase, split on anything outside [a-z0-9'], drop empties.
+TOKEN_SPLIT_RE = "[^a-z0-9']+"
+
+
+def corpus_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode a corpus into one lowercase token per row (column ``token``)."""
+    return docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("token")
+    ).filter(F.col("token") != "")
+
+
+def word_frequency_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, n, log_prob) unigram table with Laplace smoothing built in.
+
+    ``log_prob = ln((n+1) / (total+vocab))``.  The totals ride along via a
+    broadcast of the 1-row aggregate — no WindowExec, no driver round-trip.
+    Scale: one partial-agg shuffle over the corpus tokens; the model itself
+    is vocabulary-sized (small) from then on.
+    """
+    counts = corpus_tokens(docs, text_col).groupBy("token").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("___total"), F.count("*").alias("___vocab")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .withColumn(
+            "log_prob",
+            F.log(
+                (F.col("n") + F.lit(1).cast("double"))
+                / (F.col("___total") + F.col("___vocab")).cast("double")
+            ),
+        )
+        .drop("___total", "___vocab")
+    )
+
+
+def score_names(
+    names: DataFrame,
+    model: DataFrame,
+    tokens_col: str = "tokens",
+    lp_col: str = "log_probability",
+    score_col: str = "interesting_score",
+) -> DataFrame:
+    """F9/F10 as a pure DataFrame computation (no Python in the path).
+
+    For each row's token array: posexplode, broadcast-left-join the model,
+    OOV tokens take the smoothed floor ``ln(1/(total+vocab))``, then one
+    groupBy re-assembles ``log_probability = Σ lp`` and
+    ``interesting_score = exp(Σ lp / n_tokens)``.
+
+    Determinism across engines: each per-token lp is rounded to 9dp before
+    the sum so fp association order can't flip a downstream rounded hash.
+    Scale: the model is broadcast (vocab-sized); the only shuffle is the
+    per-name re-aggregation, partial-combined on the name key.
+    """
+    totals = model.agg(
+        (F.sum("n") + F.count("*")).alias("___denom")
+    )
+    oov_lp = F.log(F.lit(1.0) / F.col("___denom").cast("double"))
+
+    exploded = (
+        names.withColumn("___tok", F.explode_outer(tokens_col))
+        .join(F.broadcast(totals))
+        .join(
+            F.broadcast(model.select(F.col("token").alias("___tok"), "log_prob")),
+            on="___tok",
+            how="left",
+        )
+        .withColumn(
+            "___lp", F.round(F.coalesce(F.col("log_prob"), oov_lp), 9)
+        )
+    )
+    keys = [c for c in names.columns if c != tokens_col]
+    return (
+        exploded.groupBy(*keys)
+        .agg(
+            F.sum(F.when(F.col("___tok").isNotNull(), F.col("___lp"))).alias(
+                "___sum_lp"
+            ),
+            F.count("___tok").alias("___n_tok"),
+        )
+        .withColumn(lp_col, F.col("___sum_lp"))
+        .withColumn(
+            score_col,
+            F.when(
+                F.col("___n_tok") > 0,
+                F.exp(F.col("___sum_lp") / F.col("___n_tok")),
+            ),
+        )
+        .drop("___sum_lp", "___n_tok")
+    )
+
+
+class UnigramModel:
+    """Driver/executor-side model object for the Python-only paths (the DP
+    word splitter, and scoring inside pandas UDFs where a name isn't already
+    a DataFrame row).  Built from a ``{token: count}`` dict; bounded by
+    construction (``from_dataframe`` caps the vocabulary frequency-ranked).
+    """
+
+    def __init__(self, freqs: dict[str, int]):
+        self.freqs = freqs
+        self.total = sum(freqs.values())
+        self.vocab = len(freqs)
+        # wordninja costing: rank words by descending frequency (token
+        # lexicographic tie-break for determinism); cost = ln((rank+1)*ln(V)).
+        ranked = sorted(freqs, key=lambda t: (-freqs[t], t))
+        log_v = math.log(max(len(ranked), 2))
+        self._cost = {w: math.log((i + 1) * log_v) for i, w in enumerate(ranked)}
+        self._maxlen = max((len(w) for w in ranked), default=1)
+
+    @classmethod
+    def from_dataframe(cls, model: DataFrame, max_vocab: int = 200_000):
+        """Collect the top-``max_vocab`` tokens by frequency.  This is the
+        ONLY collect in the module and it is vocabulary-bounded — at 100 TB
+        the corpus never moves, just its (capped) token histogram."""
+        rows = (
+            model.select("token", "n")
+            .orderBy(F.desc("n"), F.asc("token"))
+            .limit(max_vocab)
+            .collect()
+        )
+        return cls({r["token"]: r["n"] for r in rows})
+
+    # -- F9 ---------------------------------------------------------------
+    def log_probability(self, tokens: list[str]) -> float | None:
+        """Laplace-smoothed unigram sequence log-probability (9dp-rounded
+        per token, matching ``score_names``)."""
+        if not tokens:
+            return None
+        denom = float(self.total + self.vocab)
+        lp = 0.0
+        for t in tokens:
+            lp += round(math.log((self.freqs.get(t, 0) + 1) / denom), 9)
+        return lp
+
+    # -- F10 --------------------------------------------------------------
+    def interesting_score(self, label: str) -> tuple[float | None, list[str]]:
+        """(geometric-mean token probability, best tokenization) — the
+        inspect_label() shape; errors/empties → (None, [])."""
+        if not label:
+            return None, []
+        tokens = self.split(label.lower())
+        lp = self.log_probability(tokens)
+        if lp is None:
+            return None, []
+        return math.exp(lp / len(tokens)), tokens
+
+    # -- F11 --------------------------------------------------------------
+    def split(self, text: str) -> list[str]:
+        """wordninja's DP, re-implemented from the published algorithm:
+        minimize Σ cost(word) over segmentations; unknown single characters
+        cost a large-but-finite constant so mixed known/unknown input still
+        segments; if no finite segmentation exists the input is returned
+        whole (documented divergence — wordninja's wordlist-specific
+        behavior is unreproducible without its exact wordlist)."""
+        if not text:
+            return []
+        n = len(text)
+        unk = 25.0  # ≫ any real word cost (ln((V+1)·lnV) ≈ 15 at V=2·10⁵)
+        best = [0.0] + [math.inf] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            for j in range(max(0, i - self._maxlen), i):
+                piece = text[j:i]
+                c = self._cost.get(piece)
+                if c is None and i - j == 1:
+                    c = unk
+                if c is not None and best[j] + c < best[i]:
+                    best[i] = best[j] + c
+                    back[i] = j
+        if math.isinf(best[n]):  # pragma: no cover — unreachable with unk
+            return [text]
+        out: list[str] = []
+        i = n
+        while i > 0:
+            j = back[i]
+            out.append(text[j:i])
+            i = j
+        return list(reversed(out))

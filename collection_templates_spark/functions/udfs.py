@@ -68,6 +68,67 @@ def log_probability_udf(s: pd.Series) -> pd.Series:
     )
 
 
+# -- corpus-model-backed variants (F9/F10/F11 real scoring) -----------------
+# The model's {token: count} dict travels as a SparkContext broadcast; the
+# UnigramModel object (cost table for the DP splitter) is rebuilt at most
+# once per executor process via this cache keyed by broadcast id.
+_MODEL_CACHE: dict[int, object] = {}
+
+
+def _model_for(freqs_bc):
+    from collection_templates_spark.functions.langmodel import UnigramModel
+
+    # key on the broadcast VALUE's object identity: the worker-side
+    # broadcast registry caches the deserialized dict per process, so this
+    # is stable (the Broadcast wrapper itself has no .id on executors)
+    key = id(freqs_bc.value)
+    m = _MODEL_CACHE.get(key)
+    if m is None:
+        m = UnigramModel(freqs_bc.value)
+        _MODEL_CACHE[key] = m
+    return m
+
+
+def interesting_score_udf_for(freqs_bc):
+    """Real F10: geometric-mean token probability from a corpus model."""
+
+    @F.pandas_udf(DoubleType())
+    def _udf(s: pd.Series) -> pd.Series:
+        m = _model_for(freqs_bc)
+        return s.map(
+            lambda v: m.interesting_score(v)[0] if v is not None else None
+        )
+
+    return _udf
+
+
+def log_probability_udf_for(freqs_bc):
+    """Real F9: Laplace-smoothed unigram sequence log-probability of the
+    space-split lowercase name (create_merged.py:942-943 call shape)."""
+
+    @F.pandas_udf(DoubleType())
+    def _udf(s: pd.Series) -> pd.Series:
+        m = _model_for(freqs_bc)
+        return s.map(
+            lambda v: m.log_probability([t for t in v.lower().split(" ") if t])
+            if v is not None
+            else None
+        )
+
+    return _udf
+
+
+def wordsplit_udf_for(freqs_bc):
+    """Real F11: wordninja-DP split of a simple token."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        m = _model_for(freqs_bc)
+        return s.map(lambda v: m.split(v) if v is not None else None)
+
+    return _udf
+
+
 @F.pandas_udf(StringType())
 def banner_image_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda v: banner_image(v) if v is not None else None)

@@ -40,15 +40,19 @@ DEFAULT_MEMBER_RANK = 10_000_000
 DEFAULT_DESCRIPTION = "Manually created custom collection"
 
 
-def tokenize_name(name: str) -> list[str]:
-    """F11 fallback: alnum/digit-run split + wordninja when available
-    (reference load_custom_collections.py:122-159)."""
+def tokenize_name(name: str, wordsplit=None) -> list[str]:
+    """F11: alnum/digit-run split, ``wordsplit`` applied to simple tokens
+    (reference load_custom_collections.py:122-159). ``wordsplit`` defaults
+    to wordninja when importable, else identity; pass
+    ``UnigramModel(...).split`` for the corpus-model DP splitter
+    (functions/langmodel.py)."""
+    split = wordsplit or _wordsplit
     tokens: list[str] = []
     for token2 in _SPLIT_RE.split(name):
         if not token2:
             continue
         if _SIMPLE_RE.match(token2):
-            tokens.extend(_wordsplit(token2))
+            tokens.extend(split(token2))
         else:
             tokens.append(token2)
     return [t for t in tokens if t.strip()]
@@ -59,10 +63,29 @@ def tokenize_name_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda v: tokenize_name(v) if v is not None else None)
 
 
-def prepare_members(raw: DataFrame) -> DataFrame:
+def tokenize_name_udf_for(freqs_bc):
+    """Corpus-model tokenizer (F11 real path): same run-splitting, simple
+    tokens go through the wordninja-DP splitter of a broadcast
+    ``UnigramModel``."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        from collection_templates_spark.functions.udfs import _model_for
+
+        m = _model_for(freqs_bc)
+        return s.map(
+            lambda v: tokenize_name(v, wordsplit=m.split) if v is not None else None
+        )
+
+    return _udf
+
+
+def prepare_members(raw: DataFrame, tokenize_udf=None) -> DataFrame:
     """Labels → normalized+tokenized members (:201-208 semantics):
     rows missing both normalized and tokenized are skipped; a missing
-    normalized is the tokens joined; missing tokens are derived."""
+    normalized is the tokens joined; missing tokens are derived
+    (``tokenize_udf`` defaults to the module tokenizer; see
+    ``tokenize_name_udf_for`` for the corpus-model variant)."""
     m = raw.select(
         F.col("data.collection_id").alias("collection_id"),
         F.posexplode_outer("data.labels").alias("pos", "l"),
@@ -81,7 +104,9 @@ def prepare_members(raw: DataFrame) -> DataFrame:
     )
     return m.withColumn(
         "tokenized",
-        F.coalesce("l.tokenized_label", tokenize_name_udf("normalized")),
+        F.coalesce(
+            "l.tokenized_label", (tokenize_udf or tokenize_name_udf)("normalized")
+        ),
     ).select("collection_id", "pos", "normalized", "tokenized")
 
 
@@ -121,21 +146,27 @@ def prepare_custom_collections(
     raw: DataFrame,
     domains: DataFrame,
     created_ms: float,
+    score_udf=None,
+    tokenize_udf=None,
 ) -> DataFrame:
     """Raw custom-collection JSON rows → final document rows (subset of the
-    factory schema: data/curation/metadata/template namespaces)."""
+    factory schema: data/curation/metadata/template namespaces).
+
+    ``score_udf``/``tokenize_udf``: corpus-model variants of F10/F11
+    (udfs.interesting_score_udf_for / tokenize_name_udf_for); defaults are
+    the documented stub score and the wordninja-or-identity tokenizer."""
     from collection_templates_spark.functions.udfs import (
         interesting_score_udf,
         namehash_udf,
     )
     from collection_templates_spark.operators.factory import banner_udf
 
-    members = prepare_members(raw)
+    members = prepare_members(raw, tokenize_udf=tokenize_udf)
     # per-member enrichment: score (distinct), status, namehash (distinct)
     distinct = members.select(F.col("normalized").alias("v")).distinct()
     scored = distinct.select(
         "v",
-        interesting_score_udf("v").alias("score"),
+        (score_udf or interesting_score_udf)("v").alias("score"),
         namehash_udf(F.concat("v", F.lit(".eth"))).alias("nh"),
     )
     members = members.join(scored, members.normalized == scored.v, "left").drop("v")

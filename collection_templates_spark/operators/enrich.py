@@ -60,8 +60,14 @@ def enrich_members(
     qrank: DataFrame,
     domains: DataFrame,
     score_cache_path: str | None = None,
+    score_udf=None,
 ) -> DataFrame:
     """Per-(collection, member) enriched rows.
+
+    ``score_udf`` (F10): pandas-UDF column factory for the interesting
+    score; defaults to the documented stub, pass
+    ``udfs.interesting_score_udf_for(freqs_bc)`` for real corpus-model
+    scoring (langmodel.py).
 
     validated: item, type, article, members array<struct(qid,title)>, counts.
     qrank: (id, rank); domains: (name, status) with .eth already stripped.
@@ -110,7 +116,7 @@ def enrich_members(
             score_cache_path,
             m.select(F.col("c.curated").alias("curated")),
             "curated",
-            lambda k: interesting_score_udf(k),
+            lambda k: (score_udf or interesting_score_udf)(k),
         )
         score = cache.select(
             F.col("key").alias("v"), F.col("value").alias("___score")
@@ -119,7 +125,7 @@ def enrich_members(
         score = (
             m.select(F.col("c.curated").alias("v"))
             .distinct()
-            .select("v", interesting_score_udf("v").alias("___score"))
+            .select("v", (score_udf or interesting_score_udf)("v").alias("___score"))
         )
     m = m.join(score, m["c.curated"] == score.v, "left").drop("v")
     d = domains.select(F.col("name").alias("___dn"), F.col("status"))
@@ -175,6 +181,7 @@ def enrich_collections(
     domains: DataFrame,
     mapping_titles: DataFrame | None = None,
     score_cache_path: str | None = None,
+    score_udf=None,
 ) -> DataFrame:
     """Full all-info stage → COLLECTION_SCHEMA rows.
 
@@ -183,7 +190,9 @@ def enrich_collections(
     score_cache_path: optional persisted interesting-score cache (Opt-6).
     """
     members = assemble_members(
-        enrich_members(validated, db5, qrank, domains, score_cache_path)
+        enrich_members(
+            validated, db5, qrank, domains, score_cache_path, score_udf=score_udf
+        )
     )
 
     coll = validated.select(

@@ -91,12 +91,17 @@ def collection_factory(
     emoji_sets: dict[str, list[str]] | None = None,
     emoji_counts: dict[str, int] | None = None,
     other_emojis: list[str] | None = None,
+    log_prob_udf=None,
 ) -> DataFrame:
     """COLLECTION_SCHEMA rows → final nested documents.
 
     ``created_ms`` is injected (the reference stamps time.time()*1000 once
     per run, create_merged.py:863) so output is reproducible.
+    ``log_prob_udf`` (F9): defaults to the documented stub; pass
+    ``udfs.log_probability_udf_for(freqs_bc)`` for real corpus-model
+    sequence log-probability (langmodel.py).
     """
+    log_prob_udf = log_prob_udf or log_probability_udf
     emoji_sets = emoji_sets or {}
     emoji_counts = emoji_counts or {}
     other_emojis = other_emojis or ["✨"]
@@ -209,7 +214,7 @@ def collection_factory(
             F.lit(created_ms).alias("created"),
             F.lit(created_ms).alias("modified"),
             n_members.cast("long").alias("members_count"),
-            log_probability_udf("name").alias("collection_name_log_probability"),
+            log_prob_udf("name").alias("collection_name_log_probability"),
         ).alias("metadata"),
         F.struct(
             F.col("article").alias("collection_wikipedia_link"),

@@ -63,8 +63,19 @@ class PipelineInputs:
     other_emojis: list = field(default_factory=lambda: ["✨"])
 
 
-def run_pipeline(spark: SparkSession, inputs: PipelineInputs, workdir: str | None = None):
-    """Returns dict of stage outputs; persists stages when workdir given."""
+def run_pipeline(
+    spark: SparkSession,
+    inputs: PipelineInputs,
+    workdir: str | None = None,
+    use_corpus_model: bool = True,
+):
+    """Returns dict of stage outputs; persists stages when workdir given.
+
+    ``use_corpus_model``: build the unigram language model (F9/F10 real
+    scoring — functions/langmodel.py) from the wiki title corpus and use it
+    for interesting scores and name log-probabilities; the documented stubs
+    are used only when False or when the corpus is empty.
+    """
 
     def persist(df: DataFrame, name: str) -> DataFrame:
         if workdir:
@@ -77,6 +88,29 @@ def run_pipeline(spark: SparkSession, inputs: PipelineInputs, workdir: str | Non
     stores = build_all_stores(triples)
     stores = {k: persist(v, k) for k, v in stores.items()}
     title_qid = persist(title_qid_from_triples(triples), "title_qid")
+
+    # F9/F10 language model from the title corpus (the same names the
+    # pipeline scores — the public-equivalent of NameRank's external model).
+    # One extra corpus-sized aggregation; only the capped vocabulary
+    # histogram leaves the cluster, as a broadcast.
+    score_udf = log_prob_udf = None
+    if use_corpus_model:
+        from collection_templates_spark.functions.langmodel import (
+            UnigramModel,
+            word_frequency_model,
+        )
+        from collection_templates_spark.functions.udfs import (
+            interesting_score_udf_for,
+            log_probability_udf_for,
+        )
+
+        model = UnigramModel.from_dataframe(
+            word_frequency_model(title_qid, text_col="title")
+        )
+        if model.vocab > 0:
+            freqs_bc = spark.sparkContext.broadcast(model.freqs)
+            score_udf = interesting_score_udf_for(freqs_bc)
+            log_prob_udf = log_probability_udf_for(freqs_bc)
 
     # the (qid → title) direction used by collection extraction; the
     # reference keys these stores with the on-disk underscore form
@@ -113,6 +147,7 @@ def run_pipeline(spark: SparkSession, inputs: PipelineInputs, workdir: str | Non
                 score_cache_path=(
                     f"{workdir}/score_cache.parquet" if workdir else None
                 ),
+                score_udf=score_udf,
             ),
             f"all_info_{mode}",
         )
@@ -129,6 +164,7 @@ def run_pipeline(spark: SparkSession, inputs: PipelineInputs, workdir: str | Non
             emoji_sets=inputs.emoji_sets,
             emoji_counts=inputs.emoji_counts,
             other_emojis=inputs.other_emojis,
+            log_prob_udf=log_prob_udf,
         ),
         "merged_final",
     )

@@ -798,6 +798,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(documents_as_media(docs))
 
 
+def text_word_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language model over the documents corpus (langmodel.py —
+    the public-equivalent of the reference's external NameRank table,
+    create_merged.py:942-943): (token, n, Laplace-smoothed log_prob).
+    One partial-agg shuffle; the totals ride along as a 1-row broadcast."""
+    from collection_templates_spark.functions.langmodel import word_frequency_model
+
+    docs = _t(spark, sf_dir, "documents")
+    return word_frequency_model(docs).select(
+        "token", "n", F.round("log_prob", 6).alias("log_prob")
+    )
+
+
+def scalar_log_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10 real scoring: every part name scored against the documents
+    unigram model — log_probability = Σ ln((n+1)/(N+V)) over space-split
+    tokens (OOV takes the smoothed floor), interesting_score = geometric
+    mean probability. Model broadcast; one per-name re-aggregation."""
+    from collection_templates_spark.functions.langmodel import (
+        score_names,
+        word_frequency_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    part = _t(spark, sf_dir, "part")
+    names = part.select(
+        "p_partkey",
+        F.col("p_name").alias("name"),
+        F.split(F.lower("p_name"), " ").alias("tokens"),
+    )
+    scored = score_names(names, word_frequency_model(docs))
+    return scored.select(
+        "p_partkey",
+        "name",
+        F.round("log_probability", 4).alias("log_probability"),
+        F.round("interesting_score", 6).alias("interesting_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -846,6 +885,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_bm25ish": search_bm25ish,
     "quality_report": quality_report,
     "multimodal_features": multimodal_features,
+    "text_word_model": text_word_model,
+    "scalar_log_probability": scalar_log_probability,
 }
 
 # Shared oracle for the two jaccard-based dedup queries: the LSH variant is
@@ -1435,4 +1476,49 @@ ORACLE_SQL["dedup_simhash"] = f"""
            CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
     FROM fps a JOIN fps b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+# text_word_model / scalar_log_probability oracles: rebuild the SAME unigram
+# model (tokens = lowercase split on [^a-z0-9']+, Laplace smoothing over
+# total+vocab) in DuckDB; per-token lp rounded to 9dp before the sum in BOTH
+# engines so fp association order cannot flip the hash.
+_MODEL_CTE = """
+    tok AS (
+        SELECT t.token
+        FROM documents,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                 AS t(token)
+        WHERE t.token <> ''
+    ), model AS (
+        SELECT token, count(*) AS n FROM tok GROUP BY token
+    ), tot AS (
+        SELECT CAST(sum(n) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS denom
+        FROM model
+    )
+"""
+
+ORACLE_SQL["text_word_model"] = f"""
+    WITH {_MODEL_CTE}
+    SELECT token, n,
+           round(ln((CAST(n AS DOUBLE) + 1.0) / tot.denom), 6) AS log_prob
+    FROM model, tot
+"""
+
+ORACLE_SQL["scalar_log_probability"] = f"""
+    WITH {_MODEL_CTE},
+    names AS (
+        SELECT p_partkey, p_name AS name, t.token
+        FROM part, unnest(string_split(lower(p_name), ' ')) AS t(token)
+    ), scored AS (
+        SELECT n.p_partkey, n.name,
+               round(ln((CAST(coalesce(m.n, 0) AS DOUBLE) + 1.0) / tot.denom),
+                     9) AS lp
+        FROM names n
+        LEFT JOIN model m ON n.token = m.token
+        CROSS JOIN tot
+    )
+    SELECT p_partkey, name,
+           round(sum(lp), 4) AS log_probability,
+           round(exp(sum(lp) / count(*)), 6) AS interesting_score
+    FROM scored GROUP BY p_partkey, name
 """

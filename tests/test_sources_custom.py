@@ -98,7 +98,10 @@ def test_sql_dump_native_fast(spark):
     corpus, ~1.35× on a realistic low-escape corpus. The actual scale win
     is structural — no Python stage in the plan at all
     (test_sql_dump_native_plan_has_no_python_stage): raw multi-MB dump
-    lines never cross the JVM→Arrow→Python boundary."""
+    lines never cross the JVM→Arrow→Python boundary.  The 6× bound is
+    deliberately loose: it must not flake when the suite shares the machine
+    with other work, while still catching the orders-of-magnitude blowup a
+    backtracking regression produces."""
     rng = random.Random(7)
     lines = _random_dump_lines(rng, n_lines=200, tuples_per_line=400)
     df = spark.createDataFrame([(x,) for x in lines], ["value"]).coalesce(1)
@@ -114,7 +117,7 @@ def test_sql_dump_native_fast(spark):
             assert n == 200 * 400
         timings[engine] = best
     df.unpersist()
-    assert timings["native"] <= 3.0 * timings["python"], timings
+    assert timings["native"] <= 6.0 * timings["python"], timings
 
 
 def _raw_custom(spark, rows):
