@@ -92,9 +92,9 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """EXACT n-gram-set Jaccard pairs ≥ threshold. Columns: doc1 < doc2,
+    """n-gram-set Jaccard pairs ≥ threshold. Columns: doc1 < doc2,
     jaccard (rounded 6dp).
 
     Uses **prefix filtering** (AllPairs/PPJoin family): per doc, only the
@@ -103,8 +103,19 @@ def ngram_jaccard_pairs(
     frequency order), so candidate generation joins tiny prefixes instead
     of full inverted lists — the hot-shingle quadratic blowup (stopword
     trigrams) never materializes. Verification computes the exact Jaccard
-    from the full shingle sets via array_intersect — result identical to the
-    naive all-pairs join.
+    from the full shingle sets via array_intersect.
+
+    ``max_bucket_size`` (default 1000) drops shingles appearing in more
+    than that many docs from the candidate index, bounding any one join
+    bucket at max_bucket_size² candidate pairs regardless of corpus size —
+    the guard that keeps a stopword-heavy 100 TB corpus from going
+    quadratic. The result is EXACT whenever no capped shingle would land
+    in a doc's prefix (capped shingles are the globally hottest, so they
+    sort last and only enter a prefix when a doc has fewer than
+    ⌊(1-τ)·n⌋+1 uncapped shingles). A pair of docs built almost entirely
+    of ultra-hot shingles can be missed under the cap; pass ``None`` for
+    strictly-exact output. At the repo's test scales the hottest shingle
+    df is ~25, so the default cap never triggers there.
     """
     # materialize the hashed shingle sets ONCE: four downstream branches
     # (df-counts, prefix, and both verify sides) would otherwise each

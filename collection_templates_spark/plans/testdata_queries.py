@@ -582,11 +582,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (inverted-index candidates)."""
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index candidates).
+
+    max_bucket_size=1000 is the hot-shingle guard (bounds any candidate
+    bucket at 1000² pairs at 100 TB); exact here because the hottest
+    shingle df in the testdata is ~25 — the oracle is the full pair set."""
     from collection_templates_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.5)
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_bucket_size=1000)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
