@@ -1,6 +1,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line with total + per-query wall seconds.
+JSON line: "queries" holds per-query MEDIAN wall seconds over
+$SPARK_GRAFT_BENCH_RUNS warm runs (default 3), "value" their sum, "runs"
+the raw per-run timings, "wall_all_runs" the whole-loop wall clock.
 
 Execution is forced through the JVM-side noop sink (full pipeline runs, no
 driver collect, no Python serialization in the measurement).
@@ -36,22 +38,32 @@ def main() -> None:
         df.schema  # footer read only
     load_table(spark, "lineitem", sf_dir).groupBy("l_returnflag").count().collect()
 
+    # median of N_RUNS warm runs per query: round-over-round comparisons
+    # measure the queries, not scheduler/GC noise on a shared machine
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_query: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     t_all = time.time()
     for name, fn in qs.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
+        ts = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts.append(round(time.time() - t0, 3))
+        runs[name] = ts
+        per_query[name] = sorted(ts)[len(ts) // 2]
     total = round(time.time() - t_all, 3)
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": round(sum(per_query.values()), 3),
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "runs": runs,
+                "wall_all_runs": total,
             }
         )
     )

@@ -109,3 +109,53 @@ def test_minimum_slice(spark, tmp_path):
 
     ops = {r.id: r.op for r in result["operations"].collect()}
     assert ops == {"Q100": "insert"}
+
+
+def test_minimum_slice_mapping_from_sqlite(spark, tmp_path):
+    """Same slice, but the wikimapper mapping arrives through the S4
+    sqlite source (rowid-partitioned read + flag pushdown + _→space
+    rewrite) instead of a pre-built DataFrame — the reference's actual
+    ingestion path (create_kv.py:165-180) exercised end-to-end."""
+    import sqlite3
+
+    from collection_templates_spark.operators.entities import (
+        title_qid_from_mapping,
+    )
+    from collection_templates_spark.sources.wikimapper import read_wikimapper
+
+    db = str(tmp_path / "index_enwiki.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE mapping (wikipedia_id INTEGER, wikipedia_title TEXT,"
+        " wikidata_id TEXT, primary_mapping INTEGER, redirect INTEGER)"
+    )
+    con.executemany(
+        "INSERT INTO mapping VALUES (?,?,?,?,?)",
+        [(pid, t.replace(" ", "_"), q, 1, 0) for t, pid, q in MAPPING]
+        # noise the filters must drop: a redirect row and a non-primary row
+        + [(51, "The_Wall_redirect", "Q1", 1, 1), (52, "Other", "Q9", 0, 0)],
+    )
+    con.commit()
+    con.close()
+
+    mapping = title_qid_from_mapping(read_wikimapper(spark, db, num_partitions=2))
+    inputs = PipelineInputs(
+        nt_lines=spark.createDataFrame([(x,) for x in NT], ["value"]),
+        categorylinks=spark.createDataFrame(
+            CATEGORYLINKS, "cl_from bigint, cl_to string"
+        ),
+        pagelinks=spark.createDataFrame(
+            PAGELINKS, "pl_from bigint, pl_title string"
+        ),
+        mapping=mapping,
+        qrank=spark.createDataFrame(QRANK, "id string, rank bigint"),
+        domains=spark.createDataFrame(DOMAINS, "name string, status string"),
+        created_ms=123.0,
+    )
+    result = run_pipeline(spark, inputs, workdir=str(tmp_path / "wd"))
+    docs = result["merged_final"].collect()
+    assert len(docs) == 1
+    doc = docs[0]
+    assert doc.data.collection_name == "Pink Floyd albums"
+    assert doc.metadata.id == "Q100"
+    assert [n.normalized_name for n in doc.template.names] == ["thewall", "animals"]

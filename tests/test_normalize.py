@@ -39,6 +39,45 @@ def test_curate_member_goldens():
     assert curate_member("ab") is None  # min length 3 (P12)
 
 
+def test_curate_member_adversarial():
+    """Adversarial inputs pinning the F2 fallback chain (force_normalize,
+    normalize.py:53-71). Cases marked DIVERGES differ from a real
+    ens_normalize install, which maps rather than rejects some inputs —
+    each divergence is rejected-not-mangled, so no wrong name is ever
+    emitted; when ens_normalize is importable the real chain takes over."""
+    # accent-preserving Latin (the reference golden's behavior)
+    assert curate_member("ÉCOLE Primaire") == ("écoleprimaire", ["école", "primaire"])
+    assert curate_member("naïve café") == ("naïvecafé", ["naïve", "café"])
+    # hyphen+apostrophe strip then re-cure (create_merged.py:171-181)
+    assert curate_member("O'Brien-Smith") == ("obriensmith", ["obriensmith"])
+    # cure-stripped punctuation/underscore/whitespace
+    assert curate_member("a_b c") == ("abc", ["ab", "c"])
+    assert curate_member("semi;colon") == ("semicolon", ["semicolon"])
+    # non-Latin scripts rejected (golden parity: Greek case above)
+    assert curate_member("Тест") is None  # Cyrillic
+    assert curate_member("日本語") is None  # CJK
+    assert curate_member("abcΩabc") is None  # mixed Latin+Greek
+    # DIVERGES: real ens_cure allows valid emoji names; fallback rejects
+    assert curate_member("💎💎💎") is None
+    # DIVERGES: real ens_cure strips ignorables (U+200B); fallback rejects
+    assert curate_member("ab​cd") is None
+    # DIVERGES: real ens_cure NFKC-folds fullwidth forms; fallback rejects
+    assert curate_member("ｆｕｌｌｗｉｄｔｈ") is None
+    assert curate_member("Ａｂｃ (movie)") is None
+    # 'İ'.lower() yields i + combining U+0307; combining marks are outside
+    # the fallback's allowed set (real ens_normalize maps this) — rejected
+    assert curate_member("İstanbul") is None
+    # min-length gate after curing, not before (P12)
+    assert curate_member("xx") is None
+
+
+def test_curate_name_percent_encoding():
+    """curate_name unquotes AFTER underscore→space (create_merged.py:373-380
+    order): encoded punctuation and accents survive into the display name."""
+    assert curate_name("List_of_%22quoted%22_things") == '"quoted" things'
+    assert curate_name("Category:%C3%89cole_types") == "École types"
+
+
 def test_extract_and_strip():
     assert extract_id("http://www.wikidata.org/entity/Q42") == "Q42"
     assert extract_id("Q42") == "Q42"
