@@ -1,8 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: "queries" holds per-query MEDIAN wall seconds over
-$SPARK_GRAFT_BENCH_RUNS warm runs (default 3), "value" their sum, "runs"
-the raw per-run timings, "wall_all_runs" the whole-loop wall clock.
+compact JSON line: "queries" holds per-query MEDIAN wall seconds over
+$SPARK_GRAFT_BENCH_RUNS warm runs (default 3), "value" their sum. The raw
+per-run timings and whole-loop wall clock go to a side file
+(bench_runs.json next to this script) so the stdout line stays inside the
+driver's parse window.
 
 Execution is forced through the JVM-side noop sink (full pipeline runs, no
 driver collect, no Python serialization in the measurement).
@@ -54,6 +56,10 @@ def main() -> None:
         per_query[name] = sorted(ts)[len(ts) // 2]
     total = round(time.time() - t_all, 3)
 
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs.json")
+    with open(side, "w") as f:
+        json.dump({"runs": runs, "wall_all_runs": total, "sf": sf}, f)
+
     print(
         json.dumps(
             {
@@ -62,8 +68,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
-                "runs": runs,
-                "wall_all_runs": total,
             }
         )
     )

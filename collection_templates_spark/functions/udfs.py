@@ -71,20 +71,37 @@ def log_probability_udf(s: pd.Series) -> pd.Series:
 # -- corpus-model-backed variants (F9/F10/F11 real scoring) -----------------
 # The model's {token: count} dict travels as a SparkContext broadcast; the
 # UnigramModel object (cost table for the DP splitter) is rebuilt at most
-# once per executor process via this cache keyed by broadcast id.
-_MODEL_CACHE: dict[int, object] = {}
+# once per executor process via this cache. Keys are driver-assigned uuids
+# stamped into the broadcast value by ``broadcast_model`` — never object
+# identity, which CPython can reuse after a GC'd earlier broadcast. The
+# cache is bounded: a long-lived executor serving many pipelines keeps only
+# the most recent few models.
+_MODEL_CACHE: dict[str, object] = {}
+_MODEL_CACHE_MAX = 4
+
+
+def broadcast_model(sc, freqs: dict) -> "object":
+    """Broadcast a {token: count} model dict tagged with a driver-assigned
+    uuid, so per-executor model caches have a collision-free stable key."""
+    import uuid
+
+    return sc.broadcast((uuid.uuid4().hex, freqs))
 
 
 def _model_for(freqs_bc):
     from collection_templates_spark.functions.langmodel import UnigramModel
 
-    # key on the broadcast VALUE's object identity: the worker-side
-    # broadcast registry caches the deserialized dict per process, so this
-    # is stable (the Broadcast wrapper itself has no .id on executors)
-    key = id(freqs_bc.value)
+    val = freqs_bc.value
+    if isinstance(val, tuple):  # broadcast_model-tagged (the default path)
+        key, freqs = val
+    else:  # plain-dict broadcast from a direct caller: no stable key, so
+        # rebuild each time rather than risk a stale id()-keyed hit
+        return UnigramModel(val)
     m = _MODEL_CACHE.get(key)
     if m is None:
-        m = UnigramModel(freqs_bc.value)
+        if len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+            _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
+        m = UnigramModel(freqs)
         _MODEL_CACHE[key] = m
     return m
 

@@ -91,9 +91,12 @@ def read_sqlite_table(
                 finally:
                     c.close()
 
-    ranges = spark.createDataFrame(bounds, "lo bigint, hi bigint").repartition(
-        n, "lo"
-    )
+    # range-partition the n slices so each lands in its own task: a hash
+    # repartition would leave ~1/e of tasks empty and serialize the sqlite
+    # scans of the collided slices (r2 advice)
+    ranges = spark.createDataFrame(
+        bounds, "lo bigint, hi bigint"
+    ).repartitionByRange(n, "lo")
     return ranges.mapInPandas(scan, schema)
 
 
