@@ -35,14 +35,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects. Read nanos as long, then truncate to
-        # micros (matching DuckDB's ns→us cast) — stays fully JVM-side.
+        # Historically events.parquet stored ts as parquet TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects; current generations store
+        # TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ. Adapt to
+        # whatever the file actually contains, normalizing to TimestampType
+        # (the contract every downstream query — unix_micros, window ranges —
+        # was validated against): nanos arrive as LongType (via nanosAsLong)
+        # and get truncated to micros (matching DuckDB's ns→us cast); NTZ is
+        # cast to TIMESTAMP (identity under the UTC session tz the driver
+        # runs with). Stays fully JVM-side either way.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(path)
 
 
