@@ -94,6 +94,13 @@ def score_names(
     the sum so fp association order can't flip a downstream rounded hash.
     Scale: the model is broadcast (vocab-sized); the only shuffle is the
     per-name re-aggregation, partial-combined on the name key.
+
+    An EMPTY model (zero rows) yields NULL ``lp_col``/``score_col`` for
+    every name: the Laplace denominator ``total + vocab`` is undefined at
+    V=0, and this function deliberately stays lazy (no count() action in
+    plan building). Callers that would rather fail fast on an empty corpus
+    should guard with ``model.take(1)`` themselves; the all-NULL behavior
+    is pinned by ``tests/test_langmodel.py::test_score_names_empty_model``.
     """
     totals = model.agg(
         (F.sum("n") + F.count("*")).alias("___denom")

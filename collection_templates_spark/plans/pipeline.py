@@ -100,6 +100,7 @@ def run_pipeline(
             word_frequency_model,
         )
         from collection_templates_spark.functions.udfs import (
+            broadcast_model,
             interesting_score_udf_for,
             log_probability_udf_for,
         )
@@ -108,7 +109,9 @@ def run_pipeline(
             word_frequency_model(title_qid, text_col="title")
         )
         if model.vocab > 0:
-            freqs_bc = spark.sparkContext.broadcast(model.freqs)
+            # uuid-tagged broadcast → per-executor UnigramModel cache hit
+            # (plain-dict broadcasts rebuild the cost table per Arrow batch)
+            freqs_bc = broadcast_model(spark.sparkContext, model.freqs)
             score_udf = interesting_score_udf_for(freqs_bc)
             log_prob_udf = log_probability_udf_for(freqs_bc)
 

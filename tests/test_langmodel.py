@@ -147,6 +147,76 @@ def test_factory_uses_real_scores_end_to_end(spark, model_df):
     )
 
 
+def test_score_names_empty_model(spark):
+    """Pinned behavior: an empty model scores every name NULL (the Laplace
+    denominator is undefined at V=0) rather than raising — score_names
+    stays lazy by design. See the docstring note in langmodel.score_names."""
+    empty = spark.createDataFrame([], "token string, n long, log_prob double")
+    names = spark.createDataFrame(
+        [(1, ["new", "york"])], "id long, tokens array<string>"
+    )
+    row = score_names(names, empty).collect()[0]
+    assert row["log_probability"] is None
+    assert row["interesting_score"] is None
+
+
+def test_broadcast_model_cache_is_uuid_keyed(spark, model_df):
+    """r3's stale-id fix, exercised: the per-process UnigramModel cache must
+    key on the driver-assigned uuid, hit across repeated batches of one
+    broadcast, miss across distinct broadcasts (two pipeline runs in one
+    session), and never cache an untagged plain-dict broadcast."""
+    from collection_templates_spark.functions import udfs
+
+    model = UnigramModel.from_dataframe(model_df)
+
+    bc1 = udfs.broadcast_model(spark.sparkContext, model.freqs)
+    m1 = udfs._model_for(bc1)
+    assert udfs._model_for(bc1) is m1  # second Arrow batch: cache hit
+
+    bc2 = udfs.broadcast_model(spark.sparkContext, model.freqs)
+    m2 = udfs._model_for(bc2)
+    assert m2 is not m1  # same dict, new run → new key, no stale hit
+
+    plain = spark.sparkContext.broadcast(model.freqs)
+    assert udfs._model_for(plain) is not udfs._model_for(plain)  # rebuild
+
+
+def test_model_cache_bounded(spark, model_df):
+    from collection_templates_spark.functions import udfs
+
+    model = UnigramModel.from_dataframe(model_df)
+    bcs = [
+        udfs.broadcast_model(spark.sparkContext, model.freqs)
+        for _ in range(udfs._MODEL_CACHE_MAX + 3)
+    ]
+    for bc in bcs:
+        udfs._model_for(bc)
+    assert len(udfs._MODEL_CACHE) <= udfs._MODEL_CACHE_MAX
+    assert udfs._model_for(bcs[-1]) is udfs._model_for(bcs[-1])  # MRU kept
+
+
+def test_two_models_one_session_score_with_own_corpus(spark, model_df):
+    """End-to-end r2-bug scenario: two scoring UDFs built back-to-back in
+    one session (as two run_pipeline calls would) must each score with
+    their OWN corpus, not a cache-collided predecessor."""
+    from collection_templates_spark.functions.udfs import (
+        broadcast_model,
+        log_probability_udf_for,
+    )
+
+    m_real = UnigramModel.from_dataframe(model_df)
+    m_tiny = UnigramModel({"zebra": 50})
+    df = spark.createDataFrame([("the",)], "name string")
+
+    udf_a = log_probability_udf_for(broadcast_model(spark.sparkContext, m_real.freqs))
+    udf_b = log_probability_udf_for(broadcast_model(spark.sparkContext, m_tiny.freqs))
+    got_a = df.select(udf_a("name").alias("lp")).collect()[0]["lp"]
+    got_b = df.select(udf_b("name").alias("lp")).collect()[0]["lp"]
+    assert got_a == pytest.approx(m_real.log_probability(["the"]), abs=1e-9)
+    assert got_b == pytest.approx(m_tiny.log_probability(["the"]), abs=1e-9)
+    assert got_a != got_b
+
+
 def test_tokenizer_udf_uses_model_split(spark, model_df):
     from collection_templates_spark.operators.custom_collections import (
         tokenize_name,

@@ -62,6 +62,28 @@ def test_wikimapper_feeds_title_qid(spark, tmp_path):
     assert all(" " in t or "_" not in t for t in rows)
 
 
+def test_one_contiguous_slice_per_task(spark, tmp_path):
+    """The r2 advice fix: repartitionByRange must land exactly one rowid
+    slice in each task — a hash repartition leaves ~1/e of tasks empty and
+    serializes collided slices' sqlite scans. Verify via output partition
+    ids: every task non-empty, each covering one non-overlapping id range."""
+    path, _ = _fixture_db(tmp_path)
+    df = read_wikimapper(spark, path, num_partitions=4)
+    per = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.min("wikipedia_id").alias("lo"),
+            F.max("wikipedia_id").alias("hi"),
+        )
+        .collect()
+    )
+    assert len(per) == 4  # no empty tasks, no collided slices
+    spans = sorted((r["lo"], r["hi"]) for r in per)
+    for (_, h1), (l2, _) in zip(spans, spans[1:]):
+        assert h1 < l2  # each task scanned exactly one contiguous slice
+
+
 def test_read_sqlite_empty_table(spark, tmp_path):
     path = str(tmp_path / "empty.db")
     con = sqlite3.connect(path)
