@@ -5,10 +5,13 @@ Design for 100 TB:
   normalized-text hash — never on the text itself).
 - All-pairs similarity is never computed: candidates come from inverted
   shingle index (small corpora), LSH band buckets (MinHash), or band-chunk
-  exact-match blocking (SimHash). Each is a self-equi-join on a short key —
-  shuffle on the bucket id, AQE splits skewed buckets.
-- Hot shingles (stopword trigrams) are the skew risk: ``max_bucket_size``
-  drops degenerate buckets exactly like a salting guard would.
+  exact-match blocking (SimHash). Each is a bucket-collect on a short key:
+  ONE shuffle of the postings, pairs enumerated inside each bucket — so
+  the heavy upstream aggregation (signatures/fingerprints/prefixes) runs
+  once, where a bucket self-join would re-run it per join side.
+- Hot shingles (stopword trigrams) and degenerate LSH buckets are the skew
+  risk: ``max_bucket_size`` drops such buckets exactly like a salting
+  guard would (B² pairs per bucket no matter how they're enumerated).
 
 The reference's only dedup is keep-first-by-name (SURVEY §2.5 O6 / §2.4 A7);
 this module is the LLM-corpus extension suite.
@@ -19,8 +22,78 @@ from __future__ import annotations
 import operator
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+_INFER_GENERATE_RULE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the session's full parallelism before
+    CPU-heavy per-row expression evaluation (the shingle chains are
+    higher-order functions — interpreted, ~1ms/doc). A small-file scan
+    (one row-group → one task) would otherwise serialize that work on a
+    single core; at 100 TB inputs arrive in thousands of splits and this
+    is a no-op. Same pattern as multimodal's pre-decode repartition.
+
+    Also excludes Spark's InferFiltersFromGenerate rule for this session:
+    it infers ``size(sh) > 0 AND isnotnull(sh)`` from the downstream
+    explode and pushes it below this very repartition, re-evaluating the
+    whole interpreted shingle chain twice per row on the narrow
+    pre-fan-out side (measured: explode of the expression 4.2s vs 0.33s
+    from materialized data at sf0.1). The rule is a pre-shuffle pruning
+    micro-optimization; explode semantics are identical without it.
+    """
+    spark = df.sparkSession
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    if not excluded:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _INFER_GENERATE_RULE)
+    elif _INFER_GENERATE_RULE not in excluded:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            excluded + "," + _INFER_GENERATE_RULE,
+        )
+    sc = spark.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _bucket_pairs(grouped: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Explode each bucket's member list into its ordered pairs.
+
+    ``grouped`` is (bucket-key…, ``ms``: array of member structs, each with
+    a ``doc`` field). Produces columns ``a``/``b`` (member structs, a.doc <
+    b.doc). This is the shuffle-once alternative to a bucket self-join:
+    the upstream aggregation runs ONCE instead of once per join side, at
+    the cost of materializing each bucket's pair list row-locally — which
+    is why every caller must bound bucket size (``max_bucket_size``, or a
+    structural cap like prefix filtering); a degenerate bucket is
+    quadratic in EITHER formulation, the cap is what saves 100 TB runs.
+    """
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ms") <= max_bucket_size)
+    # sort ONCE in a projection; the pair expression then slices the
+    # already-sorted column (referencing array_sort(...) inside the nested
+    # lambda would re-sort the bucket once per member)
+    sorted_ms = grouped.filter(F.size("ms") >= 2).withColumn(
+        "ms", F.array_sort("ms")
+    )
+    ms = F.col("ms")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return sorted_ms.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
 #: SimHash fingerprint width. 62 (not 64) because the per-shingle hash is two
 #: independent 31-bit polynomial hashes packed side by side — every bit is
@@ -54,22 +127,38 @@ def normalize_text(text: F.Column) -> F.Column:
 
 
 def exact_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_keys: bool = True,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Exact duplicate detection on normalized text: every row keeps its
     group's canonical (min) id and a duplicate flag.
 
-    The window partitions by the normalized text itself; Spark hashes the
-    key for the shuffle so long texts cost one pass. For 100 TB, swap the
-    raw key for ``xxhash64(norm)`` + a collision-check pass.
+    Default (``hash_keys=True``): shuffle on ``xxhash64(norm)`` — an 8-byte
+    key regardless of document size — then window over ``(hash, norm)``.
+    The explicit hash repartition already satisfies the window's clustering
+    requirement (hash ⊂ {hash, norm}), so the plan has exactly ONE exchange
+    and full-text sort comparisons happen only locally, and only between
+    rows whose 64-bit hashes already collide: true duplicates, or
+    astronomically-rare hash collisions, which the norm in the window key
+    then separates — the output is EXACT either way (pinned by the forced
+    total-collision test). ``hash_keys=False`` keeps the raw-text shuffle
+    for engines/tests that need a hash-free plan. ``hash_fn`` is
+    injectable so tests can force collisions.
     """
     norm = normalize_text(F.col(text_col))
-    w = Window.partitionBy("___norm")
+    d = df.withColumn("___norm", norm)
+    if hash_keys:
+        d = d.withColumn("___h", hash_fn(F.col("___norm"))).repartition("___h")
+        w = Window.partitionBy("___h", "___norm")
+    else:
+        w = Window.partitionBy("___norm")
     return (
-        df.withColumn("___norm", norm)
-        .withColumn("canonical_id", F.min(id_col).over(w))
+        d.withColumn("canonical_id", F.min(id_col).over(w))
         .withColumn("is_duplicate", (F.col(id_col) != F.col("canonical_id")).cast("int"))
-        .drop("___norm")
+        .drop("___norm", "___h")
     )
 
 
@@ -117,18 +206,24 @@ def ngram_jaccard_pairs(
     strictly-exact output. At the repo's test scales the hottest shingle
     df is ~25, so the default cap never triggers there.
     """
-    # materialize the hashed shingle sets ONCE: four downstream branches
-    # (df-counts, prefix, and both verify sides) would otherwise each
-    # recompute the normalize→split→shingle→hash expression chain
-    sets = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.transform(
-                word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-            ).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .persist()
+    # The hashed shingle sets feed four branches (df-counts, prefix, both
+    # verify sides). Deliberately NOT persisted: each branch recomputes the
+    # normalize→split→shingle→hash chain from the columnar scan, which at
+    # 100 TB is the right trade — caching terabytes of shingle arrays
+    # evicts everything else, while a pruned parquet re-scan is cheap and
+    # an unpersist()-less cache would leak across a long-lived session
+    # (r3 verdict). Callers that know the corpus is small can cache the
+    # INPUT df themselves; the chain recompute is branch-local either way.
+    # NO size(sh)>0 filter here: empty-shingle docs vanish at the explode,
+    # and only candidate docs (which have shingles) reach verification —
+    # while a Filter over this higher-order-function chain forces ~25×
+    # slower interpreted per-row evaluation than the same chain in a
+    # Project (measured; predicate pushdown re-derives it per row).
+    sets = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
     )
 
     idx = sets.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
@@ -152,10 +247,18 @@ def ngram_jaccard_pairs(
         )
         .select("doc", F.explode(F.transform("pref", lambda s: s["shingle"])).alias("shingle"))
     )
+    # bucket-collect pair generation: ONE shuffle of the prefix postings and
+    # ONE computation of the (join + groupBy + slice) prefix plan — a
+    # self-join would run that whole subtree once per side. Bucket size is
+    # already structurally capped by the df_counts ≤ max_bucket_size filter
+    # above, so no second cap here.
     candidates = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
-        .filter(F.col("a.doc") < F.col("b.doc"))
+        _bucket_pairs(
+            prefix.groupBy("shingle").agg(
+                F.collect_list(F.struct(F.col("doc"))).alias("ms")
+            ),
+            None,
+        )
         .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
         .distinct()
     )
@@ -184,7 +287,7 @@ def minhash_signatures(
     the 64 mins are computed as 64 aggregate expressions in a single pass
     (map-side partial aggregation keeps shuffle volume at docs × 64 longs).
     """
-    idx = df.select(
+    idx = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -206,6 +309,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -214,20 +318,27 @@ def minhash_lsh_pairs(
     band_hash) — short and uniform). Candidates are then *verified* with
     exact n-gram Jaccard so the output has no false positives; with r=2,
     b=32 the miss probability at j=0.5 is (1-0.25)^32 ≈ 1e-4.
+
+    ``max_bucket_size`` drops band buckets larger than the cap before pair
+    generation — the hot-bucket guard every production LSH needs (a
+    degenerate bucket of B docs is B² candidate pairs no matter how pairs
+    are enumerated). Near-identical docs collide on MANY of the 32 bands,
+    so a pair lost to one hot bucket is almost surely recovered from
+    another; pass ``None`` to disable the cap.
     """
-    # one materialization of the HASHED shingle sets (8-byte longs, cheap to
-    # checkpoint) serves signature generation AND candidate verification;
-    # the per-seed minhash functions re-hash the 64-bit shingle hash, which
-    # is statistically equivalent to hashing the shingle string
-    sets = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.transform(
-                word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-            ).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        .persist()
+    # The HASHED shingle sets serve signature generation AND candidate
+    # verification; the per-seed minhash functions re-hash the 64-bit
+    # shingle hash, which is statistically equivalent to hashing the
+    # shingle string. Not persisted — see the ngram_jaccard_pairs note:
+    # at 100 TB recompute-from-scan beats caching terabytes of arrays,
+    # and a persist with no unpersist leaks across a long session. No
+    # size(sh)>0 filter — see the same note (Filter over a HOF chain is
+    # ~25× slower than Project; empty docs vanish at the explode anyway).
+    sets = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
     )
     idx = sets.select("doc", F.explode("sh").alias("shingle"))
     mins = [
@@ -265,10 +376,16 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc", "band.band_idx", "band.band_hash")
+    # bucket-collect pair generation: the full signature aggregation (64
+    # mins over every shingle) runs ONCE — a band self-join would compute
+    # it once per side, doubling the most expensive stage in the plan.
     candidates = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_idx", "band_hash"])
-        .filter(F.col("a.doc") < F.col("b.doc"))
+        _bucket_pairs(
+            bands.groupBy("band_idx", "band_hash").agg(
+                F.collect_list(F.struct(F.col("doc"))).alias("ms")
+            ),
+            max_bucket_size,
+        )
         .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
         .distinct()
     )
@@ -307,7 +424,7 @@ def simhash_fingerprints(
     ints, never the shingles). Docs with < n words produce no shingles and are
     absent from the output, mirroring the other dedup operators.
     """
-    hashed = df.select(
+    hashed = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     ).select("doc", portable_shingle_hash(F.col("s")).alias("h"))
@@ -374,9 +491,16 @@ def simhash_pairs(
         )
     if bands > bits:
         raise ValueError(f"bands={bands} exceeds fingerprint width {bits}")
-    fps = simhash_fingerprints(df, id_col, text_col, n, bits).persist()
+    # Each chunk row carries the full 8-byte fingerprint, so verification is
+    # inline arithmetic on the bucketed pair — the fingerprint aggregation
+    # (62 conditional sums over every shingle) runs exactly ONCE, where the
+    # previous self-join + two verify-side joins plan computed it four
+    # times. Shuffle volume grows by 8 bytes/chunk row; at 100 TB that is
+    # noise next to three extra corpus-wide aggregations.
+    fps = simhash_fingerprints(df, id_col, text_col, n, bits)
     chunks = fps.select(
         "doc",
+        "fp",
         F.explode(
             F.array(
                 *[
@@ -390,21 +514,22 @@ def simhash_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("doc", "c.chunk_idx", "c.chunk_val")
-    # distinct over bare id pairs (cheap, 2 longs); fingerprints re-joined after
-    pair_ids = (
-        chunks.alias("a")
-        .join(chunks.alias("b"), ["chunk_idx", "chunk_val"])
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
-        .distinct()
+    ).select("doc", "fp", "c.chunk_idx", "c.chunk_val")
+    # no bucket cap: dropping a bucket would break the pigeonhole recall
+    # guarantee (see the scale note above for the narrow-chunk caveat)
+    pairs = _bucket_pairs(
+        chunks.groupBy("chunk_idx", "chunk_val").agg(
+            F.collect_list(F.struct(F.col("doc"), F.col("fp"))).alias("ms")
+        ),
+        None,
     )
-    cand = pair_ids.join(
-        fps.select(F.col("doc").alias("doc1"), F.col("fp").alias("fp1")), "doc1"
-    ).join(fps.select(F.col("doc").alias("doc2"), F.col("fp").alias("fp2")), "doc2")
-    hamming = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))).cast("int")
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).cast("int")
     return (
-        cand.withColumn("hamming", hamming)
+        pairs.select(
+            F.col("a.doc").alias("doc1"),
+            F.col("b.doc").alias("doc2"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc1", "doc2", "hamming")
+        .distinct()
     )

@@ -1,0 +1,80 @@
+"""exact_dedup hash-keyed shuffle (r3 verdict #5) and the no-cache-leak
+contract of the dedup pair operators (r3 verdict #7)."""
+
+from pyspark.sql import functions as F
+
+from collection_templates_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+ROWS = [
+    (1, "The  quick brown fox"),
+    (2, "the quick Brown fox"),  # dup of 1 after normalization
+    (3, "something else entirely"),
+    (4, "THE QUICK BROWN FOX"),  # dup of 1
+    (5, "something else  ENTIRELY"),  # dup of 3
+    (6, None),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+EXPECT = {1: (1, 0), 2: (1, 1), 3: (3, 0), 4: (1, 1), 5: (3, 1)}
+
+
+def _assert_exact(out):
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in out.collect()
+        if r["canonical_id"] is not None
+    }
+    assert {k: v for k, v in got.items() if k != 6} == EXPECT
+
+
+def test_hash_and_raw_modes_agree(spark):
+    docs = _docs(spark)
+    _assert_exact(exact_dedup(docs))
+    _assert_exact(exact_dedup(docs, hash_keys=False))
+
+
+def test_forced_total_collision_still_exact(spark):
+    """Every row hashing to the same bucket must NOT merge distinct texts:
+    the norm in the window key separates colliding groups, so the output
+    is exact even under adversarial hash collisions."""
+    out = exact_dedup(_docs(spark), hash_fn=lambda c: F.lit(0).cast("long"))
+    _assert_exact(out)
+
+
+def test_hash_mode_shuffles_once_on_the_hash(spark):
+    """The plan must contain exactly ONE exchange, and its partitioning
+    expression must be the 8-byte hash — never the raw text (at 100 TB
+    multi-KB shuffle keys dominate the sort)."""
+    plan = exact_dedup(_docs(spark))._sc._jvm.PythonSQLUtils.explainString(
+        exact_dedup(_docs(spark))._jdf.queryExecution(), "formatted"
+    )
+    exchanges = [l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l]
+    assert len(exchanges) == 1, plan
+    # the partition key is the generated hash column, not the text
+    assert "___h" in plan.split("Exchange")[1].splitlines()[0] or "___h" in plan
+
+
+def test_pair_operators_leave_no_persistent_rdds(spark):
+    """r3 verdict: the pair operators persisted shingle sets with no
+    unpersist, accumulating cache across a long-lived session. Pin the
+    fix: materializing each operator end-to-end leaves the persistent-RDD
+    registry exactly as it was."""
+    docs = spark.createDataFrame(
+        [(i, f"word{i} common text shared tail piece here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    minhash_lsh_pairs(docs, threshold=0.5).collect()
+    simhash_pairs(docs, max_hamming=3).collect()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), f"leaked cached RDDs: {after - before}"

@@ -261,7 +261,15 @@ def test_lsh_ann_recall(spark):
         (r.query_id, r.neighbor_id) for r in lsh_cosine_topk(emb, q, k=5).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.7, f"LSH recall {recall}"
+    assert recall >= 0.7, f"LSH recall {recall} (operator default 4x16)"
+    # the testdata-query configuration (4 planes x 32 tables) must clear
+    # the r3-verdict bar of >= 0.9 aggregate recall
+    approx32 = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_cosine_topk(emb, q, k=5, n_tables=32).collect()
+    }
+    recall32 = len(exact & approx32) / len(exact)
+    assert recall32 >= 0.9, f"LSH recall {recall32} (query config 4x32)"
 
 
 def test_ivf_ann_recall(spark):
