@@ -77,6 +77,164 @@ def search_corpus(
     )
 
 
+#: one tokenizer convention for the stemmed analyzer, shared with the
+#: oracle SQL (standard-tokenizer + lowercase analog; langmodel uses the
+#: same class of split)
+ANALYZER_SPLIT_RE = "[^a-z0-9']+"
+
+
+def search_corpus_stemmed(
+    docs: DataFrame,
+    query: str,
+    k: int = 20,
+    rescore_window: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    feature_cols: tuple[str, ...] = (),
+    k1: float = 1.2,
+    rescore_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """§2.10 analyzer-grade batch search: stemmed BM25 (b=0) + rank_feature
+    saturation + a linear top-``rescore_window`` rescore.
+
+    Parity targets (research/learning-to-rank/populate.py:86-153 and
+    search.py:14-94):
+    - analyzer: standard-tokenizer → lowercase → stem. Stemming is the
+      shared SUFFIX_RULES table (functions/stemming.py) as ONE native CASE
+      chain — no UDF, and the oracle SQL is generated from the same table.
+    - similarity "BM25_b0": per stemmed term,
+      idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+      tf_sat = tf·(k1+1)/(tf + k1)  (b = 0 ⇒ no length normalization,
+      exactly the reference's "document length doesn't matter").
+    - rank_feature clauses: each feature scores x/(x + pivot) with pivot =
+      the field's geometric mean over positive values (ES's default pivot),
+      boost 1 — computed as one tiny aggregate, broadcast back.
+    - LTR rescore: the reference rescores its top-50 with an ``sltr``
+      stored model at query_weight 0 (search.py:78-94). The model file is
+      an external artifact; the analogue is a linear model over the logged
+      feature vector (bm25 + saturated features), weights in
+      ``rescore_weights`` — applied to the top-``rescore_window`` only,
+      and final ranking uses the rescore score alone (query_weight=0).
+
+    Scale: tokens explode once; df/N/pivots are vocabulary- or 1-row-sized
+    broadcasts; the only wide shuffles are the per-(doc,term) and per-doc
+    aggregations, partial-combined; the rescore touches ``rescore_window``
+    rows. No driver actions in plan building.
+    """
+    from collection_templates_spark.functions.stemming import (
+        suffix_stem_expr,
+        suffix_stem_py,
+    )
+
+    terms = sorted({suffix_stem_py(t) for t in query.lower().split() if t})
+    if rescore_weights is None:
+        rescore_weights = {"bm25": 1.0, **{f: 2.0 for f in feature_cols}}
+
+    toks = docs.select(
+        F.col(id_col).alias("___id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), ANALYZER_SPLIT_RE)
+        ).alias("___tok"),
+    ).filter(F.col("___tok") != "")
+    stemmed = toks.select(
+        "___id", suffix_stem_expr(F.col("___tok")).alias("___term")
+    ).filter(F.col("___term").isin(terms))
+
+    # tf per (doc, term); df per term; N — all from one exploded pass
+    tf = stemmed.groupBy("___id", "___term").agg(F.count("*").alias("___tf"))
+    df_t = tf.groupBy("___term").agg(F.count("*").alias("___df"))
+    n_docs = docs.agg(F.count("*").alias("___n"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("___n") - F.col("___df") + 0.5) / (F.col("___df") + 0.5)
+    )
+    # per-term score rounded 9dp before the sum, the sum rounded 6dp — so
+    # fp association order can't flip the cross-engine hash (repo-wide
+    # convention, see langmodel.score_names)
+    per_term = (
+        tf.join(F.broadcast(df_t), "___term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "___s",
+            F.round(
+                idf
+                * (F.col("___tf") * (k1 + 1.0))
+                / (F.col("___tf") + F.lit(k1)),
+                9,
+            ),
+        )
+    )
+    bm25 = per_term.groupBy("___id").agg(
+        F.round(F.sum("___s"), 6).alias("bm25")
+    )
+
+    # rank_feature saturation: pivot = geometric mean of positive values
+    scored = docs.select(F.col(id_col), *feature_cols).join(
+        bm25.withColumnRenamed("___id", id_col), id_col, "inner"
+    )
+    if feature_cols:
+        pivots = docs.agg(
+            *[
+                F.exp(
+                    F.avg(
+                        F.when(
+                            F.col(c) > 0, F.log(F.col(c).cast("double"))
+                        )
+                    )
+                ).alias(f"___pivot_{c}")
+                for c in feature_cols
+            ]
+        )
+        scored = scored.join(F.broadcast(pivots))
+        for c in feature_cols:
+            scored = scored.withColumn(
+                f"sat_{c}",
+                F.round(
+                    F.when(
+                        F.col(c) > 0,
+                        F.col(c) / (F.col(c) + F.col(f"___pivot_{c}")),
+                    ).otherwise(F.lit(0.0)),
+                    9,
+                ),
+            )
+    es_score = F.round(
+        F.col("bm25")
+        + sum(
+            (F.col(f"sat_{c}") for c in feature_cols), F.lit(0.0)
+        ),
+        6,
+    )
+
+    # first-pass top-window (TakeOrderedAndProject — no global sort), then
+    # the linear rescore re-ranks only those rows (query_weight = 0)
+    top = (
+        scored.withColumn("es_score", es_score)
+        .orderBy(F.desc("es_score"), F.asc(id_col))
+        .limit(rescore_window)
+    )
+    ltr = F.round(
+        F.lit(rescore_weights.get("bm25", 0.0)) * F.col("bm25")
+        + sum(
+            (
+                F.lit(rescore_weights.get(c, 0.0)) * F.col(f"sat_{c}")
+                for c in feature_cols
+            ),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("ltr_score"), F.asc(id_col)
+    )
+    return (
+        top.withColumn("ltr_score", ltr)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "ltr_score", "bm25")
+    )
+
+
 def token_frequencies(
     docs: DataFrame,
     group_col: str = "source",

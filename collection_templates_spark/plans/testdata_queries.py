@@ -754,6 +754,36 @@ def search_bm25ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_corpus(docs, "spark hash join", k=20)
 
 
+# the fixed demo query for the stemmed/LTR search: every term is an
+# inflected form whose single-pass stem matches a corpus token's stem
+# (sorted→sort, tables→table, hashing→hash, queries→query, keys→key) —
+# stemming is exercised on BOTH sides, not a no-op.
+_STEMMED_QUERY = "sorted tables hashing queries keys"
+_LTR_WEIGHTS = {"bm25": 1.0, "n_chars": 3.0}
+
+
+def search_stemmed_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 analyzer-grade search: suffix-stemmed BM25 (k1=1.2, b=0) +
+    rank_feature saturation on n_chars (pivot = geometric mean, the ES
+    default) + linear rescore of the top-50 at query_weight 0 — the batch
+    re-expression of the reference's english_stemmer/BM25_b0 mapping and
+    sltr rescore (populate.py:86-153, search.py:14-94). Fully ORACLED:
+    the stemmer CASE chain in the oracle SQL is generated from the same
+    SUFFIX_RULES table the Spark expression compiles from."""
+    from collection_templates_spark.operators.search import (
+        search_corpus_stemmed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_corpus_stemmed(
+        docs,
+        _STEMMED_QUERY,
+        k=20,
+        feature_cols=("n_chars",),
+        rescore_weights=_LTR_WEIGHTS,
+    )
+
+
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: 32-token windows with stride 24 (8-token
     overlap), last partial window kept — all native array ops."""
@@ -929,6 +959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_label_centroids": ann_label_centroids,
     "window_running_total": window_running_total,
     "search_bm25ish": search_bm25ish,
+    "search_stemmed_ltr": search_stemmed_ltr,
     "quality_report": quality_report,
     "multimodal_features": multimodal_features,
     "text_word_model": text_word_model,
@@ -1583,6 +1614,74 @@ def _lsh_recall_oracle_sql(n_planes: int = 4, n_tables: int = 16, dim: int = 64)
 ORACLE_SQL["ann_lsh_recall"] = _lsh_recall_oracle_sql(
     n_planes=_LSH_QUERY_CONF["n_planes"], n_tables=_LSH_QUERY_CONF["n_tables"]
 )
+
+# search_stemmed_ltr oracle: the stemmer CASE chain is generated from the
+# SAME SUFFIX_RULES table as the Spark expression (functions/stemming.py),
+# and every score is rounded identically (per-term 9dp → bm25 6dp; sat 9dp;
+# es/ltr 6dp), so the full analyzer → BM25_b0 → rank_feature → rescore
+# pipeline hash-matches across engines.
+def _stemmed_ltr_oracle_sql() -> str:
+    from collection_templates_spark.functions.stemming import (
+        suffix_stem_py,
+        suffix_stem_sql,
+    )
+
+    terms = sorted({suffix_stem_py(t) for t in _STEMMED_QUERY.lower().split()})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    stem_case = suffix_stem_sql("tok")
+    w_bm = _LTR_WEIGHTS["bm25"]
+    w_nc = _LTR_WEIGHTS["n_chars"]
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM documents,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                     AS t(tok)
+            WHERE t.tok <> ''
+        ), stemmed AS (
+            SELECT doc_id, {stem_case} AS term FROM toks
+        ), hits AS (
+            SELECT doc_id, term, count(*) AS tf FROM stemmed
+            WHERE term IN ({in_list})
+            GROUP BY doc_id, term
+        ), dfs AS (
+            SELECT term, count(*) AS df FROM hits GROUP BY term
+        ), n AS (
+            SELECT count(*)::DOUBLE AS n FROM documents
+        ), per_term AS (
+            SELECT h.doc_id,
+                   round(ln(1 + (n.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                         * (h.tf * 2.2) / (h.tf + 1.2), 9) AS s
+            FROM hits h JOIN dfs USING (term) CROSS JOIN n
+        ), bm AS (
+            SELECT doc_id, round(sum(s), 6) AS bm25
+            FROM per_term GROUP BY doc_id
+        ), piv AS (
+            SELECT exp(avg(CASE WHEN n_chars > 0
+                               THEN ln(n_chars::DOUBLE) END)) AS p
+            FROM documents
+        ), scored AS (
+            SELECT d.doc_id, bm.bm25,
+                   round(CASE WHEN d.n_chars > 0
+                              THEN d.n_chars / (d.n_chars + piv.p)
+                              ELSE 0.0 END, 9) AS sat
+            FROM documents d JOIN bm ON d.doc_id = bm.doc_id CROSS JOIN piv
+        ), top AS (
+            SELECT doc_id, bm25, sat, round(bm25 + sat, 6) AS es_score
+            FROM scored ORDER BY es_score DESC, doc_id ASC LIMIT 50
+        )
+        SELECT doc_id, rank, ltr_score, bm25 FROM (
+            SELECT doc_id, bm25,
+                   round({w_bm} * bm25 + {w_nc} * sat, 6) AS ltr_score,
+                   row_number() OVER (
+                       ORDER BY round({w_bm} * bm25 + {w_nc} * sat, 6) DESC,
+                                doc_id ASC) AS rank
+            FROM top)
+        WHERE rank <= 20
+    """
+
+
+ORACLE_SQL["search_stemmed_ltr"] = _stemmed_ltr_oracle_sql()
 
 # text_word_model / scalar_log_probability oracles: rebuild the SAME unigram
 # model (tokens = lowercase split on [^a-z0-9']+, Laplace smoothing over
