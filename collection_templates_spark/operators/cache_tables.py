@@ -40,11 +40,17 @@ def refresh_cache(
     partitioned by refresh date if old readers must keep working.
     """
     new_keys = inputs.select(F.col(key_col).alias("key")).distinct()
-    try:
+    # explicit existence probe (works for any Hadoop FS scheme, not just
+    # local paths) instead of read-and-catch: the JVM would log a full
+    # FileNotFoundException stack on every cold start, and a broad except
+    # would also swallow genuine cache corruption
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(cache_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
         cache = spark.read.parquet(cache_path)
         missing = new_keys.join(cache, "key", "left_anti")
         merge_with = cache
-    except Exception:  # first run: no cache yet
+    else:  # first run: no cache yet
         missing = new_keys
         merge_with = None
     computed = missing.select("key", compute(F.col("key")).alias(value_col))

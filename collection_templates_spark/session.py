@@ -52,6 +52,16 @@ def get_spark(
         # reference) are all well under this; let Catalyst broadcast them.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate re-derives explode inputs as pre-shuffle
+        # filter predicates; with higher-order-function chains (shingles,
+        # chunking) that evaluates the whole interpreted chain twice per
+        # row on the narrow side — measured 12x slower than the Generate
+        # alone (see operators/dedup.py _spread, which also sets this for
+        # vanilla driver sessions). Explode semantics are unchanged.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -48,6 +48,31 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in p
 
 
+def test_dedup_pair_plans_never_cartesian(spark):
+    """Candidate generation must stay bucketed: no all-pairs product ever
+    appears in a dedup plan (the one thing that cannot survive 100 TB)."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+
+
+def test_dedup_pair_plans_are_bucket_collect_not_self_join(spark):
+    """The heavy aggregation (signatures/fingerprints) must appear ONCE:
+    bucket-collect pair generation replaced the bucket self-join that
+    computed it per join side. objectHashAggregate/collect_list marks the
+    bucket stage; the signature HashAggregate should not be duplicated."""
+    p = _plan(spark, "dedup_simhash")
+    # fingerprint aggregation = the only stage with 62 sum() votes; its
+    # marker is the bit-test conditional. One partial + one final pass.
+    votes = [l for l in p.splitlines() if "shiftright" in l and "HashAggregate" in l]
+    assert len(votes) <= 2, f"fingerprint agg duplicated: {len(votes)} instances"
+
+
+def test_stemmed_search_first_pass_is_topk_not_global_sort(spark):
+    p = _plan(spark, "search_stemmed_ltr")
+    assert "TakeOrderedAndProject" in p  # window-50 via per-partition top-k
+
+
 def test_session_window_merges_exact_gap_event(spark):
     """An event at exactly prev_ts + gap stays in the SAME session: Spark's
     session_window extends the window end to event+gap and merges on touch
