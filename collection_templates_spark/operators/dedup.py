@@ -231,33 +231,74 @@ def ngram_jaccard_pairs(
     if max_bucket_size is not None:
         df_counts = df_counts.filter(F.col("df") <= max_bucket_size)
     # per doc: order shingles rarest-first (global df, then hash for a total
-    # order shared by every doc), keep the prefix
+    # order shared by every doc), keep the prefix WITH each shingle's
+    # position — positions feed the PPJoin bounds below
     prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("n")).cast("int") + 1
     prefix = (
         idx.join(df_counts, "shingle")
         .groupBy("doc", "n")
         .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("df"), F.col("shingle")))
-                ),
-                F.lit(1),
-                prefix_len,
-            ).alias("pref")
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("ordered")
         )
-        .select("doc", F.explode(F.transform("pref", lambda s: s["shingle"])).alias("shingle"))
+        .select(
+            "doc",
+            "n",
+            F.size("ordered").alias("n_surv"),
+            F.posexplode(F.slice(F.col("ordered"), F.lit(1), prefix_len)).alias(
+                "pos0", "s"
+            ),
+        )
+        .select(
+            "doc",
+            "n",
+            "n_surv",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("s.shingle").alias("shingle"),
+        )
     )
     # bucket-collect pair generation: ONE shuffle of the prefix postings and
     # ONE computation of the (join + groupBy + slice) prefix plan — a
     # self-join would run that whole subtree once per side. Bucket size is
     # already structurally capped by the df_counts ≤ max_bucket_size filter
     # above, so no second cap here.
+    #
+    # Candidate pruning before the (expensive) verification joins — both
+    # bounds are conservative, so pruning only removes pairs that provably
+    # cannot reach τ; verification stays exact:
+    # - length filter: J ≥ τ requires min(nx,ny) ≥ τ·max(nx,ny);
+    # - PPJoin positional filter: for a shared prefix shingle at sorted
+    #   positions (px, py), overlap ≤ 1 + min(nx_surv − px, ny_surv − py);
+    #   the pair must reach α = ceil(τ/(1+τ)·(nx+ny)). The first common
+    #   shingle (always inside both prefixes when J ≥ τ) satisfies the
+    #   bound, so keeping a pair when ANY shared row passes is complete.
+    #   The 1e-9 slack makes fp ceil/multiply errors err toward KEEPING.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n") + F.col("b.n"))
+        - F.lit(1e-9)
+    )
     candidates = (
         _bucket_pairs(
             prefix.groupBy("shingle").agg(
-                F.collect_list(F.struct(F.col("doc"))).alias("ms")
+                F.collect_list(
+                    F.struct(F.col("doc"), F.col("n"), F.col("n_surv"), F.col("pos"))
+                ).alias("ms")
             ),
             None,
+        )
+        .filter(
+            F.least("a.n", "b.n")
+            >= F.lit(threshold) * F.greatest("a.n", "b.n") - F.lit(1e-9)
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("a.n_surv") - F.col("a.pos"),
+                F.col("b.n_surv") - F.col("b.pos"),
+            )
+            >= alpha
         )
         .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
         .distinct()
