@@ -126,10 +126,19 @@ def collection_factory(
         ),
     )
 
-    # namehash over distinct curated labels (Opt-6), joined back as a map
-    labels = df.select(
-        F.explode(F.transform("members", lambda m: m["curated"])).alias("v")
-    ).distinct()
+    # namehash over distinct curated labels (Opt-6), joined back as a map.
+    # The explicit repartition matters: the distinct's shuffle output is
+    # tiny in BYTES, so AQE coalesces it to one partition — which would
+    # serialize the CPU-bound keccak UDF on a single core (measured with
+    # the batch keccak: the factory stage is 42s coalesced+scalar → 1.9s
+    # spread+batched at 16k labels).
+    labels = (
+        df.select(
+            F.explode(F.transform("members", lambda m: m["curated"])).alias("v")
+        )
+        .distinct()
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
     hashes = labels.select("v", namehash_udf(F.concat("v", F.lit(".eth"))).alias("h"))
     exploded = (
         df.select("item", F.posexplode("members").alias("p", "m"))

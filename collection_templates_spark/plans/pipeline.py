@@ -77,10 +77,19 @@ def run_pipeline(
     are used only when False or when the corpus is empty.
     """
 
+    stage_seconds: dict[str, float] = {}
+
     def persist(df: DataFrame, name: str) -> DataFrame:
         if workdir:
+            import time as _time
+
             path = f"{workdir}/{name}.parquet"
+            t0 = _time.time()
             df.write.mode("overwrite").parquet(path)
+            # wall time to materialize this stage (upstream lazy work
+            # included) — surfaced via the returned dict's ___stage_seconds
+            # so stress/ops runs can see WHERE a big input spends its time
+            stage_seconds[name] = round(_time.time() - t0, 2)
             return spark.read.parquet(path)
         return df
 
@@ -178,4 +187,5 @@ def run_pipeline(
         "validated": {m: out[m] for m in out},
         "merged_final": docs,
         "operations": ops,
+        "___stage_seconds": stage_seconds,
     }

@@ -124,6 +124,7 @@ def main() -> None:
                 "n_collections_in": n_collections,
                 "gen_sec": gen_s,
                 "pipeline_sec": run_s,
+                "stage_seconds": result.get("___stage_seconds", {}),
                 "final_collections": n_docs,
                 "total_members_out": stats["total_members"],
                 "max_collection_members": stats["max_members"],
