@@ -163,9 +163,20 @@ def compute_on_distinct(
 
     The reference memoizes per-process in RocksDB; here distinctness IS the
     cache, and the compute parallelizes over the cluster.
+
+    The repartition after distinct is deliberate: AQE coalesces the
+    distinct's shuffle output by BYTES, and a few million short strings
+    easily fit one partition — which would serialize the (CPU-bound,
+    Python) compute on a single core. Same measured pathology as the
+    factory's namehash stage (42s → 1.9s once spread).
     """
     assert udf is not None or fn is not None
-    distinct = df.select(F.col(in_col).alias("v")).distinct()
+    spark = df.sparkSession
+    distinct = (
+        df.select(F.col(in_col).alias("v"))
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     expr = udf if udf is not None else fn(F.col("v"))
     computed = distinct.select("v", expr.alias(out_col))
     return df.join(

@@ -53,6 +53,10 @@ def refresh_cache(
     else:  # first run: no cache yet
         missing = new_keys
         merge_with = None
+    # spread before the CPU-bound compute: AQE coalesces the anti-join's
+    # small-in-bytes output to one partition, which would serialize the
+    # Python scoring UDF on a single core (see udfs.compute_on_distinct)
+    missing = missing.repartition(spark.sparkContext.defaultParallelism)
     computed = missing.select("key", compute(F.col("key")).alias(value_col))
     refreshed = (
         merge_with.unionByName(computed) if merge_with is not None else computed
