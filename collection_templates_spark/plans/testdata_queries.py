@@ -649,9 +649,10 @@ _LSH_QUERY_CONF = {"n_planes": 4, "n_tables": 32}
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN — the 100 TB scale path. Approximate by
-    design → rows-only check; per-query recall is the ORACLED
-    ann_lsh_recall row, plus tests/test_sources_custom.py asserts."""
+    """Sign-LSH bucketed ANN — the 100 TB scale path. Approximate w.r.t.
+    brute force but DETERMINISTIC given the literal planes, so it is
+    fully ORACLED (DuckDB replays the exact bucketing + rankings); the
+    companion ann_lsh_recall row quantifies recall vs brute force."""
     from collection_templates_spark.operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1560,7 +1561,9 @@ ORACLE_SQL["dedup_simhash"] = f"""
 # embedded as literals, buckets via list_dot_product signs, candidates via
 # same-bucket equi-join, rankings with the shared round(·,6)+id tie-break.
 # Generated because 64 plane vectors × 64 dims are mechanical constants.
-def _lsh_recall_oracle_sql(n_planes: int = 4, n_tables: int = 16, dim: int = 64) -> str:
+def _lsh_common_ctes(n_planes: int, n_tables: int, dim: int) -> str:
+    """The shared plane-replay CTEs: planes (literal), per-vector buckets,
+    candidate pairs, all-pairs sims, brute top-5, LSH-restricted top-5."""
     from collection_templates_spark.operators.similarity import (
         _deterministic_planes,
     )
@@ -1571,8 +1574,7 @@ def _lsh_recall_oracle_sql(n_planes: int = 4, n_tables: int = 16, dim: int = 64)
             lit = "[" + ",".join(repr(x) for x in v) + "]::DOUBLE[]"
             rows.append(f"({t},{p},{lit})")
     values = ",\n               ".join(rows)
-    return f"""
-        WITH planes(t, p, v) AS (VALUES
+    return f"""planes(t, p, v) AS (VALUES
                {values}),
         sgn AS (
             SELECT e.vec_id, pl.t,
@@ -1598,11 +1600,16 @@ def _lsh_recall_oracle_sql(n_planes: int = 4, n_tables: int = 16, dim: int = 64)
                     PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
                 FROM sims) WHERE rnk <= 5),
         lsh AS (
-            SELECT qid, nid FROM (
-                SELECT s.qid, s.nid, row_number() OVER (
+            SELECT qid, nid, sim, rnk FROM (
+                SELECT s.qid, s.nid, s.sim, row_number() OVER (
                     PARTITION BY s.qid ORDER BY s.sim DESC, s.nid ASC) AS rnk
                 FROM sims s JOIN cand ON s.qid = cand.qid AND s.nid = cand.nid)
-            WHERE rnk <= 5)
+            WHERE rnk <= 5)"""
+
+
+def _lsh_recall_oracle_sql(n_planes: int = 4, n_tables: int = 16, dim: int = 64) -> str:
+    return f"""
+        WITH {_lsh_common_ctes(n_planes, n_tables, dim)}
         SELECT b.qid AS query_id,
                round(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) / 5.0,
                      6) AS recall_at_5
@@ -1611,7 +1618,20 @@ def _lsh_recall_oracle_sql(n_planes: int = 4, n_tables: int = 16, dim: int = 64)
     """
 
 
+def _lsh_topk_oracle_sql(n_planes: int = 4, n_tables: int = 16, dim: int = 64) -> str:
+    return f"""
+        WITH {_lsh_common_ctes(n_planes, n_tables, dim)}
+        SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank, sim
+        FROM lsh
+    """
+
+
 ORACLE_SQL["ann_lsh_recall"] = _lsh_recall_oracle_sql(
+    n_planes=_LSH_QUERY_CONF["n_planes"], n_tables=_LSH_QUERY_CONF["n_tables"]
+)
+# the sign-LSH top-k itself is deterministic given the literal planes, so
+# it gets a FULL oracle too (was rows-only through round 3) — same replay
+ORACLE_SQL["ann_lsh_topk"] = _lsh_topk_oracle_sql(
     n_planes=_LSH_QUERY_CONF["n_planes"], n_tables=_LSH_QUERY_CONF["n_tables"]
 )
 
