@@ -193,6 +193,97 @@ def _deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[
     return planes
 
 
+def _sign_bucket_udf(n_planes: int, n_tables: int, dim: int, seed_base: int = 1000):
+    """Per-vector sign-LSH bucket strings for all tables in one GEMM.
+
+    n_tables × n_planes native dot-product expressions would explode the
+    codegen tree (array-literal aggregates per row); one (rows × dim) @
+    (dim × planes·tables) numpy matmul per Arrow batch is the vectorized-
+    UDF fast path. Deterministic: splitmix planes, seed_base + table."""
+    tables = [
+        _deterministic_planes(dim, n_planes, seed=seed_base + t)
+        for t in range(n_tables)
+    ]
+    stacked = np.vstack([np.array(t) for t in tables])  # (tables·planes, dim)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ stacked.T > 0).astype(np.uint8)  # (rows, tables·planes)
+        out = []
+        for row in signs:
+            out.append(
+                [
+                    "".join(map(str, row[t * n_planes : (t + 1) * n_planes]))
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return buckets_udf
+
+
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 3,
+    n_tables: int = 16,
+    dim: int = 64,
+    max_bucket_size: int | None = 4000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec1 < vec2, sim ≥ τ) —
+    the embedding leg of the dedup suite (text legs: exact / n-gram
+    Jaccard / MinHash / SimHash).
+
+    Candidates come from sign-LSH self-collision buckets (vectors landing
+    in the same bucket of ANY table), verified with exact JVM-side cosine
+    — the same bucket-collect shape as the text dedup operators: one
+    shuffle of (vector, bucket-key) rows, pairs enumerated in-bucket, no
+    self-join. Each bucket row carries its vector (like SimHash carries
+    its fingerprint), so verification is inline arithmetic; at extreme
+    scale, trade that shuffle weight for id-only buckets + a join-back.
+
+    Deterministic given the fixed splitmix planes, so the output —
+    including any LSH recall misses — is replayed exactly by the DuckDB
+    oracle. ``max_bucket_size`` is the standard hot-bucket guard; the
+    oracle assumes it never triggers (bucket ≈ |corpus| / 2^n_planes per
+    table, so size the planes accordingly).
+
+    Tuning is corpus-size-dependent — buckets per table must grow with N
+    or pair enumeration goes quadratic (measured at sf0.1: 3 planes =
+    625-vector buckets = 24s; 8 planes + 64 tables = 2.8s at 0.85 recall
+    of 920 true τ=0.4 pairs). The defaults suit small corpora; the
+    testdata query layer uses 8×64. In a real near-dup regime (τ ≥ 0.9)
+    the same budget gives recall ≈ 1.
+    """
+    from collection_templates_spark.operators.dedup import _bucket_pairs
+
+    buckets_udf = _sign_bucket_udf(n_planes, n_tables, dim)
+    b = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("table_idx", "bucket"),
+    )
+    pairs = _bucket_pairs(
+        b.groupBy("table_idx", "bucket").agg(
+            F.collect_list(F.struct(F.col("doc"), F.col("vec"))).alias("ms")
+        ),
+        max_bucket_size,
+    )
+    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+    return (
+        pairs.select(
+            F.col("a.doc").alias("vec1"),
+            F.col("b.doc").alias("vec2"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -218,29 +309,7 @@ def lsh_cosine_topk(
     (min 0.8), quantified per-query by the ORACLED ann_lsh_recall row and
     tests/test_sources_custom.py::test_lsh_ann_recall.
     """
-    tables = [
-        _deterministic_planes(dim, n_planes, seed=1000 + t) for t in range(n_tables)
-    ]
-
-    # All tables' buckets in one Arrow-batched numpy matmul per partition:
-    # n_tables × n_planes native dot-product expressions would explode the
-    # codegen tree (64 array-literal aggregates per row); one (rows × dim) @
-    # (dim × planes·tables) GEMM is the vectorized-UDF fast path.
-    stacked = np.vstack([np.array(t) for t in tables])  # (tables·planes, dim)
-
-    @F.pandas_udf(ArrayType(StringType()))
-    def buckets_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        signs = (mat @ stacked.T > 0).astype(np.uint8)  # (rows, tables·planes)
-        out = []
-        for row in signs:
-            out.append(
-                [
-                    "".join(map(str, row[t * n_planes : (t + 1) * n_planes]))
-                    for t in range(n_tables)
-                ]
-            )
-        return pd.Series(out)
+    buckets_udf = _sign_bucket_udf(n_planes, n_tables, dim)
 
     def bucketize(df: DataFrame, id_alias: str) -> DataFrame:
         return df.select(

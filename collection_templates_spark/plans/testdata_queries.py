@@ -702,6 +702,33 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# embedding near-dup configuration, shared with the generated oracle:
+# τ=0.4 matches the synthetic corpus (best cosines ~0.5 — far looser than
+# a production near-dup regime, where τ≥0.9 makes LSH far MORE selective).
+# 8 planes keep buckets tight (≈ N/256 per table — the quadratic-cost
+# guard that must scale with the corpus), 64 tables buy the recall back
+# (measured 0.85 vs brute force at sf0.1, 920 true pairs). The oracle
+# replays the buckets exactly, so recall misses still hash-match.
+_EMB_DUP_CONF = {"n_planes": 8, "n_tables": 64, "threshold": 0.4}
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the embedding leg of the
+    dedup suite. Sign-LSH bucket-collect candidates, exact inline cosine
+    verification, fully ORACLED via plane-literal replay."""
+    from collection_templates_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(
+        emb,
+        threshold=_EMB_DUP_CONF["threshold"],
+        n_planes=_EMB_DUP_CONF["n_planes"],
+        n_tables=_EMB_DUP_CONF["n_tables"],
+    )
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-ish piece counting, punctuation/stopword ratios,
     composite quality score — all native column expressions."""
@@ -948,6 +975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1625,6 +1653,50 @@ def _lsh_topk_oracle_sql(n_planes: int = 4, n_tables: int = 16, dim: int = 64) -
         FROM lsh
     """
 
+
+def _emb_dup_oracle_sql(
+    n_planes: int, n_tables: int, threshold: float, dim: int = 64
+) -> str:
+    """Plane-replay oracle for the embedding near-dup pairs: identical
+    bucketing, a<b self-collision pairs, exact cosine ≥ τ."""
+    from collection_templates_spark.operators.similarity import (
+        _deterministic_planes,
+    )
+
+    rows = []
+    for t in range(n_tables):
+        for p, v in enumerate(_deterministic_planes(dim, n_planes, seed=1000 + t)):
+            lit = "[" + ",".join(repr(x) for x in v) + "]::DOUBLE[]"
+            rows.append(f"({t},{p},{lit})")
+    values = ",\n               ".join(rows)
+    return f"""
+        WITH planes(t, p, v) AS (VALUES
+               {values}),
+        sgn AS (
+            SELECT e.vec_id, pl.t,
+                   string_agg(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                                         pl.v) > 0
+                                   THEN '1' ELSE '0' END,
+                              '' ORDER BY pl.p) AS bucket
+            FROM embeddings e CROSS JOIN planes pl
+            GROUP BY e.vec_id, pl.t),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
+            FROM sgn a JOIN sgn b ON a.t = b.t AND a.bucket = b.bucket
+            WHERE a.vec_id < b.vec_id)
+        SELECT c.vec1, c.vec2,
+               round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                            y.embedding::DOUBLE[]), 6) AS sim
+        FROM cand c
+        JOIN embeddings x ON x.vec_id = c.vec1
+        JOIN embeddings y ON y.vec_id = c.vec2
+        WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                           y.embedding::DOUBLE[]), 6)
+              >= {threshold}
+    """
+
+
+ORACLE_SQL["dedup_embedding_cosine"] = _emb_dup_oracle_sql(**_EMB_DUP_CONF)
 
 ORACLE_SQL["ann_lsh_recall"] = _lsh_recall_oracle_sql(
     n_planes=_LSH_QUERY_CONF["n_planes"], n_tables=_LSH_QUERY_CONF["n_tables"]
