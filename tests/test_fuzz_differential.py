@@ -6,7 +6,13 @@ import random
 
 import duckdb
 
-from tools.fuzz_differential import TABLES, Gen, norm
+from tools.fuzz_differential import (
+    TABLES,
+    Gen,
+    norm,
+    rows_match,
+    window_query,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -20,8 +26,11 @@ def test_differential_batch(spark):
 
     rng = random.Random(99)
     for i in range(15):
-        table = rng.choice(list(TABLES))
-        q = Gen(rng, table).query(table)
+        if i % 3 == 2:
+            q = window_query(rng)
+        else:
+            table = rng.choice(list(TABLES))
+            q = Gen(rng, table).query(table)
         s_rows = norm([tuple(r) for r in spark.sql(q).collect()])
         d_rows = norm(con.execute(q).fetchall())
-        assert s_rows == d_rows, f"query {i} disagrees:\n{q}"
+        assert rows_match(s_rows, d_rows), f"query {i} disagrees:\n{q}"

@@ -92,13 +92,13 @@ class Gen:
         for i in range(r.randint(1, 3)):
             col = r.choice(self.cols["int"] + self.cols["double"])
             fn = r.choice(["min", "max", "sum", "avg"])
-            expr = f"{fn}({col})"
-            if fn == "avg" or (fn == "sum" and col in self.cols["double"]):
-                # fp aggregates rounded; integer sums stay exact integers
-                # (Spark keeps LONG where DuckDB widens to HUGEINT — both
-                # normalize to the same decimal string)
-                expr = f"round({expr}, 2)"
-            out.append(f"{expr} AS a{i}")
+            # fp aggregates emitted RAW and compared with numeric
+            # tolerance (rows_match): a round() in the query amplifies a
+            # last-ulp summation-order difference into a whole rounding
+            # step (seen live: avg → 4909.605 ± 1ulp → '4909.61' vs
+            # '4909.6'). Integer sums stay exact integers (Spark LONG vs
+            # DuckDB HUGEINT both normalize to the same decimal string).
+            out.append(f"{fn}({col}) AS a{i}")
         return out
 
     def str_expr(self) -> str:
@@ -165,6 +165,37 @@ def join_query(rng: random.Random) -> str:
     )
 
 
+def window_query(rng: random.Random) -> str:
+    """Window functions from the tie-safe subset (§2.8): rank/dense_rank
+    (equal keys share a rank — deterministic under duplicate sort keys,
+    unlike row_number), partition-only aggregates, and ordered running
+    aggregates over INT columns (the ANSI default frame is RANGE, so a
+    tie group shares one value and integer sums are exact in both
+    engines). Every choice here is deliberately insensitive to the
+    engines' differing tie orders and fp summation orders."""
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    part = rng.choice(g.cols["string"])
+    ord1 = rng.choice(g.cols["int"] + g.cols["double"])
+    sum_col = rng.choice(g.cols["int"])
+    exprs = [
+        part,
+        sum_col,
+        f"rank() OVER (PARTITION BY {part} ORDER BY {ord1}) AS r0",
+        f"dense_rank() OVER (PARTITION BY {part} ORDER BY {ord1} DESC) AS r1",
+        f"count(*) OVER (PARTITION BY {part}) AS c0",
+        f"sum({sum_col}) OVER (PARTITION BY {part} ORDER BY {sum_col}) AS rs",
+    ]
+    if rng.random() < 0.5:
+        mcol = rng.choice(g.cols["double"] + g.cols["int"])
+        exprs.append(
+            f"max({mcol}) OVER (PARTITION BY {part} ORDER BY {ord1}) AS m0"
+        )
+    return (
+        f"SELECT {', '.join(exprs)} FROM {table} WHERE {g.predicate()}"
+    )
+
+
 def norm(rows) -> list[tuple]:
     import math
 
@@ -184,6 +215,32 @@ def norm(rows) -> list[tuple]:
     return sorted(tuple(cell(c) for c in row) for row in rows)
 
 
+def rows_match(a_rows: list[tuple], b_rows: list[tuple]) -> bool:
+    """Order-insensitive comparison (inputs pre-sorted by norm) with
+    numeric tolerance: float cells may differ by last-ulp summation-order
+    noise between engines; 1e-6 absolute+relative absorbs it without
+    masking real value bugs (which differ by whole units)."""
+    import math
+
+    if len(a_rows) != len(b_rows):
+        return False
+    for ra, rb in zip(a_rows, b_rows):
+        if len(ra) != len(rb):
+            return False
+        for ca, cb in zip(ra, rb):
+            if ca == cb:
+                continue
+            try:
+                fa, fb = float(ca), float(cb)
+            except (TypeError, ValueError):
+                return False
+            if math.isnan(fa) and math.isnan(fb):
+                continue
+            if abs(fa - fb) > 1e-6 + 1e-6 * max(abs(fa), abs(fb)):
+                return False
+    return True
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
@@ -201,8 +258,11 @@ def main() -> int:
     rng = random.Random(seed)
     failures = 0
     for i in range(n):
-        if rng.random() < 0.3:
+        roll = rng.random()
+        if roll < 0.3:
             q = join_query(rng)
+        elif roll < 0.5:
+            q = window_query(rng)
         else:
             table = rng.choice(list(TABLES))
             q = Gen(rng, table).query(table)
@@ -218,7 +278,7 @@ def main() -> int:
             print(f"[{i}] DUCKDB ERROR {ex}\n  {q}")
             failures += 1
             continue
-        if s_rows != d_rows:
+        if not rows_match(s_rows, d_rows):
             diff = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:2]
             print(f"[{i}] MISMATCH rows {len(s_rows)} vs {len(d_rows)}\n  {q}\n  {diff}")
             failures += 1
