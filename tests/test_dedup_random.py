@@ -1,0 +1,108 @@
+"""Randomized brute-force equivalence for the dedup pair operators.
+
+The driver oracle checks ONE fixed corpus; these tests re-derive expected
+pairs in plain Python over seeded random corpora with planted near-dups,
+so the candidate-generation math (prefix + PPJoin positional pruning,
+LSH banding, pigeonhole blocking) is checked for soundness on inputs the
+oracle never sees.
+"""
+
+import random
+import re
+
+import pytest
+
+from collection_templates_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+def _corpus(seed: int, n_docs: int = 35):
+    rnd = random.Random(seed)
+    docs = []
+    for i in range(n_docs):
+        base = [rnd.choice(VOCAB) for _ in range(rnd.randrange(3, 12))]
+        docs.append((i, " ".join(base)))
+        if rnd.random() < 0.4:  # planted near-dup with one mutation
+            dup = list(base)
+            if rnd.random() < 0.5 and len(dup) > 3:
+                dup[rnd.randrange(len(dup))] = rnd.choice(VOCAB)
+            docs.append((1000 + i, " ".join(dup)))
+    return docs
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _true_pairs(docs, threshold: float) -> dict[tuple[int, int], float]:
+    sh = {i: _shingles(t) for i, t in docs}
+    want = {}
+    for i in sh:
+        for j in sh:
+            if i < j and sh[i] and sh[j]:
+                inter = len(sh[i] & sh[j])
+                jac = inter / (len(sh[i]) + len(sh[j]) - inter)
+                if round(jac, 6) >= threshold:
+                    want[(i, j)] = round(jac, 6)
+    return want
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_ngram_jaccard_exact_vs_bruteforce(spark, seed):
+    """Prefix filtering + the PPJoin length/positional bounds must be
+    EXACT: output == all-pairs brute force, values included."""
+    docs = _corpus(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert got == _true_pairs(docs, 0.5)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_minhash_lsh_no_false_positives_and_exact_dups_found(spark, seed):
+    """LSH is allowed recall misses but NEVER false positives (exact
+    verification), and identical shingle sets collide in every band, so
+    true-Jaccard-1.0 pairs must always be found."""
+    docs = _corpus(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    want = _true_pairs(docs, 0.5)
+    for pair, jac in got.items():
+        assert pair in want and want[pair] == jac  # no false positives
+    certain = {p for p, j in want.items() if j == 1.0}
+    assert certain <= set(got)  # identical sets can never be missed
+
+
+@pytest.mark.parametrize("seed", [7, 8, 9])
+def test_simhash_blocking_exact_vs_fingerprint_bruteforce(spark, seed):
+    """Pigeonhole blocking must recover EVERY pair within the hamming
+    radius — compare against all-pairs hamming over the operator's own
+    fingerprints (blocking exactness, independent of hash details)."""
+    docs = _corpus(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {r["doc"]: r["fp"] for r in simhash_fingerprints(df).collect()}
+    want = {
+        (i, j, bin(fps[i] ^ fps[j]).count("1"))
+        for i in fps
+        for j in fps
+        if i < j and bin(fps[i] ^ fps[j]).count("1") <= 3
+    }
+    got = {
+        (r["doc1"], r["doc2"], r["hamming"])
+        for r in simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert got == want
