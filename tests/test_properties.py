@@ -8,7 +8,16 @@ import string
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from collection_templates_spark.functions.hashing import keccak256, namehash
+from collection_templates_spark.functions.hashing import (
+    keccak256,
+    keccak256_batch,
+    namehash,
+    namehash_batch,
+)
+from collection_templates_spark.functions.stemming import (
+    porter_stem,
+    suffix_stem_py,
+)
 from collection_templates_spark.functions.normalize import (
     curate_member,
     curate_name,
@@ -70,3 +79,41 @@ def test_strip_eth_suffix(s):
     assert strip_eth(s + ".eth") == s
     if not s.endswith(".eth"):
         assert strip_eth(s) == s
+
+
+@given(st.lists(st.binary(max_size=300), max_size=20))
+@settings(max_examples=100)
+def test_keccak_batch_always_matches_scalar(msgs):
+    assert keccak256_batch(msgs) == [keccak256(m) for m in msgs]
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet=string.ascii_lowercase + string.digits + "-.'", max_size=30),
+        ),
+        max_size=15,
+    )
+)
+@settings(max_examples=100)
+def test_namehash_batch_always_matches_scalar(names):
+    got = namehash_batch(names)
+    for n, g in zip(names, got):
+        assert g == (None if n is None else namehash(n))
+
+
+@given(st.text(alphabet=string.ascii_lowercase, max_size=25))
+@settings(max_examples=300)
+def test_suffix_stem_idempotent_and_total(w):
+    s = suffix_stem_py(w)
+    assert suffix_stem_py(s) == s  # single-pass table is a fixpoint map
+    assert isinstance(s, str) and (not w or s)  # never empties a word
+
+
+@given(st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=25))
+@settings(max_examples=300)
+def test_porter_total_and_never_grows(w):
+    s = porter_stem(w)
+    assert 0 < len(s) <= len(w) + 1  # step 1b can add back an 'e'
+    porter_stem(s + "s")  # totality: re-stemming any output never raises
