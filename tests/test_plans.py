@@ -51,7 +51,12 @@ def test_semi_join_stays_semi(spark):
 def test_dedup_pair_plans_never_cartesian(spark):
     """Candidate generation must stay bucketed: no all-pairs product ever
     appears in a dedup plan (the one thing that cannot survive 100 TB)."""
-    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"):
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+    ):
         p = _plan(spark, name)
         assert "CartesianProduct" not in p, name
 
