@@ -201,10 +201,13 @@ def ngram_jaccard_pairs(
     quadratic. The result is EXACT whenever no capped shingle would land
     in a doc's prefix (capped shingles are the globally hottest, so they
     sort last and only enter a prefix when a doc has fewer than
-    ⌊(1-τ)·n⌋+1 uncapped shingles). A pair of docs built almost entirely
-    of ultra-hot shingles can be missed under the cap; pass ``None`` for
-    strictly-exact output. At the repo's test scales the hottest shingle
-    df is ~25, so the default cap never triggers there.
+    ⌊(1-τ)·n⌋+1 uncapped shingles); the PPJoin positional filter stays
+    conservative under the cap by crediting each pair with the maximum
+    possible overlap among its capped (index-invisible) shingles — see
+    the bound derivation at the filter below. A pair of docs built almost
+    entirely of ultra-hot shingles can be missed under the cap; pass
+    ``None`` for strictly-exact output. At the repo's test scales the
+    hottest shingle df is ~25, so the default cap never triggers there.
     """
     # The hashed shingle sets feed four branches (df-counts, prefix, both
     # verify sides). Deliberately NOT persisted: each branch recomputes the
@@ -268,11 +271,23 @@ def ngram_jaccard_pairs(
     # bounds are conservative, so pruning only removes pairs that provably
     # cannot reach τ; verification stays exact:
     # - length filter: J ≥ τ requires min(nx,ny) ≥ τ·max(nx,ny);
-    # - PPJoin positional filter: for a shared prefix shingle at sorted
-    #   positions (px, py), overlap ≤ 1 + min(nx_surv − px, ny_surv − py);
-    #   the pair must reach α = ceil(τ/(1+τ)·(nx+ny)). The first common
-    #   shingle (always inside both prefixes when J ≥ τ) satisfies the
-    #   bound, so keeping a pair when ANY shared row passes is complete.
+    # - PPJoin positional filter: positions/counts are over the SURVIVING
+    #   (uncapped) shingles only, but the true overlap may also include
+    #   shingles dropped by ``max_bucket_size`` — invisible to the index
+    #   yet shared. So the bound adds the maximum possible capped overlap:
+    #   for a shared surviving shingle at sorted positions (px, py),
+    #     overlap ≤ 1 + min(nx_surv − px, ny_surv − py)
+    #                 + min(nx − nx_surv, ny − ny_surv),
+    #   and the pair must reach α = ceil(τ/(1+τ)·(nx+ny)). Taking the
+    #   FIRST common surviving shingle (no common surviving shingle
+    #   precedes it in the shared rarest-first order): common surviving ≤
+    #   1 + min(remaining), common capped ≤ min(capped counts) — so a true
+    #   pair always has one shared row passing, and keeping a pair when
+    #   ANY shared row passes is complete. With max_bucket_size=None the
+    #   capped term is identically 0 and this is the textbook PPJoin
+    #   bound. (Omitting the capped term pruned TRUE pairs whose shared
+    #   shingles were mostly hot — e.g. two identical docs with 9 capped +
+    #   11 rare shingles — which the verification stage never saw.)
     #   The 1e-9 slack makes fp ceil/multiply errors err toward KEEPING.
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold))
@@ -297,6 +312,10 @@ def ngram_jaccard_pairs(
             + F.least(
                 F.col("a.n_surv") - F.col("a.pos"),
                 F.col("b.n_surv") - F.col("b.pos"),
+            )
+            + F.least(
+                F.col("a.n") - F.col("a.n_surv"),
+                F.col("b.n") - F.col("b.n_surv"),
             )
             >= alpha
         )

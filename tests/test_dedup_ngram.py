@@ -45,6 +45,29 @@ def test_cap_unhit_is_exact(spark):
     assert len(exact) > 0  # the planted dups were actually found
 
 
+def test_positional_filter_sound_under_cap(spark):
+    """r4 advice (HIGH): with ``max_bucket_size`` set, the positional
+    bound counted only cap-surviving shingles while α used full set
+    sizes, so two IDENTICAL docs (9 hot capped + 11 rare trigrams,
+    n=22, n_surv=13, α=15 > 13 = old bound) were pruned before
+    verification ever saw them. The corrected bound credits the maximum
+    possible capped overlap (+min(n−n_surv) = +9 here), so the pair must
+    survive with jaccard 1.0."""
+    hot = " ".join(f"h{i}" for i in range(11))  # 9 hot trigrams
+    rare = " ".join(f"r{i}" for i in range(13))  # 11 rare (+2 boundary)
+    # five fillers push every hot trigram's df to 7 > cap=4; their own
+    # suffix trigrams are unique so fillers share no SURVIVING shingle
+    texts = [f"{hot} f{i}a f{i}b" for i in range(5)]
+    texts += [f"{hot} {rare}", f"{hot} {rare}"]  # docs 5, 6: identical
+    docs = _corpus(spark, texts)
+    capped = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket_size=4)
+    rows = {(r["doc1"], r["doc2"]): r["jaccard"] for r in capped.collect()}
+    # filler×filler true pairs (J=9/13, all-capped overlap) are the
+    # documented cap loss; the identical pair with a rare-shingle prefix
+    # must NOT be lost
+    assert rows == {(5, 6): 1.0}
+
+
 def test_hot_shingle_cap_bounds_and_keeps_rare_pairs(spark):
     """300 boilerplate docs all sharing the same 6-word text (every shingle
     df=300 ≫ cap=50) + 2 planted rare near-dup pairs. Under the cap the
