@@ -67,20 +67,30 @@ def cosine_topk(
     )
 
 
+def _rounded_cosines(m: "np.ndarray", centroids: "np.ndarray") -> "np.ndarray":
+    """(rows × k) cosine matrix, one GEMM per call, ROUNDED to 6dp.
+
+    The rounding + the callers' lowest-cluster-id tie-breaks make every
+    centroid comparison replayable by another engine (the DuckDB oracle
+    computes round(list_cosine_similarity(v, c), 6) — dot/(|v|·|c|), the
+    same formula; 6dp absorbs fp summation-order differences, the same
+    convention every sim in this module already uses)."""
+    cnorm = np.linalg.norm(centroids, axis=1)
+    cnorm = np.where(cnorm == 0, 1, cnorm)
+    vnorm = np.linalg.norm(m, axis=1)
+    vnorm = np.where(vnorm == 0, 1, vnorm)
+    return np.round((m @ centroids.T) / np.outer(vnorm, cnorm), 6)
+
+
 def _centroid_assign_udf(centroids: "np.ndarray"):
-    """vec → nearest-centroid ids (cosine), one GEMM per Arrow batch."""
-    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
-    cn = centroids / np.where(norms == 0, 1, norms)
+    """vec → nearest-centroid ids by ROUNDED cosine (ties → lowest cluster
+    id, which is what argmax-first-max gives), one GEMM per Arrow batch."""
+    c = centroids.copy()
 
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
         m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        mn = m / np.where(
-            np.linalg.norm(m, axis=1, keepdims=True) == 0,
-            1,
-            np.linalg.norm(m, axis=1, keepdims=True),
-        )
-        return pd.Series((mn @ cn.T).argmax(axis=1).astype("int32"))
+        return pd.Series(_rounded_cosines(m, c).argmax(axis=1).astype("int32"))
 
     return assign
 
@@ -96,7 +106,17 @@ def train_ivf_centroids(
     initialized from the ``n_clusters`` lowest-id vectors, each iteration =
     one assign (GEMM UDF) + one per-dimension mean (posexplode + groupBy).
     Distributed: per-iteration cost is one pass over the corpus; only the
-    (k × dim) centroid matrix ever reaches the driver."""
+    (k × dim) centroid matrix ever reaches the driver.
+
+    ENGINE-REPLAYABLE by construction (this is what lets the driver oracle
+    ``ann_ivf_topk`` in DuckDB instead of a rows-only check): assignments
+    compare 6dp-ROUNDED cosines with ties to the lowest cluster id, and
+    every updated centroid coordinate is the 6dp-rounded per-dimension
+    mean — so the fp summation-order differences between numpy's GEMM /
+    Spark's partial aggregation and another engine's sequential folds are
+    absorbed at each of the ``iterations`` steps, not compounded. Empty
+    clusters keep their previous (unrounded init) coordinates, which both
+    engines read identically from the parquet."""
     init = (
         corpus.orderBy(id_col)
         .limit(n_clusters)
@@ -112,7 +132,7 @@ def train_ivf_centroids(
         )
         means = (
             assigned.groupBy("cluster", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
             .collect()
         )
         for r in means:
@@ -134,7 +154,14 @@ def ivf_cosine_topk(
     query probes its ``n_probe`` closest clusters and scores only those
     rows. The inverted-list layout is the classic 100 TB ANN shape —
     candidates shuffle on small integer cluster ids, and probing cost is
-    corpus/n_clusters × n_probe per query."""
+    corpus/n_clusters × n_probe per query.
+
+    Approximate w.r.t. brute force, but DETERMINISTIC end-to-end: the
+    trainer and every centroid comparison use 6dp-rounded cosines with
+    lowest-cluster-id tie-breaks (see train_ivf_centroids), so another
+    engine replays the identical clusters, probe sets and rankings — the
+    ann_ivf_topk driver row is fully ORACLED on this basis, and
+    ann_ivf_recall quantifies the approximation against brute force."""
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_clusters, vec_col=vec_col, id_col=id_col)
     assign = _centroid_assign_udf(centroids)
@@ -144,18 +171,17 @@ def ivf_cosine_topk(
         assign(F.col(vec_col)).alias("cluster"),
     )
 
-    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
-    cn = centroids / np.where(norms == 0, 1, norms)
+    cents = centroids.copy()
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_udf(vecs: pd.Series) -> pd.Series:
         m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        mn = m / np.where(
-            np.linalg.norm(m, axis=1, keepdims=True) == 0,
-            1,
-            np.linalg.norm(m, axis=1, keepdims=True),
-        )
-        order = (mn @ cn.T).argsort(axis=1)[:, ::-1][:, :n_probe]
+        # stable sort on the NEGATED rounded cosines: equal sims keep
+        # index order, i.e. ties break to the lowest cluster id — the
+        # same (sim DESC, cluster ASC) total order the oracle replays
+        order = np.argsort(-_rounded_cosines(m, cents), axis=1, kind="stable")[
+            :, :n_probe
+        ]
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     q = queries.select(

@@ -663,8 +663,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means coarse quantizer, n_probe cluster
-    scan per query — the inverted-list 100 TB shape. Approximate → rows-only
-    check; recall vs brute force asserted in tests."""
+    scan per query — the inverted-list 100 TB shape. Approximate w.r.t.
+    brute force but fully ORACLED (r4 verdict #1): the trainer's rounded-
+    cosine assignments and 6dp-rounded means are replayed verbatim by the
+    generated DuckDB SQL (_ivf_common_ctes — 3 unrolled assign/mean
+    stages, the k-means analogue of the LSH plane-literal replay). The
+    companion ann_ivf_recall row quantifies recall vs brute force."""
     from collection_templates_spark.operators.similarity import ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -693,6 +697,36 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         brute.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("___hit"), F.lit(0))) / F.lit(5.0), 6
+            ).alias("recall_at_5")
+        )
+    )
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible exactness signal for the IVF ANN path (r4 verdict
+    #6, mirroring ann_lsh_recall): per-query recall@5 of IVF top-k
+    against brute-force cosine top-k. Fully ORACLED — the deterministic
+    k-means replay (see ann_ivf_topk) reproduces the identical probe
+    sets, so DuckDB computes the identical recall values."""
+    from collection_templates_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    brute = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ivf = (
+        ivf_cosine_topk(emb, q, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("___hit", F.lit(1))
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.round(
@@ -980,6 +1014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_recall": ann_lsh_recall,
+    "ann_ivf_recall": ann_ivf_recall,
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
@@ -1706,6 +1741,132 @@ ORACLE_SQL["ann_lsh_recall"] = _lsh_recall_oracle_sql(
 ORACLE_SQL["ann_lsh_topk"] = _lsh_topk_oracle_sql(
     n_planes=_LSH_QUERY_CONF["n_planes"], n_tables=_LSH_QUERY_CONF["n_tables"]
 )
+
+
+# ann_ivf_topk / ann_ivf_recall oracle: the IVF coarse quantizer is
+# deterministic by construction (similarity.train_ivf_centroids — lowest-id
+# init, 6dp-ROUNDED assignment cosines with lowest-cluster tie-break,
+# 6dp-rounded per-dimension means, fixed iteration count), so DuckDB can
+# replay the whole k-means: c0 = init centroids, then per iteration an
+# assign stage (rn=1 over rounded cosine DESC, cluster ASC) and a mean
+# stage (round(avg(emb[pos]),6)); empty clusters COALESCE to their previous
+# centroid exactly as the trainer leaves their rows untouched. This is the
+# k-means analogue of the LSH plane-literal replay above — generated
+# because the 3 iterations are mechanical unrolls, not because anything is
+# data-dependent at generation time.
+def _ivf_common_ctes(
+    n_clusters: int = 16,
+    iterations: int = 3,
+    n_probe: int = 4,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"""c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cluster,
+                   emb AS cent
+            FROM (SELECT vec_id, emb FROM e
+                  ORDER BY vec_id LIMIT {n_clusters}))""",
+    ]
+    rcos = "round(list_cosine_similarity(e.emb, c.cent), 6)"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""a{i} AS (
+            SELECT vec_id, emb, cluster FROM (
+                SELECT e.vec_id, e.emb, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {rcos} DESC, c.cluster ASC) AS rn
+                FROM e CROSS JOIN c{i - 1} c)
+            WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+            SELECT a.cluster, p.pos, round(avg(a.emb[p.pos]), 6) AS m
+            FROM a{i} a CROSS JOIN
+                 (SELECT unnest(range(1, {dim + 1})) AS pos) p
+            GROUP BY a.cluster, p.pos)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+            SELECT c.cluster, coalesce(mm.cent, c.cent) AS cent
+            FROM c{i - 1} c LEFT JOIN (
+                SELECT cluster, list(m ORDER BY pos) AS cent
+                FROM m{i} GROUP BY cluster) mm
+            ON c.cluster = mm.cluster)"""
+        )
+    cf = f"c{iterations}"
+    ctes.append(
+        f"""af AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {rcos} DESC, c.cluster ASC) AS rn
+                FROM e CROSS JOIN {cf} c)
+            WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""probe AS (
+            SELECT vec_id AS qid, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {rcos} DESC, c.cluster ASC) AS rn
+                FROM e CROSS JOIN {cf} c
+                WHERE e.vec_id < 8)
+            WHERE rn <= {n_probe})"""
+    )
+    ctes.append(
+        f"""ivf AS (
+            SELECT qid, nid, sim, rnk FROM (
+                SELECT s.qid, s.nid, s.sim,
+                       row_number() OVER (PARTITION BY s.qid
+                           ORDER BY s.sim DESC, s.nid ASC) AS rnk
+                FROM (
+                    SELECT p.qid, a.vec_id AS nid,
+                           round(list_cosine_similarity(q.emb, n.emb), 6)
+                               AS sim
+                    FROM probe p
+                    JOIN af a ON a.cluster = p.cluster
+                             AND a.vec_id <> p.qid
+                    JOIN e q ON q.vec_id = p.qid
+                    JOIN e n ON n.vec_id = a.vec_id) s)
+            WHERE rnk <= {k})"""
+    )
+    return ",\n        ".join(ctes)
+
+
+def _ivf_topk_oracle_sql() -> str:
+    return f"""
+        WITH {_ivf_common_ctes()}
+        SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank, sim
+        FROM ivf
+    """
+
+
+def _ivf_recall_oracle_sql() -> str:
+    return f"""
+        WITH {_ivf_common_ctes()},
+        sims AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   round(list_cosine_similarity(q.emb, c.emb), 6) AS sim
+            FROM e q, e c
+            WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        brute AS (
+            SELECT qid, nid FROM (
+                SELECT qid, nid, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+                FROM sims) WHERE rnk <= 5)
+        SELECT b.qid AS query_id,
+               round(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) / 5.0,
+                     6) AS recall_at_5
+        FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.nid = i.nid
+        GROUP BY b.qid
+    """
+
+
+ORACLE_SQL["ann_ivf_topk"] = _ivf_topk_oracle_sql()
+ORACLE_SQL["ann_ivf_recall"] = _ivf_recall_oracle_sql()
 
 # search_stemmed_ltr oracle: the stemmer CASE chain is generated from the
 # SAME SUFFIX_RULES table as the Spark expression (functions/stemming.py),
