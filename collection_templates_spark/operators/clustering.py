@@ -4,12 +4,19 @@ Near-dup detection (dedup.py) emits PAIRS; deduplication needs CLUSTERS
 (every doc mapped to one canonical representative, transitively: if A~B and
 B~C then A,B,C share a cluster even when A~C was never scored).
 
-Algorithm: iterative min-label propagation (the standard large-graph CC —
-each round every node takes the min label among itself and its neighbors;
-converges in O(diameter) rounds). Each round is one join + one groupBy;
-lineage is cut per round. Near-dup graphs have tiny diameters (clusters are
-quasi-cliques), so 3-5 rounds typically suffice; the loop stops at the
-fixpoint regardless.
+Algorithm: iterative min-label propagation with POINTER JUMPING — each
+round every node takes the min label among itself and its neighbors, then
+labels are shortcut through the label graph (label := label-of-label, the
+large-star/small-star family's halving step). Propagation alone needs
+O(diameter) rounds, which silently truncated long chains at the iteration
+cap (r4 verdict #2); the jump step makes label paths halve each round, so
+convergence is O(log n) rounds for ANY graph shape — a 10k-long near-dup
+chain converges in ~14 rounds, and the cap is now a genuine error
+condition (RuntimeError) instead of a silent wrong answer.
+
+Each round is two joins + one groupBy over checkpointed inputs; lineage is
+cut per round. Near-dup graphs are quasi-cliques (diameter 3-5) where the
+historical 2-3 round behavior is unchanged.
 """
 
 from __future__ import annotations
@@ -28,6 +35,12 @@ def connected_components(
 
     ``pairs`` are undirected edges; isolated nodes absent from ``pairs``
     are simply not returned (callers left-join and coalesce to self).
+
+    Converges in O(log n) rounds via per-round pointer jumping; raises
+    ``RuntimeError`` if ``max_iterations`` is exhausted before the
+    fixpoint (with the default 20 that would take a component needing
+    >2^20-scale label paths — effectively unreachable; the guard exists
+    so a truncated result can never be silently returned).
     """
     edges = (
         pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
@@ -41,6 +54,7 @@ def connected_components(
         edges.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("___mb"))
         .select("node", F.least("node", "___mb").alias("cluster"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -48,23 +62,48 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("cluster").alias("nmin"))
         )
-        updated = (
+        propagated = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias(
-                    "new_cluster"
-                ),
-                "cluster",
+                F.least(
+                    F.col("cluster"), F.coalesce("nmin", F.col("cluster"))
+                ).alias("cluster"),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = updated.filter(F.col("new_cluster") < F.col("cluster"))
+        # pointer jump: cluster := label(cluster). Labels are node ids in
+        # the same component and only ever decrease, so the jump is safe
+        # (monotone toward the component min) and halves label-path
+        # lengths — the difference between O(diameter) and O(log n)
+        # rounds on chain-shaped components.
+        jump = propagated.select(
+            F.col("node").alias("___c"), F.col("cluster").alias("___cc")
+        )
+        updated = (
+            propagated.join(jump, propagated.cluster == jump.___c, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce("___cc", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.withColumnRenamed("cluster", "___new")
+            .join(labels, "node")
+            .filter(F.col("___new") < F.col("cluster"))
+        )
+        labels = updated
         if changed.isEmpty():
-            break
-        labels = updated.select(
-            "node", F.col("new_cluster").alias("cluster")
-        ).localCheckpoint(eager=True)
-    return labels.select("node", "cluster")
+            return labels.select("node", "cluster")
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iterations} "
+        "iterations — raise max_iterations (convergence is O(log n) "
+        "rounds with pointer jumping, so hitting this means an "
+        "extraordinarily deep component or an unexpectedly low cap)"
+    )
 
 
 def dedup_keep_canonical(
