@@ -249,15 +249,28 @@ def _sign_bucket_udf(n_planes: int, n_tables: int, dim: int, seed_base: int = 10
     return buckets_udf
 
 
+def planes_for_corpus(n: int, target_bucket_size: int = 64) -> int:
+    """Plane count that keeps expected sign-LSH bucket sizes near
+    ``target_bucket_size``: buckets ≈ n / 2^planes per table, so
+    planes = ceil(log2(n / target)) with a floor of 3. Pure arithmetic —
+    unit-testable without a session."""
+    import math
+
+    if n <= target_bucket_size:
+        return 3
+    return max(3, math.ceil(math.log2(n / target_bucket_size)))
+
+
 def embedding_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 3,
+    n_planes: int | None = None,
     n_tables: int = 16,
     dim: int = 64,
     max_bucket_size: int | None = 4000,
+    target_bucket_size: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec1 < vec2, sim ≥ τ) —
     the embedding leg of the dedup suite (text legs: exact / n-gram
@@ -277,14 +290,22 @@ def embedding_dup_pairs(
     oracle assumes it never triggers (bucket ≈ |corpus| / 2^n_planes per
     table, so size the planes accordingly).
 
-    Tuning is corpus-size-dependent — buckets per table must grow with N
-    or pair enumeration goes quadratic (measured at sf0.1: 3 planes =
-    625-vector buckets = 24s; 8 planes + 64 tables = 2.8s at 0.85 recall
-    of 920 true τ=0.4 pairs). The defaults suit small corpora; the
-    testdata query layer uses 8×64. In a real near-dup regime (τ ≥ 0.9)
-    the same budget gives recall ≈ 1.
+    Plane count is corpus-size-dependent — buckets per table must grow
+    with N or pair enumeration goes quadratic (measured at sf0.1: 3
+    planes = 625-vector buckets = 24s; 8 planes + 64 tables = 2.8s at
+    0.85 recall of 920 true τ=0.4 pairs). A fixed small default was the
+    r4 verdict's latent trap #2, so ``n_planes=None`` now SIZES ITSELF:
+    one ``corpus.count()`` job, then planes_for_corpus(n) keeps expected
+    buckets ≈ ``target_bucket_size``. At corpus scale pass ``n_planes``
+    explicitly (with more tables to buy recall back — recall per table
+    falls as planes grow) to skip the count and pin the bucketing; the
+    testdata query layer pins 8×64. In a real near-dup regime (τ ≥ 0.9)
+    these budgets give recall ≈ 1.
     """
     from collection_templates_spark.operators.dedup import _bucket_pairs
+
+    if n_planes is None:
+        n_planes = planes_for_corpus(corpus.count(), target_bucket_size)
 
     buckets_udf = _sign_bucket_udf(n_planes, n_tables, dim)
     b = corpus.select(

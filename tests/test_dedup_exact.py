@@ -63,6 +63,23 @@ def test_hash_mode_shuffles_once_on_the_hash(spark):
     assert "___h" in plan.split("Exchange")[1].splitlines()[0] or "___h" in plan
 
 
+def test_embedding_dup_planes_autosize():
+    """r4 verdict #3: the fixed n_planes=3 default was quadratic-unsafe
+    beyond toy corpora. With n_planes=None the operator sizes itself from
+    a corpus count; the sizing rule must keep expected bucket sizes at or
+    below the target at every scale."""
+    from collection_templates_spark.operators.similarity import planes_for_corpus
+
+    assert planes_for_corpus(0) == 3
+    assert planes_for_corpus(64) == 3
+    assert planes_for_corpus(500) == 3  # the sf0.001/0.01 corpora
+    assert planes_for_corpus(20_000) == 9
+    assert planes_for_corpus(1_000_000) == 14
+    for n in (10**3, 10**5, 10**7, 10**9):
+        p = planes_for_corpus(n)
+        assert n / 2**p <= 64, (n, p)
+
+
 def test_embedding_dup_pairs_recall_vs_brute_force(spark):
     """The embedding near-dup leg: sign-LSH bucketed candidates must
     recover ≥90% of the true cosine-≥τ pairs, with zero false positives
