@@ -83,6 +83,23 @@ def search_corpus(
 ANALYZER_SPLIT_RE = "[^a-z0-9']+"
 
 
+def analyze_query_terms(query: str) -> list[str]:
+    """Sorted distinct stemmed terms of ``query`` under the SAME analyzer
+    as the corpus (ANALYZER_SPLIT_RE split → lowercase → stem).
+
+    r4 advice: a whitespace split left punctuated query terms (e.g.
+    'hash-join') unable to match ANY analyzer token — ES would split them
+    the same way the field analyzer does, so the query must too. Shared
+    with the generated oracle SQL so both engines see identical terms."""
+    import re
+
+    from collection_templates_spark.functions.stemming import suffix_stem_py
+
+    return sorted(
+        {suffix_stem_py(t) for t in re.split(ANALYZER_SPLIT_RE, query.lower()) if t}
+    )
+
+
 def search_corpus_stemmed(
     docs: DataFrame,
     query: str,
@@ -121,12 +138,9 @@ def search_corpus_stemmed(
     aggregations, partial-combined; the rescore touches ``rescore_window``
     rows. No driver actions in plan building.
     """
-    from collection_templates_spark.functions.stemming import (
-        suffix_stem_expr,
-        suffix_stem_py,
-    )
+    from collection_templates_spark.functions.stemming import suffix_stem_expr
 
-    terms = sorted({suffix_stem_py(t) for t in query.lower().split() if t})
+    terms = analyze_query_terms(query)
     if rescore_weights is None:
         rescore_weights = {"bm25": 1.0, **{f: 2.0 for f in feature_cols}}
 

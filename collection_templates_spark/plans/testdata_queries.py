@@ -1874,13 +1874,13 @@ ORACLE_SQL["ann_ivf_recall"] = _ivf_recall_oracle_sql()
 # es/ltr 6dp), so the full analyzer → BM25_b0 → rank_feature → rescore
 # pipeline hash-matches across engines.
 def _stemmed_ltr_oracle_sql() -> str:
-    from collection_templates_spark.functions.stemming import (
-        suffix_stem_py,
-        suffix_stem_sql,
-    )
+    from collection_templates_spark.functions.stemming import suffix_stem_sql
+    from collection_templates_spark.operators.search import analyze_query_terms
 
-    terms = sorted({suffix_stem_py(t) for t in _STEMMED_QUERY.lower().split()})
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    # same analyzer as the Spark side (search.analyze_query_terms), and
+    # quote-escaped: analyzer tokens may legitimately contain apostrophes
+    terms = analyze_query_terms(_STEMMED_QUERY)
+    in_list = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
     stem_case = suffix_stem_sql("tok")
     w_bm = _LTR_WEIGHTS["bm25"]
     w_nc = _LTR_WEIGHTS["n_chars"]

@@ -43,3 +43,30 @@ def test_ltr_rescore_reorders_topk(spark):
     ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
     # n_chars: doc2=400 > doc4=250 > doc1=100 (doc3 filtered: no match)
     assert ranked == [2, 4, 1]
+
+
+def test_punctuated_query_terms_match_analyzer_tokens(spark):
+    """r4 advice: the query must be tokenized with the SAME split as the
+    field analyzer — 'table-hashing' would otherwise be one unmatchable
+    term. It must split into (table, hash) and match docs 1, 2, 4."""
+    out = search_corpus_stemmed(
+        _docs(spark), "table-hashing", k=4, feature_cols=("n_chars",)
+    ).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 4}
+
+
+def test_analyze_query_terms_split_and_escaping():
+    """Shared analyzer split + apostrophes preserved; the oracle IN-list
+    built from these terms must escape quotes into valid SQL."""
+    from collection_templates_spark.operators.search import analyze_query_terms
+
+    terms = analyze_query_terms("Hash-Join  o'brien's  HASH")
+    assert terms == sorted({"hash", "join", "o'brien'"})
+    in_list = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
+    import duckdb
+
+    got = duckdb.connect().execute(
+        f"SELECT count(*) FROM (VALUES ('hash'), ('o''brien''')) t(x) "
+        f"WHERE x IN ({in_list})"
+    ).fetchone()[0]
+    assert got == 2

@@ -172,7 +172,11 @@ def window_query(rng: random.Random) -> str:
     aggregates over INT columns (the ANSI default frame is RANGE, so a
     tie group shares one value and integer sums are exact in both
     engines). Every choice here is deliberately insensitive to the
-    engines' differing tie orders and fp summation orders."""
+    engines' differing tie orders and fp summation orders. Null ordering
+    is always EXPLICIT (r4 advice): Spark defaults ASC to NULLS FIRST
+    while DuckDB defaults to NULLS LAST, so a nullable ORDER BY column
+    under engine defaults would report false rank/running-sum
+    mismatches; both engines accept the explicit syntax."""
     table = rng.choice(list(TABLES))
     g = Gen(rng, table)
     part = rng.choice(g.cols["string"])
@@ -181,15 +185,19 @@ def window_query(rng: random.Random) -> str:
     exprs = [
         part,
         sum_col,
-        f"rank() OVER (PARTITION BY {part} ORDER BY {ord1}) AS r0",
-        f"dense_rank() OVER (PARTITION BY {part} ORDER BY {ord1} DESC) AS r1",
+        f"rank() OVER (PARTITION BY {part} "
+        f"ORDER BY {ord1} NULLS FIRST) AS r0",
+        f"dense_rank() OVER (PARTITION BY {part} "
+        f"ORDER BY {ord1} DESC NULLS LAST) AS r1",
         f"count(*) OVER (PARTITION BY {part}) AS c0",
-        f"sum({sum_col}) OVER (PARTITION BY {part} ORDER BY {sum_col}) AS rs",
+        f"sum({sum_col}) OVER (PARTITION BY {part} "
+        f"ORDER BY {sum_col} NULLS FIRST) AS rs",
     ]
     if rng.random() < 0.5:
         mcol = rng.choice(g.cols["double"] + g.cols["int"])
         exprs.append(
-            f"max({mcol}) OVER (PARTITION BY {part} ORDER BY {ord1}) AS m0"
+            f"max({mcol}) OVER (PARTITION BY {part} "
+            f"ORDER BY {ord1} NULLS FIRST) AS m0"
         )
     return (
         f"SELECT {', '.join(exprs)} FROM {table} WHERE {g.predicate()}"
