@@ -208,6 +208,12 @@ def ngram_jaccard_pairs(
     entirely of ultra-hot shingles can be missed under the cap; pass
     ``None`` for strictly-exact output. At the repo's test scales the
     hottest shingle df is ~25, so the default cap never triggers there.
+
+    Session side effect: the first call excludes Spark's
+    ``InferFiltersFromGenerate`` optimizer rule for the WHOLE session
+    (idempotent; see ``_spread`` for why — ~25× cheaper plans for these
+    interpreted HOF chains). A caller relying on that rule elsewhere in
+    the same session inherits the exclusion.
     """
     # The hashed shingle sets feed four branches (df-counts, prefix, both
     # verify sides). Deliberately NOT persisted: each branch recomputes the
@@ -346,6 +352,9 @@ def minhash_signatures(
     functions, the min over the doc's shingle set. One explode + one groupBy;
     the 64 mins are computed as 64 aggregate expressions in a single pass
     (map-side partial aggregation keeps shuffle volume at docs × 64 longs).
+
+    Session side effect: excludes ``InferFiltersFromGenerate`` for the
+    session on first call (see ``_spread`` / ngram_jaccard_pairs).
     """
     idx = _spread(df).select(
         F.col(id_col).alias("doc"),
@@ -385,6 +394,9 @@ def minhash_lsh_pairs(
     are enumerated). Near-identical docs collide on MANY of the 32 bands,
     so a pair lost to one hot bucket is almost surely recovered from
     another; pass ``None`` to disable the cap.
+
+    Session side effect: excludes ``InferFiltersFromGenerate`` for the
+    session on first call (see ``_spread`` / ngram_jaccard_pairs).
     """
     # The HASHED shingle sets serve signature generation AND candidate
     # verification; the per-seed minhash functions re-hash the 64-bit
@@ -483,6 +495,10 @@ def simhash_fingerprints(
     groupBy pass (map-side partial aggregation — shuffle volume is docs × bits
     ints, never the shingles). Docs with < n words produce no shingles and are
     absent from the output, mirroring the other dedup operators.
+
+    Session side effect (also via simhash_pairs): excludes
+    ``InferFiltersFromGenerate`` for the session on first call (see
+    ``_spread`` / ngram_jaccard_pairs).
     """
     hashed = _spread(df).select(
         F.col(id_col).alias("doc"),

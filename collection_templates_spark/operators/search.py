@@ -68,10 +68,12 @@ def search_corpus(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
-    # constant partition key: only k rows ever reach this window (the
-    # limit(k) above), so one partition is correct — the lit(0) spec just
-    # keeps WindowExec from warning about a missing partition.
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc(id_col))
+    # global window over ≤ k rows (the limit above): one partition is
+    # correct and cheap. WindowExec logs its no-partition warning for any
+    # global window — a foldable lit(0) key is constant-folded away and
+    # does NOT silence it (r4 verdict #5) — but the window input here is
+    # k rows, not the corpus, so the warning is cosmetic.
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rank", "score"
     )
@@ -238,9 +240,9 @@ def search_corpus_stemmed(
         ),
         6,
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.desc("ltr_score"), F.asc(id_col)
-    )
+    # global window over the rescore_window rows only — see the warning
+    # note on the first-pass window above
+    w = Window.orderBy(F.desc("ltr_score"), F.asc(id_col))
     return (
         top.withColumn("ltr_score", ltr)
         .withColumn("rank", F.row_number().over(w))

@@ -124,3 +124,21 @@ def test_pair_operators_leave_no_persistent_rdds(spark):
     simhash_pairs(docs, max_hamming=3).collect()
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert after - before == set(), f"leaked cached RDDs: {after - before}"
+
+
+def test_spread_session_conf_side_effect_is_stated_and_stable(spark):
+    """r4 verdict #5 follow-up: the dedup operators' _spread excludes
+    InferFiltersFromGenerate SESSION-WIDE (documented on every public
+    entry point). Pin the behavior: after running an operator the
+    exclusion is present, and a second run doesn't duplicate it."""
+    from collection_templates_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    ngram_jaccard_pairs(docs).count()
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules")
+    assert "InferFiltersFromGenerate" in excluded
+    ngram_jaccard_pairs(docs).count()  # idempotent — no duplicate entry
+    assert spark.conf.get("spark.sql.optimizer.excludedRules") == excluded
