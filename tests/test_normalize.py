@@ -124,3 +124,31 @@ def test_banner_matches_cpython_global_random():
     random.seed("Q42")
     expected = f"tc-{random.randint(0, 19):02d}.png"
     assert banner_image("Q42") == expected
+
+
+def test_ens_cure_upgrade_path(monkeypatch):
+    """F2 guarded import (r4 verdict #8): when ``ens_normalize`` is
+    importable, its ``ens_cure`` drives force_normalize/curate_member
+    with no code changes; in this container the documented fallback is
+    bound instead. Simulate the lib appearing by monkeypatching the
+    module binding and assert the full routing (including the
+    strip-hyphens-then-re-cure step running on the LIB's output)."""
+    from collection_templates_spark.functions import normalize as N
+
+    assert not N.HAVE_ENS_NORMALIZE  # container state: fallback bound
+
+    calls = []
+
+    def fake_lib_cure(text):
+        calls.append(text)
+        return text.lower()
+
+    monkeypatch.setattr(N, "ens_cure", fake_lib_cure)
+    assert N.force_normalize("A-B") == "ab"
+    assert calls == ["A-B", "ab"]  # initial cure + re-cure after strip
+
+    def rejecting_cure(text):
+        raise N.DisallowedSequence("nope")
+
+    monkeypatch.setattr(N, "ens_cure", rejecting_cure)
+    assert N.curate_member("Anything") is None  # lib rejection → None
