@@ -70,7 +70,10 @@ def connected_components(
                     F.col("cluster"), F.coalesce("nmin", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: materialized ONCE when the (eager) post-jump
+            # checkpoint below computes — both jump branches share the
+            # checkpointed RDD, and we skip one job per round
+            .localCheckpoint(eager=False)
         )
         # pointer jump: cluster := label(cluster). Labels are node ids in
         # the same component and only ever decrease, so the jump is safe
