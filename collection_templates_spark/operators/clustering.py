@@ -30,17 +30,24 @@ def connected_components(
     left: str = "doc1",
     right: str = "doc2",
     max_iterations: int = 20,
+    jump_from: int = 2,
 ) -> DataFrame:
     """(node, cluster) with cluster = min node id in the component.
 
     ``pairs`` are undirected edges; isolated nodes absent from ``pairs``
     are simply not returned (callers left-join and coalesce to self).
 
-    Converges in O(log n) rounds via per-round pointer jumping; raises
+    Converges in O(log n) rounds via pointer jumping; raises
     ``RuntimeError`` if ``max_iterations`` is exhausted before the
     fixpoint (with the default 20 that would take a component needing
     >2^20-scale label paths — effectively unreachable; the guard exists
     so a truncated result can never be silently returned).
+
+    ``jump_from``: round index from which the jump step runs. Quasi-clique
+    dup graphs (the common near-dup shape) reach the fixpoint in ≤ 2
+    propagation rounds, so skipping the jump there removes its extra
+    self-join from the common case; deep components simply start halving
+    two rounds later, keeping the O(log n) bound.
     """
     edges = (
         pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
@@ -56,43 +63,40 @@ def connected_components(
         .select("node", F.least("node", "___mb").alias("cluster"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("cluster").alias("nmin"))
         )
-        propagated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster"), F.coalesce("nmin", F.col("cluster"))
-                ).alias("cluster"),
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("cluster"), F.coalesce("nmin", F.col("cluster"))
+            ).alias("cluster"),
+        )
+        if it >= jump_from:
+            # pointer jump: cluster := label(cluster). Labels are node
+            # ids in the same component and only ever decrease, so the
+            # jump is safe (monotone toward the component min) and
+            # halves label-path lengths — the difference between
+            # O(diameter) and O(log n) rounds on chain-shaped
+            # components. The lazy checkpoint materializes once when
+            # the eager post-jump checkpoint computes, so both jump
+            # branches share it.
+            propagated = propagated.localCheckpoint(eager=False)
+            jump = propagated.select(
+                F.col("node").alias("___c"), F.col("cluster").alias("___cc")
             )
-            # lazy: materialized ONCE when the (eager) post-jump
-            # checkpoint below computes — both jump branches share the
-            # checkpointed RDD, and we skip one job per round
-            .localCheckpoint(eager=False)
-        )
-        # pointer jump: cluster := label(cluster). Labels are node ids in
-        # the same component and only ever decrease, so the jump is safe
-        # (monotone toward the component min) and halves label-path
-        # lengths — the difference between O(diameter) and O(log n)
-        # rounds on chain-shaped components.
-        jump = propagated.select(
-            F.col("node").alias("___c"), F.col("cluster").alias("___cc")
-        )
-        updated = (
-            propagated.join(jump, propagated.cluster == jump.___c, "left")
-            .select(
+            propagated = propagated.join(
+                jump, propagated.cluster == jump.___c, "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("cluster"), F.coalesce("___cc", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .localCheckpoint(eager=True)
-        )
+        updated = propagated.localCheckpoint(eager=True)
         changed = (
             updated.withColumnRenamed("cluster", "___new")
             .join(labels, "node")

@@ -763,6 +763,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (round-5 LLM-pipeline extension): per
+    training doc (doc_id ≥ 20), the fraction of its distinct word-3-grams
+    occurring anywhere in the holdout set (doc_id < 20). Broadcast
+    benchmark gram set, single corpus shuffle."""
+    from collection_templates_spark.operators.training_prep import (
+        ngram_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+    ).withColumnRenamed("doc", "doc_id")
+
+
+def pack_sequences_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation packing (round-5 LLM-pipeline extension): documents
+    laid out per source shard in doc_id order, mapped onto 256-token
+    context windows — offset, first window, boundary-straddle flag. One
+    shuffle on the shard key, window within shard."""
+    from collection_templates_spark.operators.training_prep import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        pack_sequences(docs, context_len=256)
+        .withColumnRenamed("grp", "source")
+        .withColumnRenamed("doc", "doc_id")
+    )
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-ish piece counting, punctuation/stopword ratios,
     composite quality score — all native column expressions."""
@@ -1015,6 +1047,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_recall": ann_lsh_recall,
     "ann_ivf_recall": ann_ivf_recall,
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "pack_sequences": pack_sequences_windows,
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
@@ -1867,6 +1901,59 @@ def _ivf_recall_oracle_sql() -> str:
 
 ORACLE_SQL["ann_ivf_topk"] = _ivf_topk_oracle_sql()
 ORACLE_SQL["ann_ivf_recall"] = _ivf_recall_oracle_sql()
+
+# decontamination: same trigram derivation as the jaccard-dedup oracle
+# (normalize → split → distinct 3-grams), benchmark grams deduped, LEFT
+# join so clean docs keep contamination 0. Sums cast to BIGINT (DuckDB
+# sum(int) is HUGEINT, Spark's is LONG).
+ORACLE_SQL["decontaminate_ngrams"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 3
+    ), bench AS (
+        SELECT DISTINCT g FROM sh WHERE doc_id < 20
+    )
+    SELECT c.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS contamination
+    FROM (SELECT doc_id, g FROM sh WHERE doc_id >= 20) c
+    LEFT JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+"""
+
+# sequence packing: BPE-ish token count (same regex as text_stats),
+# shard-ordered running offset, fixed 256-token windows.
+ORACLE_SQL["pack_sequences"] = """
+    WITH base AS (
+        SELECT source, doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens
+        FROM documents
+    ), o AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS start_offset
+        FROM base)
+    SELECT source, doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / 256.0) AS BIGINT) AS bin,
+           CASE WHEN n_tokens > 0
+                     AND CAST(floor((start_offset + n_tokens - 1) / 256.0)
+                              AS BIGINT)
+                         <> CAST(floor(start_offset / 256.0) AS BIGINT)
+                THEN 1 ELSE 0 END AS crosses_boundary
+    FROM o
+"""
 
 # search_stemmed_ltr oracle: the stemmer CASE chain is generated from the
 # SAME SUFFIX_RULES table as the Spark expression (functions/stemming.py),

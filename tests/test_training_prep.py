@@ -1,0 +1,84 @@
+"""Training-prep operators: benchmark decontamination + sequence packing."""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from collection_templates_spark.operators.training_prep import (
+    ngram_contamination,
+    pack_sequences,
+)
+
+
+def _trigrams(text: str) -> set[str]:
+    toks = " ".join(text.lower().split()).split(" ")
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+def test_ngram_contamination_matches_python_brute_force(spark):
+    bench_texts = ["the quick brown fox jumps", "pack my box with jugs"]
+    corpus_rows = [
+        (10, "the quick brown fox jumps high today"),
+        (11, "completely novel content with no overlap here"),
+        (12, "The  Quick   brown fox jumps"),  # normalization: full overlap
+        (13, "short one"),  # < 3 words → absent from output
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench_texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc"]: (r["n_grams"], r["n_contaminated"], r["contamination"])
+        for r in ngram_contamination(corpus, bench).collect()
+    }
+    bench_grams = set().union(*(_trigrams(t) for t in bench_texts))
+    want = {}
+    for doc_id, text in corpus_rows:
+        g = _trigrams(text)
+        if g:
+            hits = len(g & bench_grams)
+            want[doc_id] = (len(g), hits, round(hits / len(g), 6))
+    assert got == want
+    assert got[12][2] == 1.0  # whitespace/case-normalized full overlap
+    assert 13 not in got
+
+
+def test_pack_sequences_layout_and_shard_independence(spark):
+    # letter-run words → bpe_ish count == word count, so layouts are
+    # hand-checkable; context_len=5
+    rows = [
+        ("a", 1, "aa bb cc"),          # 3 tokens: offset 0, bin 0
+        ("a", 2, "dd ee ff gg"),       # 4 tokens: offset 3, spans 3-6 → crosses
+        ("a", 3, "hh"),                # 1 token:  offset 7, bin 1
+        ("b", 1, "ii jj kk ll mm nn"), # 6 tokens: offset 0, spans 0-5 → crosses
+        ("b", 2, ""),                  # 0 tokens: offset 6, bin 1, no cross
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {
+        (r["grp"], r["doc"]): (
+            r["n_tokens"], r["start_offset"], r["bin"], r["crosses_boundary"]
+        )
+        for r in pack_sequences(docs, context_len=5).collect()
+    }
+    assert got == {
+        ("a", 1): (3, 0, 0, 0),
+        ("a", 2): (4, 3, 0, 1),
+        ("a", 3): (1, 7, 1, 0),
+        ("b", 1): (6, 0, 0, 1),
+        ("b", 2): (0, 6, 1, 0),
+    }
+
+
+def test_pack_sequences_total_order_is_per_shard(spark):
+    """Offsets restart per shard and never depend on other shards — the
+    property that keeps the operator embarrassingly parallel."""
+    rows = [(f"s{i % 4}", i, "tok " * 10) for i in range(40)]
+    docs = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = pack_sequences(docs, context_len=64).collect()
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r["grp"], []).append(r)
+    for grp, members in per_shard.items():
+        members.sort(key=lambda r: r["doc"])
+        offset = 0
+        for r in members:
+            assert r["start_offset"] == offset, (grp, r)
+            offset += r["n_tokens"]
