@@ -80,6 +80,53 @@ def ngram_contamination(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signal: per doc, the fraction of all word
+    ``n``-gram OCCURRENCES taken by the single most frequent n-gram
+    (Rae et al. 2021's top-n-gram filters — boilerplate and template spam
+    score high). Columns: (doc, n_ngrams, top_ngram_count,
+    top_ngram_frac). Docs with < ``n`` words are absent.
+
+    Unlike dedup's distinct shingle sets, multiplicity matters here, so
+    grams are exploded un-deduplicated; the two aggregations are
+    map-side-combined groupBys on (doc, gram) then (doc) — the standard
+    two-level count shape, shuffle keys never wider than one gram.
+
+    Session side effect: excludes ``InferFiltersFromGenerate`` on first
+    call (see dedup._spread / ngram_jaccard_pairs).
+    """
+    from collection_templates_spark.operators.dedup import (
+        _spread,
+        normalize_text,
+    )
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    g = _spread(df).select(
+        F.col(id_col).alias("doc"), F.explode(grams).alias("g")
+    )
+    counts = g.groupBy("doc", "g").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.max("c").alias("top_ngram_count"),
+        )
+        .withColumn(
+            "top_ngram_frac",
+            F.round(F.col("top_ngram_count") / F.col("n_ngrams"), 6),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     context_len: int = 256,

@@ -795,6 +795,45 @@ def pack_sequences_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style top-2-gram repetition fraction per document (round-5
+    LLM-pipeline extension): boilerplate/template spam scores high."""
+    from collection_templates_spark.operators.training_prep import (
+        repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2).withColumnRenamed("doc", "doc_id")
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (round-5 LLM-pipeline extension): the documents are
+    deterministically augmented with synthetic email/phone/IP strings
+    (the corpus itself is clean), then scrubbed with the engine-portable
+    PII_PATTERNS — the oracle replays the augmentation and the redaction
+    byte-for-byte, proving the regex machinery is cross-engine."""
+    from collection_templates_spark.operators.pii import redact_pii as _redact
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com (555) 123-4567 ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return _redact(aug).select(
+        "doc_id",
+        F.col("text_redacted").alias("clean_text"),
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+    )
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-ish piece counting, punctuation/stopword ratios,
     composite quality score — all native column expressions."""
@@ -1049,6 +1088,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": ann_ivf_recall,
     "decontaminate_ngrams": decontaminate_ngrams,
     "pack_sequences": pack_sequences_windows,
+    "text_repetition": text_repetition,
+    "redact_pii": redact_pii,
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
@@ -1954,6 +1995,61 @@ ORACLE_SQL["pack_sequences"] = """
                 THEN 1 ELSE 0 END AS crosses_boundary
     FROM o
 """
+
+# repetition: same normalized-token derivation as the jaccard oracle but
+# n-grams kept with MULTIPLICITY (repetition needs counts, dedup needs
+# sets).
+ORACLE_SQL["text_repetition"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents
+    ), gr AS (
+        SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        WHERE len(t) >= 2
+    ), cnt AS (
+        SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_ngrams,
+           CAST(max(c) AS BIGINT) AS top_ngram_count,
+           round(max(c) * 1.0 / sum(c), 6) AS top_ngram_frac
+    FROM cnt GROUP BY doc_id
+"""
+
+
+def _redact_pii_oracle_sql() -> str:
+    """Generated from the SAME PII_PATTERNS table as the Spark operator —
+    the patterns are written to run identically under Java regex and RE2,
+    so interpolating them verbatim keeps one source of truth."""
+    from collection_templates_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   coalesce(text, '') || ' contact user'
+                       || CAST(doc_id AS VARCHAR)
+                       || '@example.com (555) 123-4567 ip 10.0.0.'
+                       || CAST(doc_id % 256 AS VARCHAR) AS text
+            FROM documents
+        )
+        SELECT doc_id,
+           {redacted} AS clean_text,
+           {counts}
+        FROM aug
+    """
+
+
+ORACLE_SQL["redact_pii"] = _redact_pii_oracle_sql()
 
 # search_stemmed_ltr oracle: the stemmer CASE chain is generated from the
 # SAME SUFFIX_RULES table as the Spark expression (functions/stemming.py),

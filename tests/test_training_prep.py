@@ -82,3 +82,70 @@ def test_pack_sequences_total_order_is_per_shard(spark):
         for r in members:
             assert r["start_offset"] == offset, (grp, r)
             offset += r["n_tokens"]
+
+
+def test_repetition_stats_matches_python_brute_force(spark):
+    rows = [
+        (1, "spam spam spam spam"),          # top 2-gram 'spam spam' = 3/3
+        (2, "a b a b a"),                    # 'a b' 2, 'b a' 2 → top 2/4
+        (3, "all distinct words here now"),  # every 2-gram once → 1/4
+        (4, "one"),                          # < 2 words → absent
+    ]
+    from collection_templates_spark.operators.training_prep import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc"]: (r["n_ngrams"], r["top_ngram_count"], r["top_ngram_frac"])
+        for r in repetition_stats(docs, n=2).collect()
+    }
+    from collections import Counter
+
+    want = {}
+    for doc_id, text in rows:
+        toks = " ".join(text.lower().split()).split(" ")
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        if grams:
+            c = Counter(grams)
+            top = max(c.values())
+            want[doc_id] = (len(grams), top, round(top / len(grams), 6))
+    assert got == want
+    assert got[1][2] == 1.0 and got[3][2] == 0.25
+
+
+def test_redact_pii_counts_order_and_portability(spark):
+    from collection_templates_spark.operators.pii import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail me at a.b-c%d@ex-ample.co.uk or (555) 123-4567 now"),
+        (2, "server 192.168.1.254 and 10.0.0.1, no mail"),
+        # email whose domain embeds a dotted quad: the email rule runs
+        # FIRST, so no partial <IP> inside an address
+        (3, "x@10.0.0.1.com then bare 10.0.0.1"),
+        (4, "nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["text_redacted"] == "mail me at <EMAIL> or <PHONE> now"
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["text_redacted"] == "server <IP> and <IP>, no mail"
+    assert got[3]["text_redacted"] == "<EMAIL> then bare <IP>"
+    assert got[4]["text_redacted"] == "nothing sensitive here"
+    # portability: the SAME pattern strings produce the SAME redaction in
+    # DuckDB's RE2 engine — the property the oracle relies on
+    import duckdb
+
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        red = "t"
+        for _, pat, repl in PII_PATTERNS:
+            red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+        duck = con.execute(
+            f"SELECT {red} FROM (SELECT ? AS t)", [text]
+        ).fetchone()[0]
+        assert duck == got[doc_id]["text_redacted"], (doc_id, duck)
