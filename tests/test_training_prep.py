@@ -149,3 +149,25 @@ def test_redact_pii_counts_order_and_portability(spark):
             f"SELECT {red} FROM (SELECT ? AS t)", [text]
         ).fetchone()[0]
         assert duck == got[doc_id]["text_redacted"], (doc_id, duck)
+
+
+def test_decontamination_plan_broadcasts_benchmark(spark):
+    """The benchmark gram set must reach the corpus side as a BROADCAST
+    (the corpus is the 100 TB side); any cartesian product is a bug."""
+    from collection_templates_spark.operators.training_prep import (
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "w1 w2 w3")], "doc_id long, text string"
+    )
+    df = ngram_contamination(corpus, bench)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
