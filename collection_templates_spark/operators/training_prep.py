@@ -161,7 +161,10 @@ def pack_sequences(
     d = docs.select(
         F.col(group_col).alias("grp"),
         F.col(id_col).alias("doc"),
-        bpe_ish_token_count(F.col(text_col)).alias("n_tokens"),
+        # null text = zero tokens, not a null row in the token stream
+        F.coalesce(bpe_ish_token_count(F.col(text_col)), F.lit(0)).alias(
+            "n_tokens"
+        ),
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
     out = d.withColumn("start_offset", start)

@@ -1976,8 +1976,8 @@ ORACLE_SQL["decontaminate_ngrams"] = """
 ORACLE_SQL["pack_sequences"] = """
     WITH base AS (
         SELECT source, doc_id,
-               len(regexp_extract_all(text,
-                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens
+               coalesce(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')), 0) AS n_tokens
         FROM documents
     ), o AS (
         SELECT source, doc_id, n_tokens,

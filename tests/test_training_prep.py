@@ -50,6 +50,7 @@ def test_pack_sequences_layout_and_shard_independence(spark):
         ("a", 3, "hh"),                # 1 token:  offset 7, bin 1
         ("b", 1, "ii jj kk ll mm nn"), # 6 tokens: offset 0, spans 0-5 → crosses
         ("b", 2, ""),                  # 0 tokens: offset 6, bin 1, no cross
+        ("b", 3, None),                # null text = 0 tokens, same contract
     ]
     docs = spark.createDataFrame(rows, "source string, doc_id long, text string")
     got = {
@@ -64,6 +65,7 @@ def test_pack_sequences_layout_and_shard_independence(spark):
         ("a", 3): (1, 7, 1, 0),
         ("b", 1): (6, 0, 0, 1),
         ("b", 2): (0, 6, 1, 0),
+        ("b", 3): (0, 6, 1, 0),
     }
 
 
