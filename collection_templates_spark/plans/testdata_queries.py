@@ -795,6 +795,34 @@ def pack_sequences_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (round-5 LLM-pipeline extension): per
+    training doc, the longest consecutive run of benchmark-occurring
+    3-grams — catches verbatim quoting that the fraction metric dilutes.
+    Gaps-and-islands over broadcast-marked gram positions."""
+    from collection_templates_spark.operators.training_prep import (
+        contamination_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_spans(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+    ).withColumnRenamed("doc", "doc_id")
+
+
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (round-5 LLM-pipeline
+    extension): engine-portable polynomial hash of 'split:'+id → bucket →
+    90/5/5 thresholds. Stable across runs/engines/partitionings — no
+    shuffle, no randomness."""
+    from collection_templates_spark.operators.training_prep import (
+        assign_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_split(docs).select("doc_id", "split_bucket", "split")
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style top-2-gram repetition fraction per document (round-5
     LLM-pipeline extension): boilerplate/template spam scores high."""
@@ -1090,6 +1118,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": pack_sequences_windows,
     "text_repetition": text_repetition,
     "redact_pii": redact_pii,
+    "decontaminate_spans": decontaminate_spans,
+    "split_assignment": split_assignment,
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
@@ -2050,6 +2080,71 @@ def _redact_pii_oracle_sql() -> str:
 
 
 ORACLE_SQL["redact_pii"] = _redact_pii_oracle_sql()
+
+# span decontamination: positions kept (non-distinct grams), hits marked
+# via the benchmark LEFT join, islands via pos - row_number (constant
+# within a consecutive hit run).
+ORACLE_SQL["decontaminate_spans"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents
+    ), gr AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i:i+2], ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 3
+    ), bench AS (
+        SELECT DISTINCT g FROM gr WHERE doc_id < 20
+    ), marked AS (
+        SELECT c.doc_id, c.pos,
+               CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM (SELECT doc_id, pos, g FROM gr WHERE doc_id >= 20) c
+        LEFT JOIN bench b ON c.g = b.g
+    ), base AS (
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(hit) AS BIGINT) AS n_contaminated
+        FROM marked GROUP BY doc_id
+    ), isl AS (
+        SELECT doc_id, max(run) AS mx FROM (
+            SELECT doc_id, grp, count(*) AS run FROM (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM marked WHERE hit = 1)
+            GROUP BY doc_id, grp)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_grams, b.n_contaminated,
+           CAST(coalesce(i.mx, 0) AS BIGINT) AS max_contaminated_run
+    FROM base b LEFT JOIN isl i ON b.doc_id = i.doc_id
+"""
+
+# split assignment: the portable TWO-fold hash (dedup.
+# portable_shingle_hash — poly31 * 2^31 + poly37, same folds the simhash
+# oracle replays) over 'split:' || id, bucketed mod 10000 with 90/5/5
+# thresholds. One fold alone is measurably non-uniform on sequential ids.
+ORACLE_SQL["split_assignment"] = """
+    WITH chars AS (
+        SELECT doc_id,
+               list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in
+                   string_split('split:' || CAST(doc_id AS VARCHAR), '')])
+                   AS cs
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               (list_reduce(cs, (acc, x) -> (acc * 31 + x) % 2147483647)
+                    * 2147483648
+                + list_reduce(cs, (acc, x) -> (acc * 37 + x) % 2147483647))
+               % 10000 AS split_bucket
+        FROM chars
+    )
+    SELECT doc_id, split_bucket,
+           CASE WHEN split_bucket < 9000 THEN 'train'
+                WHEN split_bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+"""
 
 # search_stemmed_ltr oracle: the stemmer CASE chain is generated from the
 # SAME SUFFIX_RULES table as the Spark expression (functions/stemming.py),

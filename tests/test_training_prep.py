@@ -173,3 +173,71 @@ def test_decontamination_plan_broadcasts_benchmark(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_contamination_spans_matches_python_brute_force(spark):
+    bench_texts = ["alpha beta gamma delta epsilon zeta"]
+    corpus_rows = [
+        # verbatim quote in the middle → run of consecutive hits
+        (20, "novel one two alpha beta gamma delta epsilon after words"),
+        # two separated quoted fragments → max run < total hits
+        (21, "alpha beta gamma x y z delta epsilon zeta q"),
+        (22, "no overlap at all in this document"),
+    ]
+    from collection_templates_spark.operators.training_prep import (
+        contamination_spans,
+    )
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, t) for t in bench_texts], "doc_id long, text string"
+    )
+    got = {
+        r["doc"]: (r["n_grams"], r["n_contaminated"], r["max_contaminated_run"])
+        for r in contamination_spans(corpus, bench).collect()
+    }
+    bench_grams = set()
+    for t in bench_texts:
+        toks = t.split()
+        bench_grams |= {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    want = {}
+    for doc_id, text in corpus_rows:
+        toks = text.split()
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        hits = [g in bench_grams for g in grams]
+        run = best = 0
+        for h in hits:
+            run = run + 1 if h else 0
+            best = max(best, run)
+        want[doc_id] = (len(grams), sum(hits), best)
+    assert got == want
+    assert got[20][2] == 3  # 5-word quote → 3 consecutive trigrams
+    assert got[21][2] == 1 and got[21][1] == 2  # fragments don't chain
+    assert got[22] == (5, 0, 0)  # 7 words → 5 trigrams, none contaminated
+
+
+def test_assign_split_deterministic_and_uniform(spark):
+    from collection_templates_spark.operators.training_prep import assign_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(5000)], "doc_id long"
+    )
+    a = {r["doc_id"]: (r["split_bucket"], r["split"])
+         for r in assign_split(docs).collect()}
+    b = {r["doc_id"]: (r["split_bucket"], r["split"])
+         for r in assign_split(docs).collect()}
+    assert a == b  # stable across runs
+    from collections import Counter
+
+    dist = Counter(v[1] for v in a.values())
+    assert abs(dist["train"] / 5000 - 0.9) < 0.02, dist
+    assert abs(dist["val"] / 5000 - 0.05) < 0.02, dist
+    assert abs(dist["test"] / 5000 - 0.05) < 0.02, dist
+    # a different salt draws an INDEPENDENT split (same marginals,
+    # different assignment)
+    c = {r["doc_id"]: r["split"]
+         for r in assign_split(docs, salt="fold2").collect()}
+    moved = sum(1 for k in a if a[k][1] != c[k])
+    assert moved > 100, moved
