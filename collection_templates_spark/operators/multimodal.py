@@ -2,11 +2,12 @@
 
 Image/audio/video payloads are carried as ``binary`` columns beside a typed
 metadata struct; decode / feature-extraction run as Arrow-batched
-``mapInPandas`` so the (C-library) decoder sees contiguous byte batches, not
-pickled rows. The actual decoders (PIL/ffmpeg/torchaudio) are NOT in this
-container — ``decode_image`` raises ``NotImplementedError`` and the tested
-path uses ``fake_decode`` (deterministic from the bytes), keeping the
-Spark-side plumbing (schema, batch shape, partitioning) real.
+``mapInPandas`` so the decoder sees contiguous byte batches, not pickled
+rows. PNG decode is REAL (pure-stdlib codec, ``functions/png.py`` — r5);
+JPEG/audio/video decoders (libjpeg/ffmpeg/torchaudio) are not in this
+container, so those paths raise ``NotImplementedError`` and the tested
+fallback uses ``fake_decode`` (deterministic from the bytes), keeping the
+Spark-side plumbing (schema, batch shape, partitioning) real either way.
 
 Scale notes: payload columns dominate bytes — select them ONLY in the stage
 that decodes (column pruning keeps every other stage payload-free), and
@@ -51,11 +52,23 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder stub — image libraries are not available in this
-    environment. The pipeline shape is exercised through ``fake_decode``."""
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real image decode where the format allows it without C libraries:
+    PNG payloads are decoded by the pure-stdlib codec
+    (``functions/png.py`` — zlib inflate + all five scanline filters,
+    CRC-checked) → (width, height, color_type, raw pixels). JPEG/WebP
+    remain environment-limited (entropy decoding needs libjpeg-class
+    libraries) and raise ``NotImplementedError``; callers fall back to
+    ``fake_decode`` for those."""
+    from collection_templates_spark.functions.png import (
+        PNG_SIGNATURE,
+        decode_png,
+    )
+
+    if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+        return decode_png(payload)
     raise NotImplementedError(
-        "image decoding requires PIL/libjpeg; not available in this container"
+        "non-PNG image decoding requires PIL/libjpeg; not in this container"
     )
 
 
@@ -165,6 +178,60 @@ def repartition_by_payload_size(
     ).collect()[0]["b"] or 0
     n = max(1, int(total // target_bytes) + 1)
     return media.repartition(n)
+
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("mean_sample", StringType()),  # 6dp decimal string
+    ]
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """REAL decode-and-featurize for PNG payloads (width, height,
+    channels, mean sample value) via the pure-stdlib codec — the
+    previously-stubbed leg of the multimodal pipeline made concrete.
+    Non-PNG payloads yield null dimensions (decoder unavailable in this
+    container) instead of failing the batch. Same Arrow-batched
+    ``mapInPandas`` shape as extract_features."""
+    from collection_templates_spark.operators.multimodal import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, ms = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    w, h, ctype, pixels = decode_image(bytes(b))
+                    ch = {0: 1, 2: 3, 6: 4}[ctype]
+                    ws.append(w)
+                    hs.append(h)
+                    cs.append(ch)
+                    ms.append(
+                        format(sum(pixels) / max(len(pixels), 1), ".6f")
+                    )
+                except (NotImplementedError, ValueError):
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
+                    ms.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_channels": pd.array(cs, dtype="Int32"),
+                    "mean_sample": ms,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, IMAGE_FEATURE_SCHEMA
+    )
 
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
