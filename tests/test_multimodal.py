@@ -58,3 +58,34 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
+
+
+def test_extract_audio_features_real_wav_decode(spark):
+    """PCM WAV decodes for real via stdlib wave (r5); other formats yield
+    null features, mirroring the PNG path."""
+    import io
+    import struct
+    import wave
+
+    from collection_templates_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    def make_wav(rate, samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    # constant |amplitude| 1000, 8000 samples at 8 kHz = 1000 ms
+    wav = make_wav(8000, [1000, -1000] * 4000)
+    rows = [(1, wav), (2, b"\x49\x44\x33 not decodable mp3 bytes")]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert (got[1]["n_channels"], got[1]["sample_rate"]) == (1, 8000)
+    assert got[1]["duration_ms"] == 1000
+    assert got[1]["mean_abs_amplitude"] == "1000.000000"
+    assert got[2]["n_channels"] is None
