@@ -139,6 +139,78 @@ def rolling_shingle_hashes(text: Column, window: int = 8) -> Column:
     )
 
 
+def winnowing_summary(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS algorithm): over each document's Karp-Rabin ``k``-char rolling
+    hashes, every window of ``w`` consecutive hashes contributes its
+    minimum — the selected positions form a fingerprint set with
+    guaranteed coverage (any shared substring of length ≥ k+w-1 yields a
+    shared fingerprint) at expected density 2/(w+1).
+
+    Tie rule: a position is selected when its hash EQUALS the minimum of
+    some full window containing it — on (rare, 31-bit) intra-window hash
+    ties both positions are selected, identically in both engines; the
+    classic rightmost-only rule needs argmin-with-position, which has no
+    portable cross-engine expression.
+
+    Output per doc: ``n_hashes`` (rolling hashes = chars-k+1),
+    ``n_fp`` (selected), ``density`` (n_fp/n_hashes, round 6), and
+    ``fp_checksum`` = Σ hash·(pos+1) mod 2^31-1 over selected positions —
+    an order-and-position-sensitive digest that pins the exact selected
+    set without shipping it. Docs with fewer than k+w-1 chars have no
+    full window and are absent (same contract as the gram operators).
+
+    Scale shape: the rolling hashes are a native higher-order expression
+    per doc; selection is two window passes over (doc, pos) — ONE shuffle
+    on the doc key serves both (same partitioning, consecutive
+    WindowExecs); the final per-doc aggregate reuses that clustering.
+    No UDFs, no joins.
+
+    Session side effect: excludes ``InferFiltersFromGenerate`` on first
+    call (see dedup._spread / ngram_jaccard_pairs).
+    """
+    from pyspark.sql import Window
+
+    from collection_templates_spark.operators.dedup import _spread
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    h = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(rolling_shingle_hashes(norm, k)).alias("pos", "h"),
+    )
+    trail = Window.partitionBy("doc").orderBy("pos").rowsBetween(-(w - 1), 0)
+    lead = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    # min of the full window ENDING here (null while the window is partial)
+    mn = F.when(F.col("pos") >= w - 1, F.min("h").over(trail))
+    sel = h.withColumn("mn", mn).withColumn(
+        # selected iff this hash is the min of SOME full window containing
+        # it: all containing-window minima are <= h, so max == h iff some
+        # window's min equals it (max ignores the partial-window nulls)
+        "sel",
+        F.max("mn").over(lead) == F.col("h"),
+    )
+    return (
+        sel.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_hashes"),
+            F.sum(F.when(F.col("sel"), 1).otherwise(0)).alias("n_fp"),
+            F.sum(
+                F.when(
+                    F.col("sel"), (F.col("h") * (F.col("pos") + 1)) % HASH_MOD
+                ).otherwise(0)
+            ).alias("fp_checksum"),
+        )
+        .filter(F.col("n_fp") > 0)
+        .withColumn("density", F.round(F.col("n_fp") / F.col("n_hashes"), 6))
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(

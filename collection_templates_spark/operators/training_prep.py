@@ -238,6 +238,205 @@ def repetition_stats(
     )
 
 
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    salt: str = "sample",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sampling: each row is kept iff
+    ``portable_hash(salt + ':' + id) % buckets < rate[group] * buckets``.
+    Adds ``sample_bucket``; the per-group keep-rates come from ``rates``
+    (missing groups use ``default_rate``).
+
+    Hash-based (not ``df.sample``) for the same reason as ``assign_split``:
+    the decision is a pure function of the row id, so re-processing the
+    corpus, changing partitioning, or switching engines reproduces the
+    sample exactly — and the oracle can replay it. Pure column
+    expressions: scan-speed, filter fully pushable, no shuffle. Change
+    ``salt`` to draw an independent sample; the same two-fold portable
+    hash as ``assign_split`` (one fold is non-uniform on sequential ids).
+    """
+    from collection_templates_spark.operators.dedup import (
+        portable_shingle_hash,
+    )
+
+    key = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    bucket = portable_shingle_hash(key) % buckets
+    thresh = None
+    for grp, rate in sorted(rates.items()):
+        cond = F.col(group_col) == grp
+        t = F.lit(int(round(rate * buckets)))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        F.lit(int(round(default_rate * buckets)))
+        if thresh is None
+        else thresh.otherwise(int(round(default_rate * buckets)))
+    )
+    return df.withColumn("sample_bucket", bucket).filter(
+        F.col("sample_bucket") < thresh
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    target_tokens: int,
+    alpha: float = 0.5,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture planning (the multilingual-pretraining
+    resampling rule, weight ∝ tokens^alpha): given a token budget, compute
+    per-group sampling rates and epoch counts.
+
+    Columns per group: ``n_docs``, ``n_tokens`` (BPE-ish pieces),
+    ``weight`` = tokens^alpha / Σ tokens^alpha, ``target_tokens_grp`` =
+    floor(budget × weight), ``sample_rate`` = target/available (may exceed
+    1 — low-resource groups get up-sampled), ``epochs`` = ceil(rate).
+    ``alpha`` = 1 reproduces natural proportions; ``alpha`` → 0 uniform.
+
+    Scale shape: one map-side-combined groupBy over the corpus (the token
+    count is a native regexp over each doc), then a single-row total
+    joined back by cross-join broadcast — the per-group table is tiny
+    (languages/domains number in the hundreds). All native expressions;
+    doubles rounded for cross-engine comparability.
+    """
+    per = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.coalesce(bpe_ish_token_count(F.col(text_col)), F.lit(0))
+        ).alias("n_tokens"),
+    )
+    w_raw = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    per = per.withColumn("w_raw", w_raw)
+    tot = per.agg(F.sum("w_raw").alias("w_tot"))
+    out = per.join(F.broadcast(tot))
+    weight = F.col("w_raw") / F.col("w_tot")
+    # floor, not round: round-half behavior on doubles is the one integer
+    # boundary DuckDB and Spark could disagree on; floor is unambiguous
+    target_grp = F.floor(weight * target_tokens).cast("long")
+    rate = target_grp / F.col("n_tokens")
+    return out.select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("weight"),
+        target_grp.alias("target_tokens_grp"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.ceil(rate).cast("long").alias("epochs"),
+    )
+
+
+def vocab_oov(
+    docs: DataFrame,
+    vocab_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word-vocabulary induction + per-document OOV rate: the corpus's
+    ``vocab_size`` most frequent whitespace tokens (count desc, token asc
+    — a total order) become the vocabulary; each doc reports how much of
+    it falls outside. Columns: (doc, n_tokens, n_oov, oov_rate).
+
+    Scale shape: token counting is one map-side-combined groupBy; vocab
+    selection is ``orderBy(...).limit(V)`` which Spark executes as
+    TakeOrderedAndProject — a distributed per-partition top-V plus a
+    V-row driver merge, NOT a single-partition global window (the trap a
+    rank()-based top-V would hit at a billion distinct tokens). The V-row
+    vocab then broadcast-joins back against the corpus. Docs whose
+    normalized text is empty have no tokens and are absent (same contract
+    as the gram operators).
+
+    Session side effect: excludes ``InferFiltersFromGenerate`` on first
+    call (see dedup._spread / ngram_jaccard_pairs).
+    """
+    from collection_templates_spark.operators.dedup import (
+        _spread,
+        normalize_text,
+    )
+
+    toks = _spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("___in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("___in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )
+
+
+def boilerplate_stats(
+    corpus: DataFrame,
+    min_df: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate signal: an n-gram is *boilerplate* when it
+    occurs in at least ``min_df`` distinct documents (headers, footers,
+    template spam); each doc reports the fraction of its distinct grams
+    that are boilerplate. Columns: (doc, n_grams, n_boiler, boiler_frac).
+
+    This is the corpus-global complement of ``repetition_stats`` (which is
+    within-doc): C4/RefinedWeb-style pipelines drop or strip spans whose
+    grams are corpus-frequent.
+
+    Scale shape: document frequency is one explode + map-side-combined
+    groupBy on the gram; the ``min_df`` filter makes the boilerplate set
+    small by construction (frequency thresholds cap its cardinality at
+    total_grams / min_df), so the join back is a broadcast. Two shuffles
+    total, both on short keys. Docs with < n words are absent.
+
+    Session side effect: excludes ``InferFiltersFromGenerate`` on first
+    call (see dedup._spread / ngram_jaccard_pairs).
+    """
+    from collection_templates_spark.operators.dedup import (
+        _spread,
+        word_shingles,
+    )
+
+    g = _spread(corpus).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    boiler = (
+        g.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("g", F.lit(1).alias("___boiler"))
+    )
+    return (
+        g.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("___boiler", F.lit(0))).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac", F.round(F.col("n_boiler") / F.col("n_grams"), 6)
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     context_len: int = 256,

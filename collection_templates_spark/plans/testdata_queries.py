@@ -823,6 +823,77 @@ def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(docs).select("doc_id", "split_bucket", "split")
 
 
+def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (round-5 LLM-pipeline
+    extension): per-source keep-rates via the portable hash — src0 keeps
+    everything, src1 half, src2 a quarter, the rest 10%. Pure filter,
+    fully pushable, reproducible across engines and partitionings."""
+    from collection_templates_spark.operators.training_prep import (
+        sample_stratified,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_stratified(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+    ).select("doc_id", "source", "sample_bucket")
+
+
+def mixture_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled training-mixture plan (round-5 LLM-pipeline
+    extension): per-language token counts → weight ∝ tokens^0.5 → per-
+    language token targets, sampling rates and epoch counts for a 100k-
+    token budget (the multilingual up-sampling rule)."""
+    from collection_templates_spark.operators.training_prep import (
+        mixture_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_plan(docs, target_tokens=100_000).withColumnRenamed(
+        "grp", "lang"
+    )
+
+
+def vocab_oov_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + OOV rate (round-5 LLM-pipeline extension):
+    top-16 corpus tokens by (count desc, token) become the vocab
+    (TakeOrdered top-V, not a global window); per-doc out-of-vocabulary
+    fraction via broadcast join."""
+    from collection_templates_spark.operators.training_prep import vocab_oov
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_oov(docs, vocab_size=16).withColumnRenamed("doc", "doc_id")
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate fraction (round-5 LLM-pipeline extension):
+    2-grams occurring in ≥ 40 distinct documents are boilerplate; per doc
+    the fraction of its distinct grams that are. The frequency threshold
+    caps the boilerplate set's size, so the join back is a broadcast."""
+    from collection_templates_spark.operators.training_prep import (
+        boilerplate_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_stats(docs, min_df=40, n=2).withColumnRenamed(
+        "doc", "doc_id"
+    )
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (round-5 LLM-pipeline extension):
+    MOSS-style windowed-min selection over 8-char Karp-Rabin rolling
+    hashes (window 4) — per doc the selected-fingerprint count, density
+    and a position-sensitive checksum pinning the exact selected set."""
+    from collection_templates_spark.operators.text_analysis import (
+        winnowing_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_summary(docs, k=8, w=4).withColumnRenamed(
+        "doc", "doc_id"
+    )
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style top-2-gram repetition fraction per document (round-5
     LLM-pipeline extension): boilerplate/template spam scores high."""
@@ -1120,6 +1191,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redact_pii": redact_pii,
     "decontaminate_spans": decontaminate_spans,
     "split_assignment": split_assignment,
+    "sample_stratified": sample_stratified_q,
+    "mixture_plan": mixture_plan_q,
+    "vocab_oov": vocab_oov_q,
+    "text_boilerplate": text_boilerplate,
+    "text_winnowing": text_winnowing,
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
@@ -2144,6 +2220,146 @@ ORACLE_SQL["split_assignment"] = """
                 WHEN split_bucket < 9500 THEN 'val'
                 ELSE 'test' END AS split
     FROM h
+"""
+
+# stratified sampling: the same two-fold portable hash over 'sample:'||id,
+# bucketed mod 1e6, kept when below the per-source rate threshold
+ORACLE_SQL["sample_stratified"] = """
+    WITH chars AS (
+        SELECT doc_id, source,
+               list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in
+                   string_split('sample:' || CAST(doc_id AS VARCHAR), '')])
+                   AS cs
+        FROM documents
+    ), h AS (
+        SELECT doc_id, source,
+               (list_reduce(cs, (acc, x) -> (acc * 31 + x) % 2147483647)
+                    * 2147483648
+                + list_reduce(cs, (acc, x) -> (acc * 37 + x) % 2147483647))
+               % 1000000 AS sample_bucket
+        FROM chars
+    )
+    SELECT doc_id, source, sample_bucket
+    FROM h
+    WHERE sample_bucket < CASE source WHEN 'src0' THEN 1000000
+                                      WHEN 'src1' THEN 500000
+                                      WHEN 'src2' THEN 250000
+                                      ELSE 100000 END
+"""
+
+# mixture plan: per-language BPE-ish token totals (same regexp as
+# text_stats), weight = tokens^0.5 / sum, floor'd integer targets
+ORACLE_SQL["mixture_plan"] = """
+    WITH per AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(coalesce(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')), 0)) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT sum(pow(n_tokens, 0.5)) AS w_tot FROM per
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(pow(n_tokens, 0.5) / w_tot, 6) AS weight,
+           CAST(floor(pow(n_tokens, 0.5) / w_tot * 100000) AS BIGINT)
+               AS target_tokens_grp,
+           round(floor(pow(n_tokens, 0.5) / w_tot * 100000) / n_tokens, 6)
+               AS sample_rate,
+           CAST(ceil(floor(pow(n_tokens, 0.5) / w_tot * 100000) / n_tokens)
+               AS BIGINT) AS epochs
+    FROM per, tot
+"""
+
+# vocab induction + OOV: top-16 tokens by (count desc, token asc), per-doc
+# out-of-vocab fraction
+ORACLE_SQL["vocab_oov"] = """
+    WITH toks AS (
+        SELECT doc_id, t.tok
+        FROM documents,
+             unnest(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS t(tok)
+        WHERE t.tok <> ''
+    ), counts AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), vocab AS (
+        SELECT tok FROM counts ORDER BY c DESC, tok ASC LIMIT 16
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS oov_rate
+    FROM toks LEFT JOIN vocab v ON toks.tok = v.tok
+    GROUP BY doc_id
+"""
+
+# corpus boilerplate: distinct 2-grams per doc (same split as the jaccard
+# oracle), document frequency >= 40 marks boilerplate
+ORACLE_SQL["text_boilerplate"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                   'g')), ' ') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        WHERE len(t) >= 2
+    ), dfreq AS (
+        SELECT g, count(*) AS df FROM sh GROUP BY g
+    ), boiler AS (
+        SELECT g FROM dfreq WHERE df >= 40
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_boiler,
+           round(sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END)
+                 / count(*), 6) AS boiler_frac
+    FROM sh LEFT JOIN boiler b ON sh.g = b.g
+    GROUP BY doc_id
+"""
+
+# winnowing: 8-char Karp-Rabin rolling hashes (base-31 poly, same fold as
+# text_fingerprint), windowed-min selection over windows of 4, tie rule
+# "equals some containing full-window min" — identical in both engines
+ORACLE_SQL["text_winnowing"] = """
+    WITH cs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                   'g')), '') AS c
+        FROM documents
+    ), hs AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                    [ascii(x)::BIGINT for x in c[i:i+7]]),
+                    (acc, x) -> (acc * 31 + x) % 2147483647)
+                for i in range(1, len(c) - 8 + 2)] AS harr
+        FROM cs
+        WHERE len(c) >= 8
+    ), h AS (
+        SELECT doc_id, unnest(range(len(harr))) AS pos, unnest(harr) AS h
+        FROM hs
+    ), m AS (
+        SELECT doc_id, pos, h,
+               CASE WHEN pos >= 3 THEN
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+               END AS mn
+        FROM h
+    ), s AS (
+        SELECT doc_id, pos, h,
+               max(mn) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) = h
+                   AS sel
+        FROM m
+    )
+    SELECT doc_id, count(*) AS n_hashes,
+           CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+           CAST(sum(CASE WHEN sel THEN (h * (pos + 1)) % 2147483647
+                         ELSE 0 END) AS BIGINT) AS fp_checksum,
+           round(sum(CASE WHEN sel THEN 1 ELSE 0 END) / count(*), 6)
+               AS density
+    FROM s GROUP BY doc_id HAVING n_fp > 0
 """
 
 # search_stemmed_ltr oracle: the stemmer CASE chain is generated from the

@@ -241,3 +241,203 @@ def test_assign_split_deterministic_and_uniform(spark):
          for r in assign_split(docs, salt="fold2").collect()}
     moved = sum(1 for k in a if a[k][1] != c[k])
     assert moved > 100, moved
+
+
+def test_sample_stratified_rates_and_nesting(spark):
+    from collection_templates_spark.operators.training_prep import (
+        sample_stratified,
+    )
+
+    rows = [(i, "s%d" % (i % 4)) for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    kept = sample_stratified(docs, rates, default_rate=0.25).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src.get("s0", ())) == 1000  # rate 1.0 keeps all
+    assert "s2" not in by_src  # rate 0.0 keeps none
+    assert abs(len(by_src["s1"]) / 1000 - 0.5) < 0.06
+    assert abs(len(by_src["s3"]) / 1000 - 0.25) < 0.06
+    # determinism: re-running reproduces the exact same sample
+    again = {
+        (r["doc_id"], r["source"])
+        for r in sample_stratified(docs, rates, default_rate=0.25).collect()
+    }
+    assert {(r["doc_id"], r["source"]) for r in kept} == again
+    # nesting: a lower rate's sample is a SUBSET of a higher rate's (the
+    # property that lets you grow a sample without resampling old rows)
+    small = {
+        r["doc_id"]
+        for r in sample_stratified(docs, {}, default_rate=0.1).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in sample_stratified(docs, {}, default_rate=0.3).collect()
+    }
+    assert small < big
+
+
+def test_mixture_plan_arithmetic(spark):
+    import math
+
+    from collection_templates_spark.operators.training_prep import (
+        mixture_plan,
+    )
+
+    # letter-run words → bpe_ish count == word count
+    rows = [
+        (0, "aa bb cc dd", "big"),
+        (1, "aa bb cc dd ee ff gg hh ii jj kk ll", "big"),
+        (2, "aa bb", "small"),
+        (3, "aa bb", "small"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["grp"]: r.asDict()
+        for r in mixture_plan(docs, target_tokens=100, alpha=0.5).collect()
+    }
+    toks = {"big": 16, "small": 4}
+    w_tot = math.sqrt(16) + math.sqrt(4)
+    for grp, n in toks.items():
+        w = math.sqrt(n) / w_tot
+        tgt = math.floor(w * 100)
+        assert got[grp]["n_tokens"] == n
+        assert got[grp]["weight"] == round(w, 6)
+        assert got[grp]["target_tokens_grp"] == tgt
+        assert got[grp]["sample_rate"] == round(tgt / n, 6)
+        assert got[grp]["epochs"] == math.ceil(tgt / n)
+    # temperature flattening: alpha=0.5 gives "small" MORE than its
+    # natural 4/20 share, "big" less than 16/20
+    assert got["small"]["weight"] > 4 / 20
+    assert got["big"]["weight"] < 16 / 20
+
+
+def test_vocab_oov_matches_python_brute_force(spark):
+    from collections import Counter
+
+    from collection_templates_spark.operators.training_prep import vocab_oov
+
+    rows = [
+        (0, "a a a b b c dd"),
+        (1, "b c dd ee ff"),
+        (2, "  A   b  "),  # normalization folds case/whitespace
+        (3, None),  # null text → absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    V = 3
+    got = {
+        r["doc"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in vocab_oov(docs, vocab_size=V).collect()
+    }
+    counts = Counter()
+    toks_by_doc = {}
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        toks = [t for t in " ".join(text.lower().split()).split(" ") if t]
+        toks_by_doc[doc_id] = toks
+        counts.update(toks)
+    vocab = {
+        t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    }
+    want = {}
+    for doc_id, toks in toks_by_doc.items():
+        if toks:
+            oov = sum(1 for t in toks if t not in vocab)
+            want[doc_id] = (len(toks), oov, round(oov / len(toks), 6))
+    assert got == want
+    assert 3 not in got
+
+
+def test_boilerplate_stats_matches_python_brute_force(spark):
+    from collections import Counter
+
+    from collection_templates_spark.operators.training_prep import (
+        boilerplate_stats,
+    )
+
+    rows = [(i, "x y common tail %d" % (i % 2)) for i in range(10)] + [
+        (100, "totally different words here"),
+        (101, "zz"),  # < 2 words → absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc"]: (r["n_grams"], r["n_boiler"], r["boiler_frac"])
+        for r in boilerplate_stats(docs, min_df=5, n=2).collect()
+    }
+
+    def bigrams(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    df = Counter()
+    grams_by_doc = {}
+    for doc_id, text in rows:
+        g = bigrams(text)
+        if g:
+            grams_by_doc[doc_id] = g
+            df.update(g)
+    boiler = {g for g, c in df.items() if c >= 5}
+    want = {}
+    for doc_id, g in grams_by_doc.items():
+        b = len(g & boiler)
+        want[doc_id] = (len(g), b, round(b / len(g), 6))
+    assert got == want
+    assert 101 not in got
+    # "x y"/"y common"/"common tail" hit df=10; "tail 0" df=5 — all four
+    # of doc 0's grams are boilerplate; the unique doc has none
+    assert got[0][1] == 4 and got[100][1] == 0
+
+
+def test_winnowing_matches_python_brute_force(spark):
+    from collection_templates_spark.operators.text_analysis import (
+        winnowing_summary,
+    )
+
+    MOD, K, W = 2147483647, 4, 3
+    rows = [
+        (0, "abcdefghij"),
+        (1, "aaaaaaaaaa"),  # degenerate: all hashes equal (tie rule)
+        (2, "Mixed  Case text with   spaces"),
+        (3, "abc"),  # shorter than k → no hashes → absent
+        (4, "abcde"),  # 2 hashes < w → no full window → absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc"]: (r["n_hashes"], r["n_fp"], r["fp_checksum"], r["density"])
+        for r in winnowing_summary(docs, k=K, w=W).collect()
+    }
+
+    def brute(text):
+        norm = " ".join(text.lower().split())
+        hs = []
+        for i in range(len(norm) - K + 1):
+            h = 0
+            for ch in norm[i : i + K]:
+                h = (h * 31 + ord(ch)) % MOD
+            hs.append(h)
+        sel = set()
+        for e in range(W - 1, len(hs)):
+            lo = e - W + 1
+            m = min(hs[lo : e + 1])
+            for p in range(lo, e + 1):
+                if hs[p] == m:  # tie-inclusive selection rule
+                    sel.add(p)
+        return hs, sel
+
+    want = {}
+    for doc_id, text in rows:
+        hs, sel = brute(text)
+        if sel:
+            ck = sum(hs[p] * (p + 1) % MOD for p in sel)
+            want[doc_id] = (
+                len(hs),
+                len(sel),
+                ck,
+                round(len(sel) / len(hs), 6),
+            )
+    assert got == want
+    assert 3 not in got and 4 not in got
+    # the all-equal doc selects EVERY position under the tie rule
+    assert got[1][1] == got[1][0]
