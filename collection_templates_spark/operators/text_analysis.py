@@ -139,6 +139,34 @@ def rolling_shingle_hashes(text: Column, window: int = 8) -> Column:
     )
 
 
+def _winnowing_marked(
+    df: DataFrame, k: int, w: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, pos, h, sel) — every rolling k-char hash with its winnowing
+    selection flag. Shared by winnowing_summary / winnowing_containment_pairs;
+    see winnowing_summary for the algorithm and tie rule."""
+    from pyspark.sql import Window
+
+    from collection_templates_spark.operators.dedup import _spread
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    h = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(rolling_shingle_hashes(norm, k)).alias("pos", "h"),
+    )
+    trail = Window.partitionBy("doc").orderBy("pos").rowsBetween(-(w - 1), 0)
+    lead = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    # min of the full window ENDING here (null while the window is partial)
+    mn = F.when(F.col("pos") >= w - 1, F.min("h").over(trail))
+    return h.withColumn("mn", mn).withColumn(
+        # selected iff this hash is the min of SOME full window containing
+        # it: all containing-window minima are <= h, so max == h iff some
+        # window's min equals it (max ignores the partial-window nulls)
+        "sel",
+        F.max("mn").over(lead) == F.col("h"),
+    )
+
+
 def winnowing_summary(
     df: DataFrame,
     k: int = 8,
@@ -175,26 +203,7 @@ def winnowing_summary(
     Session side effect: excludes ``InferFiltersFromGenerate`` on first
     call (see dedup._spread / ngram_jaccard_pairs).
     """
-    from pyspark.sql import Window
-
-    from collection_templates_spark.operators.dedup import _spread
-
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
-    h = _spread(df).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(rolling_shingle_hashes(norm, k)).alias("pos", "h"),
-    )
-    trail = Window.partitionBy("doc").orderBy("pos").rowsBetween(-(w - 1), 0)
-    lead = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
-    # min of the full window ENDING here (null while the window is partial)
-    mn = F.when(F.col("pos") >= w - 1, F.min("h").over(trail))
-    sel = h.withColumn("mn", mn).withColumn(
-        # selected iff this hash is the min of SOME full window containing
-        # it: all containing-window minima are <= h, so max == h iff some
-        # window's min equals it (max ignores the partial-window nulls)
-        "sel",
-        F.max("mn").over(lead) == F.col("h"),
-    )
+    sel = _winnowing_marked(df, k, w, id_col, text_col)
     return (
         sel.groupBy("doc")
         .agg(
@@ -208,6 +217,88 @@ def winnowing_summary(
         )
         .filter(F.col("n_fp") > 0)
         .withColumn("density", F.round(F.col("n_fp") / F.col("n_hashes"), 6))
+    )
+
+
+def winnowing_containment_pairs(
+    df: DataFrame,
+    k: int = 20,
+    w: int = 8,
+    min_shared: int = 2,
+    max_bucket_size: int | None = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style cross-document copy detection: pairs of documents whose
+    winnowing fingerprint VALUE sets (position-independent, like MOSS's
+    final match step) share ≥ ``min_shared`` hashes, scored by
+    ``containment`` = shared / min(|fp_a|, |fp_b|).
+
+    Containment — not Jaccard — is the point: a 1-page document pasted
+    into a 100-page one shares nearly all of its fingerprints
+    (containment ≈ 1) while Jaccard is diluted to ~0.01; this is the
+    plagiarism / quote-inclusion signal the set-similarity dedup family
+    misses by construction. Winnowing's guarantee makes it robust: any
+    shared substring of length ≥ k+w-1 chars contributes a shared
+    fingerprint regardless of where it sits in either document.
+
+    Scale shape: the standard inverted-index bucket-collect — distinct
+    (doc, hash) fingerprints group ONCE on the 8-byte hash value, pairs
+    are enumerated inside each bucket (``dedup._bucket_pairs``), and the
+    per-pair shared count is exact (each shared value contributes exactly
+    one pair row). Each doc's fingerprint-set SIZE rides along in the
+    bucket struct (the simhash carried-fingerprint trick), so scoring is
+    inline on the pair aggregate — the expensive winnowing phase runs
+    exactly once and nothing joins back. ``max_bucket_size`` is the
+    hot-bucket guard: a boilerplate substring shared by B docs is a B²
+    bucket no matter how pairs are enumerated — capped buckets make the
+    shared counts a LOWER bound (ubiquitous fingerprints stop witnessing
+    pairs), which is the right degradation for copy detection since
+    corpus-wide boilerplate is exactly what should not count as copying.
+    Pass ``None`` for exact counts on corpora known to be small.
+
+    Session side effect: excludes ``InferFiltersFromGenerate`` on first
+    call (see dedup._spread / ngram_jaccard_pairs).
+    """
+    from pyspark.sql import Window
+
+    from collection_templates_spark.operators.dedup import _bucket_pairs
+
+    fp = (
+        _winnowing_marked(df, k, w, id_col, text_col)
+        .filter(F.col("sel"))
+        .groupBy("doc", "h")
+        .agg(F.lit(1).alias("___one"))
+        .withColumn("n_fp", F.count("*").over(Window.partitionBy("doc")))
+    )
+    return (
+        _bucket_pairs(
+            fp.groupBy("h").agg(
+                F.collect_list(
+                    F.struct(F.col("doc"), F.col("n_fp"))
+                ).alias("ms")
+            ),
+            max_bucket_size,
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc1"),
+            F.col("b.doc").alias("doc2"),
+        )
+        .agg(
+            F.count("*").alias("n_shared"),
+            # n_fp is constant per doc; max() just picks it out
+            F.max("a.n_fp").alias("n1"),
+            F.max("b.n_fp").alias("n2"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "doc1",
+            "doc2",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("n1", "n2"), 6
+            ).alias("containment"),
+        )
     )
 
 

@@ -894,6 +894,21 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style copy detection (round-5 LLM-pipeline extension): doc
+    pairs sharing ≥ 2 winnowing fingerprint values (k=20, w=8), scored by
+    containment = shared / min fingerprint-set size — catches a short doc
+    pasted into a long one, which Jaccard dilutes to ~0. Inverted-index
+    bucket-collect on the hash value; the 500-bucket hot cap never fires
+    at this 500-doc corpus, so the counts are exact for the oracle."""
+    from collection_templates_spark.operators.text_analysis import (
+        winnowing_containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_containment_pairs(docs, k=20, w=8, min_shared=2)
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style top-2-gram repetition fraction per document (round-5
     LLM-pipeline extension): boilerplate/template spam scores high."""
@@ -1196,6 +1211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov": vocab_oov_q,
     "text_boilerplate": text_boilerplate,
     "text_winnowing": text_winnowing,
+    "text_containment": text_containment,
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
@@ -2360,6 +2376,56 @@ ORACLE_SQL["text_winnowing"] = """
            round(sum(CASE WHEN sel THEN 1 ELSE 0 END) / count(*), 6)
                AS density
     FROM s GROUP BY doc_id HAVING n_fp > 0
+"""
+
+# winnowing containment: 20-char rolling hashes, window 8, distinct
+# selected VALUES per doc, pairs by shared value, containment vs the
+# smaller fingerprint set (the bucket-collect cap never fires at 500 docs)
+ORACLE_SQL["text_containment"] = """
+    WITH cs AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                   'g')), '') AS c
+        FROM documents
+    ), hs AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(0::BIGINT,
+                    [ascii(x)::BIGINT for x in c[i:i+19]]),
+                    (acc, x) -> (acc * 31 + x) % 2147483647)
+                for i in range(1, len(c) - 20 + 2)] AS harr
+        FROM cs
+        WHERE len(c) >= 20
+    ), h AS (
+        SELECT doc_id, unnest(range(len(harr))) AS pos, unnest(harr) AS h
+        FROM hs
+    ), m AS (
+        SELECT doc_id, pos, h,
+               CASE WHEN pos >= 7 THEN
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               END AS mn
+        FROM h
+    ), s AS (
+        SELECT doc_id, pos, h,
+               max(mn) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) = h
+                   AS sel
+        FROM m
+    ), fp AS (
+        SELECT DISTINCT doc_id, h FROM s WHERE sel
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT d1 AS doc1, d2 AS doc2, c AS n_shared,
+           round(c / least(s1.n, s2.n), 6) AS containment
+    FROM shared
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
 """
 
 # search_stemmed_ltr oracle: the stemmer CASE chain is generated from the

@@ -441,3 +441,64 @@ def test_winnowing_matches_python_brute_force(spark):
     assert 3 not in got and 4 not in got
     # the all-equal doc selects EVERY position under the tie rule
     assert got[1][1] == got[1][0]
+
+
+def test_winnowing_containment_matches_python_brute_force(spark):
+    from collection_templates_spark.operators.text_analysis import (
+        winnowing_containment_pairs,
+    )
+
+    MOD, K, W = 2147483647, 6, 3
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base + " with an extra tail of different words"),  # contains 0
+        (2, "completely unrelated text goes here instead now"),
+        (3, base.upper()),  # case-normalized → identical to 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc1"], r["doc2"]): (r["n_shared"], r["containment"])
+        for r in winnowing_containment_pairs(
+            docs, k=K, w=W, min_shared=1, max_bucket_size=None
+        ).collect()
+    }
+
+    def fps(text):
+        norm = " ".join(text.lower().split())
+        hs = []
+        for i in range(len(norm) - K + 1):
+            h = 0
+            for ch in norm[i : i + K]:
+                h = (h * 31 + ord(ch)) % MOD
+            hs.append(h)
+        sel = set()
+        for e in range(W - 1, len(hs)):
+            m = min(hs[e - W + 1 : e + 1])
+            for p in range(e - W + 1, e + 1):
+                if hs[p] == m:
+                    sel.add(hs[p])
+        return sel
+
+    sets = {i: fps(t) for i, t in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                c = len(sets[a] & sets[b])
+                if c >= 1:
+                    want[(a, b)] = (
+                        c,
+                        round(c / min(len(sets[a]), len(sets[b])), 6),
+                    )
+    assert got == want
+    # the containment signal: doc 0 fully inside doc 1, and 3 == 0
+    assert got[(0, 1)][1] == 1.0
+    assert got[(0, 3)] == (len(sets[0]), 1.0)
+    # hot-bucket cap: dropping every bucket kills all pairs (lower bound)
+    assert (
+        winnowing_containment_pairs(
+            docs, k=K, w=W, min_shared=1, max_bucket_size=0
+        ).count()
+        == 0
+    )
