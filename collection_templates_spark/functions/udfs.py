@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -57,6 +58,41 @@ def namehash_udf(s: pd.Series) -> pd.Series:
     from collection_templates_spark.functions.hashing import namehash_batch
 
     return pd.Series(namehash_batch(list(s)), index=s.index)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def rolling_hash_udf(texts: pd.Series, ks: pd.Series) -> pd.Series:
+    """Karp-Rabin rolling k-char hashes — numpy-vectorized, value-identical
+    to text_analysis.rolling_shingle_hashes (base-31 poly mod 2^31-1).
+
+    The native HOF form evaluates an interpreted per-position aggregate
+    (~2 s for 500×15k-char docs); here each doc is one
+    sliding_window_view + k vectorized Horner steps (codepoints via a
+    utf-32 reinterpret, no per-char Python). Used by the winnowing
+    operators where the hash array is the dominant cost; ``ks`` is a
+    lit() column (pandas UDFs take no scalar args).
+    """
+    import numpy as np
+
+    MOD = 2147483647
+    out = []
+    for t, k in zip(texts, ks):
+        if t is None:
+            out.append([])
+            continue
+        k = int(k)
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        if len(codes) < k:
+            out.append([])
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(codes, k)
+        h = np.zeros(len(win), dtype=np.int64)
+        for j in range(k):
+            h = (h * 31 + win[:, j]) % MOD
+        out.append(h.tolist())
+    return pd.Series(out, index=texts.index)
 
 
 @F.pandas_udf(DoubleType())

@@ -502,3 +502,39 @@ def test_winnowing_containment_matches_python_brute_force(spark):
         ).count()
         == 0
     )
+
+
+def test_winnowing_udf_matches_native(spark):
+    """The numpy-batched rolling_hash_udf must be value-identical to the
+    native HOF rolling_shingle_hashes on every corpus text (incl. CJK
+    codepoints, nulls, and texts shorter than k)."""
+    from collection_templates_spark.functions.udfs import rolling_hash_udf
+    from collection_templates_spark.operators.text_analysis import (
+        rolling_shingle_hashes,
+    )
+
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "短い中文テキスト mixed with ascii"),
+        (2, "x"),   # shorter than k
+        (3, None),  # null text
+        (4, "exactly8"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (4, 8, 20):
+        got = {
+            r["doc_id"]: r["u"]
+            for r in docs.select(
+                "doc_id", rolling_hash_udf(F.col("text"), F.lit(k)).alias("u")
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: r["n"]
+            for r in docs.select(
+                "doc_id", rolling_shingle_hashes(F.col("text"), k).alias("n")
+            ).collect()
+        }
+        for doc_id in got:
+            # native yields NULL/[] for short-or-null; udf yields [] — both
+            # vanish at the posexplode, so normalize for the comparison
+            assert (got[doc_id] or []) == (want[doc_id] or []), (k, doc_id)
