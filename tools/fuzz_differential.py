@@ -204,6 +204,47 @@ def window_query(rng: random.Random) -> str:
     )
 
 
+def setop_query(rng: random.Random) -> str:
+    """Set operations between two filtered projections of one table:
+    UNION (distinct), UNION ALL (multiset), INTERSECT, EXCEPT — ANSI
+    set semantics are identical in both engines and the comparison is
+    already order-insensitive, so no extra normalization is needed."""
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    cols = rng.sample(
+        g.cols["string"] + g.cols["int"], k=rng.randint(1, 3)
+    )
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    sel = ", ".join(cols)
+    return (
+        f"SELECT {sel} FROM {table} WHERE {g.predicate()} "
+        f"{op} SELECT {sel} FROM {table} WHERE {g.predicate()}"
+    )
+
+
+def subquery_query(rng: random.Random) -> str:
+    """IN / NOT IN / EXISTS / NOT EXISTS subqueries over the join-key
+    pairs — the declarative forms Spark plans as semi/anti joins. The
+    TPC-H-ish keys are non-null, so NOT IN's tri-valued-null trap (one
+    NULL in the subquery empties the result) cannot fire asymmetrically."""
+    left, right, lk, rk = rng.choice(JOINS)
+    gl, gr = Gen(rng, left), Gen(rng, right)
+    form = rng.choice(["IN", "NOT IN", "EXISTS", "NOT EXISTS"])
+    inner_pred = gr.predicate(1)
+    if form in ("IN", "NOT IN"):
+        where = f"{lk} {form} (SELECT {rk} FROM {right} WHERE {inner_pred})"
+    else:
+        where = (
+            f"{form} (SELECT 1 FROM {right} "
+            f"WHERE {rk} = {lk} AND {inner_pred})"
+        )
+    group = rng.choice(gl.cols["string"])
+    return (
+        f"SELECT {group}, count(*) AS cnt FROM {left} "
+        f"WHERE {where} GROUP BY {group}"
+    )
+
+
 def norm(rows) -> list[tuple]:
     import math
 
@@ -267,10 +308,14 @@ def main() -> int:
     failures = 0
     for i in range(n):
         roll = rng.random()
-        if roll < 0.3:
+        if roll < 0.25:
             q = join_query(rng)
-        elif roll < 0.5:
+        elif roll < 0.4:
             q = window_query(rng)
+        elif roll < 0.55:
+            q = setop_query(rng)
+        elif roll < 0.7:
+            q = subquery_query(rng)
         else:
             table = rng.choice(list(TABLES))
             q = Gen(rng, table).query(table)
