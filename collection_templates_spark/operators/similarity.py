@@ -381,3 +381,178 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def _pq_codes_udf(codebooks: "np.ndarray"):
+    """vec → per-subspace nearest-codeword ids (array<int>, length m) by
+    ROUNDED cosine with lowest-code tie-break — one GEMM per subspace per
+    Arrow batch, same replayability convention as _centroid_assign_udf."""
+    cb = codebooks.copy()
+    m, _, dsub = cb.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def codes(vecs: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        cols = [
+            _rounded_cosines(
+                X[:, j * dsub : (j + 1) * dsub], cb[j]
+            ).argmax(axis=1)
+            for j in range(m)
+        ]
+        C = np.stack(cols, axis=1).astype("int32")
+        return pd.Series([row.tolist() for row in C])
+
+    return codes
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """Deterministic product-quantization codebooks (m, ks, dim/m): the
+    vector space is split into ``m`` contiguous subspaces and each gets
+    its own ``ks``-codeword k-means — the Jégou/Douze/Schmid 2011 layout
+    whose m·ks codewords address ks^m reconstruction cells with an
+    m-byte code per vector (the compression that makes billion-vector
+    indexes RAM-resident).
+
+    All ``m`` sub-quantizers train in the SAME passes: one codes-UDF
+    assignment + one (subspace, code, dim) mean aggregate per iteration —
+    per-iteration cost is one corpus scan regardless of m, and only
+    m × ks × dim/m doubles (= dim × ks) ever reach the driver.
+
+    ENGINE-REPLAYABLE by the train_ivf_centroids convention: lowest-id
+    init (subvectors of the ks lowest-id vectors), 6dp-rounded assignment
+    cosines with lowest-code ties, 6dp-rounded means, empty codes keep
+    their previous coordinates.
+    """
+    init = (
+        corpus.orderBy(id_col).limit(ks).select(vec_col).collect()
+    )
+    vecs = np.vstack([np.asarray(r[0], dtype=np.float64) for r in init])
+    dim = vecs.shape[1]
+    dsub = dim // m
+    codebooks = np.stack(
+        [vecs[:, j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+    for _ in range(iterations):
+        codes = _pq_codes_udf(codebooks)
+        assigned = corpus.select(
+            codes(F.col(vec_col)).alias("codes"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "v"),
+        ).select(
+            (F.col("pos") / dsub).cast("int").alias("j"),
+            F.element_at(
+                "codes", (F.col("pos") / dsub).cast("int") + 1
+            ).alias("code"),
+            "pos",
+            "v",
+        )
+        means = (
+            assigned.groupBy("j", "code", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("mu"))
+            .collect()
+        )
+        for r in means:
+            codebooks[r["j"], r["code"], r["pos"] - r["j"] * dsub] = r["mu"]
+    return codebooks
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """PQ approximate top-k via asymmetric distance computation (ADC):
+    each corpus vector is reduced to its m-byte code; a query never
+    reconstructs a vector — it precomputes a (m × ks) lookup table of
+    subspace dot products once, and scoring a corpus code is m table
+    lookups + one add chain:
+
+        cos(q, x̂) = Σⱼ lut_q[j, codeⱼ] / (|q| · sqrt(Σⱼ |cb[j, codeⱼ]|²))
+
+    where x̂ is the (never materialized) codeword reconstruction. The
+    scan side touches only the code column — at 100 TB that is m bytes
+    per vector instead of dim × 4, the whole point of PQ; compose with
+    ivf_cosine_topk's cluster routing for the full IVF-PQ layout (the two
+    operators deliberately share the same deterministic trainer
+    machinery). Only the query LUTs (|Q| × dim × ks doubles) and the
+    codebook leave the driver, broadcast; the per-query top-k window is
+    keyed on query_id.
+
+    Deterministic end-to-end (rounded-cosine assignments, 6dp-rounded
+    final scores, id tie-breaks) — the ann_pq_topk driver row is fully
+    ORACLED by replaying the trainer and the ADC formula in SQL, and
+    ann_pq_recall quantifies the lossy-compression recall against brute
+    force.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus,
+            m=m,
+            ks=ks,
+            iterations=iterations,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    m, ks, dsub = codebooks.shape
+    codes = _pq_codes_udf(codebooks)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        codes(F.col(vec_col)).alias("codes"),
+    )
+    # flat (m·ks) codeword squared norms, a literal broadcast into the
+    # score expression
+    normsq = F.array(
+        *[
+            F.lit(float(np.dot(codebooks[j, t], codebooks[j, t])))
+            for j in range(m)
+            for t in range(ks)
+        ]
+    )
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    spark = corpus.sparkSession
+    lut_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        lut = [
+            float(np.dot(qv[j * dsub : (j + 1) * dsub], codebooks[j, t]))
+            for j in range(m)
+            for t in range(ks)
+        ]
+        qnorm = float(np.linalg.norm(qv)) or 1.0
+        lut_rows.append((r["query_id"], lut, qnorm))
+    q = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<double>, qnorm double"
+    )
+    js = F.sequence(F.lit(0), F.lit(m - 1))
+    slot = lambda j: j * ks + F.element_at("codes", j + 1)  # noqa: E731
+    dotsum = F.aggregate(
+        js, F.lit(0.0), lambda acc, j: acc + F.element_at("lut", slot(j) + 1)
+    )
+    nsq = F.aggregate(
+        js, F.lit(0.0), lambda acc, j: acc + F.element_at(normsq, slot(j) + 1)
+    )
+    sim = F.round(dotsum / (F.col("qnorm") * F.sqrt(nsq)), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

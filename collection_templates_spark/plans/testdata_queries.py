@@ -736,6 +736,50 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (round-5 extension completing the ANN
+    family: brute → sign-LSH → IVF → PQ): 16 subspaces × 64 codewords,
+    asymmetric-distance scoring — the corpus is scanned as 96-bit codes,
+    never as vectors. Deterministic trainer (lowest-id init, rounded
+    cosines, rounded means) makes the whole path ORACLE-replayable."""
+    from collection_templates_spark.operators.similarity import (
+        pq_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return pq_cosine_topk(emb, q, k=5, m=16, ks=64, iterations=2)
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of PQ-ADC top-k against brute-force cosine —
+    the quantified lossy-compression signal (≈0.5 on this corpus: 96-bit
+    codes over near-random 64-dim vectors is the adversarial case for
+    PQ; structured production embeddings fare far better)."""
+    from collection_templates_spark.operators.similarity import (
+        cosine_topk,
+        pq_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    brute = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    pq = (
+        pq_cosine_topk(emb, q, k=5, m=16, ks=64, iterations=2)
+        .select("query_id", "neighbor_id")
+        .withColumn("___hit", F.lit(1))
+    )
+    return (
+        brute.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("___hit"), F.lit(0))) / F.lit(5.0), 6
+            ).alias("recall_at_5")
+        )
+    )
+
+
 # embedding near-dup configuration, shared with the generated oracle:
 # τ=0.4 matches the synthetic corpus (best cosines ~0.5 — far looser than
 # a production near-dup regime, where τ≥0.9 makes LSH far MORE selective).
@@ -1200,6 +1244,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_recall": ann_lsh_recall,
     "ann_ivf_recall": ann_ivf_recall,
+    "ann_pq_topk": ann_pq_topk,
+    "ann_pq_recall": ann_pq_recall,
     "decontaminate_ngrams": decontaminate_ngrams,
     "pack_sequences": pack_sequences_windows,
     "text_repetition": text_repetition,
@@ -2064,6 +2110,142 @@ def _ivf_recall_oracle_sql() -> str:
 
 ORACLE_SQL["ann_ivf_topk"] = _ivf_topk_oracle_sql()
 ORACLE_SQL["ann_ivf_recall"] = _ivf_recall_oracle_sql()
+
+
+# ann_pq_topk / ann_pq_recall oracle: product quantization is the IVF
+# k-means replay run once PER SUBSPACE — all m sub-quantizers share each
+# CTE stage keyed by the subspace index j (lowest-id init, 6dp-rounded
+# assignment cosines with lowest-code ties, 6dp-rounded means, empty codes
+# coalesce to their previous codeword). Scoring replays the ADC formula:
+# sim(q, x) = Σⱼ dot(q_subⱼ, cb[j, codeⱼ]) / (|q| · sqrt(Σⱼ |cb[j, codeⱼ]|²)),
+# rounded 6dp like every similarity in the module.
+def _pq_common_ctes(
+    m: int = 16,
+    ks: int = 64,
+    iterations: int = 2,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    dsub = dim // m
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"""sub AS (
+            SELECT e.vec_id, jj.j,
+                   e.emb[jj.j * {dsub} + 1 : (jj.j + 1) * {dsub}] AS s
+            FROM e CROSS JOIN
+                 (SELECT unnest(range({m})) AS j) jj)""",
+        f"""cb0 AS (
+            SELECT j,
+                   CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id)
+                        - 1 AS INT) AS code,
+                   s AS cent
+            FROM sub
+            WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id
+                             LIMIT {ks}))""",
+    ]
+    rcos = "round(list_cosine_similarity(sub.s, c.cent), 6)"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""a{i} AS (
+            SELECT vec_id, j, s, code FROM (
+                SELECT sub.vec_id, sub.j, sub.s, c.code,
+                       row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                           ORDER BY {rcos} DESC, c.code ASC) AS rn
+                FROM sub JOIN cb{i - 1} c ON c.j = sub.j)
+            WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+            SELECT a.j, a.code, p.pos, round(avg(a.s[p.pos]), 6) AS mu
+            FROM a{i} a CROSS JOIN
+                 (SELECT unnest(range(1, {dsub + 1})) AS pos) p
+            GROUP BY a.j, a.code, p.pos)"""
+        )
+        ctes.append(
+            f"""cb{i} AS (
+            SELECT c.j, c.code, coalesce(mm.cent, c.cent) AS cent
+            FROM cb{i - 1} c LEFT JOIN (
+                SELECT j, code, list(mu ORDER BY pos) AS cent
+                FROM m{i} GROUP BY j, code) mm
+            ON c.j = mm.j AND c.code = mm.code)"""
+        )
+    cf = f"cb{iterations}"
+    ctes.append(
+        f"""af AS (
+            SELECT vec_id, j, code FROM (
+                SELECT sub.vec_id, sub.j, c.code,
+                       row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                           ORDER BY {rcos} DESC, c.code ASC) AS rn
+                FROM sub JOIN {cf} c ON c.j = sub.j)
+            WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""nrm AS (
+            SELECT a.vec_id, sum(list_dot_product(c.cent, c.cent)) AS nsq
+            FROM af a JOIN {cf} c ON c.j = a.j AND c.code = a.code
+            GROUP BY a.vec_id)"""
+    )
+    ctes.append(
+        """qn AS (
+            SELECT vec_id, CASE WHEN sqrt(list_dot_product(emb, emb)) = 0
+                                THEN 1.0
+                                ELSE sqrt(list_dot_product(emb, emb))
+                           END AS qnorm
+            FROM e WHERE vec_id < 8)"""
+    )
+    ctes.append(
+        f"""pq AS (
+            SELECT qid, nid, sim, rnk FROM (
+                SELECT s2.qid, s2.nid, s2.sim,
+                       row_number() OVER (PARTITION BY s2.qid
+                           ORDER BY s2.sim DESC, s2.nid ASC) AS rnk
+                FROM (
+                    SELECT qs.vec_id AS qid, a.vec_id AS nid,
+                           round(sum(list_dot_product(qs.s, c.cent))
+                                 / (max(qn.qnorm) * sqrt(max(nrm.nsq))), 6)
+                               AS sim
+                    FROM sub qs
+                    JOIN af a ON a.j = qs.j AND a.vec_id <> qs.vec_id
+                    JOIN {cf} c ON c.j = a.j AND c.code = a.code
+                    JOIN nrm ON nrm.vec_id = a.vec_id
+                    JOIN qn ON qn.vec_id = qs.vec_id
+                    GROUP BY qs.vec_id, a.vec_id) s2)
+            WHERE rnk <= {k})"""
+    )
+    return ",\n        ".join(ctes)
+
+
+def _pq_topk_oracle_sql() -> str:
+    return f"""
+        WITH {_pq_common_ctes()}
+        SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank, sim
+        FROM pq
+    """
+
+
+def _pq_recall_oracle_sql() -> str:
+    return f"""
+        WITH {_pq_common_ctes()},
+        sims AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   round(list_cosine_similarity(q.emb, c.emb), 6) AS sim
+            FROM e q, e c
+            WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        brute AS (
+            SELECT qid, nid FROM (
+                SELECT qid, nid, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+                FROM sims) WHERE rnk <= 5)
+        SELECT b.qid AS query_id,
+               round(sum(CASE WHEN p.nid IS NOT NULL THEN 1 ELSE 0 END) / 5.0,
+                     6) AS recall_at_5
+        FROM brute b LEFT JOIN pq p ON b.qid = p.qid AND b.nid = p.nid
+        GROUP BY b.qid
+    """
+
+
+ORACLE_SQL["ann_pq_topk"] = _pq_topk_oracle_sql()
+ORACLE_SQL["ann_pq_recall"] = _pq_recall_oracle_sql()
 
 # decontamination: same trigram derivation as the jaccard-dedup oracle
 # (normalize → split → distinct 3-grams), benchmark grams deduped, LEFT

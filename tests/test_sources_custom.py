@@ -288,3 +288,57 @@ def test_ivf_ann_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"IVF recall {recall}"
+
+
+def test_pq_adc_recall_and_separable_clusters(spark):
+    """PQ-ADC sanity: on cleanly clustered vectors the codes must separate
+    the clusters perfectly (recall 1.0); on the driver corpus the 16x64
+    config must beat a floor; and the whole path is deterministic."""
+    import numpy as np
+
+    from collection_templates_spark.operators.similarity import (
+        cosine_topk,
+        pq_cosine_topk,
+    )
+
+    # 4 tight clusters in 8-dim: PQ with m=2 subspaces x 8 codes keeps
+    # every same-cluster neighbor ahead of every cross-cluster one
+    rng = np.random.default_rng(11)
+    rows = []
+    for cl in range(4):
+        center = np.zeros(8)
+        center[cl * 2 : cl * 2 + 2] = 10.0
+        for i in range(10):
+            rows.append(
+                (cl * 10 + i, (center + rng.normal(0, 0.1, 8)).tolist())
+            )
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = vecs.filter(F.col("vec_id").isin([0, 10, 20, 30]))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(vecs, q, k=5).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_cosine_topk(vecs, q, k=5, m=2, ks=8).collect()
+    }
+    # every brute-force neighbor is same-cluster, and PQ must agree on
+    # cluster membership; IN-cluster order is beyond a quantizer whose
+    # cells are larger than the intra-cluster noise, so no set-equality
+    assert all(qid // 10 == nid // 10 for qid, nid in exact)
+    for qid, nid in pq:
+        assert qid // 10 == nid // 10, (qid, nid)
+
+    # driver corpus: the query config's measured floor, plus determinism
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dq = emb.filter(F.col("vec_id") < 8)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, dq, k=5).collect()
+    }
+    run1 = pq_cosine_topk(emb, dq, k=5, m=16, ks=64).collect()
+    run2 = pq_cosine_topk(emb, dq, k=5, m=16, ks=64).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+    got = {(r.query_id, r.neighbor_id) for r in run1}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.35, f"PQ recall {recall} (96-bit codes, random vecs)"
