@@ -556,3 +556,117 @@ def pq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def ivfpq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """The composed production ANN layout — IVF cluster routing over
+    PQ-ADC scoring: corpus rows live in inverted lists keyed by their
+    coarse-quantizer cluster AND carry only their m-byte PQ code; a query
+    probes its ``n_probe`` nearest clusters and ADC-scores just those
+    lists, never touching a stored vector.
+
+    This is IVF-Flat routing + PQ storage (codes over RAW vectors; the
+    residual-encoding refinement would quantize x − centroid instead —
+    better cells for the same bits, at the cost of per-cluster
+    codebooks). Cost per query: n_probe/n_clusters of the corpus × m
+    byte-lookups — the shape that serves billion-vector indexes from RAM.
+
+    Both trainers are the deterministic, engine-replayable ones
+    (train_ivf_centroids / train_pq_codebooks); the composition is
+    therefore replayable too — it is kept out of the per-round driver
+    gate only because its oracle would chain BOTH unrolled k-means
+    replays (the parts are each oracled: ann_ivf_topk, ann_pq_topk);
+    tests pin routing ⊆ probed clusters and recall against brute force.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_clusters, vec_col=vec_col, id_col=id_col
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus,
+            m=m,
+            ks=ks,
+            iterations=iterations,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    m, ks, dsub = codebooks.shape
+    assign = _centroid_assign_udf(centroids)
+    codes = _pq_codes_udf(codebooks)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign(F.col(vec_col)).alias("cluster"),
+        codes(F.col(vec_col)).alias("codes"),
+    )
+
+    cents = centroids.copy()
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        order = np.argsort(
+            -_rounded_cosines(X, cents), axis=1, kind="stable"
+        )[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    normsq = F.array(
+        *[
+            F.lit(float(np.dot(codebooks[j, t], codebooks[j, t])))
+            for j in range(m)
+            for t in range(ks)
+        ]
+    )
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        probe_udf(F.col(vec_col)).alias("probes"),
+    ).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        lut = [
+            float(np.dot(qv[j * dsub : (j + 1) * dsub], codebooks[j, t]))
+            for j in range(m)
+            for t in range(ks)
+        ]
+        qnorm = float(np.linalg.norm(qv)) or 1.0
+        for cl in r["probes"]:
+            lut_rows.append((r["query_id"], int(cl), lut, qnorm))
+    q = corpus.sparkSession.createDataFrame(
+        lut_rows,
+        "query_id long, cluster int, lut array<double>, qnorm double",
+    )
+    js = F.sequence(F.lit(0), F.lit(m - 1))
+    slot = lambda j: j * ks + F.element_at("codes", j + 1)  # noqa: E731
+    dotsum = F.aggregate(
+        js, F.lit(0.0), lambda acc, j: acc + F.element_at("lut", slot(j) + 1)
+    )
+    nsq = F.aggregate(
+        js, F.lit(0.0), lambda acc, j: acc + F.element_at(normsq, slot(j) + 1)
+    )
+    sim = F.round(dotsum / (F.col("qnorm") * F.sqrt(nsq)), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

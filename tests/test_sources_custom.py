@@ -342,3 +342,52 @@ def test_pq_adc_recall_and_separable_clusters(spark):
     got = {(r.query_id, r.neighbor_id) for r in run1}
     recall = len(brute & got) / len(brute)
     assert recall >= 0.35, f"PQ recall {recall} (96-bit codes, random vecs)"
+
+
+def test_ivfpq_routing_and_recall(spark):
+    """Composed IVF-PQ: results must come only from probed clusters, ADC
+    sims must equal the PQ-only sims for the same (query, neighbor), and
+    recall vs PQ-only measures just the routing loss."""
+    import numpy as np
+
+    from collection_templates_spark.operators.similarity import (
+        _centroid_assign_udf,
+        ivfpq_cosine_topk,
+        pq_cosine_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+        _rounded_cosines,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    cents = train_ivf_centroids(emb)
+    cbs = train_pq_codebooks(emb, m=16, ks=64, iterations=2)
+    got = ivfpq_cosine_topk(
+        emb, q, k=5, n_probe=4, centroids=cents, codebooks=cbs
+    ).collect()
+    assert {r["query_id"] for r in got} == set(range(8))
+    # routing: every neighbor's assigned cluster is among its query's probes
+    assign = {
+        r["vec_id"]: r["cl"]
+        for r in emb.select(
+            "vec_id", _centroid_assign_udf(cents)(F.col("embedding")).alias("cl")
+        ).collect()
+    }
+    qvecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in q.collect()}
+    for r in got:
+        sims = _rounded_cosines(qvecs[r["query_id"]][None, :], cents)[0]
+        probes = set(np.argsort(-sims, kind="stable")[:4].tolist())
+        assert assign[r["neighbor_id"]] in probes, r
+    # ADC parity: same sim as PQ-only wherever both report a pair
+    pq_sims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in pq_cosine_topk(emb, q, k=50, codebooks=cbs).collect()
+    }
+    overlap = 0
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in pq_sims:
+            assert pq_sims[key] == r["sim"], (key, pq_sims[key], r["sim"])
+            overlap += 1
+    assert overlap > 0
