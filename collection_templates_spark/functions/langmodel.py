@@ -227,3 +227,60 @@ class UnigramModel:
             out.append(text[j:i])
             i = j
         return list(reversed(out))
+
+
+def doc_perplexity(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram perplexity — the classic LM-based quality
+    filter (CCNet/RedPajama-style: documents scoring far from the corpus
+    distribution are dropped or down-weighted before training):
+    ``perplexity = exp(−Σ lp / n)`` under ``model`` (trained on ``docs``
+    itself when not given; production passes a reference-corpus model).
+    Columns: (doc, n_tokens, avg_lp, perplexity). Docs with no analyzer
+    tokens are absent.
+
+    Same determinism convention as score_names: each per-token lp is
+    rounded to 9dp before the sum; OOV tokens take the Laplace floor.
+    Scale: model and its 1-row total broadcast; the only shuffle is the
+    per-doc re-aggregation, partial-combined on the doc key.
+    """
+    if model is None:
+        model = word_frequency_model(docs, text_col)
+    totals = model.agg((F.sum("n") + F.count("*")).alias("___denom"))
+    oov_lp = F.log(F.lit(1.0) / F.col("___denom").cast("double"))
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    joined = (
+        toks.join(F.broadcast(totals))
+        .join(
+            F.broadcast(model.select("token", "log_prob")), "token", "left"
+        )
+        .withColumn(
+            "___lp", F.round(F.coalesce(F.col("log_prob"), oov_lp), 9)
+        )
+    )
+    return (
+        joined.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("___lp").alias("___sum_lp"),
+        )
+        .select(
+            "doc",
+            "n_tokens",
+            F.round(F.col("___sum_lp") / F.col("n_tokens"), 6).alias(
+                "avg_lp"
+            ),
+            F.round(
+                F.exp(-F.col("___sum_lp") / F.col("n_tokens")), 6
+            ).alias("perplexity"),
+        )
+    )

@@ -414,6 +414,33 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in sliding/hopping time window (the Structured
+    Streaming window operator in its batch form): 2-hour windows hopping
+    every hour, so each event lands in exactly two windows — counts and
+    value totals per (window_start, event_type). Oracle: replay the
+    window assignment as date_trunc minus i×slide for i in 0..1."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in session_window (gap-merged event-time sessions, the
     same operator Structured Streaming uses) — one row per session. Oracle:
@@ -1177,6 +1204,16 @@ def text_word_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram perplexity under the corpus's own word model
+    (round-5 LLM-pipeline extension) — the CCNet-style LM quality
+    filter. Model + totals broadcast; one per-doc re-aggregation."""
+    from collection_templates_spark.functions.langmodel import doc_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_perplexity(docs).withColumnRenamed("doc", "doc_id")
+
+
 def scalar_log_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9/F10 real scoring: every part name scored against the documents
     unigram model — log_probability = Σ ln((n+1)/(N+V)) over space-split
@@ -1228,6 +1265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_dedup_keep_first": window_dedup_keep_first,
     "window_sessionize": window_sessionize,
     "window_session_native": window_session_native,
+    "window_hopping": window_hopping,
     "temporal_asof_join": temporal_asof_join,
     "temporal_range_join": temporal_range_join,
     "set_union_membership": set_union_membership,
@@ -1271,6 +1309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal_features,
     "text_word_model": text_word_model,
     "scalar_log_probability": scalar_log_probability,
+    "text_perplexity": text_perplexity,
 }
 
 # Shared oracle for the two jaccard-based dedup queries: the LSH variant is
@@ -1501,6 +1540,15 @@ ORACLE_SQL: dict[str, str] = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         GROUP BY user_id
+    """,
+    "window_hopping": """
+        SELECT strftime(date_trunc('hour', ts) - i.i * INTERVAL 1 HOUR,
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events, (SELECT unnest(range(2)) AS i) i
+        GROUP BY 1, event_type
     """,
     "window_session_native": """
         WITH flagged AS (
@@ -2702,6 +2750,28 @@ ORACLE_SQL["text_word_model"] = f"""
     SELECT token, n,
            round(ln((CAST(n AS DOUBLE) + 1.0) / tot.denom), 6) AS log_prob
     FROM model, tot
+"""
+
+ORACLE_SQL["text_perplexity"] = f"""
+    WITH {_MODEL_CTE},
+    dtok AS (
+        SELECT doc_id, t.token
+        FROM documents,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                 AS t(token)
+        WHERE t.token <> ''
+    ), lp AS (
+        SELECT doc_id,
+               round(ln((CAST(coalesce(m.n, 0) AS DOUBLE) + 1.0) / tot.denom),
+                     9) AS lp
+        FROM dtok
+        LEFT JOIN model m ON dtok.token = m.token
+        CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(lp) / count(*), 6) AS avg_lp,
+           round(exp(-sum(lp) / count(*)), 6) AS perplexity
+    FROM lp GROUP BY doc_id
 """
 
 ORACLE_SQL["scalar_log_probability"] = f"""
