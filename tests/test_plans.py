@@ -104,3 +104,42 @@ def test_session_window_merges_exact_gap_event(spark):
     )
     got = {r.user_id: r.n_sessions for r in out.collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_round5_extension_plans(spark):
+    """Plan-shape regressions for the round-5 corpus operators — the
+    shapes the docstrings/SCALE.md claim, pinned."""
+    # vocab induction: top-V is TakeOrderedAndProject (distributed top-N),
+    # never a single-partition global window; vocab joins back broadcast
+    p = _plan(spark, "vocab_oov")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    # boilerplate: the min_df-thresholded gram set is the BROADCAST side
+    p = _plan(spark, "text_boilerplate")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    # winnowing: both window passes AND the final per-doc aggregate run
+    # off ONE doc-keyed exchange (count hash exchanges, not the _spread
+    # round-robin)
+    p = _plan(spark, "text_winnowing")
+    assert p.count("hashpartitioning") == 1, p
+    # containment: bucket-collect, no join back for sizes (they ride in
+    # the bucket struct) — so no broadcast join and no sort-merge join
+    # below the pair aggregate, and never a cartesian product
+    p = _plan(spark, "text_containment")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p, p
+    # stratified sampling: pure scan-level filter — no exchange at all,
+    # and the hash-threshold filter sits in the plan
+    p = _plan(spark, "sample_stratified")
+    assert "Exchange" not in p, p
+    # perplexity: model + totals broadcast; one shuffle for the per-doc
+    # aggregate (plus the model-count shuffle), no sort-merge join
+    p = _plan(spark, "text_perplexity")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # decontamination (r4 family, same contract): benchmark broadcast
+    p = _plan(spark, "decontaminate_ngrams")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
