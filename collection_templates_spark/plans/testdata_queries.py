@@ -980,6 +980,18 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_containment_pairs(docs, k=20, w=8, min_shared=2)
 
 
+def export_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export manifest (round-5 LLM-pipeline extension): per
+    (split, shard) doc and token counts under deterministic hash
+    sharding, shard counts sized from each split's token total — the
+    assignment the partitioned shard writer materializes, fully in-flow
+    (per-split totals broadcast back, nothing on the driver)."""
+    from collection_templates_spark.operators.export import export_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return export_manifest(docs, tokens_per_shard=5000)
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style top-2-gram repetition fraction per document (round-5
     LLM-pipeline extension): boilerplate/template spam scores high."""
@@ -1294,6 +1306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_plan": mixture_plan_q,
     "vocab_oov": vocab_oov_q,
     "text_boilerplate": text_boilerplate,
+    "export_manifest": export_manifest_q,
     "text_winnowing": text_winnowing,
     "text_containment": text_containment,
     "text_stats": text_stats,
@@ -2491,6 +2504,50 @@ ORACLE_SQL["sample_stratified"] = """
                                       WHEN 'src1' THEN 500000
                                       WHEN 'src2' THEN 250000
                                       ELSE 100000 END
+"""
+
+# export manifest: split via the 'split:' hash (as split_assignment),
+# shard via the 'shard:' hash mod a per-split shard count sized from the
+# split's BPE-ish token total (ceil(tokens/5000), min 1)
+ORACLE_SQL["export_manifest"] = """
+    WITH base AS (
+        SELECT doc_id,
+               coalesce(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')), 0) AS n_tokens,
+               (list_reduce(list_prepend(0::BIGINT,
+                    [ascii(c)::BIGINT for c in
+                     string_split('split:' || CAST(doc_id AS VARCHAR), '')]),
+                    (acc, x) -> (acc * 31 + x) % 2147483647) * 2147483648
+                + list_reduce(list_prepend(0::BIGINT,
+                    [ascii(c)::BIGINT for c in
+                     string_split('split:' || CAST(doc_id AS VARCHAR), '')]),
+                    (acc, x) -> (acc * 37 + x) % 2147483647)) % 10000 AS sb,
+               (list_reduce(list_prepend(0::BIGINT,
+                    [ascii(c)::BIGINT for c in
+                     string_split('shard:' || CAST(doc_id AS VARCHAR), '')]),
+                    (acc, x) -> (acc * 31 + x) % 2147483647) * 2147483648
+                + list_reduce(list_prepend(0::BIGINT,
+                    [ascii(c)::BIGINT for c in
+                     string_split('shard:' || CAST(doc_id AS VARCHAR), '')]),
+                    (acc, x) -> (acc * 37 + x) % 2147483647)) AS shard_hash
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n_tokens, shard_hash,
+               CASE WHEN sb < 9000 THEN 'train'
+                    WHEN sb < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM base
+    ), tot AS (
+        SELECT split,
+               greatest(CAST(ceil(sum(n_tokens) / 5000) AS BIGINT), 1)
+                   AS n_shards
+        FROM s GROUP BY split
+    )
+    SELECT s.split, s.shard_hash % tot.n_shards AS shard,
+           count(*) AS n_docs,
+           CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens
+    FROM s JOIN tot ON s.split = tot.split
+    GROUP BY 1, 2
 """
 
 # mixture plan: per-language BPE-ish token totals (same regexp as
