@@ -469,6 +469,7 @@ def pq_cosine_topk(
     m: int = 8,
     ks: int = 16,
     iterations: int = 3,
+    rerank: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: "np.ndarray | None" = None,
@@ -549,8 +550,52 @@ def pq_cosine_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
-    return (
+    adc = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (rerank if rerank else k))
+    )
+    if rerank:
+        # PQ refinement: exact-cosine re-rank of the ADC top-``rerank`` —
+        # recovers the within-cell ordering quantization cannot resolve
+        return _exact_rerank(
+            adc.select("query_id", "neighbor_id"),
+            corpus,
+            queries,
+            k,
+            id_col,
+            vec_col,
+        )
+    return adc.select("query_id", "neighbor_id", "rank", "sim")
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of an approximate candidate set — the
+    standard PQ refinement step (ADC orders a coarse top-R, stored
+    vectors are fetched ONLY for those R rows per query, then exact
+    similarity picks the final top-k). Shuffle cost: |cand| rows join
+    the corpus on the id — bounded by queries × R, never corpus-sized."""
+    n = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    sim = F.round(cosine(F.col("query_vec"), F.col("vec")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(n, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -567,6 +612,7 @@ def ivfpq_cosine_topk(
     m: int = 8,
     ks: int = 16,
     iterations: int = 3,
+    rerank: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: "np.ndarray | None" = None,
@@ -662,11 +708,20 @@ def ivfpq_cosine_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
-    return (
+    adc = (
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
+        .filter(F.col("rank") <= (rerank if rerank else k))
     )
+    if rerank:
+        return _exact_rerank(
+            adc.select("query_id", "neighbor_id"),
+            corpus,
+            queries,
+            k,
+            id_col,
+            vec_col,
+        )
+    return adc.select("query_id", "neighbor_id", "rank", "sim")

@@ -822,6 +822,24 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with exact refinement (round-5 extension): ADC orders a coarse
+    top-50, stored vectors are fetched only for those rows, exact cosine
+    picks the final top-5 — recall jumps 0.475 → 0.925 on this corpus
+    for a 50-vector-per-query fetch. The production serving pattern
+    (quantized scan + bounded refine), fully ORACLED."""
+    from collection_templates_spark.operators.similarity import (
+        pq_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return pq_cosine_topk(
+        emb, q, k=5, m=16, ks=64, rerank=50,
+        codebooks=_pq_codebooks_for(spark, sf_dir),
+    )
+
+
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@5 of PQ-ADC top-k against brute-force cosine —
     the quantified lossy-compression signal (≈0.5 on this corpus: 96-bit
@@ -1340,6 +1358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall": ann_lsh_recall,
     "ann_ivf_recall": ann_ivf_recall,
     "ann_pq_topk": ann_pq_topk,
+    "ann_pq_rerank": ann_pq_rerank,
     "ann_pq_recall": ann_pq_recall,
     "decontaminate_ngrams": decontaminate_ngrams,
     "pack_sequences": pack_sequences_windows,
@@ -2350,7 +2369,27 @@ def _pq_recall_oracle_sql() -> str:
     """
 
 
+def _pq_rerank_oracle_sql(coarse: int = 50, k: int = 5) -> str:
+    return f"""
+        WITH {_pq_common_ctes(k=coarse)},
+        ex AS (
+            SELECT p.qid, p.nid,
+                   round(list_cosine_similarity(q.emb, n.emb), 6) AS sim
+            FROM pq p
+            JOIN e q ON q.vec_id = p.qid
+            JOIN e n ON n.vec_id = p.nid)
+        SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank, sim
+        FROM (
+            SELECT qid, nid, sim,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, nid ASC) AS rnk
+            FROM ex)
+        WHERE rnk <= {k}
+    """
+
+
 ORACLE_SQL["ann_pq_topk"] = _pq_topk_oracle_sql()
+ORACLE_SQL["ann_pq_rerank"] = _pq_rerank_oracle_sql()
 ORACLE_SQL["ann_pq_recall"] = _pq_recall_oracle_sql()
 
 # decontamination: same trigram derivation as the jaccard-dedup oracle

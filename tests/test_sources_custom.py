@@ -391,3 +391,40 @@ def test_ivfpq_routing_and_recall(spark):
             assert pq_sims[key] == r["sim"], (key, pq_sims[key], r["sim"])
             overlap += 1
     assert overlap > 0
+
+
+def test_pq_rerank_refinement(spark):
+    """PQ + exact refinement: rerank must (a) return sims equal to the
+    EXACT cosine (not the ADC approximation), (b) lift recall vs the
+    unrefined path, and (c) never return more than k rows per query."""
+    from collection_templates_spark.operators.similarity import (
+        cosine_topk,
+        pq_cosine_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    cbs = train_pq_codebooks(emb, m=16, ks=64, iterations=2)
+    brute = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_cosine_topk(emb, q, k=5, codebooks=cbs).collect()
+    }
+    refined = pq_cosine_topk(
+        emb, q, k=5, codebooks=cbs, rerank=50
+    ).collect()
+    per_q = {}
+    for r in refined:
+        per_q.setdefault(r.query_id, []).append(r)
+        key = (r.query_id, r.neighbor_id)
+        if key in brute:
+            # refined sims are EXACT cosines — identical to brute force
+            assert brute[key] == r.sim, (key, brute[key], r.sim)
+    assert all(len(v) == 5 for v in per_q.values())
+    r_plain = len(set(brute) & plain) / len(brute)
+    r_ref = len(set(brute) & {(r.query_id, r.neighbor_id) for r in refined}) / len(brute)
+    assert r_ref > r_plain and r_ref >= 0.85, (r_plain, r_ref)
