@@ -383,20 +383,36 @@ def lsh_cosine_topk(
     )
 
 
-def _pq_codes_udf(codebooks: "np.ndarray"):
+def _rounded_neg_l2sq(m: "np.ndarray", centroids: "np.ndarray") -> "np.ndarray":
+    """(rows × k) NEGATED squared L2 distances, rounded 6dp — argmax picks
+    the L2-nearest codeword with the same lowest-id tie convention as the
+    cosine path. Used by the residual PQ variant: residual vectors are
+    small noise whose MAGNITUDE matters for reconstruction, so cosine
+    (which normalizes it away) picks direction-aligned codewords of the
+    wrong length."""
+    d = (
+        np.sum(m * m, axis=1)[:, None]
+        - 2.0 * (m @ centroids.T)
+        + np.sum(centroids * centroids, axis=1)[None, :]
+    )
+    return np.round(-d, 6)
+
+
+def _pq_codes_udf(codebooks: "np.ndarray", metric: str = "cosine"):
     """vec → per-subspace nearest-codeword ids (array<int>, length m) by
-    ROUNDED cosine with lowest-code tie-break — one GEMM per subspace per
-    Arrow batch, same replayability convention as _centroid_assign_udf."""
+    ROUNDED similarity with lowest-code tie-break — one GEMM per subspace
+    per Arrow batch, same replayability convention as
+    _centroid_assign_udf. ``metric``: 'cosine' (the oracled raw-vector
+    path) or 'l2' (the residual path — see _rounded_neg_l2sq)."""
     cb = codebooks.copy()
     m, _, dsub = cb.shape
+    score = _rounded_cosines if metric == "cosine" else _rounded_neg_l2sq
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def codes(vecs: pd.Series) -> pd.Series:
         X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         cols = [
-            _rounded_cosines(
-                X[:, j * dsub : (j + 1) * dsub], cb[j]
-            ).argmax(axis=1)
+            score(X[:, j * dsub : (j + 1) * dsub], cb[j]).argmax(axis=1)
             for j in range(m)
         ]
         C = np.stack(cols, axis=1).astype("int32")
@@ -412,6 +428,7 @@ def train_pq_codebooks(
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    metric: str = "cosine",
 ) -> "np.ndarray":
     """Deterministic product-quantization codebooks (m, ks, dim/m): the
     vector space is split into ``m`` contiguous subspaces and each gets
@@ -440,7 +457,7 @@ def train_pq_codebooks(
         [vecs[:, j * dsub : (j + 1) * dsub] for j in range(m)]
     )
     for _ in range(iterations):
-        codes = _pq_codes_udf(codebooks)
+        codes = _pq_codes_udf(codebooks, metric)
         assigned = corpus.select(
             codes(F.col(vec_col)).alias("codes"),
             F.posexplode(_as_double(F.col(vec_col))).alias("pos", "v"),
@@ -705,6 +722,219 @@ def ivfpq_cosine_topk(
         js, F.lit(0.0), lambda acc, j: acc + F.element_at(normsq, slot(j) + 1)
     )
     sim = F.round(dotsum / (F.col("qnorm") * F.sqrt(nsq)), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    adc = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (rerank if rerank else k))
+    )
+    if rerank:
+        return _exact_rerank(
+            adc.select("query_id", "neighbor_id"),
+            corpus,
+            queries,
+            k,
+            id_col,
+            vec_col,
+        )
+    return adc.select("query_id", "neighbor_id", "rank", "sim")
+
+
+def _residual_encode_udf(
+    centroids: "np.ndarray", codebooks: "np.ndarray"
+):
+    """vec → (cluster, codes, recon_normsq): coarse-assign, PQ-encode the
+    RESIDUAL vec − centroid, and compute the exact reconstruction norm
+    |centroid + decode(codes)|² at index time (one float per vector — the
+    FAISS IVFPQ trick that lets cosine/IP scoring stay decomposable;
+    cross terms between centroid and codewords make it underivable from
+    codebook norms alone)."""
+    cents = centroids.copy()
+    cb = codebooks.copy()
+    m, _, dsub = cb.shape
+    out_type = (
+        "struct<cluster:int, codes:array<int>, recon_normsq:double>"
+    )
+
+    @F.pandas_udf(out_type)
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        cl = _rounded_cosines(X, cents).argmax(axis=1)
+        R = X - cents[cl]
+        # L2 codeword choice: residual magnitude matters (see
+        # _rounded_neg_l2sq) — must match train_residual_pq's metric
+        codes = np.stack(
+            [
+                _rounded_neg_l2sq(
+                    R[:, j * dsub : (j + 1) * dsub], cb[j]
+                ).argmax(axis=1)
+                for j in range(m)
+            ],
+            axis=1,
+        )
+        recon = cents[cl] + np.concatenate(
+            [cb[j][codes[:, j]] for j in range(m)], axis=1
+        )
+        return pd.DataFrame(
+            {
+                "cluster": cl.astype("int32"),
+                "codes": [row.astype("int32").tolist() for row in codes],
+                "recon_normsq": np.einsum("ij,ij->i", recon, recon),
+            }
+        )
+
+    return encode
+
+
+def train_residual_pq(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: "np.ndarray | None" = None,
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """(centroids, residual codebooks) — the true IVF-PQ training: the
+    sub-quantizers learn vec − centroid, so their ks^m cells resolve
+    WITHIN-cluster structure instead of re-describing the coarse cluster
+    layout (the failure mode raw-vector PQ shows on clustered data:
+    tools/stress_vectors.py measures recall 0.12 raw vs see
+    test_residual_ivfpq for the residual number).
+
+    The residual column is pure dataflow: coarse-assign UDF + a broadcast
+    join against the (n_clusters × dim) centroid table + one zip_with
+    subtract — then the standard deterministic PQ trainer runs unchanged
+    on that derived column."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_clusters, vec_col=vec_col, id_col=id_col
+        )
+    assign = _centroid_assign_udf(centroids)
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(int(i), centroids[i].tolist()) for i in range(len(centroids))],
+        "cluster int, cent array<double>",
+    )
+    residuals = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("___v"),
+            assign(F.col(vec_col)).alias("cluster"),
+        )
+        .join(F.broadcast(cent_df), "cluster")
+        .select(
+            id_col,
+            F.zip_with(
+                _as_double(F.col("___v")),
+                F.col("cent"),
+                lambda a, b: a - b,
+            ).alias(vec_col),
+        )
+    )
+    codebooks = train_pq_codebooks(
+        residuals,
+        m=m,
+        ks=ks,
+        iterations=iterations,
+        vec_col=vec_col,
+        id_col=id_col,
+        metric="l2",
+    )
+    return centroids, codebooks
+
+
+def residual_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    iterations: int = 3,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Residual-encoding IVF-PQ (the FAISS IVFPQ layout): inverted lists
+    keyed by coarse cluster, each row storing its m-byte RESIDUAL code
+    plus one reconstruction-norm float; scoring decomposes as
+
+        cos(q, x̂) = (dot(q, c_cl) + Σⱼ lut_q[j, codeⱼ])
+                     / (|q| · sqrt(recon_normsq))
+
+    — dot(q, centroid) is one constant per (query, probed cluster), the
+    LUT is the same m×ks table raw PQ uses (residual codewords dotted
+    with RAW query subvectors — linearity of the inner product), and the
+    stored norm restores exactness of the denominator. Same cost shape
+    as ivfpq_cosine_topk; strictly better cells for the same bits."""
+    if centroids is None or codebooks is None:
+        centroids, codebooks = train_residual_pq(
+            corpus,
+            n_clusters,
+            m,
+            ks,
+            iterations,
+            vec_col=vec_col,
+            id_col=id_col,
+            centroids=centroids,
+        )
+    m, ks, dsub = codebooks.shape
+    encode = _residual_encode_udf(centroids, codebooks)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        encode(F.col(vec_col)).alias("e"),
+    ).select(
+        "neighbor_id", "e.cluster", "e.codes", "e.recon_normsq"
+    )
+
+    cents = centroids.copy()
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        order = np.argsort(
+            -_rounded_cosines(X, cents), axis=1, kind="stable"
+        )[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        probe_udf(F.col(vec_col)).alias("probes"),
+    ).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        lut = [
+            float(np.dot(qv[j * dsub : (j + 1) * dsub], codebooks[j, t]))
+            for j in range(m)
+            for t in range(ks)
+        ]
+        qnorm = float(np.linalg.norm(qv)) or 1.0
+        for cl in r["probes"]:
+            qc = float(np.dot(qv, centroids[int(cl)]))
+            lut_rows.append((r["query_id"], int(cl), qc, lut, qnorm))
+    q = corpus.sparkSession.createDataFrame(
+        lut_rows,
+        "query_id long, cluster int, qc double, lut array<double>, "
+        "qnorm double",
+    )
+    js = F.sequence(F.lit(0), F.lit(m - 1))
+    slot = lambda j: j * ks + F.element_at("codes", j + 1)  # noqa: E731
+    dotsum = F.col("qc") + F.aggregate(
+        js, F.lit(0.0), lambda acc, j: acc + F.element_at("lut", slot(j) + 1)
+    )
+    sim = F.round(
+        dotsum / (F.col("qnorm") * F.sqrt(F.col("recon_normsq"))), 6
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )

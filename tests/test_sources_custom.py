@@ -428,3 +428,66 @@ def test_pq_rerank_refinement(spark):
     r_plain = len(set(brute) & plain) / len(brute)
     r_ref = len(set(brute) & {(r.query_id, r.neighbor_id) for r in refined}) / len(brute)
     assert r_ref > r_plain and r_ref >= 0.85, (r_plain, r_ref)
+
+
+def test_residual_ivfpq_beats_raw_on_clustered_vectors(spark):
+    """The residual encoding's whole point: on clustered data, raw-vector
+    PQ codes re-describe the cluster layout and cannot rank within a
+    cluster, while residual codes spend their bits on within-cluster
+    structure. Same bits, measured recall gap."""
+    import numpy as np
+
+    from collection_templates_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_cosine_topk,
+        residual_ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+        train_residual_pq,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(0, 1, (8, 32))
+    assign = rng.integers(0, 8, 400)
+    vecs = centers[assign] + rng.normal(0, 0.25, (400, 32))
+    emb = spark.createDataFrame(
+        [(int(i), vecs[i].tolist()) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    cents = train_ivf_centroids(emb, n_clusters=8)
+    raw_cb = train_pq_codebooks(emb, m=16, ks=32, iterations=2)
+    raw = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_cosine_topk(
+            emb, q, k=5, n_clusters=8, n_probe=3, m=16, ks=32,
+            centroids=cents, codebooks=raw_cb,
+        ).collect()
+    }
+    _, res_cb = train_residual_pq(
+        emb, n_clusters=8, m=16, ks=32, iterations=2, centroids=cents
+    )
+    res = {
+        (r.query_id, r.neighbor_id)
+        for r in residual_ivfpq_topk(
+            emb, q, k=5, n_clusters=8, n_probe=3, m=16, ks=32,
+            centroids=cents, codebooks=res_cb,
+        ).collect()
+    }
+    r_raw = len(brute & raw) / len(brute)
+    r_res = len(brute & res) / len(brute)
+    assert r_res > r_raw, (r_raw, r_res)
+    assert r_res >= 0.5, (r_raw, r_res)
+    # determinism of the full residual path
+    res2 = {
+        (r.query_id, r.neighbor_id)
+        for r in residual_ivfpq_topk(
+            emb, q, k=5, n_clusters=8, n_probe=3, m=16, ks=32,
+            centroids=cents, codebooks=res_cb,
+        ).collect()
+    }
+    assert res == res2

@@ -120,6 +120,25 @@ def main() -> None:
     )
     out["ops"]["ivfpq_r500"]["recall"] = recall(got)
 
+    from collection_templates_spark.operators.similarity import (
+        residual_ivfpq_topk,
+        train_residual_pq,
+    )
+
+    t0 = time.time()
+    _, res_cbs = train_residual_pq(
+        emb, n_clusters=64, m=16, ks=64, iterations=2, centroids=cents
+    )
+    out["ops"]["respq_train"] = {"wall_s": round(time.time() - t0, 1)}
+    got = run(
+        "residual_ivfpq",
+        lambda: residual_ivfpq_topk(
+            emb, q, k=k, n_clusters=64, n_probe=8, m=16, ks=64,
+            centroids=cents, codebooks=res_cbs,
+        ).collect(),
+    )
+    out["ops"]["residual_ivfpq"]["recall"] = recall(got)
+
     print(json.dumps(out))
 
 
