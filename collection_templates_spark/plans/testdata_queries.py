@@ -840,6 +840,49 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _respq_codebooks_for(spark: SparkSession, sf_dir: str):
+    """Residual PQ codebooks trained against the memoized coarse
+    centroids (same deterministic trainers; key separate from the raw-PQ
+    memo because the codebooks quantize x − centroid under L2)."""
+    from collection_templates_spark.operators.similarity import (
+        train_residual_pq,
+    )
+
+    key = ("respq", sf_dir)
+    if key not in _TRAINER_MEMO:
+        _, cbs = train_residual_pq(
+            _t(spark, sf_dir, "embeddings"),
+            n_clusters=16,
+            m=16,
+            ks=16,
+            iterations=2,
+            centroids=_ivf_centroids_for(spark, sf_dir),
+        )
+        _TRAINER_MEMO[key] = cbs
+    return _TRAINER_MEMO[key]
+
+
+def ann_respq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoding IVF-PQ (round-5 extension — the FAISS IVFPQ
+    layout): inverted lists keyed by the coarse cluster, rows storing
+    m-byte codes of the RESIDUAL x − centroid (L2 codeword choice; the
+    codes resolve within-cluster structure) plus one reconstruction-norm
+    float that keeps cosine scoring exact-denominator. Fully ORACLED:
+    the DuckDB SQL replays the coarse k-means, the residual L2 k-means,
+    the encode and the decomposed ADC score."""
+    from collection_templates_spark.operators.similarity import (
+        residual_ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return residual_ivfpq_topk(
+        emb, q, k=5, n_clusters=16, n_probe=4, m=16, ks=16,
+        centroids=_ivf_centroids_for(spark, sf_dir),
+        codebooks=_respq_codebooks_for(spark, sf_dir),
+    )
+
+
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@5 of PQ-ADC top-k against brute-force cosine —
     the quantified lossy-compression signal (≈0.5 on this corpus: 96-bit
@@ -1359,6 +1402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": ann_ivf_recall,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
+    "ann_respq_topk": ann_respq_topk,
     "ann_pq_recall": ann_pq_recall,
     "decontaminate_ngrams": decontaminate_ngrams,
     "pack_sequences": pack_sequences_windows,
@@ -2391,6 +2435,219 @@ def _pq_rerank_oracle_sql(coarse: int = 50, k: int = 5) -> str:
 ORACLE_SQL["ann_pq_topk"] = _pq_topk_oracle_sql()
 ORACLE_SQL["ann_pq_rerank"] = _pq_rerank_oracle_sql()
 ORACLE_SQL["ann_pq_recall"] = _pq_recall_oracle_sql()
+
+
+# ann_respq_topk oracle: residual-encoding IVF-PQ — three mechanical
+# replays chained: (1) the coarse k-means, verbatim from the IVF oracle;
+# (2) a per-subspace k-means over RESIDUALS vec − centroid, assignments
+# by 6dp-rounded NEGATED squared L2 (the operator's metric="l2" —
+# magnitude matters for reconstruction) with lowest-code ties; (3) the
+# decomposed ADC score (dot(q, centroid) + Σⱼ lut) over the exact
+# reconstruction norm |centroid + decode(codes)|², recomputed from the
+# replayed reconstruction. Residual coordinates are single IEEE
+# subtractions of parquet values and 6dp-rounded centroid means, so both
+# engines derive bit-identical residuals; every comparison that feeds a
+# discrete choice is rounded before comparing.
+def _respq_oracle_sql(
+    n_clusters: int = 16,
+    coarse_iters: int = 3,
+    n_probe: int = 4,
+    m: int = 16,
+    ks: int = 16,
+    pq_iters: int = 2,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    dsub = dim // m
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"""c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cluster,
+                   emb AS cent
+            FROM (SELECT vec_id, emb FROM e
+                  ORDER BY vec_id LIMIT {n_clusters}))""",
+    ]
+    rcos = "round(list_cosine_similarity(e.emb, c.cent), 6)"
+    for i in range(1, coarse_iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+            SELECT vec_id, emb, cluster FROM (
+                SELECT e.vec_id, e.emb, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {rcos} DESC, c.cluster ASC) AS rn
+                FROM e CROSS JOIN c{i - 1} c)
+            WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+            SELECT a.cluster, p.pos, round(avg(a.emb[p.pos]), 6) AS mu
+            FROM a{i} a CROSS JOIN
+                 (SELECT unnest(range(1, {dim + 1})) AS pos) p
+            GROUP BY a.cluster, p.pos)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+            SELECT c.cluster, coalesce(mm.cent, c.cent) AS cent
+            FROM c{i - 1} c LEFT JOIN (
+                SELECT cluster, list(mu ORDER BY pos) AS cent
+                FROM m{i} GROUP BY cluster) mm
+            ON c.cluster = mm.cluster)"""
+        )
+    cf = f"c{coarse_iters}"
+    ctes.append(
+        f"""af AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {rcos} DESC, c.cluster ASC) AS rn
+                FROM e CROSS JOIN {cf} c)
+            WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""res AS (
+            SELECT e.vec_id, a.cluster,
+                   list_transform(range(1, {dim + 1}),
+                       p -> e.emb[p] - c.cent[p]) AS r
+            FROM e JOIN af a ON a.vec_id = e.vec_id
+            JOIN {cf} c ON c.cluster = a.cluster)"""
+    )
+    ctes.append(
+        f"""rsub AS (
+            SELECT vec_id, jj.j,
+                   r[jj.j * {dsub} + 1 : (jj.j + 1) * {dsub}] AS s
+            FROM res CROSS JOIN
+                 (SELECT unnest(range({m})) AS j) jj)"""
+    )
+    ctes.append(
+        f"""rb0 AS (
+            SELECT j,
+                   CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id)
+                        - 1 AS INT) AS code,
+                   s AS cent
+            FROM rsub
+            WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id
+                             LIMIT {ks}))"""
+    )
+    rl2 = (
+        "round(-(list_dot_product(rsub.s, rsub.s)"
+        " - 2 * list_dot_product(rsub.s, c.cent)"
+        " + list_dot_product(c.cent, c.cent)), 6)"
+    )
+    for i in range(1, pq_iters + 1):
+        ctes.append(
+            f"""ra{i} AS (
+            SELECT vec_id, j, s, code FROM (
+                SELECT rsub.vec_id, rsub.j, rsub.s, c.code,
+                       row_number() OVER (PARTITION BY rsub.vec_id, rsub.j
+                           ORDER BY {rl2} DESC, c.code ASC) AS rn
+                FROM rsub JOIN rb{i - 1} c ON c.j = rsub.j)
+            WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""rm{i} AS (
+            SELECT a.j, a.code, p.pos, round(avg(a.s[p.pos]), 6) AS mu
+            FROM ra{i} a CROSS JOIN
+                 (SELECT unnest(range(1, {dsub + 1})) AS pos) p
+            GROUP BY a.j, a.code, p.pos)"""
+        )
+        ctes.append(
+            f"""rb{i} AS (
+            SELECT c.j, c.code, coalesce(mm.cent, c.cent) AS cent
+            FROM rb{i - 1} c LEFT JOIN (
+                SELECT j, code, list(mu ORDER BY pos) AS cent
+                FROM rm{i} GROUP BY j, code) mm
+            ON c.j = mm.j AND c.code = mm.code)"""
+        )
+    rbf = f"rb{pq_iters}"
+    ctes.append(
+        f"""raf AS (
+            SELECT vec_id, j, code FROM (
+                SELECT rsub.vec_id, rsub.j, c.code,
+                       row_number() OVER (PARTITION BY rsub.vec_id, rsub.j
+                           ORDER BY {rl2} DESC, c.code ASC) AS rn
+                FROM rsub JOIN {rbf} c ON c.j = rsub.j)
+            WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""rec AS (
+            SELECT rf.vec_id, flatten(list(rb.cent ORDER BY rf.j)) AS rw
+            FROM raf rf JOIN {rbf} rb ON rb.j = rf.j AND rb.code = rf.code
+            GROUP BY rf.vec_id)"""
+    )
+    ctes.append(
+        f"""nrm AS (
+            SELECT vec_id, list_dot_product(recon, recon) AS nsq FROM (
+                SELECT r.vec_id,
+                       list_transform(range(1, {dim + 1}),
+                           p -> c.cent[p] + r.rw[p]) AS recon
+                FROM rec r
+                JOIN af a ON a.vec_id = r.vec_id
+                JOIN {cf} c ON c.cluster = a.cluster))"""
+    )
+    ctes.append(
+        f"""probe AS (
+            SELECT vec_id AS qid, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {rcos} DESC, c.cluster ASC) AS rn
+                FROM e CROSS JOIN {cf} c
+                WHERE e.vec_id < 8)
+            WHERE rn <= {n_probe})"""
+    )
+    ctes.append(
+        """qn AS (
+            SELECT vec_id, CASE WHEN sqrt(list_dot_product(emb, emb)) = 0
+                                THEN 1.0
+                                ELSE sqrt(list_dot_product(emb, emb))
+                           END AS qnorm
+            FROM e WHERE vec_id < 8)"""
+    )
+    ctes.append(
+        f"""qsub AS (
+            SELECT vec_id, jj.j,
+                   emb[jj.j * {dsub} + 1 : (jj.j + 1) * {dsub}] AS s
+            FROM e CROSS JOIN (SELECT unnest(range({m})) AS j) jj
+            WHERE vec_id < 8)"""
+    )
+    ctes.append(
+        f"""cand AS (
+            SELECT p.qid, a.vec_id AS nid, p.cluster
+            FROM probe p
+            JOIN af a ON a.cluster = p.cluster AND a.vec_id <> p.qid)"""
+    )
+    ctes.append(
+        f"""scored AS (
+            SELECT cd.qid, cd.nid,
+                   round((max(qc.qc) + sum(list_dot_product(qs.s, rb.cent)))
+                         / (max(qn.qnorm) * sqrt(max(nrm.nsq))), 6) AS sim
+            FROM cand cd
+            JOIN raf rf ON rf.vec_id = cd.nid
+            JOIN {rbf} rb ON rb.j = rf.j AND rb.code = rf.code
+            JOIN qsub qs ON qs.vec_id = cd.qid AND qs.j = rf.j
+            JOIN qn ON qn.vec_id = cd.qid
+            JOIN nrm ON nrm.vec_id = cd.nid
+            JOIN (SELECT e.vec_id AS qid, c.cluster,
+                         list_dot_product(e.emb, c.cent) AS qc
+                  FROM e JOIN {cf} c ON TRUE
+                  WHERE e.vec_id < 8) qc
+                ON qc.qid = cd.qid AND qc.cluster = cd.cluster
+            GROUP BY cd.qid, cd.nid)"""
+    )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank, sim
+        FROM (
+            SELECT qid, nid, sim,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, nid ASC) AS rnk
+            FROM scored)
+        WHERE rnk <= {k}
+    """
+
+
+ORACLE_SQL["ann_respq_topk"] = _respq_oracle_sql()
 
 # decontamination: same trigram derivation as the jaccard-dedup oracle
 # (normalize → split → distinct 3-grams), benchmark grams deduped, LEFT
