@@ -883,6 +883,38 @@ def ann_respq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_respq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of residual IVF-PQ against brute-force cosine —
+    the third quantified ANN-quality signal (LSH, raw PQ, residual PQ),
+    fully ORACLED via the same chained replay as ann_respq_topk."""
+    from collection_templates_spark.operators.similarity import (
+        cosine_topk,
+        residual_ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    brute = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    res = (
+        residual_ivfpq_topk(
+            emb, q, k=5, n_clusters=16, n_probe=4, m=16, ks=16,
+            centroids=_ivf_centroids_for(spark, sf_dir),
+            codebooks=_respq_codebooks_for(spark, sf_dir),
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("___hit", F.lit(1))
+    )
+    return (
+        brute.join(res, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("___hit"), F.lit(0))) / F.lit(5.0), 6
+            ).alias("recall_at_5")
+        )
+    )
+
+
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@5 of PQ-ADC top-k against brute-force cosine —
     the quantified lossy-compression signal (≈0.5 on this corpus: 96-bit
@@ -1403,6 +1435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
     "ann_respq_topk": ann_respq_topk,
+    "ann_respq_recall": ann_respq_recall,
     "ann_pq_recall": ann_pq_recall,
     "decontaminate_ngrams": decontaminate_ngrams,
     "pack_sequences": pack_sequences_windows,
@@ -2648,6 +2681,35 @@ def _respq_oracle_sql(
 
 
 ORACLE_SQL["ann_respq_topk"] = _respq_oracle_sql()
+
+
+def _respq_recall_oracle_sql() -> str:
+    base = _respq_oracle_sql()
+    # reuse the full replay as a subquery: wrap its SELECT as `resq`
+    inner = base.strip().rstrip()
+    return f"""
+        WITH resq AS ({inner}),
+        e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        sims AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   round(list_cosine_similarity(q.emb, c.emb), 6) AS sim
+            FROM e2 q, e2 c
+            WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        brute AS (
+            SELECT qid, nid FROM (
+                SELECT qid, nid, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+                FROM sims) WHERE rnk <= 5)
+        SELECT b.qid AS query_id,
+               round(sum(CASE WHEN r.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) / 5.0, 6) AS recall_at_5
+        FROM brute b LEFT JOIN resq r
+            ON b.qid = r.query_id AND b.nid = r.neighbor_id
+        GROUP BY b.qid
+    """
+
+
+ORACLE_SQL["ann_respq_recall"] = _respq_recall_oracle_sql()
 
 # decontamination: same trigram derivation as the jaccard-dedup oracle
 # (normalize → split → distinct 3-grams), benchmark grams deduped, LEFT
