@@ -5,15 +5,33 @@ The reference's ES mapping defines an ``english_stemmer`` analyzer
 (/root/reference/research/learning-to-rank/populate.py:86-104). Two
 public re-expressions here:
 
-- ``SUFFIX_RULES`` + ``suffix_stem_expr`` / ``suffix_stem_sql`` /
-  ``suffix_stem_py``: a fixed ordered longest-match suffix table (the
-  spirit of Porter steps 1/4 without the measure conditions), generated
-  into a native Spark CASE chain, an identical DuckDB CASE chain, and a
-  plain-Python applier from the SAME table — so search scoring is fully
-  JVM-side AND fully oracled. It diverges from porter_stem where Porter's
-  m-measure guards or multi-step chaining matter (e.g. "agreed": porter's
-  eed-rule yields "agree", this table's ed-rule yields "agre");
-  divergences are pinned in tests/test_stemming.py.
+- ``SUFFIX_RULES`` + the ``suffix_pass_*`` one-pass appliers + the
+  stabilized ``suffix_stem_py`` / ``apply_suffix_stem`` /
+  ``suffix_stem_sql_select``: a fixed ordered first-match suffix table
+  (the spirit of Porter steps 1/4 without the measure conditions),
+  generated into a native Spark CASE chain, an identical DuckDB CASE
+  chain, and a plain-Python applier from the SAME table — so search
+  scoring is fully JVM-side AND fully oracled. It diverges from
+  porter_stem where Porter's m-measure guards or multi-step chaining
+  matter (e.g. "agreed": porter's eed-rule yields "agree", this table's
+  ed-rule yields "agre"); divergences are pinned in
+  tests/test_stemming.py.
+
+  IDEMPOTENCE (r5 verdict #1): a finite one-pass suffix table cannot be
+  closed under self-application — stripping a suffix can expose another
+  strippable suffix, and chains like ``"aaa" + "ly"*k`` need unbounded
+  iterations, so no finite set of combined rules fixes it. The public
+  stemmers therefore use STABILIZE-OR-LEAVE semantics::
+
+      r = pass(w);  return r if pass(r) == r else w
+
+  which is idempotent by construction (a changed output is pinned stable
+  by the guard; an unchanged output is trivially a fixpoint) and total,
+  at the cost of leaving adversarial shapes (``aaalys``) whole. Measured
+  against the pinned vocabularies (corpus vocabulary, divergence lists,
+  rule-output shapes): ZERO real words change stem — only shapes whose
+  one-pass output was itself unstable, i.e. exactly the words the old
+  table mis-handled.
 - ``porter_stem``: the complete original Porter algorithm (Porter, 1980,
   "An algorithm for suffix stripping" — public domain spec), for callers
   needing exact ES ``porter_stem`` token parity. Python-only; apply via
@@ -22,21 +40,23 @@ public re-expressions here:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Ordered first-match-wins suffix rules: (suffix, replacement,
 #: min_remaining_stem_len). Longest/most-specific first. Shared verbatim
 #: by the Spark expression, the oracle SQL, and the Python applier.
 #:
-#: Design constraint — SINGLE-PASS CONSISTENCY: Porter achieves
-#: plural/base agreement ("filters"/"filtered"/"filter" → one stem) by
-#: running five sequential steps with m-measure guards; a one-pass table
-#: can't chain rules, so every rule here is chosen such that the
-#: inflected form and its base map to the SAME stem in one application
-#: ("ers"→"er" rather than stripping "er" from the base; "ies"→"y" to the
-#: base form rather than porter's "i"). stem(stem(x)) == stem(x) is
-#: pinned by tests over the corpus vocabulary.
+#: Design constraint — ONE-PASS CONSISTENCY on real vocabulary: Porter
+#: achieves plural/base agreement ("filters"/"filtered"/"filter" → one
+#: stem) by running five sequential steps with m-measure guards; a
+#: one-pass table can't chain rules, so every rule here is chosen such
+#: that the inflected form and its base map to the SAME stem in one
+#: application ("ers"→"er" rather than stripping "er" from the base;
+#: "ies"→"y" to the base form rather than porter's "i"). The table alone
+#: is NOT a fixpoint map over arbitrary strings (see module docstring);
+#: the public stemmers wrap it in the stabilize-or-leave guard, and
+#: stem(stem(x)) == stem(x) is pinned by a Hypothesis sweep.
 SUFFIX_RULES: tuple[tuple[str, str, int], ...] = (
     ("ational", "ate", 2),
     ("ization", "ize", 2),
@@ -70,8 +90,10 @@ SUFFIX_RULES: tuple[tuple[str, str, int], ...] = (
 )
 
 
-def suffix_stem_expr(col: Column) -> Column:
-    """The rule table as one native CASE chain (no UDF, codegen-friendly)."""
+def suffix_pass_expr(col: Column) -> Column:
+    """ONE application of the rule table as a native CASE chain (no UDF,
+    codegen-friendly). Building block — not idempotent on its own; use
+    ``apply_suffix_stem`` for the stabilized stem."""
     expr = None
     for sfx, repl, min_len in SUFFIX_RULES:
         cond = col.endswith(sfx) & (F.length(col) - len(sfx) >= min_len)
@@ -82,9 +104,10 @@ def suffix_stem_expr(col: Column) -> Column:
     return expr.otherwise(col)
 
 
-def suffix_stem_sql(var: str) -> str:
-    """The SAME rule table as a DuckDB CASE chain over SQL expression
-    ``var`` — generated from one source so the engines cannot drift."""
+def suffix_pass_sql(var: str) -> str:
+    """ONE application of the SAME rule table as a DuckDB CASE chain over
+    SQL expression ``var`` — generated from one source so the engines
+    cannot drift. Building block for ``suffix_stem_sql_select``."""
     branches = []
     for sfx, repl, min_len in SUFFIX_RULES:
         repl_sql = f" || '{repl}'" if repl else ""
@@ -96,12 +119,54 @@ def suffix_stem_sql(var: str) -> str:
     return "CASE " + " ".join(branches) + f" ELSE {var} END"
 
 
-def suffix_stem_py(word: str) -> str:
-    """The SAME rule table in Python (for stemming query terms driver-side)."""
+def _suffix_pass_py(word: str) -> str:
     for sfx, repl, min_len in SUFFIX_RULES:
         if word.endswith(sfx) and len(word) - len(sfx) >= min_len:
             return word[: -len(sfx)] + repl
     return word
+
+
+def suffix_stem_py(word: str) -> str:
+    """Stabilize-or-leave stem in Python (for stemming query terms
+    driver-side): strip a suffix only if the result is itself fully
+    stemmed, else leave the word whole. Idempotent and total."""
+    r = _suffix_pass_py(word)
+    return r if _suffix_pass_py(r) == r else word
+
+
+def apply_suffix_stem(df: "DataFrame", src: str, dst: str) -> "DataFrame":
+    """Stabilize-or-leave stem as a DataFrame transform: three NARROW
+    projections (pass, pass-of-pass, guard) instead of one nested
+    expression — a single inlined ``pass(pass(col))`` tree would be
+    O(rules²) ≈ 10⁵ expression nodes and stall Catalyst/codegen; staged,
+    each projection is linear in the rule table and CollapseProject keeps
+    the heavily-referenced intermediate materialized (CaseWhen is not
+    "cheap"). Fully JVM-side, no UDF."""
+    p1, p2 = f"___{dst}_p1", f"___{dst}_p2"
+    return (
+        df.withColumn(p1, suffix_pass_expr(F.col(src)))
+        .withColumn(p2, suffix_pass_expr(F.col(p1)))
+        .withColumn(
+            dst,
+            F.when(F.col(p2) == F.col(p1), F.col(p1)).otherwise(F.col(src)),
+        )
+        .drop(p1, p2)
+    )
+
+
+def suffix_stem_sql_select(src_sql: str, var: str, out: str, cols: str = "") -> str:
+    """Stabilize-or-leave stem in DuckDB SQL, staged exactly like
+    ``apply_suffix_stem``: returns a SELECT over relation ``src_sql``
+    (any SQL producing columns ``cols`` + ``var``) yielding ``cols`` plus
+    the stemmed ``out``. Staging keeps the SQL text linear in the rule
+    table (an inlined pass-of-pass would be ~400 KB)."""
+    sel = f"{cols}, " if cols else ""
+    return (
+        f"SELECT {sel}CASE WHEN __s2 = __s1 THEN __s1 ELSE {var} END AS {out}"
+        f" FROM (SELECT {sel}{var}, __s1, {suffix_pass_sql('__s1')} AS __s2"
+        f" FROM (SELECT {sel}{var}, {suffix_pass_sql(var)} AS __s1"
+        f" FROM ({src_sql})))"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,24 @@ def rolling_hash_udf(texts: pd.Series, ks: pd.Series) -> pd.Series:
     return pd.Series(out, index=texts.index)
 
 
+@F.pandas_udf(StringType())
+def _suffix_stem_pd(s: pd.Series) -> pd.Series:
+    from collection_templates_spark.functions.stemming import suffix_stem_py
+
+    return s.map(lambda v: suffix_stem_py(v) if v is not None else None)
+
+
+#: Stabilized suffix stem for VOCABULARY-side use (distinct tokens, then
+#: broadcast-join back — never the raw token stream). Marked
+#: nondeterministic on purpose: the stem IS deterministic, but the mark
+#: stops Catalyst from (a) pushing an `IN terms` filter on the stem below
+#: the projection and (b) propagating it through the join equality onto
+#: the full token stream as an inferred per-row filter over the whole
+#: inlined CASE chain — the constraint-inference analogue of the r4
+#: computed-column-filter trap, measured 17× on search_stemmed_ltr.
+suffix_stem_udf = _suffix_stem_pd.asNondeterministic()
+
+
 @F.pandas_udf(DoubleType())
 def interesting_score_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda v: interesting_score_stub(v)[0] if v is not None else None)

@@ -119,8 +119,9 @@ def search_corpus_stemmed(
     Parity targets (research/learning-to-rank/populate.py:86-153 and
     search.py:14-94):
     - analyzer: standard-tokenizer → lowercase → stem. Stemming is the
-      shared SUFFIX_RULES table (functions/stemming.py) as ONE native CASE
-      chain — no UDF, and the oracle SQL is generated from the same table.
+      shared SUFFIX_RULES table (functions/stemming.py) as staged native
+      CASE chains with the stabilize-or-leave guard — no UDF, and the
+      oracle SQL is generated from the same table.
     - similarity "BM25_b0": per stemmed term,
       idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
       tf_sat = tf·(k1+1)/(tf + k1)  (b = 0 ⇒ no length normalization,
@@ -140,7 +141,7 @@ def search_corpus_stemmed(
     aggregations, partial-combined; the rescore touches ``rescore_window``
     rows. No driver actions in plan building.
     """
-    from collection_templates_spark.functions.stemming import suffix_stem_expr
+    from collection_templates_spark.functions.udfs import suffix_stem_udf
 
     terms = analyze_query_terms(query)
     if rescore_weights is None:
@@ -152,12 +153,35 @@ def search_corpus_stemmed(
             F.split(F.lower(F.col(text_col)), ANALYZER_SPLIT_RE)
         ).alias("___tok"),
     ).filter(F.col("___tok") != "")
-    stemmed = toks.select(
-        "___id", suffix_stem_expr(F.col("___tok")).alias("___term")
-    ).filter(F.col("___term").isin(terms))
-
+    # Stem the DISTINCT vocabulary, not the token stream: the stabilized
+    # stemmer is applied through the quarantined UDF (optimizer-opaque
+    # and marked nondeterministic, see functions/udfs) because with a
+    # native stem expression here InferFiltersFromConstraints rewrites
+    # the `term IN terms` filter through the alias + join equality into
+    # a per-row filter over the fully inlined CASE chains on the ENTIRE
+    # token stream (measured 1.45 s → 24 s at sf0.1). The UDF runs |V|
+    # times, and the surviving (tok → term) map — at most
+    # |terms| × preimage, query-sized — broadcast-joins back.
+    #
+    # Aggregation order: tf by RAW token first, so (a) the explode runs
+    # once — both the vocab branch and the join branch hang off the same
+    # (id, tok) Exchange, which ReuseExchange dedups — and (b) the vocab
+    # distinct aggregates |doc·vocab| pre-combined rows, not the raw
+    # token stream. The per-term tf is then the sum over the (few)
+    # matching raw tokens.
+    tf_raw = toks.groupBy("___id", "___tok").agg(F.count("*").alias("___tfr"))
+    vocab_terms = (
+        tf_raw.select("___tok")
+        .distinct()
+        .select("___tok", suffix_stem_udf(F.col("___tok")).alias("___term"))
+        .filter(F.col("___term").isin(terms))
+    )
     # tf per (doc, term); df per term; N — all from one exploded pass
-    tf = stemmed.groupBy("___id", "___term").agg(F.count("*").alias("___tf"))
+    tf = (
+        tf_raw.join(F.broadcast(vocab_terms), "___tok")
+        .groupBy("___id", "___term")
+        .agg(F.sum("___tfr").alias("___tf"))
+    )
     df_t = tf.groupBy("___term").agg(F.count("*").alias("___df"))
     n_docs = docs.agg(F.count("*").alias("___n"))
 

@@ -314,11 +314,16 @@ def mixture_plan(
     per = per.withColumn("w_raw", w_raw)
     tot = per.agg(F.sum("w_raw").alias("w_tot"))
     out = per.join(F.broadcast(tot))
-    weight = F.col("w_raw") / F.col("w_tot")
+    # r5 advice: w_tot is a summation-order-dependent double sum, so the
+    # unrounded weight can differ by 1 ulp between engines and flip the
+    # floor at an integer boundary — pin it at 9dp in BOTH engines first.
     # floor, not round: round-half behavior on doubles is the one integer
     # boundary DuckDB and Spark could disagree on; floor is unambiguous
+    weight = F.round(F.col("w_raw") / F.col("w_tot"), 9)
     target_grp = F.floor(weight * target_tokens).cast("long")
-    rate = target_grp / F.col("n_tokens")
+    # r5 advice: a zero-token group would make rate 0/0 = NaN (and
+    # ceil(NaN).cast under ANSI diverges from DuckDB) — NULL it instead
+    rate = F.when(F.col("n_tokens") > 0, target_grp / F.col("n_tokens"))
     return out.select(
         "grp",
         "n_docs",

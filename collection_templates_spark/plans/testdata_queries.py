@@ -419,8 +419,11 @@ def window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming window operator in its batch form): 2-hour windows hopping
     every hour, so each event lands in exactly two windows — counts and
     value totals per (window_start, event_type). Oracle: replay the
-    window assignment as date_trunc minus i×slide for i in 0..1."""
-    ev = _t(spark, sf_dir, "events")
+    window assignment as date_trunc minus i×slide for i in 0..1. NULL-ts
+    events are filtered in BOTH engines (r5 advice: F.window drops them
+    once, the oracle's range(2) cross join would count them twice under
+    one NULL window_start group)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(
             F.window("ts", "2 hours", "1 hour").alias("w"),
@@ -693,9 +696,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every assignment cosine and every mean, so a recompute is bit-identical.
 # The driver (and bench.py) runs all queries in ONE process; training the
 # same quantizer once per dependent query is pure recompute, the same
-# reasoning as operators/cache_tables.py. Keyed by sf_dir so a mid-round
-# testdata regeneration in a NEW process can never serve stale models.
+# reasoning as operators/cache_tables.py. Keyed by (sf_dir, embeddings
+# file fingerprint) — r5 advice: sf_dir alone would serve stale models if
+# the driver regenerated /root/testdata and re-invoked queries() within
+# the SAME process while the DuckDB oracle replays from the new parquet.
 _TRAINER_MEMO: dict = {}
+
+
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content fingerprint of embeddings.parquet: (path, mtime_ns,
+    size) per data file, walking into the directory form too."""
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(p):
+        parts = sorted(
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if not f.startswith(("_", "."))
+        )
+    else:
+        parts = [p]
+    return tuple(
+        (f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in parts
+    )
 
 
 def _ivf_centroids_for(spark: SparkSession, sf_dir: str):
@@ -703,7 +727,7 @@ def _ivf_centroids_for(spark: SparkSession, sf_dir: str):
         train_ivf_centroids,
     )
 
-    key = ("ivf", sf_dir)
+    key = ("ivf", sf_dir, _embeddings_fingerprint(sf_dir))
     if key not in _TRAINER_MEMO:
         _TRAINER_MEMO[key] = train_ivf_centroids(
             _t(spark, sf_dir, "embeddings")
@@ -716,7 +740,7 @@ def _pq_codebooks_for(spark: SparkSession, sf_dir: str):
         train_pq_codebooks,
     )
 
-    key = ("pq", sf_dir)
+    key = ("pq", sf_dir, _embeddings_fingerprint(sf_dir))
     if key not in _TRAINER_MEMO:
         _TRAINER_MEMO[key] = train_pq_codebooks(
             _t(spark, sf_dir, "embeddings"), m=16, ks=64, iterations=2
@@ -848,7 +872,7 @@ def _respq_codebooks_for(spark: SparkSession, sf_dir: str):
         train_residual_pq,
     )
 
-    key = ("respq", sf_dir)
+    key = ("respq", sf_dir, _embeddings_fingerprint(sf_dir))
     if key not in _TRAINER_MEMO:
         _, cbs = train_residual_pq(
             _t(spark, sf_dir, "embeddings"),
@@ -1702,6 +1726,7 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events,
                round(sum(value), 2) AS total_value
         FROM events, (SELECT unnest(range(2)) AS i) i
+        WHERE ts IS NOT NULL
         GROUP BY 1, event_type
     """,
     "window_session_native": """
@@ -2964,16 +2989,23 @@ ORACLE_SQL["mixture_plan"] = """
         FROM documents GROUP BY lang
     ), tot AS (
         SELECT sum(pow(n_tokens, 0.5)) AS w_tot FROM per
+    ), w AS (
+        -- weight pinned at 9dp BEFORE the floor (matches Spark), and
+        -- zero-token groups yield NULL rate/epochs instead of 0/0
+        SELECT lang, n_docs, n_tokens,
+               round(pow(n_tokens, 0.5) / w_tot, 9) AS w9
+        FROM per, tot
     )
     SELECT lang, n_docs, n_tokens,
-           round(pow(n_tokens, 0.5) / w_tot, 6) AS weight,
-           CAST(floor(pow(n_tokens, 0.5) / w_tot * 100000) AS BIGINT)
-               AS target_tokens_grp,
-           round(floor(pow(n_tokens, 0.5) / w_tot * 100000) / n_tokens, 6)
+           round(w9, 6) AS weight,
+           CAST(floor(w9 * 100000) AS BIGINT) AS target_tokens_grp,
+           round(CASE WHEN n_tokens > 0
+                      THEN floor(w9 * 100000) / n_tokens END, 6)
                AS sample_rate,
-           CAST(ceil(floor(pow(n_tokens, 0.5) / w_tot * 100000) / n_tokens)
+           CAST(ceil(CASE WHEN n_tokens > 0
+                          THEN floor(w9 * 100000) / n_tokens END)
                AS BIGINT) AS epochs
-    FROM per, tot
+    FROM w
 """
 
 # vocab induction + OOV: top-16 tokens by (count desc, token asc), per-doc
@@ -3118,20 +3150,25 @@ ORACLE_SQL["text_containment"] = """
     JOIN sizes s2 ON d2 = s2.doc_id
 """
 
-# search_stemmed_ltr oracle: the stemmer CASE chain is generated from the
-# SAME SUFFIX_RULES table as the Spark expression (functions/stemming.py),
-# and every score is rounded identically (per-term 9dp → bm25 6dp; sat 9dp;
-# es/ltr 6dp), so the full analyzer → BM25_b0 → rank_feature → rescore
-# pipeline hash-matches across engines.
+# search_stemmed_ltr oracle: the stemmer CASE chains (staged pass +
+# stabilize-or-leave guard) are generated from the SAME SUFFIX_RULES table
+# as the Spark side (functions/stemming.py), and every score is rounded
+# identically (per-term 9dp → bm25 6dp; sat 9dp; es/ltr 6dp), so the full
+# analyzer → BM25_b0 → rank_feature → rescore pipeline hash-matches across
+# engines.
 def _stemmed_ltr_oracle_sql() -> str:
-    from collection_templates_spark.functions.stemming import suffix_stem_sql
+    from collection_templates_spark.functions.stemming import (
+        suffix_stem_sql_select,
+    )
     from collection_templates_spark.operators.search import analyze_query_terms
 
     # same analyzer as the Spark side (search.analyze_query_terms), and
     # quote-escaped: analyzer tokens may legitimately contain apostrophes
     terms = analyze_query_terms(_STEMMED_QUERY)
     in_list = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
-    stem_case = suffix_stem_sql("tok")
+    stem_select = suffix_stem_sql_select(
+        "SELECT doc_id, tok FROM toks", "tok", "term", "doc_id"
+    )
     w_bm = _LTR_WEIGHTS["bm25"]
     w_nc = _LTR_WEIGHTS["n_chars"]
     return f"""
@@ -3142,7 +3179,7 @@ def _stemmed_ltr_oracle_sql() -> str:
                      AS t(tok)
             WHERE t.tok <> ''
         ), stemmed AS (
-            SELECT doc_id, {stem_case} AS term FROM toks
+            {stem_select}
         ), hits AS (
             SELECT doc_id, term, count(*) AS tf FROM stemmed
             WHERE term IN ({in_list})

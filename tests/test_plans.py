@@ -78,6 +78,28 @@ def test_stemmed_search_first_pass_is_topk_not_global_sort(spark):
     assert "TakeOrderedAndProject" in p  # window-50 via per-partition top-k
 
 
+def test_ann_finisher_is_two_phase_topk(spark):
+    """r5 verdict #2: the similarity finishers must never sort a query's
+    FULL candidate set in one |Q|-bounded window. topk_per_query stages
+    it: a (query, salt) partial top-k — the salt is
+    pmod(xxhash64(neighbor_id), S) — then a final merge over ≤ k·S rows
+    per query. Pin (a) the salted window exists, (b) the plain
+    query_id-only window runs ABOVE it (on the pruned survivors), for
+    every ANN family member."""
+    import re
+
+    for q in ("ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk",
+              "ann_respq_topk", "ann_lsh_topk"):
+        p = _plan(spark, q)
+        # phase 1's exchange partitions by (query_id, salt) — the salt
+        # shows up as a projected _wN column in the hashpartitioning
+        salted = re.findall(r"hashpartitioning\(query_id#\d+L?, _w\d+#", p)
+        assert salted, f"{q}: no salted partial top-k exchange in plan"
+        # and the rank<=k filters push into WindowGroupLimit, so each
+        # task emits at most k rows per (query, salt) group pre-shuffle
+        assert "WindowGroupLimit" in p, f"{q}: rank-limit not pushed"
+
+
 def test_session_window_merges_exact_gap_event(spark):
     """An event at exactly prev_ts + gap stays in the SAME session: Spark's
     session_window extends the window end to event+gap and merges on touch

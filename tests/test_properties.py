@@ -104,10 +104,14 @@ def test_namehash_batch_always_matches_scalar(names):
 
 
 @given(st.text(alphabet=string.ascii_lowercase, max_size=25))
-@settings(max_examples=300)
+@settings(max_examples=2000)
 def test_suffix_stem_idempotent_and_total(w):
+    # stabilize-or-leave makes this a fixpoint map BY CONSTRUCTION (r5
+    # verdict #1: a bare one-pass table is not closable — 'aaalys' →
+    # 'aaaly' → 'aaa'); swept hard because this is the invariant the
+    # oracle-SQL/Spark/py agreement rests on
     s = suffix_stem_py(w)
-    assert suffix_stem_py(s) == s  # single-pass table is a fixpoint map
+    assert suffix_stem_py(s) == s
     assert isinstance(s, str) and (not w or s)  # never empties a word
 
 

@@ -3,14 +3,13 @@ agree exactly) and the full Porter algorithm (paper vectors)."""
 
 import duckdb
 import pytest
-from pyspark.sql import functions as F
 
 from collection_templates_spark.functions.stemming import (
     SUFFIX_RULES,
+    apply_suffix_stem,
     porter_stem,
-    suffix_stem_expr,
     suffix_stem_py,
-    suffix_stem_sql,
+    suffix_stem_sql_select,
 )
 
 WORDS = [
@@ -28,17 +27,26 @@ def test_three_implementations_agree(spark):
     """The Spark CASE chain, the DuckDB CASE chain, and the Python applier
     are generated from one table — they must agree token-for-token."""
     py = [suffix_stem_py(w) for w in WORDS]
-    df = spark.createDataFrame([(w,) for w in WORDS], "w string")
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(WORDS)], "i long, w string"
+    )
     got_spark = [
         r["s"]
-        for r in df.select(suffix_stem_expr(F.col("w")).alias("s"))
+        for r in apply_suffix_stem(df, "w", "s")
+        .select("i", "s")
+        .orderBy("i")
         .collect()
     ]
-    sql = suffix_stem_sql("w")
+    sel = suffix_stem_sql_select("SELECT i, w FROM words", "w", "s", "i")
     con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE words AS SELECT * FROM (VALUES {}) AS t(i, w)".format(
+            ", ".join(f"({i}, ?)" for i in range(len(WORDS)))
+        ),
+        WORDS,
+    )
     got_sql = [
-        con.execute(f"SELECT {sql} FROM (SELECT ? AS w)", [w]).fetchone()[0]
-        for w in WORDS
+        r[0] for r in con.execute(f"SELECT s FROM ({sel}) ORDER BY i").fetchall()
     ]
     assert got_spark == py
     assert got_sql == py

@@ -63,10 +63,15 @@ def main() -> int:
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"WARN: unknown query name(s): {sorted(unknown)}")
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -102,8 +107,11 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"PASS {name} ({len(sr)} rows) [{time.time()-t0:.1f}s]")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
-    return 1 if failures else 0
+    # r5 verdict #5: report the number of queries ACTUALLY checked — a
+    # filtered run must not claim the full bank passed
+    print(f"\n{checked - len(failures)}/{checked} pass"
+          + ("" if not only else f" (of {len(qs)} in bank)"))
+    return 1 if failures or unknown else 0
 
 
 if __name__ == "__main__":
