@@ -907,6 +907,52 @@ def ann_respq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ (r5 verdict #4 — the last un-oracled ANN variant):
+    IVF cluster routing over PQ-ADC scoring with codes over RAW vectors.
+    Reuses BOTH memoized trainers (the coarse k-means of ann_ivf_* and
+    the m=16/ks=64 codebooks of ann_pq_*), so the generated oracle is
+    exactly the two existing replays chained: coarse assign + probe from
+    the IVF oracle, codebook/codes/norms from the PQ oracle, and the ADC
+    score restricted to probed clusters."""
+    from collection_templates_spark.operators.similarity import (
+        ivfpq_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return ivfpq_cosine_topk(
+        emb, q, k=5, n_clusters=16, n_probe=4, m=16, ks=64,
+        centroids=_ivf_centroids_for(spark, sf_dir),
+        codebooks=_pq_codebooks_for(spark, sf_dir),
+    )
+
+
+#: Pinned BPE merge table for the driver-visible apply query (r5 verdict
+#: #7: the LEARNER stays test-only — its merge table is data-dependent —
+#: but applying a FIXED table is statically replayable). These five rules
+#: are chosen to be mutually non-interacting so the piece count has a
+#: closed form the oracle can state: each rule's two symbols are single
+#: chars (or the end marker) with first ≠ second, no rule's output feeds
+#: another rule, and no two rules can claim the same character position
+#: (the only shared char, 'n' in an/in, would need two different
+#: predecessors at once) — so greedy rank order never matters and
+#: n_pieces(w) = len(w) + 1 − Σ substring occurrences − endswith('e').
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("a", "n"), ("i", "n"), ("o", "r"), ("e", "</w>"),
+]
+
+
+def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc subword statistics under the pinned merge table — the A10
+    tokenization surface driven end-to-end (explode → per-DISTINCT-word
+    UDF tokenize → native aggregate), now with a hash-checked oracle."""
+    from collection_templates_spark.functions.bpe import bpe_tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_tokenize(docs, _BPE_MERGES).withColumnRenamed("doc", "doc_id")
+
+
 def ann_respq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@5 of residual IVF-PQ against brute-force cosine —
     the third quantified ANN-quality signal (LSH, raw PQ, residual PQ),
@@ -1419,6 +1465,19 @@ def scalar_log_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Never-yet-driver-sampled queries FIRST (r5 verdict #3): the driver
+    # samples ~50 of the bank per round, and insertion order is the only
+    # lever for getting these an external green row. All six pass the
+    # identical local oracle (tools/check.py) every round.
+    "export_manifest": export_manifest_q,
+    "text_boilerplate": text_boilerplate,
+    "text_containment": text_containment,
+    "text_perplexity": text_perplexity,
+    "text_winnowing": text_winnowing,
+    "vocab_oov": vocab_oov_q,
+    # round-6 additions — also ahead of the long-green bulk
+    "ann_ivfpq_topk": ann_ivfpq_topk,
+    "bpe_apply_stats": bpe_apply_stats,
     "agg_pricing_summary": agg_pricing_summary,
     "filter_pushdown_revenue": filter_pushdown_revenue,
     "agg_entity_pivot": agg_entity_pivot,
@@ -1469,11 +1528,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assignment": split_assignment,
     "sample_stratified": sample_stratified_q,
     "mixture_plan": mixture_plan_q,
-    "vocab_oov": vocab_oov_q,
-    "text_boilerplate": text_boilerplate,
-    "export_manifest": export_manifest_q,
-    "text_winnowing": text_winnowing,
-    "text_containment": text_containment,
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
@@ -1487,7 +1541,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal_features,
     "text_word_model": text_word_model,
     "scalar_log_probability": scalar_log_probability,
-    "text_perplexity": text_perplexity,
 }
 
 # Shared oracle for the two jaccard-based dedup queries: the LSH variant is
@@ -2735,6 +2788,210 @@ def _respq_recall_oracle_sql() -> str:
 
 
 ORACLE_SQL["ann_respq_recall"] = _respq_recall_oracle_sql()
+
+
+# ann_ivfpq_topk oracle: the composed layout is exactly the two existing
+# replays chained — the IVF coarse k-means (c0..c3 / af / probe, verbatim
+# from _ivf_common_ctes) and the raw-vector PQ (sub / cb0..cb2 / codes /
+# norms, verbatim from _pq_common_ctes with the per-iteration stages
+# prefixed pa/pm to avoid colliding with the coarse a/m) — plus one ADC
+# scoring stage restricted to probed clusters. No new conventions: every
+# discrete choice is over 6dp-rounded cosines with lowest-id ties.
+def _ivfpq_oracle_sql(
+    n_clusters: int = 16,
+    coarse_iters: int = 3,
+    n_probe: int = 4,
+    m: int = 16,
+    ks: int = 64,
+    pq_iters: int = 2,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    dsub = dim // m
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"""c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cluster,
+                   emb AS cent
+            FROM (SELECT vec_id, emb FROM e
+                  ORDER BY vec_id LIMIT {n_clusters}))""",
+    ]
+    rcos = "round(list_cosine_similarity(e.emb, c.cent), 6)"
+    for i in range(1, coarse_iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+            SELECT vec_id, emb, cluster FROM (
+                SELECT e.vec_id, e.emb, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {rcos} DESC, c.cluster ASC) AS rn
+                FROM e CROSS JOIN c{i - 1} c)
+            WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+            SELECT a.cluster, p.pos, round(avg(a.emb[p.pos]), 6) AS mu
+            FROM a{i} a CROSS JOIN
+                 (SELECT unnest(range(1, {dim + 1})) AS pos) p
+            GROUP BY a.cluster, p.pos)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+            SELECT c.cluster, coalesce(mm.cent, c.cent) AS cent
+            FROM c{i - 1} c LEFT JOIN (
+                SELECT cluster, list(mu ORDER BY pos) AS cent
+                FROM m{i} GROUP BY cluster) mm
+            ON c.cluster = mm.cluster)"""
+        )
+    cf = f"c{coarse_iters}"
+    ctes.append(
+        f"""af AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {rcos} DESC, c.cluster ASC) AS rn
+                FROM e CROSS JOIN {cf} c)
+            WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""sub AS (
+            SELECT e.vec_id, jj.j,
+                   e.emb[jj.j * {dsub} + 1 : (jj.j + 1) * {dsub}] AS s
+            FROM e CROSS JOIN
+                 (SELECT unnest(range({m})) AS j) jj)"""
+    )
+    ctes.append(
+        f"""cb0 AS (
+            SELECT j,
+                   CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id)
+                        - 1 AS INT) AS code,
+                   s AS cent
+            FROM sub
+            WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id
+                             LIMIT {ks}))"""
+    )
+    pcos = "round(list_cosine_similarity(sub.s, c.cent), 6)"
+    for i in range(1, pq_iters + 1):
+        ctes.append(
+            f"""pa{i} AS (
+            SELECT vec_id, j, s, code FROM (
+                SELECT sub.vec_id, sub.j, sub.s, c.code,
+                       row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                           ORDER BY {pcos} DESC, c.code ASC) AS rn
+                FROM sub JOIN cb{i - 1} c ON c.j = sub.j)
+            WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""pm{i} AS (
+            SELECT a.j, a.code, p.pos, round(avg(a.s[p.pos]), 6) AS mu
+            FROM pa{i} a CROSS JOIN
+                 (SELECT unnest(range(1, {dsub + 1})) AS pos) p
+            GROUP BY a.j, a.code, p.pos)"""
+        )
+        ctes.append(
+            f"""cb{i} AS (
+            SELECT c.j, c.code, coalesce(mm.cent, c.cent) AS cent
+            FROM cb{i - 1} c LEFT JOIN (
+                SELECT j, code, list(mu ORDER BY pos) AS cent
+                FROM pm{i} GROUP BY j, code) mm
+            ON c.j = mm.j AND c.code = mm.code)"""
+        )
+    cbf = f"cb{pq_iters}"
+    ctes.append(
+        f"""paf AS (
+            SELECT vec_id, j, code FROM (
+                SELECT sub.vec_id, sub.j, c.code,
+                       row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                           ORDER BY {pcos} DESC, c.code ASC) AS rn
+                FROM sub JOIN {cbf} c ON c.j = sub.j)
+            WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""nrm AS (
+            SELECT a.vec_id, sum(list_dot_product(c.cent, c.cent)) AS nsq
+            FROM paf a JOIN {cbf} c ON c.j = a.j AND c.code = a.code
+            GROUP BY a.vec_id)"""
+    )
+    ctes.append(
+        """qn AS (
+            SELECT vec_id, CASE WHEN sqrt(list_dot_product(emb, emb)) = 0
+                                THEN 1.0
+                                ELSE sqrt(list_dot_product(emb, emb))
+                           END AS qnorm
+            FROM e WHERE vec_id < 8)"""
+    )
+    ctes.append(
+        f"""probe AS (
+            SELECT vec_id AS qid, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {rcos} DESC, c.cluster ASC) AS rn
+                FROM e CROSS JOIN {cf} c
+                WHERE e.vec_id < 8)
+            WHERE rn <= {n_probe})"""
+    )
+    ctes.append(
+        """cand AS (
+            SELECT p.qid, a.vec_id AS nid
+            FROM probe p
+            JOIN af a ON a.cluster = p.cluster AND a.vec_id <> p.qid)"""
+    )
+    ctes.append(
+        f"""scored AS (
+            SELECT cd.qid, cd.nid,
+                   round(sum(list_dot_product(qs.s, c.cent))
+                         / (max(qn.qnorm) * sqrt(max(nrm.nsq))), 6) AS sim
+            FROM cand cd
+            JOIN paf a ON a.vec_id = cd.nid
+            JOIN {cbf} c ON c.j = a.j AND c.code = a.code
+            JOIN sub qs ON qs.vec_id = cd.qid AND qs.j = a.j
+            JOIN qn ON qn.vec_id = cd.qid
+            JOIN nrm ON nrm.vec_id = cd.nid
+            GROUP BY cd.qid, cd.nid)"""
+    )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank, sim
+        FROM (
+            SELECT qid, nid, sim,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, nid ASC) AS rnk
+            FROM scored)
+        WHERE rnk <= {k}
+    """
+
+
+ORACLE_SQL["ann_ivfpq_topk"] = _ivfpq_oracle_sql()
+
+# bpe_apply_stats oracle: the pinned _BPE_MERGES rules are mutually
+# non-interacting (see the table's comment), so greedy BPE collapses to a
+# closed form — pieces(w) = len(w) + 1 − Σ non-overlapping substring
+# occurrences − endswith('e'). Occurrence counting via length-of-replace
+# is exact here: each rule's two chars differ, so its pattern cannot
+# self-overlap. Same normalize→split as every word-level oracle.
+ORACLE_SQL["bpe_apply_stats"] = """
+    WITH words AS (
+        SELECT doc_id, t.w
+        FROM documents,
+             unnest(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS t(w)
+        WHERE t.w <> ''
+    ), pieces AS (
+        SELECT doc_id,
+               length(w) + 1
+               - (length(w) - length(replace(w, 'th', ''))) // 2
+               - (length(w) - length(replace(w, 'an', ''))) // 2
+               - (length(w) - length(replace(w, 'in', ''))) // 2
+               - (length(w) - length(replace(w, 'or', ''))) // 2
+               - CASE WHEN w LIKE '%e' THEN 1 ELSE 0 END AS n_p
+        FROM words
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_p) AS BIGINT) AS n_pieces,
+           round(CAST(sum(n_p) AS DOUBLE) / count(*), 6) AS compression
+    FROM pieces GROUP BY doc_id
+"""
 
 # decontamination: same trigram derivation as the jaccard-dedup oracle
 # (normalize → split → distinct 3-grams), benchmark grams deduped, LEFT

@@ -11,6 +11,33 @@ from collection_templates_spark.functions.bpe import (
 )
 
 
+def test_pinned_merge_table_closed_form():
+    """The bpe_apply_stats oracle states n_pieces in closed form —
+    len(w) + 1 − Σ substring occurrences − endswith('e') — on the claim
+    that the pinned rules are mutually non-interacting. Sweep arbitrary
+    words over the rules' alphabet (plus noise chars) and check the real
+    greedy applier agrees exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from collection_templates_spark.plans.testdata_queries import _BPE_MERGES
+
+    def closed_form(w: str) -> int:
+        n = len(w) + 1
+        for pat in ("th", "an", "in", "or"):
+            n -= (len(w) - len(w.replace(pat, ""))) // 2
+        if w.endswith("e"):
+            n -= 1
+        return n
+
+    @given(st.text(alphabet="thaniore x'", min_size=1, max_size=20))
+    @settings(max_examples=500)
+    def sweep(w):
+        assert len(apply_bpe(w, _BPE_MERGES)) == closed_form(w), w
+
+    sweep()
+
+
 def test_learn_bpe_hand_computed():
     # the Sennrich-style toy corpus: 'low'x5, 'lower'x2, 'newest'x6,
     # 'widest'x3 — first merges are (e,s) 9, (es,t) 9, (est,</w>) 9 ...
