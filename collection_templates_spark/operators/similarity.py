@@ -45,37 +45,36 @@ def topk_per_query(
     group_col: str = "query_id",
     order_col: str = "sim",
     tie_col: str = "neighbor_id",
-    n_salts: int | None = None,
 ) -> DataFrame:
-    """Scale-safe per-query top-k finisher (r5 verdict #2): a single
-    ``row_number().over(partitionBy(query_id))`` bounds parallelism by
-    |Q| and sorts each query's FULL candidate set (all N for brute
-    force, N·n_probe/n_clusters for IVF) on ONE task — invisible at
-    bench scale, a single-task sort of ~10⁸ rows per query at a
-    10⁹-vector corpus. Two phases instead:
+    """Per-query top-k finisher (r5 verdict #2). The naive reading of
+    ``row_number().over(partitionBy(query_id))`` — every candidate of a
+    query shuffled to and sorted on ONE task — does not happen on
+    Spark ≥ 3.5: because the rank filter sits directly above the window,
+    InferWindowGroupLimit inserts a ``WindowGroupLimit … Partial`` BELOW
+    the exchange, so each map task keeps only its own top-k per query
+    (a parallel per-partition sort + bounded selection) and the
+    |Q|-keyed exchange carries ≤ k rows per (mapper, query). The final
+    per-query stage merges ≤ k·P rows. That IS the two-phase partial
+    top-k — provided by the engine, with no extra shuffle (a manual
+    salted two-window variant was measured ~20 % SLOWER here because it
+    adds an exchange while the engine's Partial pruning already bounds
+    the shuffled rows; both were value-identical).
 
-    1. partial top-k within (query, salt) where salt =
-       pmod(xxhash64(tie_col), S) — S×|Q| groups spread over the
-       cluster, each sorting ~1/S of the candidates;
-    2. final top-k over the ≤ k·S survivors per query — k·S·|Q| rows
-       total, trivially one stage.
+    The shape is pinned by tests/test_plans.py (Partial group-limit
+    below the query_id exchange) — if a future caller breaks the
+    filter-above-window adjacency the test fails rather than the plan
+    silently regressing to a full shuffle. At extreme fan-in (k × map
+    partitions per query approaching task memory) add an intermediate
+    salted stage; at today's shapes that point is ~10⁴ partitions × k.
 
-    Identical output to the one-window form: the (order_col desc,
-    tie_col asc) ordering is total per query, and a row in the true
-    top-k is also in the top-k of its own salt subgroup (a subset can
-    only improve its rank). Emits ``rank`` (1-based).
+    Requires a total (order_col desc, tie_col asc) order per query;
+    emits ``rank`` (1-based).
     """
-    S = n_salts or scored.sparkSession.sparkContext.defaultParallelism
-    order = (F.desc(order_col), F.asc(tie_col))
-    salt = F.pmod(F.xxhash64(F.col(tie_col)), F.lit(S))
-    w1 = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
-    w2 = Window.partitionBy(group_col).orderBy(*order)
-    return (
-        scored.withColumn("___r1", F.row_number().over(w1))
-        .filter(F.col("___r1") <= k)
-        .drop("___r1")
-        .withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.asc(tie_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

@@ -79,25 +79,22 @@ def test_stemmed_search_first_pass_is_topk_not_global_sort(spark):
 
 
 def test_ann_finisher_is_two_phase_topk(spark):
-    """r5 verdict #2: the similarity finishers must never sort a query's
-    FULL candidate set in one |Q|-bounded window. topk_per_query stages
-    it: a (query, salt) partial top-k — the salt is
-    pmod(xxhash64(neighbor_id), S) — then a final merge over ≤ k·S rows
-    per query. Pin (a) the salted window exists, (b) the plain
-    query_id-only window runs ABOVE it (on the pruned survivors), for
-    every ANN family member."""
-    import re
-
+    """r5 verdict #2: the similarity finishers must never shuffle a
+    query's FULL candidate set to one task. topk_per_query relies on
+    InferWindowGroupLimit (Spark ≥ 3.5): the rank filter directly above
+    the window makes the engine insert a PARTIAL WindowGroupLimit below
+    the query_id exchange — each map task pre-prunes to its own top-k
+    per query, so the exchange carries ≤ k rows per (mapper, query).
+    Pin that Partial stage for every ANN family member; if a refactor
+    breaks the filter-above-window adjacency, this fails instead of the
+    plan silently regressing to a full per-query shuffle."""
     for q in ("ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk",
-              "ann_respq_topk", "ann_lsh_topk"):
+              "ann_respq_topk", "ann_ivfpq_topk", "ann_lsh_topk"):
         p = _plan(spark, q)
-        # phase 1's exchange partitions by (query_id, salt) — the salt
-        # shows up as a projected _wN column in the hashpartitioning
-        salted = re.findall(r"hashpartitioning\(query_id#\d+L?, _w\d+#", p)
-        assert salted, f"{q}: no salted partial top-k exchange in plan"
-        # and the rank<=k filters push into WindowGroupLimit, so each
-        # task emits at most k rows per (query, salt) group pre-shuffle
         assert "WindowGroupLimit" in p, f"{q}: rank-limit not pushed"
+        # the Partial-mode group-limit is the map-side pre-prune; its
+        # Arguments line ends "... row_number(), k, Partial"
+        assert ", Partial" in p, f"{q}: no Partial (map-side) group-limit"
 
 
 def test_session_window_merges_exact_gap_event(spark):
