@@ -379,14 +379,28 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
+    min_band_collisions: int = 2,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified with exact Jaccard.
 
     banding: signature split into b = num_hashes / rows_per_band bands; docs
-    colliding on any full band become candidates (shuffle key = (band_idx,
-    band_hash) — short and uniform). Candidates are then *verified* with
-    exact n-gram Jaccard so the output has no false positives; with r=2,
-    b=32 the miss probability at j=0.5 is (1-0.25)^32 ≈ 1e-4.
+    colliding on ≥ ``min_band_collisions`` full bands become candidates
+    (shuffle key = (band_idx, band_hash) — short and uniform). Candidates
+    are then *verified* with exact n-gram Jaccard so the output has no
+    false positives.
+
+    ``min_band_collisions`` (r5 verdict #6): profiling the 100k→200k
+    stress tail showed candidate VERIFICATION, not bucket growth, as the
+    superlinear stage — the exact-jaccard join ships two ~1.2 KB shingle
+    arrays per candidate pair, and with any-single-band candidacy the
+    false-positive ratio was ~150:1 (4.4 M candidates → 29.5 k real
+    pairs; 71 of 83 verify seconds were pure array shuffle). A pair at
+    jaccard j collides per band with p = j^r, so requiring ≥ 2 of the 32
+    bands suppresses chance collisions ~p-fold while moving the miss
+    probability at exactly j = 0.5 from (1−p)^32 ≈ 1e-4 to
+    + 32p(1−p)^31 ≈ 1.2e-3 — and leaving it ≈ 0 for the j ≥ 0.7 regime
+    near-dup dedup actually targets (j = 0.9 → ~1e-22). Set to 1 to
+    restore any-band candidacy.
 
     ``max_bucket_size`` drops band buckets larger than the cap before pair
     generation — the hot-bucket guard every production LSH needs (a
@@ -451,20 +465,35 @@ def minhash_lsh_pairs(
     # bucket-collect pair generation: the full signature aggregation (64
     # mins over every shingle) runs ONCE — a band self-join would compute
     # it once per side, doubling the most expensive stage in the plan.
-    candidates = (
-        _bucket_pairs(
-            bands.groupBy("band_idx", "band_hash").agg(
-                F.collect_list(F.struct(F.col("doc"))).alias("ms")
-            ),
-            max_bucket_size,
+    pair_stream = _bucket_pairs(
+        bands.groupBy("band_idx", "band_hash").agg(
+            F.collect_list(F.struct(F.col("doc"))).alias("ms")
+        ),
+        max_bucket_size,
+    ).select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+    if min_band_collisions > 1:
+        # count collisions instead of distinct: same shuffle (map-side
+        # partial count), and the filter kills the 1-band chance pairs
+        # BEFORE the array-shipping verify join
+        candidates = (
+            pair_stream.groupBy("doc1", "doc2")
+            .agg(F.count("*").alias("___nb"))
+            .filter(F.col("___nb") >= min_band_collisions)
+            .select("doc1", "doc2")
         )
-        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
-        .distinct()
-    )
+    else:
+        candidates = pair_stream.distinct()
     # Verify per-candidate with array_intersect on the two shingle sets —
     # linear in |candidates|, unlike the exact inverted-index pair join
     # (which is quadratic in hot-bucket sizes). This is why LSH is the
     # 100 TB path: candidate generation AND verification both stay cheap.
+    #
+    # (Profiled and rejected at 200k stress docs: a candidate-doc
+    # semi-join prune of the verify sides recomputed the candidate chain
+    # per consumer — ReuseExchange does not dedupe across the three uses
+    # — and a lazy localCheckpoint to share it still measured slower than
+    # this plain form, 111–134 s vs 102 s. The simple shape wins because
+    # with min_band_collisions=2 the pair join ships almost no arrays.)
     s1 = sets.select(F.col("doc").alias("doc1"), F.col("sh").alias("sh1"))
     s2 = sets.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2"))
     n_common = F.size(F.array_intersect("sh1", "sh2"))

@@ -455,6 +455,35 @@ def _pq_codes_udf(codebooks: "np.ndarray", metric: str = "cosine"):
     return codes
 
 
+def _pq_lut_udf(codebooks: "np.ndarray"):
+    """query vec → (flat m·ks ADC lookup table, query norm) — the query
+    prep every ADC scorer needs, Arrow-batched executor-side so the plan
+    scales with unbounded query batches (r5 verdict #8: this replaced a
+    driver-side collect-and-loop that serialized with |Q|). The
+    per-element np.dot calls are kept verbatim from the old driver loop
+    (not a GEMM) so the unrounded doubles feeding the 6dp-rounded sim
+    stay bit-identical to the oracled convention."""
+    cbs = codebooks.copy()
+    m, ks, dsub = cbs.shape
+
+    @F.pandas_udf("struct<lut:array<double>, qnorm:double>")
+    def lut_udf(vecs: pd.Series) -> pd.DataFrame:
+        luts, qnorms = [], []
+        for v in vecs:
+            qv = np.asarray(v, dtype=np.float64)
+            luts.append(
+                [
+                    float(np.dot(qv[j * dsub : (j + 1) * dsub], cbs[j, t]))
+                    for j in range(m)
+                    for t in range(ks)
+                ]
+            )
+            qnorms.append(float(np.linalg.norm(qv)) or 1.0)
+        return pd.DataFrame({"lut": luts, "qnorm": qnorms})
+
+    return lut_udf
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
@@ -580,22 +609,13 @@ def pq_cosine_topk(
             for t in range(ks)
         ]
     )
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).collect()
-    spark = corpus.sparkSession
-    lut_rows = []
-    for r in q_rows:
-        qv = np.asarray(r["qv"], dtype=np.float64)
-        lut = [
-            float(np.dot(qv[j * dsub : (j + 1) * dsub], codebooks[j, t]))
-            for j in range(m)
-            for t in range(ks)
-        ]
-        qnorm = float(np.linalg.norm(qv)) or 1.0
-        lut_rows.append((r["query_id"], lut, qnorm))
-    q = spark.createDataFrame(
-        lut_rows, "query_id long, lut array<double>, qnorm double"
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _pq_lut_udf(codebooks)(F.col(vec_col)).alias("p"),
+    ).select(
+        "query_id",
+        F.col("p.lut").alias("lut"),
+        F.col("p.qnorm").alias("qnorm"),
     )
     js = F.sequence(F.lit(0), F.lit(m - 1))
     slot = lambda j: j * ks + F.element_at("codes", j + 1)  # noqa: E731
@@ -729,25 +749,16 @@ def ivfpq_cosine_topk(
             for t in range(ks)
         ]
     )
-    q_rows = queries.select(
+    # executor-side query prep (see _pq_lut_udf) + probe fan-out
+    q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        probe_udf(F.col(vec_col)).alias("probes"),
-    ).collect()
-    lut_rows = []
-    for r in q_rows:
-        qv = np.asarray(r["qv"], dtype=np.float64)
-        lut = [
-            float(np.dot(qv[j * dsub : (j + 1) * dsub], codebooks[j, t]))
-            for j in range(m)
-            for t in range(ks)
-        ]
-        qnorm = float(np.linalg.norm(qv)) or 1.0
-        for cl in r["probes"]:
-            lut_rows.append((r["query_id"], int(cl), lut, qnorm))
-    q = corpus.sparkSession.createDataFrame(
-        lut_rows,
-        "query_id long, cluster int, lut array<double>, qnorm double",
+        probe_udf(F.col(vec_col)).alias("___probes"),
+        _pq_lut_udf(codebooks)(F.col(vec_col)).alias("p"),
+    ).select(
+        "query_id",
+        F.explode("___probes").alias("cluster"),
+        F.col("p.lut").alias("lut"),
+        F.col("p.qnorm").alias("qnorm"),
     )
     js = F.sequence(F.lit(0), F.lit(m - 1))
     slot = lambda j: j * ks + F.element_at("codes", j + 1)  # noqa: E731
@@ -927,37 +938,59 @@ def residual_ivfpq_topk(
         "neighbor_id", "e.cluster", "e.codes", "e.recon_normsq"
     )
 
+    # Query prep (probes + ADC LUT + per-probe query·centroid + norm) as
+    # one Arrow-batched UDF — r5 verdict #8: the former driver-side
+    # collect-and-loop serialized with |Q|; executor-side it scales with
+    # the query batch. The per-element np.dot calls are kept VERBATIM
+    # from the driver loop (not a GEMM) so the unrounded doubles feeding
+    # the 6dp-rounded sim are bit-identical to the oracled convention.
     cents = centroids.copy()
+    cbs = codebooks.copy()
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def probe_udf(vecs: pd.Series) -> pd.Series:
+    @F.pandas_udf(
+        "struct<probes:array<int>, qcs:array<double>, "
+        "lut:array<double>, qnorm:double>"
+    )
+    def qprep_udf(vecs: pd.Series) -> pd.DataFrame:
         X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         order = np.argsort(
             -_rounded_cosines(X, cents), axis=1, kind="stable"
         )[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+        probes, qcs, luts, qnorms = [], [], [], []
+        for qv, prow in zip(X, order):
+            luts.append(
+                [
+                    float(np.dot(qv[j * dsub : (j + 1) * dsub], cbs[j, t]))
+                    for j in range(m)
+                    for t in range(ks)
+                ]
+            )
+            qnorms.append(float(np.linalg.norm(qv)) or 1.0)
+            probes.append([int(cl) for cl in prow])
+            qcs.append([float(np.dot(qv, cents[int(cl)])) for cl in prow])
+        return pd.DataFrame(
+            {"probes": probes, "qcs": qcs, "lut": luts, "qnorm": qnorms}
+        )
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        probe_udf(F.col(vec_col)).alias("probes"),
-    ).collect()
-    lut_rows = []
-    for r in q_rows:
-        qv = np.asarray(r["qv"], dtype=np.float64)
-        lut = [
-            float(np.dot(qv[j * dsub : (j + 1) * dsub], codebooks[j, t]))
-            for j in range(m)
-            for t in range(ks)
-        ]
-        qnorm = float(np.linalg.norm(qv)) or 1.0
-        for cl in r["probes"]:
-            qc = float(np.dot(qv, centroids[int(cl)]))
-            lut_rows.append((r["query_id"], int(cl), qc, lut, qnorm))
-    q = corpus.sparkSession.createDataFrame(
-        lut_rows,
-        "query_id long, cluster int, qc double, lut array<double>, "
-        "qnorm double",
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            qprep_udf(F.col(vec_col)).alias("p"),
+        )
+        .select(
+            "query_id",
+            F.col("p.lut").alias("lut"),
+            F.col("p.qnorm").alias("qnorm"),
+            F.posexplode(F.col("p.probes")).alias("___pi", "cluster"),
+            F.col("p.qcs").alias("___qcs"),
+        )
+        .select(
+            "query_id",
+            "cluster",
+            F.element_at("___qcs", F.col("___pi") + 1).alias("qc"),
+            "lut",
+            "qnorm",
+        )
     )
     js = F.sequence(F.lit(0), F.lit(m - 1))
     slot = lambda j: j * ks + F.element_at("codes", j + 1)  # noqa: E731
