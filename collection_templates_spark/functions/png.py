@@ -11,10 +11,12 @@ module implements:
   non-interlaced, with ALL FIVE scanline filters (None/Sub/Up/Average/
   Paeth) unfiltered per the spec, chunk CRCs verified.
 
-JPEG remains environment-limited (entropy decode needs a real library);
-``operators/multimodal.decode_image`` routes PNG payloads here and raises
-for other formats, so the decode stub documented in rounds 1-4 is now a
-real decoder for one major format with zero new dependencies.
+Baseline JPEG has its own pure decoder since r6 (``functions/jpeg.py``);
+``operators/multimodal.decode_image`` routes PNG payloads here, JPEG
+there, and raises only for formats that genuinely need C libraries
+(WebP/AVIF, progressive JPEG), so the decode stub documented in rounds
+1-4 is now a real decoder for both major formats with zero new
+dependencies.
 """
 
 from __future__ import annotations

@@ -3,11 +3,14 @@
 Image/audio/video payloads are carried as ``binary`` columns beside a typed
 metadata struct; decode / feature-extraction run as Arrow-batched
 ``mapInPandas`` so the decoder sees contiguous byte batches, not pickled
-rows. PNG decode is REAL (pure-stdlib codec, ``functions/png.py`` — r5);
-JPEG/audio/video decoders (libjpeg/ffmpeg/torchaudio) are not in this
-container, so those paths raise ``NotImplementedError`` and the tested
-fallback uses ``fake_decode`` (deterministic from the bytes), keeping the
-Spark-side plumbing (schema, batch shape, partitioning) real either way.
+rows. PNG decode is REAL (pure-stdlib codec, ``functions/png.py`` — r5),
+baseline JPEG decode is REAL (stdlib+numpy T.81 decoder,
+``functions/jpeg.py`` — r6), PCM-WAV audio is REAL (stdlib ``wave``).
+Compressed audio/video (mp3/ogg/h264 — ffmpeg-class C libraries) and
+WebP/progressive-JPEG remain environment-limited: those paths raise
+``NotImplementedError`` and the tested fallback uses ``fake_decode``
+(deterministic from the bytes), keeping the Spark-side plumbing (schema,
+batch shape, partitioning) real either way.
 
 Scale notes: payload columns dominate bytes — select them ONLY in the stage
 that decodes (column pruning keeps every other stage payload-free), and
@@ -54,12 +57,14 @@ FEATURE_SCHEMA = StructType(
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Real image decode where the format allows it without C libraries:
-    PNG payloads are decoded by the pure-stdlib codec
-    (``functions/png.py`` — zlib inflate + all five scanline filters,
-    CRC-checked) → (width, height, color_type, raw pixels). JPEG/WebP
-    remain environment-limited (entropy decoding needs libjpeg-class
-    libraries) and raise ``NotImplementedError``; callers fall back to
-    ``fake_decode`` for those."""
+    PNG payloads go through the pure-stdlib codec (``functions/png.py``
+    — zlib inflate + all five scanline filters, CRC-checked) and
+    baseline/extended-sequential JPEG through the stdlib+numpy decoder
+    (``functions/jpeg.py`` — full T.81 Huffman/DCT path, r6) →
+    (width, height, color_type, raw pixels). WebP and progressive JPEG
+    remain environment-limited and raise ``NotImplementedError``;
+    callers fall back to ``fake_decode`` for those."""
+    from collection_templates_spark.functions.jpeg import decode_jpeg
     from collection_templates_spark.functions.png import (
         PNG_SIGNATURE,
         decode_png,
@@ -67,8 +72,14 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
 
     if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        try:
+            return decode_jpeg(payload)
+        except ValueError as ex:  # progressive/arithmetic → fake_decode
+            raise NotImplementedError(str(ex)) from ex
     raise NotImplementedError(
-        "non-PNG image decoding requires PIL/libjpeg; not in this container"
+        "unrecognized image format (PNG and baseline JPEG decode here; "
+        "WebP/AVIF need C libraries not in this container)"
     )
 
 

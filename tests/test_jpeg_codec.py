@@ -1,0 +1,124 @@
+"""Baseline JPEG decoder contracts (functions/jpeg.py).
+
+The fixtures are flat-block JPEGs from ``encode_flat_jpeg`` — for a flat
+8×8 block the DCT has a single DC coefficient, so the expected decoded
+pixels are hand-derivable from the T.81 spec (DC = 8·(v−128), quant 8 ⇒
+quantized DC = v−128, IDCT ⇒ flat v). The encoder emits real marker
+segments, both Huffman table classes, DC prediction and byte stuffing,
+so a decode exercises the full baseline path, not a special case.
+"""
+
+import numpy as np
+import pytest
+
+from collection_templates_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_flat_jpeg,
+)
+
+
+def _gray_plane(pixels: bytes, w: int, h: int) -> "np.ndarray":
+    return np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+
+
+def test_single_flat_block():
+    data = encode_flat_jpeg([[200]])
+    w, h, ct, px = decode_jpeg(data)
+    assert (w, h, ct) == (8, 8, 0)
+    assert set(px) == {200}
+
+
+def test_dc_prediction_chain_and_negative_diffs():
+    """2×3 grid with rising and falling values — the DC differences go
+    positive and negative, covering _extend on both signs."""
+    grid = [[10, 250, 128], [90, 91, 17]]
+    data = encode_flat_jpeg(grid)
+    w, h, ct, px = decode_jpeg(data)
+    assert (w, h, ct) == (24, 16, 0)
+    plane = _gray_plane(px, w, h)
+    for by, row in enumerate(grid):
+        for bx, val in enumerate(row):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert set(block.flatten().tolist()) == {val}, (by, bx)
+
+
+def test_non_multiple_of_8_crop():
+    data = encode_flat_jpeg([[64, 128]], width=13, height=5)
+    w, h, ct, px = decode_jpeg(data)
+    assert (w, h) == (13, 5)
+    plane = _gray_plane(px, w, h)
+    assert set(plane[:, :8].flatten().tolist()) == {64}
+    assert set(plane[:, 8:].flatten().tolist()) == {128}
+
+
+def test_color_444_flat_converts_bt601():
+    """One flat YCbCr MCU at 4:4:4; expected RGB from the JFIF BT.601
+    formulas, computed independently here."""
+    y, cb, cr = 120, 90, 180
+    data = encode_flat_jpeg([[y]], chroma_blocks=([[cb]], [[cr]]))
+    w, h, ct, px = decode_jpeg(data)
+    assert (w, h, ct) == (8, 8, 2)
+    rgb = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    exp_r = int(np.clip(round(y + 1.402 * (cr - 128)), 0, 255))
+    exp_g = int(
+        np.clip(
+            round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255
+        )
+    )
+    exp_b = int(np.clip(round(y + 1.772 * (cb - 128)), 0, 255))
+    assert set(rgb[:, :, 0].flatten().tolist()) == {exp_r}
+    assert set(rgb[:, :, 1].flatten().tolist()) == {exp_g}
+    assert set(rgb[:, :, 2].flatten().tolist()) == {exp_b}
+
+
+def test_color_420_subsampled():
+    """16×16 4:2:0: four luma blocks per MCU, one chroma block pair,
+    box-upsampled 2× both ways."""
+    luma = [[40, 80], [160, 240]]
+    data = encode_flat_jpeg(
+        luma, subsample=(2, 2), chroma_blocks=([[128]], [[128]])
+    )
+    w, h, ct, px = decode_jpeg(data)
+    assert (w, h, ct) == (16, 16, 2)
+    rgb = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    # neutral chroma ⇒ R=G=B=Y per block
+    for by in range(2):
+        for bx in range(2):
+            block = rgb[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :]
+            assert set(block.flatten().tolist()) == {luma[by][bx]}, (by, bx)
+
+
+def test_byte_stuffing_roundtrip():
+    """Values chosen so the entropy stream emits 0xFF bytes (stuffed on
+    encode, de-stuffed on decode) — sweep a range and require exactness
+    everywhere; any stuffing bug shifts all subsequent bits."""
+    grid = [[v for v in range(1, 256, 16)] for _ in range(2)]
+    data = encode_flat_jpeg(grid)
+    w, h, ct, px = decode_jpeg(data)
+    plane = _gray_plane(px, w, h)
+    for by, row in enumerate(grid):
+        for bx, val in enumerate(row):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert set(block.flatten().tolist()) == {val}, (by, bx)
+
+
+def test_progressive_rejected_cleanly():
+    data = bytearray(encode_flat_jpeg([[100]]))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="progressive|unsupported"):
+        decode_jpeg(bytes(data))
+
+
+def test_decode_image_routes_jpeg():
+    from collection_templates_spark.operators.multimodal import decode_image
+
+    w, h, ct, px = decode_image(encode_flat_jpeg([[55]]))
+    assert (w, h, ct) == (8, 8, 0)
+    assert set(px) == {55}
+
+
+def test_truncated_raises():
+    data = encode_flat_jpeg([[200, 30, 90]])
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])

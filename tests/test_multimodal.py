@@ -51,13 +51,21 @@ def test_repartition_by_payload_size(spark):
     assert out.count() == 20
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_unknown_formats_still_stubbed():
+    """PNG and baseline JPEG decode for real (r5/r6); anything else —
+    WebP here — stays a clean NotImplementedError so callers fall back
+    to fake_decode. A truncated JPEG is a ValueError (malformed, not
+    env-limited)."""
     import pytest
 
     from collection_templates_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(ValueError):
+        from collection_templates_spark.functions.jpeg import decode_jpeg
+
+        decode_jpeg(b"\xff\xd8\xff")
 
 
 def test_extract_audio_features_real_wav_decode(spark):
