@@ -833,6 +833,67 @@ def _residual_encode_udf(
     return encode
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse k-means clusters the embedding space, and
+    within each cluster a document is DROPPED when an earlier (lower-id)
+    cluster-mate sits within the cosine ε-ball — keeping exactly one
+    representative per semantic duplicate group without any cross-cluster
+    comparisons. Output: (vec_id, cluster, kept).
+
+    Deterministic and fully ORACLED: the coarse quantizer is the
+    engine-replayable ``train_ivf_centroids`` (the ann_ivf_* replay
+    chain), similarities are 6dp-rounded, and the keep rule is a pure
+    lowest-id order — no RNG anywhere.
+
+    Scale shape: ONE shuffle keyed on cluster id; the within-cluster
+    self-join is the SemDeDup cost model — n_clusters is chosen ∝ N so
+    cluster populations stay bounded (the paper uses k = O(N/1000));
+    at a fixed k the join degrades to N²/k, so derive k from corpus size
+    exactly like ``planes_for_corpus`` does for LSH. Centroid training
+    touches the driver with k×dim floats only."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_clusters, vec_col=vec_col, id_col=id_col
+        )
+    assign = _centroid_assign_udf(centroids)
+    a = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("___v"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    earlier = a.select(
+        F.col("vec_id").alias("___dup_id"),
+        F.col("___v").alias("___v2"),
+        F.col("cluster"),
+    )
+    sim = F.round(cosine(F.col("___v"), F.col("___v2")), 6)
+    drops = (
+        a.join(earlier, "cluster")
+        .filter(F.col("___dup_id") < F.col("vec_id"))
+        .withColumn("___sim", sim)
+        .filter(F.col("___sim") >= threshold)
+        .select("vec_id")
+        .distinct()
+        .withColumn("___dropped", F.lit(True))
+    )
+    return (
+        a.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("___dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def train_residual_pq(
     corpus: DataFrame,
     n_clusters: int = 16,

@@ -498,3 +498,60 @@ def pack_sequences(
             .cast("int"),
         )
     )
+
+
+#: Pinned logistic quality-filter weights: (bias, length, punctuation,
+#: stopword, digit). Sign structure is the FineWeb/fastText-style prose
+#: prior — longer docs with natural stopword rates score up, punctuation-
+#: and digit-dense docs score down. Literals so the oracle can restate
+#: the whole model.
+QUALITY_WEIGHTS: tuple[float, float, float, float, float] = (
+    -1.2, 2.2, -3.0, 2.5, -2.0,
+)
+
+
+def quality_classifier(
+    docs: DataFrame,
+    weights: tuple[float, float, float, float, float] = QUALITY_WEIGHTS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Logistic quality classifier over handcrafted features — the
+    model-free stand-in for the fastText/FineWeb quality filters every
+    pretraining pipeline runs: score = σ(w·x) with x = (1, min(n_tok/64,
+    1), punct_ratio, stopword_ratio, digit_ratio), keep = score ≥ 0.5.
+
+    Everything is native expressions over one scan (regexp counts +
+    a stopword list_filter — the text_stats feature set plus a digit
+    ratio), so the filter runs at scan speed and the oracle restates the
+    exact model: z is 9dp-rounded before the sigmoid and the score 6dp
+    after, the repo's two-stage rounding convention for cross-engine
+    float agreement. Columns: (doc, score, keep)."""
+    from collection_templates_spark.operators.text_analysis import (
+        punct_ratio,
+        stopword_ratio,
+        tokens,
+    )
+
+    w0, w1, w2, w3, w4 = weights
+    text = F.col(text_col)
+    n_tok = F.size(tokens(text))
+    len_feat = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    digit_ratio = F.when(
+        F.length(text) > 0,
+        F.regexp_count(text, F.lit("[0-9]")) / F.length(text),
+    ).otherwise(F.lit(0.0))
+    z = F.round(
+        F.lit(w0)
+        + F.lit(w1) * len_feat
+        + F.lit(w2) * punct_ratio(text)
+        + F.lit(w3) * stopword_ratio(text)
+        + F.lit(w4) * digit_ratio,
+        9,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    )

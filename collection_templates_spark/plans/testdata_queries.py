@@ -953,6 +953,35 @@ def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize(docs, _BPE_MERGES).withColumnRenamed("doc", "doc_id")
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup over the embedding table (round 6):
+    the memoized coarse k-means clusters the space, and within each
+    cluster a vector is dropped when an earlier cluster-mate lies inside
+    the cosine ε-ball (τ = 0.4, the corpus's loose near-dup regime —
+    see _EMB_DUP_CONF). Fully ORACLED by chaining the existing IVF
+    k-means replay with an in-cluster pairwise check."""
+    from collection_templates_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, threshold=0.4, centroids=_ivf_centroids_for(spark, sf_dir)
+    )
+
+
+def quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality filter with pinned literal weights (round 6) —
+    the fastText/FineWeb-style keep/drop signal as pure native
+    expressions, model restated verbatim in the oracle."""
+    from collection_templates_spark.operators.training_prep import (
+        quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classifier(docs).withColumnRenamed("doc", "doc_id")
+
+
 def ann_respq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@5 of residual IVF-PQ against brute-force cosine —
     the third quantified ANN-quality signal (LSH, raw PQ, residual PQ),
@@ -1478,6 +1507,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-6 additions — also ahead of the long-green bulk
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "bpe_apply_stats": bpe_apply_stats,
+    "dedup_semantic": dedup_semantic,
+    "quality_logistic": quality_logistic,
     "agg_pricing_summary": agg_pricing_summary,
     "filter_pushdown_revenue": filter_pushdown_revenue,
     "agg_entity_pivot": agg_entity_pivot,
@@ -2970,6 +3001,74 @@ ORACLE_SQL["ann_ivfpq_topk"] = _ivfpq_oracle_sql()
 # occurrences − endswith('e'). Occurrence counting via length-of-replace
 # is exact here: each rule's two chars differ, so its pattern cannot
 # self-overlap. Same normalize→split as every word-level oracle.
+# dedup_semantic oracle: the IVF coarse k-means replay (af = final
+# assignments) + an in-cluster pairwise ε-ball check with the keep-
+# lowest-id rule. The unreferenced probe/ivf CTEs of the shared
+# generator are never executed.
+ORACLE_SQL["dedup_semantic"] = f"""
+    WITH {_ivf_common_ctes()},
+    drops AS (
+        SELECT DISTINCT a.vec_id
+        FROM af a
+        JOIN af b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.4
+    )
+    SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+    FROM af a LEFT JOIN drops d ON d.vec_id = a.vec_id
+"""
+
+
+# quality_logistic oracle: the pinned model restated over the SAME
+# feature expressions the text_stats oracle already uses (+ a digit
+# ratio); z 9dp-rounded before the sigmoid, score 6dp after — the
+# repo's two-stage rounding convention.
+def _quality_logistic_oracle_sql() -> str:
+    from collection_templates_spark.operators.text_analysis import (
+        STOPWORDS_EN,
+    )
+    from collection_templates_spark.operators.training_prep import (
+        QUALITY_WEIGHTS,
+    )
+
+    w0, w1, w2, w3, w4 = QUALITY_WEIGHTS
+    stops = ",".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split(lower(text), ' ') AS toks,
+                   CASE WHEN length(text) > 0
+                        THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                             * 1.0 / length(text)
+                        ELSE 0.0 END AS pr,
+                   CASE WHEN length(text) > 0
+                        THEN len(regexp_extract_all(text, '[0-9]'))
+                             * 1.0 / length(text)
+                        ELSE 0.0 END AS dr
+            FROM documents
+        ), b2 AS (
+            SELECT doc_id, pr, dr,
+                   least(len(toks) / 64.0, 1.0) AS lf,
+                   CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, t -> t IN ({stops})))
+                             * 1.0 / len(toks)
+                        ELSE 0.0 END AS sr
+            FROM base
+        ), zz AS (
+            SELECT doc_id,
+                   round({w0} + {w1} * lf + ({w2}) * pr + {w3} * sr
+                         + ({w4}) * dr, 9) AS z
+            FROM b2
+        )
+        SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+               round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+        FROM zz
+    """
+
+
+ORACLE_SQL["quality_logistic"] = _quality_logistic_oracle_sql()
+
 ORACLE_SQL["bpe_apply_stats"] = """
     WITH words AS (
         SELECT doc_id, t.w

@@ -106,3 +106,49 @@ def test_simhash_blocking_exact_vs_fingerprint_bruteforce(spark, seed):
         for r in simhash_pairs(df, max_hamming=3).collect()
     }
     assert got == want
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """SemDeDup keep rule re-derived in plain numpy with the same
+    deterministic trainer: dropped ⇔ an earlier same-cluster vector sits
+    inside the rounded-cosine ε-ball."""
+    import numpy as np
+
+    from collection_templates_spark.operators.similarity import (
+        _rounded_cosines,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(60, 8))
+    X[10] = X[3] * 1.01  # planted semantic dups
+    X[20] = X[3] * 0.99
+    X[41] = X[40] * 1.001
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = train_ivf_centroids(df, n_clusters=4)
+    got = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in semantic_dedup(
+            df, threshold=0.9, n_clusters=4, centroids=cents
+        ).collect()
+    }
+    cl = _rounded_cosines(X, cents).argmax(axis=1)
+
+    def cos(i, j):
+        d = float(np.dot(X[i], X[j]))
+        return round(
+            d / (np.linalg.norm(X[i]) * np.linalg.norm(X[j])), 6
+        )
+
+    dropped_planted = 0
+    for i in range(60):
+        dup = any(
+            cl[j] == cl[i] and cos(i, j) >= 0.9 for j in range(i)
+        )
+        assert got[i] == (cl[i], not dup), i
+        dropped_planted += int(not got[i][1])
+    assert dropped_planted >= 2  # the planted dups actually dropped
