@@ -284,3 +284,105 @@ def doc_perplexity(
             ).alias("perplexity"),
         )
     )
+
+
+def _token_array(text: "F.Column") -> "F.Column":
+    """Ordered analyzer tokens of one document (empties removed),
+    the array form of ``corpus_tokens``'s explode."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+def doc_perplexity_bigram(
+    docs: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under an INTERPOLATED bigram LM — the
+    CCNet-style quality filter one order up from ``doc_perplexity``:
+    token i ≥ 2 scores p = λ·p_bi(w|v) + (1−λ)·p_uni(w), the first token
+    scores p_uni alone; both estimators are Laplace-smoothed
+    (p_uni = (c(w)+1)/(total+V), p_bi = (c(v,w)+1)/(ctx(v)+V) with
+    ctx(v) = Σ_w c(v,w)). A repeated-phrase document scores near-zero
+    bigram surprise while staying unigram-plausible — exactly the signal
+    the unigram filter cannot see. Columns: (doc, n_tokens, avg_lp,
+    perplexity); docs with no analyzer tokens are absent.
+
+    Determinism: per-token lp is 9dp-rounded before the per-doc sum
+    (repo convention); every probability derives from integer counts by
+    the same expression shape in both engines.
+
+    Scale: the unigram model, totals, and context-count table are
+    vocabulary-sized broadcasts; the bigram table is vocab²-bounded and
+    joined WITHOUT a broadcast hint (AQE picks broadcast while it fits,
+    shuffle-hash beyond — at web scale it is the one legitimately big
+    model side). One pair-explode pass over the corpus, one per-doc
+    re-aggregation, both partial-combined.
+    """
+    arr = _token_array(F.col(text_col))
+    pairs = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.zip_with(
+                arr,
+                F.slice(
+                    F.concat(F.array(F.lit(None).cast("string")), arr),
+                    1,
+                    F.size(arr),
+                ),
+                lambda cur, prv: F.struct(
+                    cur.alias("token"), prv.alias("prev")
+                ),
+            )
+        ).alias("___pos", "___p"),
+    ).select("doc", "___p.token", "___p.prev")
+
+    uni = (
+        pairs.groupBy("token").agg(F.count("*").alias("n"))
+    )
+    totals = uni.agg(
+        F.sum("n").alias("___total"), F.count("*").alias("___vocab")
+    )
+    bi = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count("*").alias("n2"))
+    )
+    ctx = bi.groupBy("prev").agg(F.sum("n2").alias("nc"))
+
+    p_uni = (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double") / (
+        F.col("___total") + F.col("___vocab")
+    ).cast("double")
+    p_bi = (F.coalesce(F.col("n2"), F.lit(0)) + 1).cast("double") / (
+        F.coalesce(F.col("nc"), F.lit(0)) + F.col("___vocab")
+    ).cast("double")
+    p = F.when(
+        F.col("prev").isNull(), p_uni
+    ).otherwise(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+
+    scored = (
+        pairs.join(F.broadcast(totals))
+        .join(F.broadcast(uni), "token", "left")
+        .join(bi, ["prev", "token"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .withColumn("___lp", F.round(F.log(p), 9))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("___lp").alias("___sum_lp"),
+        )
+        .select(
+            "doc",
+            "n_tokens",
+            F.round(F.col("___sum_lp") / F.col("n_tokens"), 6).alias(
+                "avg_lp"
+            ),
+            F.round(
+                F.exp(-F.col("___sum_lp") / F.col("n_tokens")), 6
+            ).alias("perplexity"),
+        )
+    )

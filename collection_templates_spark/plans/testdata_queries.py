@@ -970,6 +970,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity (round 6) — the CCNet-style
+    filter one order above text_perplexity; model counts + interpolation
+    replayed verbatim in the oracle."""
+    from collection_templates_spark.functions.langmodel import (
+        doc_perplexity_bigram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_perplexity_bigram(docs).withColumnRenamed("doc", "doc_id")
+
+
 def quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic quality filter with pinned literal weights (round 6) —
     the fastText/FineWeb-style keep/drop signal as pure native
@@ -1509,6 +1521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_apply_stats": bpe_apply_stats,
     "dedup_semantic": dedup_semantic,
     "quality_logistic": quality_logistic,
+    "text_perplexity_bigram": text_perplexity_bigram,
     "agg_pricing_summary": agg_pricing_summary,
     "filter_pushdown_revenue": filter_pushdown_revenue,
     "agg_entity_pivot": agg_entity_pivot,
@@ -3068,6 +3081,61 @@ def _quality_logistic_oracle_sql() -> str:
 
 
 ORACLE_SQL["quality_logistic"] = _quality_logistic_oracle_sql()
+
+
+# text_perplexity_bigram oracle: same counts + interpolation as
+# langmodel.doc_perplexity_bigram. λ and (1−λ) are emitted via repr so
+# the SQL literal is the EXACT IEEE double Python computes (1.0 − 0.7 =
+# 0.30000000000000004, not the SQL literal 0.3) — the lp is only
+# 9dp-rounded AFTER the interpolation, so a 5e-17 weight difference
+# could flip a boundary.
+def _perplexity_bigram_oracle_sql(lam: float = 0.7) -> str:
+    l1, l2 = repr(lam), repr(1.0 - lam)
+    return f"""
+        WITH arrs AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9'']+'), x -> x <> '') AS t
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, t[i.i] AS token,
+                   CASE WHEN i.i > 1 THEN t[i.i - 1] END AS prev
+            FROM arrs, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i
+            WHERE len(t) > 0
+        ), uni AS (
+            SELECT token, count(*) AS n FROM tok GROUP BY token
+        ), tot AS (
+            SELECT CAST(sum(n) AS DOUBLE) AS total,
+                   CAST(count(*) AS DOUBLE) AS vocab
+            FROM uni
+        ), bi AS (
+            SELECT prev, token, count(*) AS n2 FROM tok
+            WHERE prev IS NOT NULL GROUP BY prev, token
+        ), ctx AS (
+            SELECT prev, sum(n2) AS nc FROM bi GROUP BY prev
+        ), sc AS (
+            SELECT tok.doc_id,
+                   round(ln(CASE WHEN tok.prev IS NULL
+                        THEN (coalesce(uni.n, 0) + 1)
+                             / (tot.total + tot.vocab)
+                        ELSE {l1} * ((coalesce(bi.n2, 0) + 1)
+                                 / (coalesce(ctx.nc, 0) + tot.vocab))
+                           + {l2} * ((coalesce(uni.n, 0) + 1)
+                                 / (tot.total + tot.vocab)) END), 9) AS lp
+            FROM tok
+            CROSS JOIN tot
+            LEFT JOIN uni USING (token)
+            LEFT JOIN bi ON bi.prev = tok.prev AND bi.token = tok.token
+            LEFT JOIN ctx ON ctx.prev = tok.prev
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(sum(lp) / count(*), 6) AS avg_lp,
+               round(exp(-sum(lp) / count(*)), 6) AS perplexity
+        FROM sc GROUP BY doc_id
+    """
+
+
+ORACLE_SQL["text_perplexity_bigram"] = _perplexity_bigram_oracle_sql()
 
 ORACLE_SQL["bpe_apply_stats"] = """
     WITH words AS (

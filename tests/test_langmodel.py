@@ -234,3 +234,34 @@ def test_tokenizer_udf_uses_model_split(spark, model_df):
     df = spark.createDataFrame([("thenewyorktimes",)], "name string")
     got = df.select(tokenize_name_udf_for(bc)("name").alias("t")).collect()
     assert got[0]["t"] == ["the", "new", "york", "times"]
+
+
+def test_bigram_perplexity_discriminates_word_order(spark):
+    """Two docs with the SAME unigram bag but different sequential
+    coherence: the unigram filter scores them identically, the
+    interpolated bigram filter must separate them — the reason the
+    operator exists. Corpus includes coherent filler so the bigram
+    model has something to prefer."""
+    from collection_templates_spark.functions.langmodel import (
+        doc_perplexity,
+        doc_perplexity_bigram,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "the cat sat on the mat"),
+        (4, "the cat sat on the mat"),      # coherent, common order
+        (5, "mat the on sat cat the"),      # same bag, scrambled
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r["doc"]: r["perplexity"] for r in doc_perplexity(df).collect()}
+    bi = {
+        r["doc"]: r["perplexity"]
+        for r in doc_perplexity_bigram(df).collect()
+    }
+    assert uni[4] == uni[5]          # unigram is order-blind
+    assert bi[4] < bi[5]             # bigram sees the scramble
+    # contract: one row per non-empty doc, n_tokens = analyzer count
+    out = {r["doc"]: r["n_tokens"] for r in doc_perplexity_bigram(df).collect()}
+    assert out == {1: 6, 2: 6, 3: 6, 4: 6, 5: 6}
