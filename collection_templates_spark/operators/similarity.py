@@ -833,10 +833,19 @@ def _residual_encode_udf(
     return encode
 
 
+def clusters_for_corpus(n: int, target_cluster_size: int = 1000) -> int:
+    """Cluster count that keeps expected SemDeDup cluster populations
+    near ``target_cluster_size`` (the paper's k = O(N/1000) regime):
+    the within-cluster pairwise check is quadratic in population, so k
+    must grow with N — a fixed k silently degrades to N²/k. Floor of 4,
+    same pure-arithmetic convention as ``planes_for_corpus``."""
+    return max(4, -(-n // target_cluster_size))
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.4,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: "np.ndarray | None" = None,
@@ -854,12 +863,13 @@ def semantic_dedup(
     lowest-id order — no RNG anywhere.
 
     Scale shape: ONE shuffle keyed on cluster id; the within-cluster
-    self-join is the SemDeDup cost model — n_clusters is chosen ∝ N so
-    cluster populations stay bounded (the paper uses k = O(N/1000));
-    at a fixed k the join degrades to N²/k, so derive k from corpus size
-    exactly like ``planes_for_corpus`` does for LSH. Centroid training
-    touches the driver with k×dim floats only."""
+    self-join is the SemDeDup cost model — pass ``n_clusters=None`` to
+    derive k from the corpus count via ``clusters_for_corpus`` (the
+    paper's k = O(N/1000); a fixed k silently degrades to N²/k).
+    Centroid training touches the driver with k×dim floats only."""
     if centroids is None:
+        if n_clusters is None:
+            n_clusters = clusters_for_corpus(corpus.count())
         centroids = train_ivf_centroids(
             corpus, n_clusters, vec_col=vec_col, id_col=id_col
         )
