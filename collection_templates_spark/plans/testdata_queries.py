@@ -970,6 +970,97 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel (round 6 capstone): the training
+    candidates (doc_id ≥ 20, the decontamination convention) flow
+    through exact dedup → logistic quality filter → benchmark
+    decontamination (drop contamination ≥ 0.2), and the query reports
+    one row per stage with the surviving count and retention vs ingest —
+    the dashboard every data-curation run publishes. Each stage is an
+    already-oracled operator; the funnel pins their COMPOSITION
+    (cumulative survivorship), which no single-operator query checks.
+
+    Scale shape: stage survivors are id-projected semi/anti joins (the
+    heavy per-stage work — dedup window, model scan, gram join — is each
+    operator's own documented shape); the four counts are one-row
+    aggregates unioned, and retention rides a broadcast of the ingest
+    count."""
+    from collection_templates_spark.operators.dedup import exact_dedup
+    from collection_templates_spark.operators.training_prep import (
+        ngram_contamination,
+        quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    train = docs.filter(F.col("doc_id") >= 20)
+    s0 = train.select("doc_id")
+    s1 = (
+        exact_dedup(train)
+        .filter(F.col("is_duplicate") == 0)
+        .select("doc_id")
+    )
+    qual_keep = (
+        quality_classifier(train)
+        .withColumnRenamed("doc", "doc_id")
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    s2 = s1.join(qual_keep, "doc_id", "left_semi")
+    dirty = (
+        ngram_contamination(train, bench)
+        .withColumnRenamed("doc", "doc_id")
+        .filter(F.col("contamination") >= 0.2)
+        .select("doc_id")
+    )
+    s3 = s2.join(dirty, "doc_id", "left_anti")
+
+    counts = None
+    for name, df in (
+        ("00_ingest", s0),
+        ("01_exact_dedup", s1),
+        ("02_quality", s2),
+        ("03_decontaminate", s3),
+    ):
+        c = df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    n0 = s0.agg(F.count("*").alias("___n0"))
+    return counts.join(F.broadcast(n0)).select(
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("___n0"), 6).alias("retention"),
+    )
+
+
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (round 6): pieces-per-word under
+    the pinned merge table, grouped over the documents language column —
+    the standard multilingual-tokenizer health metric (a language with
+    high fertility is under-served by the vocabulary and burns context
+    length). Same closed-form oracle as bpe_apply_stats, one more
+    rollup."""
+    from collection_templates_spark.functions.bpe import bpe_tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = bpe_tokenize(docs, _BPE_MERGES).withColumnRenamed(
+        "doc", "doc_id"
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_pieces").alias("total_pieces"),
+            F.round(
+                F.sum("n_pieces") / F.sum("n_words"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
 def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM perplexity (round 6) — the CCNet-style
     filter one order above text_perplexity; model counts + interpolation
@@ -1522,6 +1613,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": dedup_semantic,
     "quality_logistic": quality_logistic,
     "text_perplexity_bigram": text_perplexity_bigram,
+    "bpe_fertility_by_lang": bpe_fertility_by_lang,
+    "corpus_funnel": corpus_funnel,
     "agg_pricing_summary": agg_pricing_summary,
     "filter_pushdown_revenue": filter_pushdown_revenue,
     "agg_entity_pivot": agg_entity_pivot,
@@ -3136,6 +3229,123 @@ def _perplexity_bigram_oracle_sql(lam: float = 0.7) -> str:
 
 
 ORACLE_SQL["text_perplexity_bigram"] = _perplexity_bigram_oracle_sql()
+
+# corpus_funnel oracle: the three stage criteria restated verbatim from
+# their own oracles (dedup_exact's min-id window, quality_logistic's
+# pinned model, decontaminate_ngrams' trigram CTEs), composed with
+# cumulative IN/NOT IN survivorship and a stage-count union.
+def _corpus_funnel_oracle_sql() -> str:
+    from collection_templates_spark.operators.text_analysis import (
+        STOPWORDS_EN,
+    )
+    from collection_templates_spark.operators.training_prep import (
+        QUALITY_WEIGHTS,
+    )
+
+    w0, w1, w2, w3, w4 = QUALITY_WEIGHTS
+    stops = ",".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+        WITH train AS (SELECT * FROM documents WHERE doc_id >= 20),
+        canon AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS cid
+            FROM train),
+        s1 AS (SELECT doc_id FROM canon WHERE doc_id = cid),
+        qbase AS (
+            SELECT doc_id,
+                   string_split(lower(text), ' ') AS toks,
+                   CASE WHEN length(text) > 0
+                        THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                             * 1.0 / length(text)
+                        ELSE 0.0 END AS pr,
+                   CASE WHEN length(text) > 0
+                        THEN len(regexp_extract_all(text, '[0-9]'))
+                             * 1.0 / length(text)
+                        ELSE 0.0 END AS dr
+            FROM train),
+        qb2 AS (
+            SELECT doc_id, pr, dr, least(len(toks) / 64.0, 1.0) AS lf,
+                   CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, t -> t IN ({stops})))
+                             * 1.0 / len(toks)
+                        ELSE 0.0 END AS sr
+            FROM qbase),
+        qkeep AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       round({w0} + {w1} * lf + ({w2}) * pr + {w3} * sr
+                             + ({w4}) * dr, 9) AS z
+                FROM qb2)
+            WHERE round(1.0 / (1.0 + exp(-z)), 6) >= 0.5),
+        s2 AS (SELECT doc_id FROM s1
+               WHERE doc_id IN (SELECT doc_id FROM qkeep)),
+        toks3 AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ') AS t
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+            FROM toks3, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+            WHERE len(t) >= 3),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20),
+        cont AS (
+            SELECT c.doc_id,
+                   round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS contamination
+            FROM (SELECT doc_id, g FROM sh WHERE doc_id >= 20) c
+            LEFT JOIN bench b ON c.g = b.g
+            GROUP BY c.doc_id),
+        dirty AS (SELECT doc_id FROM cont WHERE contamination >= 0.2),
+        s3 AS (SELECT doc_id FROM s2
+               WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        n0 AS (SELECT count(*) AS n FROM train),
+        stages AS (
+            SELECT '00_ingest' AS stage,
+                   (SELECT count(*) FROM train) AS n_docs
+            UNION ALL SELECT '01_exact_dedup', (SELECT count(*) FROM s1)
+            UNION ALL SELECT '02_quality', (SELECT count(*) FROM s2)
+            UNION ALL SELECT '03_decontaminate', (SELECT count(*) FROM s3))
+        SELECT stage, n_docs, round(n_docs * 1.0 / n0.n, 6) AS retention
+        FROM stages, n0
+    """
+
+
+ORACLE_SQL["corpus_funnel"] = _corpus_funnel_oracle_sql()
+
+# bpe_fertility_by_lang oracle: the bpe_apply_stats closed form rolled
+# up per language. Sums cast to BIGINT (DuckDB sum(int) is HUGEINT).
+ORACLE_SQL["bpe_fertility_by_lang"] = """
+    WITH words AS (
+        SELECT doc_id, t.w
+        FROM documents,
+             unnest(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS t(w)
+        WHERE t.w <> ''
+    ), pieces AS (
+        SELECT doc_id,
+               length(w) + 1
+               - (length(w) - length(replace(w, 'th', ''))) // 2
+               - (length(w) - length(replace(w, 'an', ''))) // 2
+               - (length(w) - length(replace(w, 'in', ''))) // 2
+               - (length(w) - length(replace(w, 'or', ''))) // 2
+               - CASE WHEN w LIKE '%e' THEN 1 ELSE 0 END AS n_p
+        FROM words
+    ), per_doc AS (
+        SELECT doc_id, count(*) AS n_words,
+               CAST(sum(n_p) AS BIGINT) AS n_pieces
+        FROM pieces GROUP BY doc_id
+    )
+    SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(p.n_words) AS BIGINT) AS total_words,
+           CAST(sum(p.n_pieces) AS BIGINT) AS total_pieces,
+           round(CAST(sum(p.n_pieces) AS DOUBLE) / sum(p.n_words), 6)
+               AS fertility
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+"""
 
 ORACLE_SQL["bpe_apply_stats"] = """
     WITH words AS (
