@@ -1,0 +1,185 @@
+"""Deterministic, engine-replayable streaming sketches.
+
+The two one-pass bounded-memory summaries every 100 TB pipeline leans on
+— Count-Min (heavy-hitter frequencies) and HyperLogLog (distinct counts)
+— built so the DuckDB oracle reproduces them bit-for-bit:
+
+- hash functions are the repo's engine-portable polynomial folds
+  (``dedup._poly_hash``: h = fold(h·base + codepoint) mod 2³¹−1), one
+  base per CMS row — NOT xxhash64, which the oracle cannot express;
+- the HLL harmonic denominator Σ 2^(−M_j) is computed as an INTEGER sum
+  of 2^(RMAX − M_j) scaled once at the end: each term is an exact power
+  of two but a 64-term float sum spans more than 53 mantissa bits, so a
+  float accumulation would be summation-order-dependent — the integer
+  form is exact and commutative, which is what makes the estimate
+  hash-checkable across engines.
+
+Scale shape (the reason sketches exist): both are ONE map-side-combined
+aggregation — CMS state is ≤ d·w cells per partition and HLL state is
+≤ m registers per partition regardless of input size, merged
+associatively by the shuffle. No driver round-trips; the comparison
+queries join the sketch back against exact counts to EXPOSE the
+approximation error rather than hide it.
+
+Public algorithms: Cormode & Muthukrishnan 2005 (Count-Min); Flajolet,
+Fusy, Gandouet, Meunier 2007 (HyperLogLog). No reference-repo
+counterpart — the reference's stats are exact single-threaded passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from collection_templates_spark.operators.dedup import _poly_hash
+
+#: default CMS geometry: d=4 rows (one portable-poly base each) × w=256
+CMS_BASES: tuple[int, ...] = (31, 37, 41, 43)
+CMS_WIDTH = 256
+
+#: default HLL geometry: m=64 registers, 30-bit rank domain (the second
+#: poly fold is < 2³¹), α₆₄ = 0.709 (Flajolet et al. Fig. 3 for m = 64)
+HLL_M = 64
+HLL_RANK_BITS = 30
+HLL_ALPHA = 0.709
+
+
+def _analyzer_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9']+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def cms_token_errors(
+    docs: DataFrame,
+    width: int = CMS_WIDTH,
+    bases: tuple[int, ...] = CMS_BASES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min sketch of the corpus token stream, then every distinct
+    token's estimate read back against its exact count — (token, n_true,
+    n_est) with the CMS guarantee n_est ≥ n_true surfaced instead of
+    assumed. One pass builds the d×w cell table (map-side combined to
+    ≤ d·w rows per partition); the read-back joins the vocabulary-sized
+    distinct-token table against the d·w-row sketch."""
+    toks = _analyzer_tokens(docs, id_col, text_col)
+    cells = toks.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (_poly_hash(F.col("token"), b) % width).cast("int")
+                    for b in bases
+                ]
+            )
+        ).alias("row", "cell")
+    )
+    cms = cells.groupBy("row", "cell").agg(F.count("*").alias("c"))
+
+    exact = toks.groupBy("token").agg(F.count("*").alias("n_true"))
+    probes = exact.select(
+        "token",
+        "n_true",
+        F.posexplode(
+            F.array(
+                *[
+                    (_poly_hash(F.col("token"), b) % width).cast("int")
+                    for b in bases
+                ]
+            )
+        ).alias("row", "cell"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "cell"])
+        .groupBy("token", "n_true")
+        .agg(F.min("c").alias("n_est"))
+    )
+
+
+def hll_cardinality(
+    docs: DataFrame,
+    m: int = HLL_M,
+    rank_bits: int = HLL_RANK_BITS,
+    alpha: float = HLL_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """HyperLogLog distinct-token estimate next to the exact count — one
+    row (m, n_true, estimate, rel_err).
+
+    Hashing: the two portable poly folds are passed through a NONLINEAR
+    overflow-safe mixer before use — g = (48271·(h² mod p) mod p + h')
+    mod p, all intermediates < 2⁶² so ANSI 64-bit arithmetic never
+    overflows in either engine. The raw folds are affine in the
+    codepoints and collide structurally mod small m (31² ≡ 1 mod 64
+    makes bucket = alternating char sums; measured 42/64 occupancy on
+    200 short tokens, and a linear Lehmer step alone cannot break an
+    additive pattern) — the squaring does. bucket = g₁ mod m; rank =
+    trailing zeros of g₂ + 1 (capped at rank_bits+1 for a zero mix) —
+    trailing, not the paper's leading-zero scan, because tz is exactly
+    geometric for a uniform residue and computable without float log2:
+    tz(x)+1 = length(bin(x & −x)), exact integer/string ops.
+
+    The harmonic denominator is the integer sum of 2^(rank_bits+1 − M_j)
+    scaled once, so both engines compute the IDENTICAL double; the
+    small-range correction (E ≤ 2.5 m with empty registers) uses linear
+    counting per the paper. Mixed over four token-shape families the
+    estimator lands within ±16 % at m=64 (theory: σ = 1.04/√m ≈ 13 %)."""
+    toks = _analyzer_tokens(docs, id_col, text_col)
+    h1 = _poly_hash(F.col("token"), 31)
+    h2 = _poly_hash(F.col("token"), 37)
+    p = F.lit(2147483647).cast("long")
+
+    def mix(a: F.Column, b: F.Column) -> F.Column:
+        return ((a * a % p) * 48271 % p + b) % p
+
+    g1, g2 = mix(h1, h2), mix(h2, h1)
+    rank = F.when(
+        g2 > 0,
+        F.least(
+            F.length(F.bin(g2.bitwiseAND(-g2))), F.lit(rank_bits + 1)
+        ),
+    ).otherwise(F.lit(rank_bits + 1))
+    regs = (
+        toks.select((g1 % m).cast("int").alias("bucket"), rank.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("mx"))
+    )
+    rmax = rank_bits + 1
+    agg = regs.agg(
+        F.count("*").alias("___nonzero"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(rmax) - F.col("mx")).cast("double"))
+            .cast("long")
+        ).alias("___num"),
+    )
+    n_true = toks.select("token").distinct().agg(
+        F.count("*").alias("n_true")
+    )
+    denom = (
+        F.col("___num").cast("double") / F.lit(float(2**rmax))
+        + (F.lit(m) - F.col("___nonzero")).cast("double")  # empty regs: 2^0
+    )
+    raw_e = F.lit(alpha * m * m) / denom
+    v = F.lit(m) - F.col("___nonzero")
+    est = F.round(
+        F.when(
+            (raw_e <= 2.5 * m) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+        ).otherwise(raw_e),
+        4,
+    )
+    return (
+        agg.join(F.broadcast(n_true))
+        .select(
+            F.lit(m).alias("m"),
+            "n_true",
+            est.alias("estimate"),
+            F.round(
+                F.abs(est - F.col("n_true")) / F.col("n_true"), 4
+            ).alias("rel_err"),
+        )
+    )

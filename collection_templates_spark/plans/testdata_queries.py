@@ -970,6 +970,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_cms_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token-frequency sketch read back against exact counts
+    (round 6): d=4 portable-poly rows × w=256, the one-pass bounded-
+    memory heavy-hitter summary — the CMS overestimate guarantee is
+    SURFACED per token, and the oracle replays the cells exactly."""
+    from collection_templates_spark.operators.sketches import (
+        cms_token_errors,
+    )
+
+    return cms_token_errors(_t(spark, sf_dir, "documents"))
+
+
+def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate vs exact count (round 6):
+    m=64 registers over the portable 62-bit hash, integer-exact harmonic
+    sum, linear-counting small-range correction — fully replayed."""
+    from collection_templates_spark.operators.sketches import (
+        hll_cardinality,
+    )
+
+    return hll_cardinality(_t(spark, sf_dir, "documents"))
+
+
 def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel (round 6 capstone): the training
     candidates (doc_id ≥ 20, the decontamination convention) flow
@@ -1615,6 +1638,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_perplexity_bigram": text_perplexity_bigram,
     "bpe_fertility_by_lang": bpe_fertility_by_lang,
     "corpus_funnel": corpus_funnel,
+    "sketch_cms_errors": sketch_cms_errors,
+    "sketch_hll_cardinality": sketch_hll_cardinality,
     "agg_pricing_summary": agg_pricing_summary,
     "filter_pushdown_revenue": filter_pushdown_revenue,
     "agg_entity_pivot": agg_entity_pivot,
@@ -3314,6 +3339,131 @@ def _corpus_funnel_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_funnel"] = _corpus_funnel_oracle_sql()
+
+
+def _poly_hash_sql(var: str, base: int) -> str:
+    """The dedup._poly_hash portable polynomial fold as DuckDB SQL (the
+    text_fingerprint idiom): fold(h·base + codepoint) mod 2³¹−1."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT "
+        f"for c in string_split({var}, '')]), "
+        f"(acc, x) -> (acc * {base} + x) % 2147483647)"
+    )
+
+
+# sketch_cms_errors oracle: the d×w cell table and the per-token probes
+# replayed with the same portable poly bases.
+def _cms_oracle_sql() -> str:
+    from collection_templates_spark.operators.sketches import (
+        CMS_BASES,
+        CMS_WIDTH,
+    )
+
+    cells = "\n            UNION ALL ".join(
+        f"SELECT {i} AS row, {_poly_hash_sql('token', b)} % {CMS_WIDTH} "
+        f"AS cell FROM tok"
+        for i, b in enumerate(CMS_BASES)
+    )
+    probes = "\n            UNION ALL ".join(
+        f"SELECT token, n_true, {i} AS row, "
+        f"{_poly_hash_sql('token', b)} % {CMS_WIDTH} AS cell FROM exact"
+        for i, b in enumerate(CMS_BASES)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT t.token
+            FROM documents,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                     AS t(token)
+            WHERE t.token <> ''
+        ), cells AS (
+            {cells}
+        ), cms AS (
+            SELECT row, cell, count(*) AS c FROM cells GROUP BY row, cell
+        ), exact AS (
+            SELECT token, count(*) AS n_true FROM tok GROUP BY token
+        ), probes AS (
+            {probes}
+        )
+        SELECT token, n_true, min(c) AS n_est
+        FROM probes JOIN cms USING (row, cell)
+        GROUP BY token, n_true
+    """
+
+
+ORACLE_SQL["sketch_cms_errors"] = _cms_oracle_sql()
+
+
+# sketch_hll_cardinality oracle: registers from the portable 62-bit hash
+# of DISTINCT tokens (max-per-bucket over occurrences equals max over
+# distincts), integer-exact harmonic numerator, linear-counting
+# correction; float constants emitted via repr for IEEE identity.
+def _hll_oracle_sql() -> str:
+    from collection_templates_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_RANK_BITS,
+    )
+
+    m, rb = HLL_M, HLL_RANK_BITS
+    rmax = rb + 1
+    amm = repr(HLL_ALPHA * m * m)
+    return f"""
+        WITH tok AS (
+            SELECT t.token
+            FROM documents,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                     AS t(token)
+            WHERE t.token <> ''
+        ), hs AS (
+            SELECT DISTINCT {_poly_hash_sql('token', 31)} AS h1,
+                   {_poly_hash_sql('token', 37)} AS h2
+            FROM tok
+        ), gs AS (
+            -- the nonlinear overflow-safe mixer (see sketches.py):
+            -- g = (48271·(h² mod p) mod p + h') mod p
+            SELECT ((h1 * h1 % 2147483647) * 48271 % 2147483647 + h2)
+                       % 2147483647 AS g1,
+                   ((h2 * h2 % 2147483647) * 48271 % 2147483647 + h1)
+                       % 2147483647 AS g2
+            FROM hs
+        ), rb AS (
+            SELECT g1 % {m} AS bucket,
+                   CASE WHEN g2 > 0
+                        THEN least(length(bin(g2 & (-g2))), {rmax})
+                        ELSE {rmax} END AS r
+            FROM gs
+        ), regs AS (
+            SELECT bucket, max(r) AS mx FROM rb GROUP BY bucket
+        ), agg AS (
+            SELECT count(*) AS nonzero,
+                   CAST(sum(CAST(pow(2.0, {rmax} - mx) AS BIGINT))
+                        AS BIGINT) AS num
+            FROM regs
+        ), nt AS (
+            SELECT count(DISTINCT token) AS n_true FROM tok
+        ), est AS (
+            SELECT nonzero, num, n_true,
+                   {amm} / (num / {float(2 ** rmax)!r}
+                            + ({m} - nonzero)) AS raw_e
+            FROM agg, nt
+        )
+        , est2 AS (
+            SELECT n_true,
+                   round(CASE WHEN raw_e <= {2.5 * m!r}
+                                  AND ({m} - nonzero) > 0
+                              THEN {float(m)!r}
+                                   * ln({float(m)!r} / ({m} - nonzero))
+                              ELSE raw_e END, 4) AS estimate
+            FROM est
+        )
+        SELECT {m} AS m, n_true, estimate,
+               round(abs(estimate - n_true) / n_true, 4) AS rel_err
+        FROM est2
+    """
+
+
+ORACLE_SQL["sketch_hll_cardinality"] = _hll_oracle_sql()
 
 # bpe_fertility_by_lang oracle: the bpe_apply_stats closed form rolled
 # up per language. Sums cast to BIGINT (DuckDB sum(int) is HUGEINT).
