@@ -99,6 +99,37 @@ def cms_token_errors(
     )
 
 
+def hll_register_table(
+    toks: DataFrame, m: int = HLL_M, rank_bits: int = HLL_RANK_BITS
+) -> DataFrame:
+    """(bucket, mx) register table from a ``token`` column — a plain
+    ``groupBy(bucket).max(rank)``, which is exactly the shape Structured
+    Streaming supports as incremental state: the SAME function applied
+    to a readStream source maintains the live HLL registers with m rows
+    of state, merged associatively across micro-batches (pinned by
+    tests/test_sketches.py::test_streaming_hll_registers_match_batch).
+    Hashing scheme documented on ``hll_cardinality``."""
+    h1 = _poly_hash(F.col("token"), 31)
+    h2 = _poly_hash(F.col("token"), 37)
+    p = F.lit(2147483647).cast("long")
+
+    def mix(a: F.Column, b: F.Column) -> F.Column:
+        return ((a * a % p) * 48271 % p + b) % p
+
+    g1, g2 = mix(h1, h2), mix(h2, h1)
+    rank = F.when(
+        g2 > 0,
+        F.least(
+            F.length(F.bin(g2.bitwiseAND(-g2))), F.lit(rank_bits + 1)
+        ),
+    ).otherwise(F.lit(rank_bits + 1))
+    return (
+        toks.select((g1 % m).cast("int").alias("bucket"), rank.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("mx"))
+    )
+
+
 def hll_cardinality(
     docs: DataFrame,
     m: int = HLL_M,
@@ -129,25 +160,7 @@ def hll_cardinality(
     counting per the paper. Mixed over four token-shape families the
     estimator lands within ±16 % at m=64 (theory: σ = 1.04/√m ≈ 13 %)."""
     toks = _analyzer_tokens(docs, id_col, text_col)
-    h1 = _poly_hash(F.col("token"), 31)
-    h2 = _poly_hash(F.col("token"), 37)
-    p = F.lit(2147483647).cast("long")
-
-    def mix(a: F.Column, b: F.Column) -> F.Column:
-        return ((a * a % p) * 48271 % p + b) % p
-
-    g1, g2 = mix(h1, h2), mix(h2, h1)
-    rank = F.when(
-        g2 > 0,
-        F.least(
-            F.length(F.bin(g2.bitwiseAND(-g2))), F.lit(rank_bits + 1)
-        ),
-    ).otherwise(F.lit(rank_bits + 1))
-    regs = (
-        toks.select((g1 % m).cast("int").alias("bucket"), rank.alias("r"))
-        .groupBy("bucket")
-        .agg(F.max("r").alias("mx"))
-    )
+    regs = hll_register_table(toks, m=m, rank_bits=rank_bits)
     rmax = rank_bits + 1
     agg = regs.agg(
         F.count("*").alias("___nonzero"),

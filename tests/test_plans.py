@@ -162,3 +162,33 @@ def test_round5_extension_plans(spark):
     p = _plan(spark, "decontaminate_ngrams")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_round6_extension_plans(spark):
+    """Plan shapes for the round-6 operators."""
+    # CMS: the sketch table is the BROADCAST side of the probe join and
+    # the cell aggregation partial-combines (map-side HashAggregate)
+    p = _plan(spark, "sketch_cms_errors")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    # HLL: register build is one partial-combined aggregate; the final
+    # single-row joins broadcast; nothing sorts the token stream
+    p = _plan(spark, "sketch_hll_cardinality")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p, p
+    # semantic dedup: the in-cluster pair join must be a real equi-join
+    # on the cluster key, never a cartesian product
+    p = _plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in p
+    # quality filter: pure scan-level expressions — no exchange at all
+    p = _plan(spark, "quality_logistic")
+    assert "Exchange" not in p, p
+    # funnel: stage survivorship is semi/anti joins, no cartesian
+    p = _plan(spark, "corpus_funnel")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p, p
+    # bigram perplexity: unigram/context/totals broadcast; the bigram
+    # table join may be either strategy, but never a cartesian
+    p = _plan(spark, "text_perplexity_bigram")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p

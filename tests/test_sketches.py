@@ -80,3 +80,45 @@ def test_hll_matches_python_rederivation(spark):
     assert row["estimate"] == round(est, 4)
     # the estimator is actually informative at this size
     assert abs(row["estimate"] - 200) / 200 < 0.25
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The register table is a plain groupBy-max, i.e. legal streaming
+    state: the SAME function over a file stream (complete mode) must
+    produce the identical m-row register table the batch path builds —
+    the sketch-as-streaming-state contract."""
+    from collection_templates_spark.operators.sketches import (
+        _analyzer_tokens,
+        hll_register_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i * 7 % 50} shared common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs"
+    docs.repartition(4).write.parquet(str(src))
+
+    batch_regs = sorted(
+        map(
+            tuple,
+            hll_register_table(
+                _analyzer_tokens(docs, "doc_id", "text")
+            ).collect(),
+        )
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = (
+        hll_register_table(_analyzer_tokens(stream, "doc_id", "text"))
+        .writeStream.format("memory")
+        .queryName("hll_regs_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("hll_regs_stream").collect()))
+    assert got == batch_regs
