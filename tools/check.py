@@ -56,6 +56,13 @@ def main() -> int:
 
     spark = get_spark("check")
     con = duckdb.connect()
+    # r6: by the tail of a 78-oracle run the Spark JVM has grown tens of
+    # GB and DuckDB's default memory_limit (80 % of RAM) collides with
+    # it — allocation failures on queries that pass standalone. A modest
+    # explicit limit makes DuckDB spill instead of fail; sf0.01 oracles
+    # never genuinely need more.
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_check_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
