@@ -139,6 +139,35 @@ def main() -> None:
     )
     out["ops"]["residual_ivfpq"]["recall"] = recall(got)
 
+    # SemDeDup at scale: corpus-derived k (clusters_for_corpus) keeps
+    # cluster populations near the paper's ~1000 regime; report wall,
+    # drop rate, and that the quadratic in-cluster term stayed bounded
+    from collection_templates_spark.operators.similarity import (
+        clusters_for_corpus,
+        semantic_dedup,
+        train_ivf_centroids as _tic,
+    )
+
+    k_sem = clusters_for_corpus(n)
+    t0 = time.time()
+    sem_cents = _tic(emb, n_clusters=k_sem)
+    t_train = round(time.time() - t0, 1)
+    t0 = time.time()
+    # τ=0.95: the generator's within-cluster cosines centre ≈0.91, so
+    # this keeps the discriminating regime visible (τ=0.9 would
+    # legitimately collapse the whole synthetic corpus to its clusters)
+    sem = semantic_dedup(
+        emb, threshold=0.95, n_clusters=k_sem, centroids=sem_cents
+    )
+    dropped = sem.filter(~F.col("kept")).count()
+    out["ops"]["semantic_dedup"] = {
+        "wall_s": round(time.time() - t0, 1),
+        "train_s": t_train,
+        "k": k_sem,
+        "dropped": dropped,
+        "drop_rate": round(dropped / n, 4),
+    }
+
     print(json.dumps(out))
 
 
