@@ -89,3 +89,71 @@ def reachable_from(
         reached = reached.unionByName(new_pairs).localCheckpoint(eager=True)
         frontier = new_pairs
     return reached
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank — the canonical iterative-dataflow
+    benchmark, expressed as the unrolled join/aggregate chain Catalyst
+    can plan as ordinary shuffles (no driver loop state beyond the plan
+    builder's Python `for`):
+
+        p₀(v)   = 1/N
+        pᵢ₊₁(v) = (1−d)/N + d·Σ_{u→v} round(pᵢ(u)/out(u), 9)
+
+    Dangling nodes (no out-edges) leak their mass — the simple variant,
+    stated in the docstring so the oracle matches by construction.
+    Determinism: every per-edge contribution is 9dp-rounded before the
+    sum and every iterate is 9dp-rounded after (the repo's fp
+    convention), so the DuckDB replay hash-matches. Returns (node,
+    pagerank) with the final 6dp rounding.
+
+    Scale shape: per iteration ONE join of the rank vector against the
+    edge list (shuffle keyed on src) + ONE dst-keyed aggregate —
+    both map-side combined; out-degrees computed once. A fixed
+    iteration count is the production norm for ranking signals (e.g.
+    3–5 sweeps), which is exactly what makes the unrolled plan and its
+    engine replay possible."""
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count("*").alias("___out")
+    )
+    n_nodes = nodes.agg(F.count("*").alias("___n"))
+    ranks = nodes.join(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("___n")).alias("pr")
+    )
+    e = edges.select(
+        F.col(src_col).alias("___src"), F.col(dst_col).alias("___dst")
+    )
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(outdeg, "node")
+            .join(e, ranks["node"] == e["___src"])
+            .select(
+                F.col("___dst").alias("node"),
+                F.round(F.col("pr") / F.col("___out"), 9).alias("___c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(F.sum("___c").alias("___s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .join(F.broadcast(n_nodes))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("___n")
+                    + damping * F.coalesce(F.col("___s"), F.lit(0.0)),
+                    9,
+                ).alias("pr"),
+            )
+        )
+    return ranks.select("node", F.round("pr", 6).alias("pagerank"))

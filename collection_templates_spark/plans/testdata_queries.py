@@ -970,6 +970,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the customer↔supplier bipartite
+    graph (round 6) — the canonical iterative-dataflow workload,
+    unrolled into joins/aggregates and fully ORACLED by replaying the
+    three sweeps as CTE stages (the k-means-replay convention applied
+    to graph iteration)."""
+    from collection_templates_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=3, damping=0.85)
+
+
 def sketch_cms_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min token-frequency sketch read back against exact counts
     (round 6): d=4 portable-poly rows × w=256, the one-pass bounded-
@@ -1640,6 +1668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_funnel": corpus_funnel,
     "sketch_cms_errors": sketch_cms_errors,
     "sketch_hll_cardinality": sketch_hll_cardinality,
+    "graph_pagerank": graph_pagerank,
     "agg_pricing_summary": agg_pricing_summary,
     "filter_pushdown_revenue": filter_pushdown_revenue,
     "agg_entity_pivot": agg_entity_pivot,
@@ -3392,6 +3421,55 @@ def _cms_oracle_sql() -> str:
 
 
 ORACLE_SQL["sketch_cms_errors"] = _cms_oracle_sql()
+
+
+# graph_pagerank oracle: the three sweeps unrolled as CTE stages — the
+# k-means-replay convention applied to graph iteration. (1−d) emitted
+# via repr (1.0 − 0.85 = 0.15000000000000002, not the SQL literal 0.15).
+def _pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    d, om = repr(damping), repr(1.0 - damping)
+    ctes = [
+        """pairs AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """edges AS (
+            SELECT src, dst FROM pairs
+            UNION ALL SELECT dst, src FROM pairs)""",
+        """nodes AS (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges)""",
+        """outdeg AS (
+            SELECT src AS node, count(*) AS o FROM edges GROUP BY src)""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+            SELECT e.dst AS node, round(r.pr / dg.o, 9) AS c
+            FROM r{i - 1} r
+            JOIN outdeg dg ON dg.node = r.node
+            JOIN edges e ON e.src = r.node)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+            SELECT node, sum(c) AS s FROM c{i} GROUP BY node)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+            SELECT nodes.node,
+                   round({om} / nn.n + {d} * coalesce(s{i}.s, 0.0), 9) AS pr
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN s{i} ON s{i}.node = nodes.node)"""
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT node, round(pr, 6) AS pagerank FROM r{iterations}
+    """
+
+
+ORACLE_SQL["graph_pagerank"] = _pagerank_oracle_sql()
 
 
 # sketch_hll_cardinality oracle: registers from the portable 62-bit hash

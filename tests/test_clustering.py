@@ -52,3 +52,27 @@ def test_dedup_keep_canonical_with_singletons(spark):
         0: (0, 1), 1: (1, 1), 2: (2, 1),
         3: (1, 0), 4: (4, 1), 5: (1, 0),
     }
+
+
+def test_pagerank_hand_computed_and_conserving(spark):
+    """3-node directed cycle → exactly uniform 1/3 at every sweep; a
+    bidirectional star concentrates mass in the hub; with no dangling
+    nodes total mass stays 1 per sweep (checked post-final-round)."""
+    from pyspark.sql import functions as F
+
+    from collection_templates_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["pagerank"] for r in pagerank(cyc, 3).collect()}
+    assert got == {"a": 0.333333, "b": 0.333333, "c": 0.333333}
+
+    star_half = [("hub", x) for x in ("s1", "s2", "s3", "s4")]
+    star = spark.createDataFrame(
+        star_half + [(b, a) for a, b in star_half], "src string, dst string"
+    )
+    pr = {r["node"]: r["pagerank"] for r in pagerank(star, 3).collect()}
+    assert pr["hub"] > pr["s1"]
+    assert abs(pr["s1"] - pr["s4"]) < 1e-9  # spokes symmetric
+    assert abs(sum(pr.values()) - 1.0) < 1e-4  # mass conserved
