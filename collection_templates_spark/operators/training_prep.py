@@ -555,3 +555,49 @@ def quality_classifier(
         score.alias("score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis (2006) one-pass scheme: each row draws a
+    pseudo-uniform u from the portable hash of (salt, id) and keys
+    itself with u^(1/w); the k LARGEST keys are a weighted sample
+    (inclusion probability ∝ weight). The hash draw makes the sample a
+    pure function of (salt, ids, weights): stable across runs, engines
+    and partitionings — the same property assign_split relies on, and
+    the standard way to draw an at-scale mixture-weighted subset with
+    no RNG state.
+
+    Rows with NULL or non-positive weight are excluded. The key is
+    12dp-rounded BEFORE ranking (pow may differ in the last ulp across
+    engines; the rounding plus the id tie-break makes the order
+    engine-exact). Scale shape: pure per-row expressions + a top-k
+    ``orderBy().limit(k)`` that Spark executes as TakeOrdered (per-
+    partition top-k + a k-row driver merge, never a global sort).
+    Columns: (id, weight, sample_key)."""
+    from collection_templates_spark.operators.dedup import (
+        portable_shingle_hash,
+    )
+
+    h = portable_shingle_hash(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    u = (h + 1).cast("double") / F.lit(float(2**62))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), 12)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

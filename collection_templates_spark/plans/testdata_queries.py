@@ -970,6 +970,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (round 6): Efraimidis–Spirakis
+    u^(1/w) keys from the portable hash, top-64 by key — inclusion
+    probability ∝ n_chars, zero RNG state, replayed exactly."""
+    from collection_templates_spark.operators.training_prep import (
+        sample_weighted,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_weighted(docs, k=64)
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the customer↔supplier bipartite
     graph (round 6) — the canonical iterative-dataflow workload,
@@ -1669,6 +1681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_cms_errors": sketch_cms_errors,
     "sketch_hll_cardinality": sketch_hll_cardinality,
     "graph_pagerank": graph_pagerank,
+    "sample_weighted": sample_weighted_q,
     "agg_pricing_summary": agg_pricing_summary,
     "filter_pushdown_revenue": filter_pushdown_revenue,
     "agg_entity_pivot": agg_entity_pivot,
@@ -3470,6 +3483,34 @@ def _pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
 
 
 ORACLE_SQL["graph_pagerank"] = _pagerank_oracle_sql()
+
+# sample_weighted oracle: the Efraimidis–Spirakis key replayed from the
+# portable two-fold hash (the split_assignment idiom); the key is
+# 12dp-rounded BEFORE ranking in both engines, id tie-break, top-64.
+ORACLE_SQL["sample_weighted"] = f"""
+    WITH chars AS (
+        SELECT doc_id, n_chars,
+               list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in
+                   string_split('wsample:' || CAST(doc_id AS VARCHAR), '')])
+                   AS cs
+        FROM documents
+        WHERE n_chars > 0
+    ), keyed AS (
+        SELECT doc_id, n_chars AS weight,
+               round(pow(
+                   ((list_reduce(cs, (acc, x) -> (acc * 31 + x)
+                                  % 2147483647) * 2147483648
+                     + list_reduce(cs, (acc, x) -> (acc * 37 + x)
+                                  % 2147483647)) + 1)
+                       / {float(2 ** 62)!r},
+                   1.0 / CAST(n_chars AS DOUBLE)), 12) AS sample_key
+        FROM chars
+    )
+    SELECT doc_id, weight, sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT 64
+"""
 
 
 # sketch_hll_cardinality oracle: registers from the portable 62-bit hash

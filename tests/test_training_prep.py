@@ -538,3 +538,35 @@ def test_winnowing_udf_matches_native(spark):
             # native yields NULL/[] for short-or-null; udf yields [] — both
             # vanish at the posexplode, so normalize for the comparison
             assert (got[doc_id] or []) == (want[doc_id] or []), (k, doc_id)
+
+
+def test_sample_weighted_is_deterministic_and_weight_biased(spark):
+    """Same (salt, ids, weights) → identical sample; across many salts
+    a 50×-heavier item is included far more often (the Efraimidis–
+    Spirakis inclusion-∝-weight property); plan uses TakeOrdered, not a
+    global sort."""
+    from collection_templates_spark.operators.training_prep import (
+        sample_weighted,
+    )
+
+    rows = [(i, "x", 50 if i < 20 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+
+    a = [r["doc_id"] for r in sample_weighted(df, k=30).collect()]
+    b = [r["doc_id"] for r in sample_weighted(df, k=30).collect()]
+    assert a == b  # deterministic
+
+    heavy_hits = 0
+    trials = 12
+    for s in range(trials):
+        got = {r["doc_id"] for r in sample_weighted(df, k=30, salt=f"s{s}").collect()}
+        heavy_hits += len([i for i in got if i < 20])
+    # heavy items are 10% of rows but ~50x weight: expect them to take
+    # well over half the sample on average
+    assert heavy_hits / (30 * trials) > 0.45, heavy_hits
+
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sample_weighted(df, k=30).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
