@@ -339,17 +339,16 @@ def doc_perplexity_bigram(
         ).alias("___pos", "___p"),
     ).select("doc", "___p.token", "___p.prev")
 
-    uni = (
-        pairs.groupBy("token").agg(F.count("*").alias("n"))
-    )
+    # ONE corpus-scale aggregate feeds every model table: uni and ctx
+    # are re-aggregations of the (prev, token) counts (vocab²-bounded),
+    # so the explode pass runs twice total (model side + scoring side),
+    # not four times
+    bi_full = pairs.groupBy("prev", "token").agg(F.count("*").alias("n2"))
+    uni = bi_full.groupBy("token").agg(F.sum("n2").alias("n"))
     totals = uni.agg(
         F.sum("n").alias("___total"), F.count("*").alias("___vocab")
     )
-    bi = (
-        pairs.filter(F.col("prev").isNotNull())
-        .groupBy("prev", "token")
-        .agg(F.count("*").alias("n2"))
-    )
+    bi = bi_full.filter(F.col("prev").isNotNull())
     ctx = bi.groupBy("prev").agg(F.sum("n2").alias("nc"))
 
     p_uni = (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double") / (
