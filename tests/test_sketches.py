@@ -122,3 +122,57 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.table("hll_regs_stream").collect()))
     assert got == batch_regs
+
+
+def test_streaming_cms_cells_match_batch(spark, tmp_path):
+    """The CMS cell table is a plain groupBy-count — also legal
+    streaming state (≤ d·w rows): stream == batch cells."""
+    from pyspark.sql import functions as F
+
+    from collection_templates_spark.operators.dedup import _poly_hash
+    from collection_templates_spark.operators.sketches import (
+        CMS_BASES,
+        CMS_WIDTH,
+        _analyzer_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha tok{i % 17} beta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs"
+    docs.repartition(3).write.parquet(str(src))
+
+    def cells(df):
+        toks = _analyzer_tokens(df, "doc_id", "text")
+        return (
+            toks.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            (_poly_hash(F.col("token"), b) % CMS_WIDTH)
+                            .cast("int")
+                            for b in CMS_BASES
+                        ]
+                    )
+                ).alias("row", "cell")
+            )
+            .groupBy("row", "cell")
+            .agg(F.count("*").alias("c"))
+        )
+
+    batch = sorted(map(tuple, cells(docs).collect()))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = (
+        cells(stream)
+        .writeStream.format("memory")
+        .queryName("cms_cells_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("cms_cells_stream").collect()))
+    assert got == batch
