@@ -970,6 +970,48 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (round 6) — the per-doc keyword
+    extraction every corpus explorer ships: tf × ln(N/df), 6dp-rounded,
+    ranked per doc with the rank filter directly above the window so
+    InferWindowGroupLimit pre-prunes map-side (the ANN-finisher shape on
+    a text workload). Columns: (doc_id, term, rank, tfidf)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.col("text")), "[^a-z0-9']+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("___tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("___df"))
+    n = docs.agg(F.count("*").alias("___n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("___tf")
+                * F.log(
+                    F.col("___n").cast("double") / F.col("___df")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", "tfidf")
+    )
+
+
 def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (round 6): Efraimidis–Spirakis
     u^(1/w) keys from the portable hash, top-64 by key — inclusion
@@ -1701,6 +1743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_cardinality": sketch_hll_cardinality,
     "graph_pagerank": graph_pagerank,
     "sample_weighted": sample_weighted_q,
+    "text_top_terms": text_top_terms,
     "agg_pricing_summary": agg_pricing_summary,
     "filter_pushdown_revenue": filter_pushdown_revenue,
     "agg_entity_pivot": agg_entity_pivot,
@@ -3507,6 +3550,34 @@ def _pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
 
 
 ORACLE_SQL["graph_pagerank"] = _pagerank_oracle_sql()
+
+# text_top_terms oracle: tf × ln(N/df) with the same analyzer split.
+ORACLE_SQL["text_top_terms"] = """
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                 AS t(term)
+        WHERE t.term <> ''
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(*) AS n FROM documents
+    )
+    SELECT doc_id, term, rank, tfidf FROM (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6)
+                   AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE)
+                                             / dfreq.df), 6) DESC,
+                            tf.term ASC) AS rank
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    WHERE rank <= 3
+"""
 
 # sample_weighted oracle: the Efraimidis–Spirakis key replayed from the
 # portable two-fold hash (the split_assignment idiom); the key is
