@@ -328,12 +328,23 @@ class _BitWriter:
                 self.acc = 0
                 self.n = 0
 
-    def flush(self) -> bytes:
+    def pad(self) -> None:
+        """1-fill to the byte boundary (T.81 fill bits), stuffing a
+        resulting 0xFF like any other entropy byte."""
         if self.n:
             self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
             self.out.append(self.acc)
             if self.acc == 0xFF:
                 self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+    def marker(self, m: int) -> None:
+        self.pad()
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.pad()
         return bytes(self.out)
 
 
@@ -347,6 +358,7 @@ def encode_flat_jpeg(
     chroma_blocks: "tuple | None" = None,
     width: int | None = None,
     height: int | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Valid baseline JPEG whose 8×8 blocks are each one flat value.
 
@@ -373,6 +385,8 @@ def encode_flat_jpeg(
     out += _seg(0xC0, bytes(sof))
     out += _seg(0xC4, bytes([0x00]) + bytes(_FIX_DC_BITS) + _FIX_DC_VALS)
     out += _seg(0xC4, bytes([0x10]) + bytes(_FIX_AC_BITS) + _FIX_AC_VALS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytearray([ncomp])
     for cid in range(1, ncomp + 1):
         sos += bytes([cid, 0x00])
@@ -395,9 +409,14 @@ def encode_flat_jpeg(
 
     if ncomp == 1:
         pred = 0
+        mcu = 0
         for row in blocks:
             for val in row:
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    w.marker(0xD0 + (mcu // restart_interval - 1) % 8)
+                    pred = 0
                 pred = put_block(int(val), pred)
+                mcu += 1
     else:
         cbg = np.asarray(chroma_blocks[0], dtype=np.int64)
         crg = np.asarray(chroma_blocks[1], dtype=np.int64)

@@ -122,3 +122,31 @@ def test_truncated_raises():
     data = encode_flat_jpeg([[200, 30, 90]])
     with pytest.raises(ValueError):
         decode_jpeg(data[: len(data) // 2])
+
+
+def test_restart_markers_resync_and_reset_dc():
+    """DRI/RSTn path: a 1-MCU restart interval pads to byte boundary,
+    emits RST0..7 cyclically and RESETS the DC predictor — values chosen
+    so a decoder that failed to reset the predictor would be provably
+    wrong on every block after the first."""
+    grid = [[200, 30, 180, 90, 250, 10, 130, 70, 220]]
+    data = encode_flat_jpeg(grid, restart_interval=1)
+    assert data.count(b"\xff\xd0") >= 1  # RST0 actually present
+    w, h, ct, px = decode_jpeg(data)
+    assert (w, h, ct) == (72, 8, 0)
+    plane = _gray_plane(px, w, h)
+    for bx, val in enumerate(grid[0]):
+        assert set(plane[:, bx * 8 : bx * 8 + 8].flatten().tolist()) == {
+            val
+        }, (bx, val)
+
+
+def test_restart_interval_three():
+    grid = [[v for v in range(10, 240, 20)] for _ in range(2)]
+    data = encode_flat_jpeg(grid, restart_interval=3)
+    w, h, ct, px = decode_jpeg(data)
+    plane = _gray_plane(px, w, h)
+    for by, row in enumerate(grid):
+        for bx, val in enumerate(row):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert set(block.flatten().tolist()) == {val}, (by, bx)
