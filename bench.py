@@ -79,13 +79,27 @@ def main() -> None:
     with open(side, "w") as f:
         json.dump({"runs": runs, "wall_all_runs": total, "sf": sf}, f)
 
+    # Per-query detail first (its own line), then a COMPACT final line: the
+    # driver's tail capture parses the LAST stdout line, and r6 proved a
+    # ~4 KB 81-entry map overflows it ("parsed": null in BENCH_r06.json).
+    # Full detail also lands in bench_runs.json alongside the raw runs.
+    print(
+        json.dumps(
+            {
+                "metric": "per_query_median_wall",
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(per_query.values()), 3),
                 "unit": "sec",
-                "queries": per_query,
+                "n": len(per_query),
                 "sf": sf,
             }
         )

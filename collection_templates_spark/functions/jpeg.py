@@ -130,7 +130,8 @@ class _BitReader:
             # a partially-consumed stuffed FF occupies two bytes
             self.pos += 2 if self.data[self.pos] == 0xFF else 1
         if (
-            self.data[self.pos] == 0xFF
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
             and 0xD0 <= self.data[self.pos + 1] <= 0xD7
         ):
             self.pos += 2
@@ -145,7 +146,22 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """→ (width, height, color_type, pixels): color_type 0 (gray, 1
-    byte/px) for 1-component scans, 2 (RGB, 3 bytes/px) for YCbCr."""
+    byte/px) for 1-component scans, 2 (RGB, 3 bytes/px) for YCbCr.
+
+    Malformed payloads raise ValueError ONLY — corrupt data can hit
+    IndexError/KeyError/struct.error deep in the parser (short DQT/SOF
+    segments, scans referencing undefined tables, AC runs past 63), and
+    the executor-side callers (``operators/multimodal``) promise a
+    degrade-to-NULL boundary keyed on ValueError, so everything that is
+    a data problem rather than a code bug is normalized here (r6 advice).
+    """
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, KeyError, struct.error, ZeroDivisionError) as ex:
+        raise ValueError(f"malformed JPEG: {type(ex).__name__}: {ex}") from ex
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -201,6 +217,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                  seg[8 + 3 * c])
                 for c in range(seg[5])
             ]
+            if width == 0 or height == 0:
+                raise ValueError("zero image dimension in SOF")
+            for _cid, ch, cv, _tq in comps:
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError("invalid sampling factor in SOF")
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -259,6 +280,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                                     continue
                                 break  # EOB
                             zi += r
+                            if zi > 63:
+                                raise ValueError("AC coefficient index overflow")
                             rr, cc = _ZIGZAG[zi]
                             coef[rr, cc] = _extend(rdr.read_bits(s), s)
                             zi += 1
@@ -421,8 +444,13 @@ def encode_flat_jpeg(
         cbg = np.asarray(chroma_blocks[0], dtype=np.int64)
         crg = np.asarray(chroma_blocks[1], dtype=np.int64)
         preds = [0, 0, 0]
+        mcu = 0
         for my in range(by // v):
             for mx in range(bx // h):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    w.marker(0xD0 + (mcu // restart_interval - 1) % 8)
+                    preds = [0, 0, 0]
+                mcu += 1
                 for byy in range(v):
                     for bxx in range(h):
                         preds[0] = put_block(

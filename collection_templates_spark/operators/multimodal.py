@@ -71,11 +71,16 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     )
 
     if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
-        return decode_png(payload)
+        try:
+            return decode_png(payload)
+        except ValueError:
+            raise
+        except Exception as ex:  # zlib.error/struct.error on corrupt data
+            raise ValueError(f"malformed PNG: {ex}") from ex
     if payload[:2] == b"\xff\xd8":
         try:
             return decode_jpeg(payload)
-        except ValueError as ex:  # progressive/arithmetic → fake_decode
+        except ValueError as ex:  # progressive/arithmetic/corrupt → fake_decode
             raise NotImplementedError(str(ex)) from ex
     raise NotImplementedError(
         "unrecognized image format (PNG and baseline JPEG decode here; "

@@ -170,9 +170,15 @@ def search_corpus_stemmed(
     # token stream. The per-term tf is then the sum over the (few)
     # matching raw tokens.
     tf_raw = toks.groupBy("___id", "___tok").agg(F.count("*").alias("___tfr"))
+    # repartition between the distinct and the UDF projection: AQE
+    # coalesces the distinct's shuffle output by BYTES, and a large
+    # vocabulary of short strings fits one partition — which would
+    # serialize the CPU-bound pandas stem on a single core (the repo's
+    # r4 rule; same pathology as the factory's namehash stage).
     vocab_terms = (
         tf_raw.select("___tok")
         .distinct()
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select("___tok", suffix_stem_udf(F.col("___tok")).alias("___term"))
         .filter(F.col("___term").isin(terms))
     )

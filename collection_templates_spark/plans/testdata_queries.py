@@ -626,11 +626,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + banded LSH (r=2, b=32) candidates, verified with exact
     Jaccard — output equals the exact pair set w.p. ≈ 1 - 1e-4 per pair, so
-    the exact-Jaccard SQL is a valid oracle."""
+    the exact-Jaccard SQL is a valid oracle.
+
+    ``min_band_collisions`` is pinned to 1 (any-band candidacy) HERE even
+    though the operator defaults to 2: the gate oracle is the exact pair
+    set, and at j just above the 0.5 threshold the ≥2-band miss
+    probability is ~1.2e-3/pair vs ~1e-4 — a regenerated corpus with one
+    near-threshold organic pair could fail the hash gate. The =2 setting
+    is a stress-scale candidate-suppression lever (see dedup.py), not a
+    gate-scale one."""
     from collection_templates_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.5)
+    return minhash_lsh_pairs(docs, threshold=0.5, min_band_collisions=1)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,8 +665,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     # LSH-candidates + exact-verify pairs equal the exact pair set on this
-    # corpus (see dedup_minhash_lsh) at roughly half the cost
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    # corpus (see dedup_minhash_lsh, incl. the min_band_collisions=1 pin)
+    # at roughly half the cost
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, min_band_collisions=1)
     return dedup_keep_canonical(docs, pairs).select("doc_id", "cluster", "keep")
 
 
@@ -1811,8 +1820,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # Shared oracle for the two jaccard-based dedup queries: the LSH variant is
 # candidate-generation + exact-verify, so its output equals the exact pair
-# set (miss probability ≈ 1e-4 per pair at j=0.5; the corpus's planted
-# near-dups sit at j ≥ 0.9 where the miss probability is ~0).
+# set. The oracled queries pin min_band_collisions=1 (any-band candidacy:
+# miss ≈ (1-j^2)^32 ≈ 1e-4 per pair at j=0.5); the operator DEFAULT of 2
+# would raise that to (1-p)^32 + 32p(1-p)^31 ≈ 1.2e-3 — acceptable for
+# stress-scale dedup (planted dups sit at j ≥ 0.9, miss ~1e-22) but not
+# worth the gate-flakiness risk against an exact oracle on a corpus the
+# driver can regenerate.
 _NGRAM_JACCARD_SQL = """
     WITH toks AS (
         SELECT doc_id,

@@ -150,3 +150,87 @@ def test_restart_interval_three():
         for bx, val in enumerate(row):
             block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             assert set(block.flatten().tolist()) == {val}, (by, bx)
+
+
+def test_color_restart_markers():
+    """r6 advice #4: a color fixture with a restart interval must emit
+    RSTn between MCUs (not just write the DRI segment) and decode back
+    exactly — predictor-reset values chosen to catch a non-reset."""
+    luma = [[40, 200, 90, 250]]
+    cb = [[100, 150, 80, 190]]
+    cr = [[160, 60, 210, 30]]
+    data = encode_flat_jpeg(
+        luma, chroma_blocks=(cb, cr), restart_interval=1
+    )
+    assert data.count(b"\xff\xd0") >= 1
+    w, h, ct, px = decode_jpeg(data)
+    assert (w, h, ct) == (32, 8, 2)
+    rgb = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    for bx in range(4):
+        y_, cb_, cr_ = luma[0][bx], cb[0][bx], cr[0][bx]
+        exp = [
+            int(np.clip(round(y_ + 1.402 * (cr_ - 128)), 0, 255)),
+            int(
+                np.clip(
+                    round(
+                        y_
+                        - 0.344136 * (cb_ - 128)
+                        - 0.714136 * (cr_ - 128)
+                    ),
+                    0,
+                    255,
+                )
+            ),
+            int(np.clip(round(y_ + 1.772 * (cb_ - 128)), 0, 255)),
+        ]
+        block = rgb[:, bx * 8 : bx * 8 + 8, :]
+        for c in range(3):
+            assert set(block[:, :, c].flatten().tolist()) == {exp[c]}, (
+                bx,
+                c,
+            )
+
+
+def test_malformed_payloads_raise_valueerror_only():
+    """r6 advice #1: corrupt data must surface as ValueError (the
+    executor boundary's degrade-to-NULL contract), never IndexError /
+    KeyError / struct.error, no matter where in the parser it hits."""
+    good = encode_flat_jpeg([[200, 30, 90]], restart_interval=1)
+    corruptions = [
+        good[:4],                                    # short DQT/no length
+        good[:2] + b"\xff\xdb\x00\x03\x00",          # truncated DQT body
+        good[:2] + b"\xff\xc0\x00\x05\x08\x00",      # short SOF
+        bytes(good).replace(b"\xff\xd0", b"\x00\x00", 1),  # RST clobbered
+        good[:-10],                                  # truncated scan
+    ]
+    # scan referencing an undefined Huffman table: strip the DHT segments
+    no_dht = bytearray()
+    pos = 0
+    while pos < len(good):
+        if good[pos] == 0xFF and pos + 1 < len(good) and good[pos + 1] == 0xC4:
+            seglen = int.from_bytes(good[pos + 2 : pos + 4], "big")
+            pos += 2 + seglen
+            continue
+        no_dht.append(good[pos])
+        pos += 1
+    corruptions.append(bytes(no_dht))
+    for i, bad in enumerate(corruptions):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_random_byte_flips_never_escape_valueerror():
+    """Deterministic fuzz: flip each byte of a real fixture to 0x00 and
+    0xFF one at a time; decode must either succeed or raise ValueError."""
+    data = encode_flat_jpeg(
+        [[40, 80], [160, 240]],
+        subsample=(2, 2),
+        chroma_blocks=([[128]], [[128]]),
+    )
+    for i in range(2, len(data) - 2):
+        for repl in (0x00, 0xFF):
+            bad = data[:i] + bytes([repl]) + data[i + 1 :]
+            try:
+                decode_jpeg(bad)
+            except ValueError:
+                pass
