@@ -672,11 +672,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for 8 query vectors over the full corpus."""
-    from collection_templates_spark.operators.similarity import cosine_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    """Brute-force cosine top-5 for 8 query vectors over the full corpus
+    (the shared memoized ranking — see _brute_topk_for)."""
+    return _brute_topk_for(spark, sf_dir)
 
 
 # Shared sign-LSH configuration for ann_lsh_topk and ann_lsh_recall: on the
@@ -692,12 +690,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force but DETERMINISTIC given the literal planes, so it is
     fully ORACLED (DuckDB replays the exact bucketing + rankings); the
     companion ann_lsh_recall row quantifies recall vs brute force."""
-    from collection_templates_spark.operators.similarity import lsh_cosine_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=5, **_LSH_QUERY_CONF
-    )
+    return _lsh_topk_for(spark, sf_dir)
 
 
 # Deterministic-trainer memoization: the IVF centroids and PQ codebooks
@@ -728,6 +721,97 @@ def _embeddings_fingerprint(sf_dir: str) -> tuple:
         parts = [p]
     return tuple(
         (f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in parts
+    )
+
+
+def _memo_df(spark: SparkSession, sf_dir: str, tag: str, builder):
+    """Result-DataFrame memoization (r6 verdict #4): each ANN ranking in
+    the bank is consumed by TWO-to-FIVE rows (its own topk row, the
+    recall row that grades it, and — for brute force — every recall
+    row), and each consumer was re-scoring the corpus. The ≤40-row
+    results are memoized as eager localCheckpoints — the same
+    single-process pure-recompute reasoning as _TRAINER_MEMO, keyed
+    additionally by applicationId because a checkpointed DataFrame is
+    unusable from a different SparkSession."""
+    key = (
+        tag,
+        sf_dir,
+        _embeddings_fingerprint(sf_dir),
+        spark.sparkContext.applicationId,
+    )
+    if key not in _TRAINER_MEMO:
+        _TRAINER_MEMO[key] = builder().localCheckpoint(eager=True)
+    return _TRAINER_MEMO[key]
+
+
+def _brute_topk_for(spark: SparkSession, sf_dir: str):
+    from collection_templates_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _memo_df(
+        spark, sf_dir, "brute5",
+        lambda: cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5),
+    )
+
+
+def _lsh_topk_for(spark: SparkSession, sf_dir: str):
+    from collection_templates_spark.operators.similarity import (
+        lsh_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _memo_df(
+        spark, sf_dir, "lsh5",
+        lambda: lsh_cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 8), k=5, **_LSH_QUERY_CONF
+        ),
+    )
+
+
+def _ivf_topk_for(spark: SparkSession, sf_dir: str):
+    from collection_templates_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _memo_df(
+        spark, sf_dir, "ivf5",
+        lambda: ivf_cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 8), k=5,
+            centroids=_ivf_centroids_for(spark, sf_dir),
+        ),
+    )
+
+
+def _pq_topk_for(spark: SparkSession, sf_dir: str):
+    from collection_templates_spark.operators.similarity import (
+        pq_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _memo_df(
+        spark, sf_dir, "pq5",
+        lambda: pq_cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 8), k=5, m=16, ks=64,
+            codebooks=_pq_codebooks_for(spark, sf_dir),
+        ),
+    )
+
+
+def _respq_topk_for(spark: SparkSession, sf_dir: str):
+    from collection_templates_spark.operators.similarity import (
+        residual_ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _memo_df(
+        spark, sf_dir, "respq5",
+        lambda: residual_ivfpq_topk(
+            emb, emb.filter(F.col("vec_id") < 8), k=5,
+            n_clusters=16, n_probe=4, m=16, ks=16,
+            centroids=_ivf_centroids_for(spark, sf_dir),
+            codebooks=_respq_codebooks_for(spark, sf_dir),
+        ),
     )
 
 
@@ -765,15 +849,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated DuckDB SQL (_ivf_common_ctes — 3 unrolled assign/mean
     stages, the k-means analogue of the LSH plane-literal replay). The
     companion ann_ivf_recall row quantifies recall vs brute force."""
-    from collection_templates_spark.operators.similarity import ivf_cosine_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return ivf_cosine_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 8),
-        k=5,
-        centroids=_ivf_centroids_for(spark, sf_dir),
-    )
+    return _ivf_topk_for(spark, sf_dir)
 
 
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,16 +859,9 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitmix constants embedded verbatim in the generated oracle SQL, so
     DuckDB reproduces the identical bucketing, candidate set, rankings and
     recall values (see _lsh_recall_oracle_sql below)."""
-    from collection_templates_spark.operators.similarity import (
-        cosine_topk,
-        lsh_cosine_topk,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8)
-    brute = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    brute = _brute_topk_for(spark, sf_dir).select("query_id", "neighbor_id")
     lsh = (
-        lsh_cosine_topk(emb, q, k=5, **_LSH_QUERY_CONF)
+        _lsh_topk_for(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("___hit", F.lit(1))
     )
@@ -813,16 +882,9 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     against brute-force cosine top-k. Fully ORACLED — the deterministic
     k-means replay (see ann_ivf_topk) reproduces the identical probe
     sets, so DuckDB computes the identical recall values."""
-    from collection_templates_spark.operators.similarity import (
-        cosine_topk,
-        ivf_cosine_topk,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8)
-    brute = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    brute = _brute_topk_for(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = (
-        ivf_cosine_topk(emb, q, k=5, centroids=_ivf_centroids_for(spark, sf_dir))
+        _ivf_topk_for(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("___hit", F.lit(1))
     )
@@ -843,16 +905,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric-distance scoring — the corpus is scanned as 96-bit codes,
     never as vectors. Deterministic trainer (lowest-id init, rounded
     cosines, rounded means) makes the whole path ORACLE-replayable."""
-    from collection_templates_spark.operators.similarity import (
-        pq_cosine_topk,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8)
-    return pq_cosine_topk(
-        emb, q, k=5, m=16, ks=64,
-        codebooks=_pq_codebooks_for(spark, sf_dir),
-    )
+    return _pq_topk_for(spark, sf_dir)
 
 
 def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,17 +956,7 @@ def ann_respq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float that keeps cosine scoring exact-denominator. Fully ORACLED:
     the DuckDB SQL replays the coarse k-means, the residual L2 k-means,
     the encode and the decomposed ADC score."""
-    from collection_templates_spark.operators.similarity import (
-        residual_ivfpq_topk,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8)
-    return residual_ivfpq_topk(
-        emb, q, k=5, n_clusters=16, n_probe=4, m=16, ks=16,
-        centroids=_ivf_centroids_for(spark, sf_dir),
-        codebooks=_respq_codebooks_for(spark, sf_dir),
-    )
+    return _respq_topk_for(spark, sf_dir)
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1446,20 +1489,9 @@ def ann_respq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@5 of residual IVF-PQ against brute-force cosine —
     the third quantified ANN-quality signal (LSH, raw PQ, residual PQ),
     fully ORACLED via the same chained replay as ann_respq_topk."""
-    from collection_templates_spark.operators.similarity import (
-        cosine_topk,
-        residual_ivfpq_topk,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8)
-    brute = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    brute = _brute_topk_for(spark, sf_dir).select("query_id", "neighbor_id")
     res = (
-        residual_ivfpq_topk(
-            emb, q, k=5, n_clusters=16, n_probe=4, m=16, ks=16,
-            centroids=_ivf_centroids_for(spark, sf_dir),
-            codebooks=_respq_codebooks_for(spark, sf_dir),
-        )
+        _respq_topk_for(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("___hit", F.lit(1))
     )
@@ -1479,17 +1511,9 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantified lossy-compression signal (≈0.5 on this corpus: 96-bit
     codes over near-random 64-dim vectors is the adversarial case for
     PQ; structured production embeddings fare far better)."""
-    from collection_templates_spark.operators.similarity import (
-        cosine_topk,
-        pq_cosine_topk,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8)
-    brute = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    brute = _brute_topk_for(spark, sf_dir).select("query_id", "neighbor_id")
     pq = (
-        pq_cosine_topk(emb, q, k=5, m=16, ks=64,
-                       codebooks=_pq_codebooks_for(spark, sf_dir))
+        _pq_topk_for(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("___hit", F.lit(1))
     )

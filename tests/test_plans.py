@@ -87,10 +87,59 @@ def test_ann_finisher_is_two_phase_topk(spark):
     per query, so the exchange carries ≤ k rows per (mapper, query).
     Pin that Partial stage for every ANN family member; if a refactor
     breaks the filter-above-window adjacency, this fails instead of the
-    plan silently regressing to a full per-query shuffle."""
-    for q in ("ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk",
-              "ann_respq_topk", "ann_ivfpq_topk", "ann_lsh_topk"):
-        p = _plan(spark, q)
+    plan silently regressing to a full per-query shuffle.
+
+    Since r7 the bank's topk rows return a memoized localCheckpoint
+    (plan = ExistingRDD scan), so the OPERATOR builds are pinned
+    directly — the underlying plan is what the memo materializes."""
+    from pyspark.sql import functions as F
+
+    from collection_templates_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        ivfpq_cosine_topk,
+        lsh_cosine_topk,
+        pq_cosine_topk,
+        residual_ivfpq_topk,
+    )
+    from collection_templates_spark.plans.testdata_queries import (
+        _LSH_QUERY_CONF,
+        _ivf_centroids_for,
+        _pq_codebooks_for,
+        _respq_codebooks_for,
+        _t,
+    )
+
+    emb = _t(spark, SF, "embeddings")
+    q8 = emb.filter(F.col("vec_id") < 8)
+    cents = _ivf_centroids_for(spark, SF)
+    pq_cb = _pq_codebooks_for(spark, SF)
+    res_cb = _respq_codebooks_for(spark, SF)
+    builds = {
+        "ann_cosine_topk": lambda: cosine_topk(emb, q8, k=5),
+        "ann_lsh_topk": lambda: lsh_cosine_topk(
+            emb, q8, k=5, **_LSH_QUERY_CONF
+        ),
+        "ann_ivf_topk": lambda: ivf_cosine_topk(
+            emb, q8, k=5, centroids=cents
+        ),
+        "ann_pq_topk": lambda: pq_cosine_topk(
+            emb, q8, k=5, m=16, ks=64, codebooks=pq_cb
+        ),
+        "ann_respq_topk": lambda: residual_ivfpq_topk(
+            emb, q8, k=5, n_clusters=16, n_probe=4, m=16, ks=16,
+            centroids=cents, codebooks=res_cb,
+        ),
+        "ann_ivfpq_topk": lambda: ivfpq_cosine_topk(
+            emb, q8, k=5, n_clusters=16, n_probe=4, m=16, ks=64,
+            centroids=cents, codebooks=pq_cb,
+        ),
+    }
+    for q, build in builds.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            build().explain("formatted")
+        p = buf.getvalue()
         assert "WindowGroupLimit" in p, f"{q}: rank-limit not pushed"
         # the Partial-mode group-limit is the map-side pre-prune; its
         # Arguments line ends "... row_number(), k, Partial"
