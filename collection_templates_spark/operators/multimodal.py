@@ -60,7 +60,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     PNG payloads go through the pure-stdlib codec (``functions/png.py``
     — zlib inflate + all five scanline filters, CRC-checked) and
     baseline/extended-sequential JPEG through the stdlib+numpy decoder
-    (``functions/jpeg.py`` — full T.81 Huffman/DCT path, r6) →
+    (``functions/jpeg.py`` — full T.81 Huffman/DCT path, r6) and GIF
+    through the stdlib LZW decoder (``functions/gif.py``, r7) →
     (width, height, color_type, raw pixels). WebP and progressive JPEG
     remain environment-limited and raise ``NotImplementedError``;
     callers fall back to ``fake_decode`` for those."""
@@ -82,6 +83,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
             return decode_jpeg(payload)
         except ValueError as ex:  # progressive/arithmetic/corrupt → fake_decode
             raise NotImplementedError(str(ex)) from ex
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from collection_templates_spark.functions.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         "unrecognized image format (PNG and baseline JPEG decode here; "
         "WebP/AVIF need C libraries not in this container)"
