@@ -99,6 +99,208 @@ def cms_token_errors(
     )
 
 
+#: default KMV/theta geometry: k = 64 minimum values
+KMV_K = 64
+
+#: default Bloom geometry: m = 2048 bits, 3 portable-poly hash functions
+BLOOM_M = 2048
+BLOOM_BASES: tuple[int, ...] = (31, 37, 41)
+
+_P31 = 2147483647
+
+
+def _numeric_mix(col: F.Column, b1: int = 31, b2: int = 37) -> F.Column:
+    """Engine-portable nonlinear hash of an integer column: the HLL
+    mixer over two Lehmer-style residues — g = (48271·(h² mod p) mod p
+    + h') mod p with h = (x·b1) mod p, h' = (x·b2) mod p. All
+    intermediates < 2⁶² (ANSI-safe in both engines); the squaring breaks
+    the affine structure a multiplicative step alone cannot."""
+    p = F.lit(_P31).cast("long")
+    h1 = (col.cast("long") * b1) % p
+    h2 = (col.cast("long") * b2) % p
+    return ((h1 * h1 % p) * 48271 % p + h2) % p
+
+
+def kmv_theta_intersections(
+    events: DataFrame,
+    k: int = KMV_K,
+    set_col: str = "event_type",
+    member_col: str = "user_id",
+) -> DataFrame:
+    """KMV/theta-sketch set-intersection estimates between every pair of
+    member sets — (set_a, set_b, n_exact, n_est, rel_err).
+
+    Each set keeps its k MINIMUM normalized hashes u = g/p of the
+    DISTINCT members (Bar-Yossef et al. 2002 / the DataSketches theta
+    sketch; public algorithms — no reference counterpart). Pairwise:
+    θ = min(θ_a, θ_b) and |A∩B| ≈ round(|{x ∈ S_a ∩ S_b : u(x) < θ}|/θ)
+    — the standard theta intersection. The exact intersection is joined
+    alongside so the error is surfaced, mirroring cms/hll rows.
+
+    Determinism: u is one exact double division of portable integer
+    hashes; the k-th order statistic is a (u, member) row_number so hash
+    ties cannot flip the cut; the estimate is 4dp-rounded.
+
+    Scale shape: the sketch build is one distinct + one per-set top-k
+    window (map-side group-limit); everything pairwise operates on
+    ≤ |sets|·k rows — the entire point of sketching is that the
+    intersection never touches the raw membership table."""
+    from pyspark.sql import Window
+
+    members = events.select(
+        F.col(set_col).alias("s"), F.col(member_col).alias("v")
+    ).distinct()
+    hashed = members.select(
+        "s",
+        "v",
+        (
+            _numeric_mix(F.col("v")).cast("double") / F.lit(float(_P31))
+        ).alias("u"),
+    )
+    w = Window.partitionBy("s").orderBy(F.asc("u"), F.asc("v"))
+    sk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    # θ = k-th smallest u; a set with fewer than k distinct members keeps
+    # everything and θ = 1.0 (its sketch is exact)
+    theta = sk.groupBy("s").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k, F.col("u"))), F.lit(1.0)
+        ).alias("theta")
+    )
+    a = sk.select(
+        F.col("s").alias("set_a"), F.col("v").alias("v"), F.col("u").alias("u")
+    )
+    b = sk.select(F.col("s").alias("set_b"), F.col("v").alias("v"))
+    ta = theta.select(F.col("s").alias("set_a"), F.col("theta").alias("th_a"))
+    tb = theta.select(F.col("s").alias("set_b"), F.col("theta").alias("th_b"))
+    common = (
+        a.join(b, "v")
+        .filter(F.col("set_a") < F.col("set_b"))
+        .join(F.broadcast(ta), "set_a")
+        .join(F.broadcast(tb), "set_b")
+        .filter(F.col("u") < F.least("th_a", "th_b"))
+        .groupBy("set_a", "set_b", "th_a", "th_b")
+        .agg(F.count("*").alias("___c"))
+        .select(
+            "set_a",
+            "set_b",
+            F.round(
+                F.col("___c") / F.least("th_a", "th_b"), 4
+            ).alias("n_est"),
+        )
+    )
+    ma = members.select(F.col("s").alias("set_a"), "v")
+    mb = members.select(F.col("s").alias("set_b"), "v")
+    exact = (
+        ma.join(mb, "v")
+        .filter(F.col("set_a") < F.col("set_b"))
+        .groupBy("set_a", "set_b")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return exact.join(common, ["set_a", "set_b"], "left").select(
+        "set_a",
+        "set_b",
+        "n_exact",
+        F.coalesce("n_est", F.lit(0.0)).alias("n_est"),
+        F.round(
+            F.abs(F.coalesce("n_est", F.lit(0.0)) - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def bloom_filter_fpr(
+    keys: DataFrame,
+    probes: DataFrame,
+    m: int = BLOOM_M,
+    bases: tuple[int, ...] = BLOOM_BASES,
+    col: str = "token",
+) -> DataFrame:
+    """Bloom-filter membership with its false-positive rate surfaced —
+    ONE row (m, k_hashes, n_keys, n_bits_set, n_probes, n_false_pos,
+    fpr, fpr_model).
+
+    The filter is the SET-BIT TABLE: distinct positions
+    {poly_b(key) mod m} (≤ m rows — the relational representation of the
+    bit array, built in one map-side-combined pass). A probe is a
+    member iff all |bases| of its positions are set (a semi-join count).
+    False positives = probe tokens passing the filter minus true
+    members (anti-join on the key set). fpr_model = ρᵏ with ρ the
+    measured bit load — written as explicit multiplication, not pow(),
+    so both engines do the identical IEEE ops (Bloom 1970; public
+    algorithm, no reference counterpart).
+
+    Scale shape: state is ≤ m rows regardless of input; probes join the
+    broadcast bit table; nothing pairwise."""
+    kd = keys.select(F.col(col).alias("key")).distinct()
+    bits = (
+        kd.select(
+            F.explode(
+                F.array(
+                    *[
+                        (_poly_hash(F.col("key"), b) % m).cast("int")
+                        for b in bases
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    pd_ = probes.select(F.col(col).alias("probe")).distinct()
+    ppos = pd_.select(
+        "probe",
+        F.explode(
+            F.array(
+                *[
+                    (_poly_hash(F.col("probe"), b) % m).cast("int")
+                    for b in bases
+                ]
+            )
+        ).alias("pos"),
+    )
+    nb = len(bases)
+    passing = (
+        ppos.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("probe")
+        .agg(F.count("*").alias("___hits"))
+        .filter(F.col("___hits") == nb)
+        .select("probe")
+    )
+    false_pos = passing.join(
+        kd, passing.probe == kd.key, "left_anti"
+    )
+    true_neg_probes = pd_.join(kd, pd_.probe == kd.key, "left_anti")
+
+    n_keys = kd.agg(F.count("*").alias("n_keys"))
+    n_bits = bits.agg(F.count("*").alias("n_bits_set"))
+    n_probes = true_neg_probes.agg(F.count("*").alias("n_probes"))
+    n_fp = false_pos.agg(F.count("*").alias("n_false_pos"))
+    load = F.col("n_bits_set").cast("double") / F.lit(float(m))
+    model = load
+    for _ in range(nb - 1):
+        model = model * load
+    return (
+        n_keys.join(F.broadcast(n_bits))
+        .join(F.broadcast(n_probes))
+        .join(F.broadcast(n_fp))
+        .select(
+            F.lit(m).alias("m"),
+            F.lit(nb).alias("k_hashes"),
+            "n_keys",
+            "n_bits_set",
+            "n_probes",
+            "n_false_pos",
+            F.when(
+                F.col("n_probes") > 0,
+                F.round(F.col("n_false_pos") / F.col("n_probes"), 6),
+            ).otherwise(F.lit(0.0)).alias("fpr"),
+            F.round(model, 6).alias("fpr_model"),
+        )
+    )
+
+
 def hll_register_table(
     toks: DataFrame, m: int = HLL_M, rank_bits: int = HLL_RANK_BITS
 ) -> DataFrame:

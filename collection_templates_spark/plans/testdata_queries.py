@@ -1226,6 +1226,47 @@ def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_cardinality(_t(spark, sf_dir, "documents"))
 
 
+def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch intersection estimates between the per-event-type
+    user sets (round 7, extending the sketch family beyond CMS/HLL to
+    SET OPERATIONS — the thing theta sketches exist for): every
+    event-type pair's estimated vs exact audience overlap. Deterministic
+    (portable integer hashes, row_number order statistics), so fully
+    replayed by the oracle."""
+    from collection_templates_spark.operators.sketches import (
+        kmv_theta_intersections,
+    )
+
+    return kmv_theta_intersections(_t(spark, sf_dir, "events"))
+
+
+def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership with the measured false-positive rate
+    next to the ρᵏ load model (round 7): the filter is built over the
+    tokens of the even-doc half of the corpus and probed with the
+    odd-doc tokens PLUS their 'q_'-prefixed variants ('_' never appears
+    in analyzer tokens, so the variants are guaranteed non-members and
+    the fpr denominator is never empty at any sf) — the pre-filter every
+    large-scale decontamination / blocklist join puts in front of the
+    exact check. Set-bit table replayed verbatim in SQL."""
+    from collection_templates_spark.operators.sketches import (
+        _analyzer_tokens,
+        bloom_filter_fpr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = _analyzer_tokens(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+    )
+    odd = _analyzer_tokens(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text"
+    )
+    probes = odd.select("token").union(
+        odd.select(F.concat(F.lit("q_"), F.col("token")).alias("token"))
+    )
+    return bloom_filter_fpr(keys, probes)
+
+
 def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel (round 6 capstone): the training
     candidates (doc_id ≥ 20, the decontamination convention) flow
@@ -2001,6 +2042,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "related_collections": related_collections_q,
     "graph_pagerank_dangling": graph_pagerank_dangling,
     "rollup_refresh": rollup_refresh,
+    "sketch_theta_intersection": sketch_theta_intersection,
+    "sketch_bloom_fpr": sketch_bloom_fpr,
     # round-6 first-sampled (green in CORRECTNESS_r06)
     "export_manifest": export_manifest_q,
     "text_boilerplate": text_boilerplate,
@@ -3860,6 +3903,135 @@ def _cms_oracle_sql() -> str:
 
 
 ORACLE_SQL["sketch_cms_errors"] = _cms_oracle_sql()
+
+
+# sketch_theta_intersection oracle: the KMV order statistics and the theta
+# intersection replayed — same mixer, same (u, v) tie-break, same θ cut.
+def _theta_oracle_sql(k: int = 64) -> str:
+    p = 2147483647
+    mix = (
+        f"((((v * 31) % {p}) * ((v * 31) % {p}) % {p}) * 48271 % {p}"
+        f" + (v * 37) % {p}) % {p}"
+    )
+    return f"""
+        WITH members AS (
+            SELECT DISTINCT event_type AS s, user_id AS v FROM events
+        ), hashed AS (
+            SELECT s, v,
+                   CAST({mix} AS DOUBLE) / 2147483647.0 AS u
+            FROM members
+        ), sk AS (
+            SELECT * FROM (
+                SELECT s, v, u,
+                       row_number() OVER (
+                           PARTITION BY s ORDER BY u ASC, v ASC) AS rn
+                FROM hashed
+            ) WHERE rn <= {k}
+        ), theta AS (
+            SELECT s,
+                   coalesce(max(CASE WHEN rn = {k} THEN u END), 1.0)
+                       AS theta
+            FROM sk GROUP BY s
+        ), common AS (
+            SELECT a.s AS set_a, b.s AS set_b,
+                   round(count(*) / least(ta.theta, tb.theta), 4) AS n_est
+            FROM sk a
+            JOIN sk b ON a.v = b.v AND a.s < b.s
+            JOIN theta ta ON ta.s = a.s
+            JOIN theta tb ON tb.s = b.s
+            WHERE a.u < least(ta.theta, tb.theta)
+            GROUP BY a.s, b.s, ta.theta, tb.theta
+        ), exact AS (
+            SELECT a.s AS set_a, b.s AS set_b, count(*) AS n_exact
+            FROM members a JOIN members b ON a.v = b.v AND a.s < b.s
+            GROUP BY a.s, b.s
+        )
+        SELECT set_a, set_b, n_exact,
+               coalesce(n_est, 0.0) AS n_est,
+               round(abs(coalesce(n_est, 0.0) - n_exact)
+                     / CAST(n_exact AS DOUBLE), 4) AS rel_err
+        FROM exact LEFT JOIN common USING (set_a, set_b)
+    """
+
+
+ORACLE_SQL["sketch_theta_intersection"] = _theta_oracle_sql()
+
+
+# sketch_bloom_fpr oracle: the set-bit table, the 3-position probe test
+# and the ρᵏ model replayed with the same poly bases; explicit ρ·ρ·ρ, not
+# pow(), so the IEEE ops match.
+def _bloom_oracle_sql() -> str:
+    from collection_templates_spark.operators.sketches import (
+        BLOOM_BASES,
+        BLOOM_M,
+    )
+
+    m = BLOOM_M
+    key_pos = "\n            UNION ALL ".join(
+        f"SELECT key, {_poly_hash_sql('key', b)} % {m} AS pos FROM keys"
+        for b in BLOOM_BASES
+    )
+    probe_pos = "\n            UNION ALL ".join(
+        f"SELECT probe, {_poly_hash_sql('probe', b)} % {m} AS pos"
+        f" FROM probes"
+        for b in BLOOM_BASES
+    )
+    nb = len(BLOOM_BASES)
+    rho = f"(CAST(n_bits_set AS DOUBLE) / {float(m)})"
+    model = " * ".join([rho] * nb)
+    return f"""
+        WITH ktok AS (
+            SELECT t.token
+            FROM documents,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                     AS t(token)
+            WHERE t.token <> '' AND doc_id % 2 = 0
+        ), ptok AS (
+            SELECT t.token
+            FROM documents,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                     AS t(token)
+            WHERE t.token <> '' AND doc_id % 2 = 1
+        ), keys AS (
+            SELECT DISTINCT token AS key FROM ktok
+        ), probes AS (
+            SELECT DISTINCT probe FROM (
+                SELECT token AS probe FROM ptok
+                UNION ALL SELECT 'q_' || token FROM ptok
+            )
+        ), bits AS (
+            SELECT DISTINCT pos FROM ({key_pos})
+        ), ppos AS (
+            {probe_pos}
+        ), passing AS (
+            SELECT probe FROM (
+                SELECT probe, count(*) AS hits
+                FROM ppos WHERE pos IN (SELECT pos FROM bits)
+                GROUP BY probe
+            ) WHERE hits = {nb}
+        ), false_pos AS (
+            SELECT probe FROM passing
+            WHERE probe NOT IN (SELECT key FROM keys)
+        ), true_neg AS (
+            SELECT probe FROM probes
+            WHERE probe NOT IN (SELECT key FROM keys)
+        ), wide AS (
+            SELECT (SELECT count(*) FROM keys) AS n_keys,
+                   (SELECT count(*) FROM bits) AS n_bits_set,
+                   (SELECT count(*) FROM true_neg) AS n_probes,
+                   (SELECT count(*) FROM false_pos) AS n_false_pos
+        )
+        SELECT {m} AS m, {nb} AS k_hashes, n_keys, n_bits_set, n_probes,
+               n_false_pos,
+               CASE WHEN n_probes > 0
+                    THEN round(n_false_pos / CAST(n_probes AS DOUBLE), 6)
+                    ELSE 0.0 END AS fpr,
+               round({model}, 6) AS fpr_model
+        FROM wide
+    """
+
+
+ORACLE_SQL["sketch_bloom_fpr"] = _bloom_oracle_sql()
 
 
 # graph_pagerank oracle: the three sweeps unrolled as CTE stages — the

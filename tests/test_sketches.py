@@ -176,3 +176,93 @@ def test_streaming_cms_cells_match_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.table("cms_cells_stream").collect()))
     assert got == batch
+
+
+def test_theta_small_sets_are_exact(spark):
+    """Sets smaller than k keep every member and θ=1.0, so the
+    intersection estimate must equal the exact overlap."""
+    from collection_templates_spark.operators.sketches import (
+        kmv_theta_intersections,
+    )
+
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(10, 40)]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = kmv_theta_intersections(ev, k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.set_a, r.set_b) == ("a", "b")
+    assert r.n_exact == 10
+    assert r.n_est == 10.0
+    assert r.rel_err == 0.0
+
+
+def test_theta_estimate_within_tolerance_on_large_sets(spark):
+    """k=64 over thousands of members: the estimate is approximate but
+    must land within a generous multiple of the 1/sqrt(k) ~ 12.5%
+    theoretical error."""
+    from collection_templates_spark.operators.sketches import (
+        kmv_theta_intersections,
+    )
+
+    rows = [("a", i) for i in range(4000)] + [
+        ("b", i) for i in range(2000, 6000)
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    r = kmv_theta_intersections(ev, k=64).collect()[0]
+    assert r.n_exact == 2000
+    assert 0.5 * 2000 <= r.n_est <= 1.5 * 2000, r.n_est
+
+
+def test_bloom_no_false_negatives_and_model_sane(spark):
+    """Every true member must pass the filter (Bloom guarantee), and a
+    deliberately tiny m forces false positives the fpr must report."""
+    from pyspark.sql import functions as F
+
+    from collection_templates_spark.operators.sketches import (
+        bloom_filter_fpr,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], "token string"
+    )
+    probes = keys.select("token").union(
+        spark.createDataFrame(
+            [(f"zz{i}",) for i in range(500)], "token string"
+        )
+    )
+    r = bloom_filter_fpr(keys, probes, m=64).collect()[0]
+    # m=64 with 200 keys -> nearly every bit set -> most non-members pass
+    assert r.n_keys == 200
+    assert r.n_probes == 500
+    assert r.n_false_pos > 0
+    assert 0.0 < r.fpr <= 1.0
+    assert 0.0 < r.fpr_model <= 1.0
+
+    # membership completeness: with the same m, every true member passes —
+    # replicate the pass test directly
+    from collection_templates_spark.operators.dedup import _poly_hash
+    from collection_templates_spark.operators.sketches import BLOOM_BASES
+
+    m = 64
+    bits = {
+        row.pos
+        for row in keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        (_poly_hash(F.col("token"), b) % m).cast("int")
+                        for b in BLOOM_BASES
+                    ]
+                )
+            ).alias("pos")
+        ).collect()
+    }
+    def py_poly(s: str, b: int) -> int:
+        h = 0
+        for c in s:
+            h = (h * b + ord(c)) % 2147483647
+        return h
+
+    for i in range(200):
+        tok = f"key{i}"
+        assert {py_poly(tok, b) % m for b in BLOOM_BASES} <= bits, tok
