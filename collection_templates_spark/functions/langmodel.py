@@ -385,3 +385,100 @@ def doc_perplexity_bigram(
             ).alias("perplexity"),
         )
     )
+
+
+def doc_perplexity_kneser_ney(
+    docs: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under an interpolated KNESER–NEY bigram
+    LM (Kneser & Ney 1995; the smoothing that superseded naive
+    interpolation in every serious n-gram stack — Chen & Goodman 1999's
+    winner): token i ≥ 2 scores
+
+        p(w|v) = max(c(v,w) − D, 0)/c(v·)
+               + (D·N1+(v·)/c(v·)) · P_cont(w)
+
+    with absolute discount D, N1+(v·) = distinct continuations of v,
+    and the CONTINUATION probability P_cont(w) = (N1+(·w)+1)/(T+V)
+    (N1+(·w) = distinct predecessors of w, T = bigram types; the +1/+V
+    Laplace floor keeps doc-initial-only tokens scoreable — documented
+    deviation from the textbook form, which is undefined for them). The
+    first token scores P_cont alone. Intuition the naive interpolation
+    misses: a token frequent only inside one collocation ("francisco")
+    gets a LOW continuation probability however high its raw count.
+
+    Columns and determinism conventions identical to
+    ``doc_perplexity_bigram`` (9dp per-token lp, 6dp outputs); the same
+    single (prev, token) corpus aggregate feeds every model table —
+    ctx/continuation/type counts are re-aggregations of it.
+
+    Scale: identical shape to doc_perplexity_bigram — vocabulary-sized
+    broadcasts everywhere except the vocab²-bounded bigram join, which
+    AQE resolves.
+    """
+    arr = _token_array(F.col(text_col))
+    pairs = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.zip_with(
+                arr,
+                F.slice(
+                    F.concat(F.array(F.lit(None).cast("string")), arr),
+                    1,
+                    F.size(arr),
+                ),
+                lambda cur, prv: F.struct(
+                    cur.alias("token"), prv.alias("prev")
+                ),
+            )
+        ).alias("___pos", "___p"),
+    ).select("doc", "___p.token", "___p.prev")
+
+    bi_full = pairs.groupBy("prev", "token").agg(F.count("*").alias("n2"))
+    uni = bi_full.groupBy("token").agg(F.sum("n2").alias("n"))
+    bi = bi_full.filter(F.col("prev").isNotNull())
+    ctx = bi.groupBy("prev").agg(
+        F.sum("n2").alias("nc"), F.count("*").alias("nu")
+    )
+    cont = bi.groupBy("token").agg(F.count("*").alias("np"))
+    totals = bi.agg(F.count("*").alias("___types")).join(
+        uni.agg(F.count("*").alias("___vocab"))
+    )
+
+    d = F.lit(discount)
+    p_cont = (F.coalesce(F.col("np"), F.lit(0)) + 1).cast("double") / (
+        F.col("___types") + F.col("___vocab")
+    ).cast("double")
+    p_kn = (
+        F.greatest(F.col("n2") - d, F.lit(0.0)) / F.col("nc")
+        + (d * F.col("nu") / F.col("nc")) * p_cont
+    )
+    p = F.when(F.col("prev").isNull(), p_cont).otherwise(p_kn)
+
+    scored = (
+        pairs.join(F.broadcast(totals))
+        .join(F.broadcast(cont), "token", "left")
+        .join(bi, ["prev", "token"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .withColumn("___lp", F.round(F.log(p), 9))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("___lp").alias("___sum_lp"),
+        )
+        .select(
+            "doc",
+            "n_tokens",
+            F.round(F.col("___sum_lp") / F.col("n_tokens"), 6).alias(
+                "avg_lp"
+            ),
+            F.round(
+                F.exp(-F.col("___sum_lp") / F.col("n_tokens")), 6
+            ).alias("perplexity"),
+        )
+    )

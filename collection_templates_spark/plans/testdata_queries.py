@@ -1514,6 +1514,70 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_perplexity_bigram(docs).withColumnRenamed("doc", "doc_id")
 
 
+def ann_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-prediction accuracy (round 7): the evaluation loop
+    every embedding pipeline runs — predict each query vector's label by
+    majority vote of its exact cosine top-5 (tie → smallest label),
+    score against the true label, report per-label accuracy. Uses the
+    embeddings table's label column; 64 query vectors. Deterministic
+    end-to-end (6dp sims, total-ordered vote window), fully replayed in
+    the oracle.
+
+    Scale shape: the brute ranking is the documented O(|Q|·N) baseline
+    with the engine-partial top-k finisher; votes/accuracy aggregate
+    |Q|·k rows."""
+    from collection_templates_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 64)
+    topk = cosine_topk(emb, q, k=5)
+    nb = topk.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlabel"),
+        ),
+        "neighbor_id",
+    )
+    votes = nb.groupBy("query_id", "nlabel").agg(F.count("*").alias("nv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("nv"), F.asc("nlabel")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nlabel").alias("pred"))
+    )
+    truth = q.select(F.col("vec_id").alias("query_id"), "label")
+    per = truth.join(pred, "query_id")
+    return per.groupBy("label").agg(
+        F.count("*").alias("n_queries"),
+        F.sum((F.col("pred") == F.col("label")).cast("int")).alias(
+            "n_correct"
+        ),
+        F.round(
+            F.sum((F.col("pred") == F.col("label")).cast("int"))
+            / F.count("*"),
+            4,
+        ).alias("accuracy"),
+    )
+
+
+def text_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram perplexity (round 7) — the
+    smoothing that actually wins Chen & Goodman's bakeoff, completing
+    the LM-filter ladder unigram → interpolated bigram → KN bigram;
+    absolute discounting + continuation probabilities replayed verbatim
+    in the oracle."""
+    from collection_templates_spark.functions.langmodel import (
+        doc_perplexity_kneser_ney,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_perplexity_kneser_ney(docs).withColumnRenamed(
+        "doc", "doc_id"
+    )
+
+
 def quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic quality filter with pinned literal weights (round 6) —
     the fastText/FineWeb-style keep/drop signal as pure native
@@ -2044,6 +2108,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_refresh": rollup_refresh,
     "sketch_theta_intersection": sketch_theta_intersection,
     "sketch_bloom_fpr": sketch_bloom_fpr,
+    "text_perplexity_kn": text_perplexity_kn,
+    "ann_knn_accuracy": ann_knn_accuracy,
     # round-6 first-sampled (green in CORRECTNESS_r06)
     "export_manifest": export_manifest_q,
     "text_boilerplate": text_boilerplate,
@@ -3668,6 +3734,98 @@ def _perplexity_bigram_oracle_sql(lam: float = 0.7) -> str:
 
 
 ORACLE_SQL["text_perplexity_bigram"] = _perplexity_bigram_oracle_sql()
+
+
+# text_perplexity_kn oracle: the KN discount/continuation arithmetic
+# replayed; float literals forced to DOUBLE (DuckDB parses bare decimals
+# as DECIMAL, whose arithmetic diverges from Spark's doubles).
+def _perplexity_kn_oracle_sql(discount: float = 0.75) -> str:
+    d = f"CAST({discount!r} AS DOUBLE)"
+    return f"""
+        WITH arrs AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9'']+'), x -> x <> '') AS t
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, t[i.i] AS token,
+                   CASE WHEN i.i > 1 THEN t[i.i - 1] END AS prev
+            FROM arrs, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i
+            WHERE len(t) > 0
+        ), uni AS (
+            SELECT token, count(*) AS n FROM tok GROUP BY token
+        ), bi AS (
+            SELECT prev, token, count(*) AS n2 FROM tok
+            WHERE prev IS NOT NULL GROUP BY prev, token
+        ), ctx AS (
+            SELECT prev, sum(n2) AS nc, count(*) AS nu FROM bi GROUP BY prev
+        ), cont AS (
+            SELECT token, count(*) AS np FROM bi GROUP BY token
+        ), tot AS (
+            SELECT (SELECT CAST(count(*) AS DOUBLE) FROM bi) AS types,
+                   (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS vocab
+        ), sc AS (
+            SELECT tok.doc_id,
+                   round(ln(CASE WHEN tok.prev IS NULL
+                        THEN (coalesce(cont.np, 0) + 1)
+                             / (tot.types + tot.vocab)
+                        ELSE greatest(CAST(bi.n2 AS DOUBLE) - {d}, 0.0)
+                                 / ctx.nc
+                           + ({d} * ctx.nu / ctx.nc)
+                             * ((coalesce(cont.np, 0) + 1)
+                                / (tot.types + tot.vocab))
+                        END), 9) AS lp
+            FROM tok
+            CROSS JOIN tot
+            LEFT JOIN cont USING (token)
+            LEFT JOIN bi ON bi.prev = tok.prev AND bi.token = tok.token
+            LEFT JOIN ctx ON ctx.prev = tok.prev
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(sum(lp) / count(*), 6) AS avg_lp,
+               round(exp(-sum(lp) / count(*)), 6) AS perplexity
+        FROM sc GROUP BY doc_id
+    """
+
+
+ORACLE_SQL["text_perplexity_kn"] = _perplexity_kn_oracle_sql()
+
+# ann_knn_accuracy: the brute ranking (ann_cosine_topk idiom, 64 queries),
+# the majority vote and the per-label rollup replayed.
+ORACLE_SQL["ann_knn_accuracy"] = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < 64),
+    sims AS (
+        SELECT q.qid AS query_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+               round(list_cosine_similarity(
+                   q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+        FROM q, embeddings c WHERE c.vec_id <> q.qid),
+    topk AS (
+        SELECT query_id, nlabel FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM sims)
+        WHERE rank <= 5),
+    votes AS (
+        SELECT query_id, nlabel, count(*) AS nv
+        FROM topk GROUP BY query_id, nlabel),
+    pred AS (
+        SELECT query_id, nlabel AS pred FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY nv DESC, nlabel ASC) AS rn
+            FROM votes)
+        WHERE rn = 1)
+    SELECT qlabel AS label,
+           count(*) AS n_queries,
+           CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           round(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS accuracy
+    FROM q JOIN pred ON pred.query_id = q.qid
+    GROUP BY qlabel
+"""
 
 # corpus_funnel oracle: the three stage criteria restated verbatim from
 # their own oracles (dedup_exact's min-id window, quality_logistic's
