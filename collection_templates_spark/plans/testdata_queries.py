@@ -1368,10 +1368,13 @@ def wiki_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                           (prepare_collections2.py min members; the P11
                           >10k gate)
 
-    Scale shape: one members aggregate (map-side combined) feeds every
-    stage; the six counts are single-row aggregates cross-joined into
-    one wide row (7 broadcast-joins of 1-row relations — no window, no
-    driver collect), and each stage row is a literal projection of it."""
+    Scale shape: ONE annotated pass — the members aggregate (map-side
+    combined) joins orders/customer once and every per-collection stage
+    count is a conditional sum of cumulative stage flags in a single
+    aggregate (the merge-level counts need one more tiny aggregate over
+    the merged groups). Two corpus passes total instead of one per
+    stage; the 1-row count relations broadcast-join into a wide row and
+    each stage row is a literal projection of it."""
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
@@ -1389,30 +1392,48 @@ def wiki_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("valid").alias("n_valid"),
         F.min(F.when(F.col("valid") == 1, F.col("p_name"))).alias("cname"),
     )
-    s0 = orders.join(m_agg, orders.o_orderkey == m_agg.l_orderkey)
-    s1 = s0.filter(F.col("n_valid") >= 1)
-    s2 = s1.join(
-        customer, s1.o_custkey == customer.c_custkey
-    ).filter(F.col("c_acctbal") > 0)
-    s3 = s2.filter(~F.col("cname").startswith("hot "))
-    s4 = s3.groupBy("o_custkey", "o_orderpriority").agg(
-        F.min("o_orderkey").alias("rep"),
-        F.sum("n_valid").alias("total_valid"),
+    ann = (
+        orders.join(m_agg, orders.o_orderkey == m_agg.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            "n_valid",
+            F.lit(True).alias("f0"),
+            (F.col("n_valid") >= 1).alias("f1"),
+            (
+                (F.col("n_valid") >= 1) & (F.col("c_acctbal") > 0)
+            ).alias("f2"),
+            (
+                (F.col("n_valid") >= 1)
+                & (F.col("c_acctbal") > 0)
+                & ~F.col("cname").startswith("hot ")
+            ).alias("f3"),
+        )
     )
-    s5 = s4.filter(F.col("total_valid").between(3, 10000))
-
-    wide = None
-    for alias, df in (
-        ("n_raw", orders),
-        ("n0", s0),
-        ("n1", s1),
-        ("n2", s2),
-        ("n3", s3),
-        ("n4", s4),
-        ("n5", s5),
-    ):
-        c = df.agg(F.count("*").alias(alias))
-        wide = c if wide is None else wide.join(F.broadcast(c))
+    per_coll = ann.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.col("f1").cast("long")).alias("n1"),
+        F.sum(F.col("f2").cast("long")).alias("n2"),
+        F.sum(F.col("f3").cast("long")).alias("n3"),
+    )
+    merged = (
+        ann.filter("f3")
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.sum("n_valid").alias("total_valid"))
+    )
+    per_merge = merged.agg(
+        F.count("*").alias("n4"),
+        F.sum(
+            F.col("total_valid").between(3, 10000).cast("long")
+        ).alias("n5"),
+    )
+    wide = (
+        orders.agg(F.count("*").alias("n_raw"))
+        .join(F.broadcast(per_coll))
+        .join(F.broadcast(per_merge))
+    )
     stages = [
         ("00_extract", "n_raw", "n0"),
         ("01_validate_members", "n0", "n1"),
