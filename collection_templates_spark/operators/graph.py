@@ -203,3 +203,100 @@ def pagerank(
                 )
             )
     return ranks.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) — hubs & authorities as the
+    same unrolled join/aggregate chain as ``pagerank``:
+
+        a(v) ← Σ_{u→v} round(h(u), 9), then a ← round(a / max(a), 9)
+        h(u) ← Σ_{u→v} round(a(v), 9), then h ← round(h / max(h), 9)
+
+    Max-normalization instead of the textbook L2: the max of 9dp-rounded
+    scores is an exact comparison, so the DuckDB replay reproduces the
+    identical normalizer without order-dependent sqrt-of-sum-of-squares.
+    Nodes outside an aggregation keep 0.0 (in a bipartite src→dst graph
+    the dst side has hub 0 and the src side authority 0 — stated so the
+    oracle matches by construction). Returns (node, hub, authority)
+    rounded 6dp.
+
+    Scale shape: per half-sweep ONE join of the score vector against the
+    edge list + ONE map-side-combined aggregate, same as pagerank; the
+    normalizer is a single scalar max broadcast back.
+
+    No reference counterpart (public algorithm); part of the
+    beyond-reference graph family alongside pagerank/transitive closure.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    e = edges.select(
+        F.col(src_col).alias("___src"), F.col(dst_col).alias("___dst")
+    )
+    nodes = (
+        e.select(F.col("___src").alias("node"))
+        .union(e.select(F.col("___dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("h"))
+    auth = nodes.select("node", F.lit(0.0).alias("a"))
+    for _ in range(iterations):
+        a_raw = (
+            hub.join(e, hub["node"] == e["___src"])
+            .select(
+                F.col("___dst").alias("node"),
+                F.round(F.col("h"), 9).alias("___c"),
+            )
+            .groupBy("node")
+            .agg(F.round(F.sum("___c"), 9).alias("___s"))
+        )
+        a_max = a_raw.agg(F.max("___s").alias("___mx"))
+        # lazy checkpoint: each score vector feeds BOTH the next
+        # half-sweep and the final (hub ⋈ authority) output, and without
+        # the cut the deepest chain is recomputed once per consumer
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .join(F.broadcast(a_max))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("___s"), F.lit(0.0)) / F.col("___mx"),
+                    9,
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            auth.join(e, auth["node"] == e["___dst"])
+            .select(
+                F.col("___src").alias("node"),
+                F.round(F.col("a"), 9).alias("___c"),
+            )
+            .groupBy("node")
+            .agg(F.round(F.sum("___c"), 9).alias("___s"))
+        )
+        h_max = h_raw.agg(F.max("___s").alias("___mx"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .join(F.broadcast(h_max))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("___s"), F.lit(0.0)) / F.col("___mx"),
+                    9,
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("authority"),
+        )
+    )

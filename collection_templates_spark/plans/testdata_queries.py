@@ -1123,6 +1123,43 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(label.alias("node"), "pagerank")
 
 
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hubs/authorities (round 7) over the directed
+    customer→supplier graph — customers are pure hubs, suppliers pure
+    authorities, so both score families do real work and the bipartite
+    zero sides are pinned. Two sweeps, max-normalized (exact comparison,
+    engine-replayable — see operators/graph.hits), unrolled-CTE oracle
+    like the pagerank rows."""
+    from collection_templates_spark.operators.graph import hits
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    out = hits(edges, iterations=2)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
+    )
+    return out.select(label.alias("node"), "hub", "authority")
+
+
 def rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup refresh as a driver row (round 7; previously
     t-only in operators/rollup_table.py): the day-partitioned continuous
@@ -2131,6 +2168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_bloom_fpr": sketch_bloom_fpr,
     "text_perplexity_kn": text_perplexity_kn,
     "ann_knn_accuracy": ann_knn_accuracy,
+    "graph_hits": graph_hits,
     # round-6 first-sampled (green in CORRECTNESS_r06)
     "export_manifest": export_manifest_q,
     "text_boilerplate": text_boilerplate,
@@ -4289,6 +4327,68 @@ def _pagerank_oracle_sql(
 
 ORACLE_SQL["graph_pagerank"] = _pagerank_oracle_sql()
 ORACLE_SQL["graph_pagerank_dangling"] = _pagerank_oracle_sql(dangling=True)
+
+
+# graph_hits oracle: the two max-normalized sweeps unrolled — contribution
+# rounding, the scalar max normalizer and the bipartite zero sides all
+# replayed (same convention family as the pagerank oracles).
+def _hits_oracle_sql(iterations: int = 2) -> str:
+    ctes = [
+        """pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01')""",
+        "edges AS (SELECT src, dst FROM pairs)",
+        """nodes AS (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges)""",
+        "h0 AS (SELECT node, 1.0 AS h FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""ar{i} AS (
+            SELECT e.dst AS node, round(sum(round(h.h, 9)), 9) AS s
+            FROM h{i - 1} h JOIN edges e ON e.src = h.node
+            GROUP BY e.dst)"""
+        )
+        ctes.append(f"amx{i} AS (SELECT max(s) AS mx FROM ar{i})")
+        ctes.append(
+            f"""a{i} AS (
+            SELECT nodes.node,
+                   round(coalesce(ar.s, 0.0) / amx.mx, 9) AS a
+            FROM nodes CROSS JOIN amx{i} amx
+            LEFT JOIN ar{i} ar ON ar.node = nodes.node)"""
+        )
+        ctes.append(
+            f"""hr{i} AS (
+            SELECT e.src AS node, round(sum(round(a.a, 9)), 9) AS s
+            FROM a{i} a JOIN edges e ON e.dst = a.node
+            GROUP BY e.src)"""
+        )
+        ctes.append(f"hmx{i} AS (SELECT max(s) AS mx FROM hr{i})")
+        ctes.append(
+            f"""h{i} AS (
+            SELECT nodes.node,
+                   round(coalesce(hr.s, 0.0) / hmx.mx, 9) AS h
+            FROM nodes CROSS JOIN hmx{i} hmx
+            LEFT JOIN hr{i} hr ON hr.node = nodes.node)"""
+        )
+    joined = ",\n        ".join(ctes)
+    n = iterations
+    return f"""
+        WITH {joined}
+        SELECT CASE WHEN h{n}.node % 2 = 0
+                    THEN 'c' || CAST(h{n}.node // 2 AS VARCHAR)
+                    ELSE 's' || CAST((h{n}.node - 1) // 2 AS VARCHAR)
+               END AS node,
+               round(h{n}.h, 6) AS hub,
+               round(a{n}.a, 6) AS authority
+        FROM h{n} JOIN a{n} ON a{n}.node = h{n}.node
+    """
+
+
+ORACLE_SQL["graph_hits"] = _hits_oracle_sql()
 
 # rollup_refresh: build-then-merge replay — kept days come from the history
 # rollup verbatim, affected days re-aggregate (old rolled row ⊕ new partial)
