@@ -76,3 +76,66 @@ def test_pagerank_hand_computed_and_conserving(spark):
     assert pr["hub"] > pr["s1"]
     assert abs(pr["s1"] - pr["s4"]) < 1e-9  # spokes symmetric
     assert abs(sum(pr.values()) - 1.0) < 1e-4  # mass conserved
+
+
+def test_pagerank_dangling_restores_mass(spark):
+    """Directed chain a→b→c: c is dangling. Simple variant leaks c's
+    mass (total < 1); the redistribution variant conserves it (total ≈ 1
+    up to rounding)."""
+    from collection_templates_spark.operators.graph import pagerank
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    simple = {
+        r["node"]: r["pagerank"] for r in pagerank(chain, 3).collect()
+    }
+    redis = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(chain, 3, redistribute_dangling=True).collect()
+    }
+    assert sum(simple.values()) < 0.999
+    assert abs(sum(redis.values()) - 1.0) < 1e-4
+    # redistribution strictly raises every node's rank vs the leaky run
+    for n in simple:
+        assert redis[n] > simple[n], n
+
+
+def test_hits_hand_computed_bipartite(spark):
+    """Two customers → three suppliers: c1 links s1,s2; c2 links s2,s3.
+    After one sweep: a(s2) ∝ 2, a(s1)=a(s3) ∝ 1 → normalized (1.0, 0.5);
+    h(c1)=h(c2)=0.5+1.0 → both normalize to 1.0. Second sweep breaks the
+    hub tie: both still sum the same authorities — stays symmetric.
+    Suppliers have hub 0, customers authority 0 (bipartite zero sides)."""
+    from collection_templates_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c2", "s2"), ("c2", "s3")],
+        "src string, dst string",
+    )
+    out = {r["node"]: (r["hub"], r["authority"]) for r in hits(edges, 2).collect()}
+    assert out["s2"][1] == 1.0
+    assert out["s1"][1] == out["s3"][1] == 0.5
+    assert out["c1"][0] == out["c2"][0] == 1.0
+    for s in ("s1", "s2", "s3"):
+        assert out[s][0] == 0.0, s
+    for c in ("c1", "c2"):
+        assert out[c][1] == 0.0, c
+
+
+def test_hits_asymmetric_hub_ranking(spark):
+    """A hub pointing at MORE high-authority nodes must out-rank one
+    pointing at fewer: c1→{s1,s2,s3}, c2→{s1}. All three suppliers'
+    authority comes only from hubs; after normalization c1 > c2."""
+    from collection_templates_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c1", "s3"), ("c2", "s1")],
+        "src string, dst string",
+    )
+    out = {r["node"]: (r["hub"], r["authority"]) for r in hits(edges, 2).collect()}
+    assert out["c1"][0] == 1.0
+    assert 0.0 < out["c2"][0] < 1.0
+    # s1 has two in-links, s2/s3 one each
+    assert out["s1"][1] == 1.0
+    assert out["s2"][1] == out["s3"][1] < 1.0
