@@ -152,6 +152,72 @@ def contamination_spans(
     )
 
 
+def common_substring_spans(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring mining — the n-gram-join
+    realization of exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    uses suffix arrays single-node; the distributed shape is a gram
+    self-aggregate): per doc, how much of it is covered by word
+    ``n``-grams that also occur in ≥ ``min_docs`` documents, and the
+    longest consecutive such run (the span a substring-dedup pass would
+    cut).
+
+    Columns: (doc, n_grams, n_shared, max_shared_run). Same
+    gaps-and-islands machinery as ``contamination_spans``, but the
+    marked set is corpus-derived (grams with distinct-doc count ≥
+    ``min_docs``) instead of a broadcast benchmark.
+
+    Scale shape: ONE gram-keyed shuffle for the distinct-doc count and
+    one more for the mark join (the shared-gram table is corpus-sized,
+    so no broadcast hint — AQE decides), then the doc-keyed island
+    window. This is the canonical substring-dedup shuffle profile; the
+    suffix-array equivalent cannot be expressed as a dataflow without
+    it.
+
+    Session side effect: excludes ``InferFiltersFromGenerate`` on first
+    call (see dedup._spread / ngram_jaccard_pairs).
+    """
+    from collection_templates_spark.operators.dedup import _spread
+
+    g = _spread(corpus).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(_word_ngrams_all(F.col(text_col), n)).alias("pos", "g"),
+    )
+    shared = (
+        g.select("doc", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("___nd"))
+        .filter(F.col("___nd") >= min_docs)
+        .select("g")
+        .withColumn("___hit", F.lit(1))
+    )
+    marked = g.join(shared, "g", "left")
+    base = marked.groupBy("doc").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce("___hit", F.lit(0))).alias("n_shared"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    islands = (
+        marked.filter(F.col("___hit") == 1)
+        .withColumn("___grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc", "___grp")
+        .agg(F.count("*").alias("___run"))
+        .groupBy("doc")
+        .agg(F.max("___run").alias("max_shared_run"))
+    )
+    return base.join(islands, "doc", "left").withColumn(
+        "max_shared_run",
+        F.coalesce("max_shared_run", F.lit(0).cast("long")),
+    )
+
+
 def assign_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1636,6 +1636,22 @@ def text_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring mining (round 7): per doc, the
+    coverage and longest run of 5-grams shared with ≥ 2 documents — the
+    distributed n-gram-join realization of Lee et al.'s exact substring
+    dedup (suffix arrays don't distribute; the gram self-aggregate
+    does)."""
+    from collection_templates_spark.operators.training_prep import (
+        common_substring_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return common_substring_spans(docs, n=5, min_docs=2).withColumnRenamed(
+        "doc", "doc_id"
+    )
+
+
 def quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic quality filter with pinned literal weights (round 6) —
     the fastText/FineWeb-style keep/drop signal as pure native
@@ -2169,6 +2185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_perplexity_kn": text_perplexity_kn,
     "ann_knn_accuracy": ann_knn_accuracy,
     "graph_hits": graph_hits,
+    "text_common_spans": text_common_spans,
     # round-6 first-sampled (green in CORRECTNESS_r06)
     "export_manifest": export_manifest_q,
     "text_boilerplate": text_boilerplate,
@@ -3848,6 +3865,49 @@ def _perplexity_kn_oracle_sql(discount: float = 0.75) -> str:
 
 
 ORACLE_SQL["text_perplexity_kn"] = _perplexity_kn_oracle_sql()
+
+# text_common_spans: the corpus-derived shared-gram set (distinct-doc
+# count >= 2 over 5-grams) + the same gaps-and-islands replay as
+# decontaminate_spans. Oracle pos is 1-based vs Spark's 0-based posexplode
+# — islands are shift-invariant and pos is not output.
+ORACLE_SQL["text_common_spans"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents
+    ), gr AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+        WHERE len(t) >= 5
+    ), shared AS (
+        SELECT g FROM (
+            SELECT g, count(*) AS nd FROM (
+                SELECT DISTINCT doc_id, g FROM gr)
+            GROUP BY g)
+        WHERE nd >= 2
+    ), marked AS (
+        SELECT gr.doc_id, gr.pos,
+               CASE WHEN s.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM gr LEFT JOIN shared s ON gr.g = s.g
+    ), base AS (
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(hit) AS BIGINT) AS n_shared
+        FROM marked GROUP BY doc_id
+    ), isl AS (
+        SELECT doc_id, max(run) AS mx FROM (
+            SELECT doc_id, grp, count(*) AS run FROM (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM marked WHERE hit = 1)
+            GROUP BY doc_id, grp)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_grams, b.n_shared,
+           CAST(coalesce(i.mx, 0) AS BIGINT) AS max_shared_run
+    FROM base b LEFT JOIN isl i ON b.doc_id = i.doc_id
+"""
 
 # ann_knn_accuracy: the brute ranking (ann_cosine_topk idiom, 64 queries),
 # the majority vote and the per-label rollup replayed.
