@@ -1123,6 +1123,39 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(label.alias("node"), "pagerank")
 
 
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist in one row (round 7) — the three
+    ranking window primitives the bank didn't yet pin (row_number/rank
+    ride inside many queries; these three have distinct edge semantics:
+    ntile's uneven-bucket remainder rule, percent_rank's (r-1)/(n-1),
+    cume_dist's ties-inclusive fraction). Per order-priority window over
+    order totals; totally ordered by the (priority, orderkey) pair."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        # keep the gate row compact: quartile boundaries + extremes per
+        # priority exercise every primitive's edge arithmetic
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.min("pct_rank"), 6).alias("min_pct_rank"),
+            F.round(F.max("cume"), 6).alias("max_cume"),
+        )
+    )
+
+
 def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS hubs/authorities (round 7) over the directed
     customer→supplier graph — customers are pure hubs, suppliers pure
@@ -2186,6 +2219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_knn_accuracy": ann_knn_accuracy,
     "graph_hits": graph_hits,
     "text_common_spans": text_common_spans,
+    "window_rank_functions": window_rank_functions,
     # round-6 first-sampled (green in CORRECTNESS_r06)
     "export_manifest": export_manifest_q,
     "text_boilerplate": text_boilerplate,
@@ -4449,6 +4483,28 @@ def _hits_oracle_sql(iterations: int = 2) -> str:
 
 
 ORACLE_SQL["graph_hits"] = _hits_oracle_sql()
+
+# window_rank_functions: ntile/percent_rank/cume_dist share ANSI
+# definitions — replay with the identical total order and roundings.
+ORACLE_SQL["window_rank_functions"] = """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+    )
+    SELECT o_orderpriority, quartile,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(min(pct_rank), 6) AS min_pct_rank,
+           round(max(cume), 6) AS max_cume
+    FROM ranked
+    GROUP BY o_orderpriority, quartile
+"""
 
 # rollup_refresh: build-then-merge replay — kept days come from the history
 # rollup verbatim, affected days re-aggregate (old rolled row ⊕ new partial)

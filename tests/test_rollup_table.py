@@ -54,3 +54,49 @@ def test_rollup_matches_full_rebuild(spark, tmp_path):
     ful = {(r.day, r.event_type): (r.n_events, r.sum_value)
            for r in full.collect()}
     assert inc == ful
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """build_daily_rollup's mergeable columns are a plain groupBy
+    aggregate — also legal Structured Streaming state (one row per
+    (day, event_type)): the streamed rollup equals the batch rollup.
+    approx_users is excluded (HLL± state is the documented non-mergeable
+    limitation)."""
+    import datetime
+
+    src = tmp_path / "events_src"
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1 + (i % 5), i % 24, 0, 0),
+            i % 7,
+            ["click", "view", "purchase"][i % 3],
+            float(i) / 4.0,
+        )
+        for i in range(200)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    ev = spark.createDataFrame(rows, schema)
+    ev.write.mode("overwrite").parquet(str(src))
+
+    cols = ["day", "event_type", "n_events", "sum_value",
+            "min_value", "max_value"]
+    batch = sorted(
+        map(tuple, build_daily_rollup(ev).select(*cols).collect())
+    )
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        build_daily_rollup(stream)
+        .select(*cols)
+        .writeStream.format("memory")
+        .queryName("rollup_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("rollup_stream").collect()))
+    assert got == batch
