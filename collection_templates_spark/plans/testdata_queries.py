@@ -1156,6 +1156,54 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed moving aggregate (round 7) — the one window-frame
+    kind the bank didn't pin (ROWS frames ride in window_running_total):
+    per user, the trailing-24-hour event-value sum and count at each
+    event, frame bounds on epoch seconds so peers at equal timestamps
+    are included (RANGE, not ROWS, semantics). Totally ordered by
+    (user_id, ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(F.sum("value").over(w), 2).alias("sum_24h"),
+        F.count("*").over(w).alias("n_24h"),
+    )
+
+
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (round 7) — the inverse of agg_pivot_event_types and
+    a distinct relational primitive (stack/UNPIVOT): the per-priority
+    status histogram melted from wide columns to (priority, status
+    metric, value) rows."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias(
+            "n_open"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "n_finished"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias(
+            "n_pending"
+        ),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_open", "n_finished", "n_pending"],
+        "status_metric",
+        "n",
+    )
+
+
 def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS hubs/authorities (round 7) over the directed
     customer→supplier graph — customers are pure hubs, suppliers pure
@@ -2220,6 +2268,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_hits": graph_hits,
     "text_common_spans": text_common_spans,
     "window_rank_functions": window_rank_functions,
+    "window_range_moving_sum": window_range_moving_sum,
+    "agg_unpivot": agg_unpivot,
     # round-6 first-sampled (green in CORRECTNESS_r06)
     "export_manifest": export_manifest_q,
     "text_boilerplate": text_boilerplate,
@@ -4483,6 +4533,35 @@ def _hits_oracle_sql(iterations: int = 2) -> str:
 
 
 ORACLE_SQL["graph_hits"] = _hits_oracle_sql()
+
+# window_range_moving_sum: RANGE frame on epoch seconds; DuckDB's RANGE
+# BETWEEN uses the same peer-inclusive semantics over the ORDER BY value.
+ORACLE_SQL["window_range_moving_sum"] = """
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(sum(value) OVER w, 2) AS sum_24h,
+           count(*) OVER w AS n_24h
+    FROM (SELECT *, CAST(epoch(ts) AS BIGINT) AS secs FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY secs
+                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+"""
+
+# agg_unpivot: UNPIVOT melted to the same (priority, metric, n) rows.
+ORACLE_SQL["agg_unpivot"] = """
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_finished,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pending
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status_metric, n
+    FROM wide
+    UNPIVOT (n FOR status_metric IN (n_open, n_finished, n_pending))
+"""
 
 # window_rank_functions: ntile/percent_rank/cume_dist share ANSI
 # definitions — replay with the identical total order and roundings.
