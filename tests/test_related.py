@@ -39,3 +39,21 @@ def test_with_related_collections(spark):
     out = {r.metadata.id: r for r in with_related_collections(docs, rel).collect()}
     assert [x.id for x in out["Q1"].name_generator.related_collections] == ["Q2"]
     assert [x.id for x in out["Q2"].name_generator.related_collections] == ["Q1"]
+
+
+def test_candidate_cap_boundary_when_self_tops_the_type(spark):
+    """r7 candidate-generation rewrite invariant: the per-(src,type)
+    top-k is taken from the per-type top-(k+1). When src itself is the
+    type's #1 (and #2), excluding it must still leave the full k
+    candidates — distinct names so no diversity filtering interferes."""
+    rows = [
+        _coll("Q1", "alpha reds", [], types=[("T1", "x")], rank=100),
+        _coll("Q2", "beta blues", [], types=[("T1", "x")], rank=90),
+        _coll("Q3", "gamma greens", [], types=[("T1", "x")], rank=80),
+        _coll("Q4", "delta pinks", [], types=[("T1", "x")], rank=70),
+    ]
+    rel = {r.item: [x.id for x in r.related] for r in
+           related_collections(make(spark, rows), max_per_type=2).collect()}
+    assert rel["Q1"] == ["Q2", "Q3"]   # self was #1: next two survive
+    assert rel["Q2"] == ["Q1", "Q3"]   # self was #2
+    assert rel["Q4"] == ["Q1", "Q2"]   # self outside top-3: plain top-2
