@@ -1717,6 +1717,32 @@ def text_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy name matching (round 7): record-linkage blocking
+    (first name token + p_type + p_brand — the narrower key is the
+    standard blocking recall/cost tradeoff, stated not hidden) then
+    exact Levenshtein ≤ 3 over part names, rolled up to (p_type,
+    distance) pair counts — the classic near-duplicate name-curation
+    primitive, never all-pairs. Levenshtein is identically defined in
+    both engines, so the rollup is an exact replay."""
+    from collection_templates_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    pairs = blocked_levenshtein_pairs(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=("p_type", "p_brand"),
+        max_distance=3,
+    )
+    return pairs.groupBy("p_type", "distance").agg(
+        F.count("*").alias("n_pairs"),
+        F.min(F.concat_ws("|", "name_a", "name_b")).alias("example_pair"),
+    )
+
+
 def text_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-substring mining (round 7): per doc, the
     coverage and longest run of 5-grams shared with ≥ 2 documents — the
@@ -2270,6 +2296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank_functions": window_rank_functions,
     "window_range_moving_sum": window_range_moving_sum,
     "agg_unpivot": agg_unpivot,
+    "dedup_fuzzy_names": dedup_fuzzy_names,
     # round-6 first-sampled (green in CORRECTNESS_r06)
     "export_manifest": export_manifest_q,
     "text_boilerplate": text_boilerplate,
@@ -3949,6 +3976,26 @@ def _perplexity_kn_oracle_sql(discount: float = 0.75) -> str:
 
 
 ORACLE_SQL["text_perplexity_kn"] = _perplexity_kn_oracle_sql()
+
+# dedup_fuzzy_names: blocking + levenshtein replayed — DuckDB's
+# levenshtein() is the same unit-cost edit distance as Spark's.
+ORACLE_SQL["dedup_fuzzy_names"] = """
+    WITH b AS (
+        SELECT p_partkey AS id, p_name AS name, p_type, p_brand,
+               split_part(p_name, ' ', 1) AS blk
+        FROM part
+    ), pairs AS (
+        SELECT a.p_type, a.name AS name_a, c.name AS name_b,
+               levenshtein(a.name, c.name) AS distance
+        FROM b a JOIN b c
+          ON a.blk = c.blk AND a.p_type = c.p_type
+         AND a.p_brand = c.p_brand AND a.id < c.id
+    )
+    SELECT p_type, distance, count(*) AS n_pairs,
+           min(name_a || '|' || name_b) AS example_pair
+    FROM pairs WHERE distance <= 3
+    GROUP BY p_type, distance
+"""
 
 # text_common_spans: the corpus-derived shared-gram set (distinct-doc
 # count >= 2 over 5-grams) + the same gaps-and-islands replay as
