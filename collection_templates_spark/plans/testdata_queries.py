@@ -1123,6 +1123,43 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(label.alias("node"), "pagerank")
 
 
+def agg_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating percentiles at four quantiles per group
+    (round 7) — extends A6's single exact median to the quantile-band
+    summary every data-quality dashboard publishes. Both engines use
+    the same linear interpolation ((1−f)·a + f·b over the sorted
+    values); 4dp rounding absorbs the arithmetic-order ulp."""
+    o = _t(spark, sf_dir, "orders")
+    qs = [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")]
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(q)), 4).alias(a)
+            for q, a in qs
+        ],
+    )
+
+
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates (round 7): every / some /
+    count_if per event type — the ANSI bool_and/bool_or family the bank
+    didn't pin (NULL-skipping semantics included: props-derived k is
+    NULL for some rows)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.every(F.col("value") >= 0).alias("all_nonneg"),
+            F.some(F.col("value") > 90).alias("any_gt90"),
+            F.count_if(F.col("value") > 50).alias("n_gt50"),
+            F.every(F.col("k") >= 0).alias("all_k_nonneg"),
+            F.some(F.col("k") > 900).alias("any_k_gt900"),
+        )
+    )
+
+
 def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist in one row (round 7) — the three
     ranking window primitives the bank didn't yet pin (row_number/rank
@@ -2297,6 +2334,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_range_moving_sum": window_range_moving_sum,
     "agg_unpivot": agg_unpivot,
     "dedup_fuzzy_names": dedup_fuzzy_names,
+    "agg_percentile_bands": agg_percentile_bands,
+    "agg_boolean": agg_boolean,
     # round-6 first-sampled (green in CORRECTNESS_r06)
     "export_manifest": export_manifest_q,
     "text_boilerplate": text_boilerplate,
@@ -4580,6 +4619,32 @@ def _hits_oracle_sql(iterations: int = 2) -> str:
 
 
 ORACLE_SQL["graph_hits"] = _hits_oracle_sql()
+
+# agg_percentile_bands: quantile_cont shares Spark percentile()'s linear
+# interpolation.
+ORACLE_SQL["agg_percentile_bands"] = """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+"""
+
+# agg_boolean: every/some/count_if = bool_and/bool_or/count_if, all
+# NULL-skipping in both engines.
+ORACLE_SQL["agg_boolean"] = """
+    SELECT event_type,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 90) AS any_gt90,
+           CAST(count_if(value > 50) AS BIGINT) AS n_gt50,
+           bool_and(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    >= 0) AS all_k_nonneg,
+           bool_or(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   > 900) AS any_k_gt900
+    FROM events GROUP BY event_type
+"""
 
 # window_range_moving_sum: RANGE frame on epoch seconds; DuckDB's RANGE
 # BETWEEN uses the same peer-inclusive semantics over the ORDER BY value.
