@@ -1123,6 +1123,117 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(label.alias("node"), "pagerank")
 
 
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus card (round 7, bank row #100): document count,
+    token totals, exact vocabulary size, exact duplicate rate and the
+    Shannon entropy of the language distribution — the summary table a
+    dataset release publishes next to the data. Entropy terms are
+    9dp-rounded before the (≤ |langs|-term) sum per the repo's fp
+    convention."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower("text"), "[^a-z0-9']+")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tok_stats = toks.agg(
+        F.count("*").alias("total_tokens"),
+        F.count_distinct("token").alias("vocab"),
+    )
+    norm = F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+    dup = docs.select(norm.alias("___n")).agg(
+        F.count_distinct("___n").alias("___uniq")
+    )
+    lang_terms = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("___nl"))
+        .join(F.broadcast(n_docs))
+        .select(
+            F.round(
+                -(F.col("___nl") / F.col("n_docs"))
+                * F.log(F.col("___nl") / F.col("n_docs")),
+                9,
+            ).alias("___term")
+        )
+        .agg(F.round(F.sum("___term"), 6).alias("lang_entropy"))
+    )
+    return (
+        n_docs.join(F.broadcast(tok_stats))
+        .join(F.broadcast(dup))
+        .join(F.broadcast(lang_terms))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "vocab",
+            F.round(
+                F.col("total_tokens") / F.col("n_docs"), 4
+            ).alias("avg_doc_tokens"),
+            F.round(
+                1.0 - F.col("___uniq") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            "lang_entropy",
+        )
+    )
+
+
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order-function surface in one row (round 7): sort,
+    distinct, slice, reverse, position, filter, transform and aggregate
+    over the token array of each document — the §2.11-adjacent
+    primitives that ride inside many operators, pinned directly.
+    Array-valued results are string-joined so the hash compare sees
+    scalars."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")), " "
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.concat_ws(",", F.slice(toks, 1, 3)).alias("first3"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(toks))).alias(
+            "vocab_sorted"
+        ),
+        F.concat_ws(",", F.reverse(F.slice(toks, 1, 3))).alias(
+            "first3_reversed"
+        ),
+        F.array_position(toks, "the").cast("long").alias("pos_the"),
+        F.size(F.filter(toks, lambda t: F.length(t) >= 5)).alias(
+            "n_long_tokens"
+        ),
+        F.concat_ws(
+            ",", F.slice(F.transform(toks, F.upper), 1, 2)
+        ).alias("first2_upper"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping flags (round 7) — the
+    generalization the rollup row doesn't pin: three hand-picked sets
+    ((priority, status), (status), ()) with GROUPING() markers, via
+    Spark SQL over a temp view (the DataFrame API exposes only
+    rollup/cube)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("___gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM ___gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())
+        """
+    )
+
+
 def agg_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolating percentiles at four quantiles per group
     (round 7) — extends A6's single exact median to the quantile-band
@@ -2336,6 +2447,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fuzzy_names": dedup_fuzzy_names,
     "agg_percentile_bands": agg_percentile_bands,
     "agg_boolean": agg_boolean,
+    "scalar_array_functions": scalar_array_functions,
+    "agg_grouping_sets": agg_grouping_sets,
+    "corpus_report": corpus_report,
     # round-6 first-sampled (green in CORRECTNESS_r06)
     "export_manifest": export_manifest_q,
     "text_boilerplate": text_boilerplate,
@@ -4619,6 +4733,75 @@ def _hits_oracle_sql(iterations: int = 2) -> str:
 
 
 ORACLE_SQL["graph_hits"] = _hits_oracle_sql()
+
+# corpus_report: every stat re-derived from the base table, entropy with
+# the same 9dp-term rounding.
+ORACLE_SQL["corpus_report"] = """
+    WITH tok AS (
+        SELECT t.token
+        FROM documents,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                 AS t(token)
+        WHERE t.token <> ''
+    ), nd AS (SELECT count(*) AS n_docs FROM documents),
+    ts AS (SELECT count(*) AS total_tokens,
+                  count(DISTINCT token) AS vocab FROM tok),
+    uq AS (SELECT count(DISTINCT trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g'))) AS uniq FROM documents),
+    ent AS (
+        SELECT round(sum(term), 6) AS lang_entropy FROM (
+            SELECT round(-(nl / CAST(n_docs AS DOUBLE))
+                         * ln(nl / CAST(n_docs AS DOUBLE)), 9) AS term
+            FROM (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+                 nd)
+    )
+    SELECT n_docs, total_tokens, vocab,
+           round(total_tokens / CAST(n_docs AS DOUBLE), 4)
+               AS avg_doc_tokens,
+           round(1.0 - uniq / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+           lang_entropy
+    FROM nd, ts, uq, ent
+"""
+
+# scalar_array_functions: DuckDB list_* equivalents; list_position is
+# NULL-not-0 on miss (coalesced), slices are inclusive 1-based.
+ORACLE_SQL["scalar_array_functions"] = """
+    WITH base AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INT) AS n_tokens,
+           array_to_string(t[1:3], ',') AS first3,
+           array_to_string(list_sort(list_distinct(t)), ',')
+               AS vocab_sorted,
+           array_to_string(list_reverse(t[1:3]), ',') AS first3_reversed,
+           CAST(coalesce(list_position(t, 'the'), 0) AS BIGINT) AS pos_the,
+           CAST(len(list_filter(t, x -> length(x) >= 5)) AS INT)
+               AS n_long_tokens,
+           array_to_string(list_transform(t[1:2], x -> upper(x)), ',')
+               AS first2_upper,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                            [length(x)::BIGINT for x in t]),
+               (a, b) -> a + b) AS total_chars
+    FROM base
+"""
+
+# agg_grouping_sets: identical sets + GROUPING() flags in DuckDB.
+ORACLE_SQL["agg_grouping_sets"] = """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderstatus), ())
+"""
 
 # agg_percentile_bands: quantile_cont shares Spark percentile()'s linear
 # interpolation.
