@@ -47,9 +47,13 @@ def _unquote(col: F.Column) -> F.Column:
 
 def _curate_distinct(titles: DataFrame, col: str) -> DataFrame:
     """(value → struct(curated, tokenized)) computed once per distinct."""
+    # repartition between distinct and the pandas UDF: AQE coalesces by
+    # bytes and would serialize the CPU-bound curation on one core (the
+    # repo's r4 rule; same fix as search.py / factory.py)
     return (
         titles.select(F.col(col).alias("v"))
         .distinct()
+        .repartition(titles.sparkSession.sparkContext.defaultParallelism)
         .select("v", curate_member_udf("v").alias("c"))
     )
 
@@ -125,6 +129,7 @@ def enrich_members(
         score = (
             m.select(F.col("c.curated").alias("v"))
             .distinct()
+            .repartition(m.sparkSession.sparkContext.defaultParallelism)
             .select("v", (score_udf or interesting_score_udf)("v").alias("___score"))
         )
     m = m.join(score, m["c.curated"] == score.v, "left").drop("v")
@@ -202,6 +207,7 @@ def enrich_collections(
     names = (
         coll.select(F.col("article").alias("v"))
         .distinct()
+        .repartition(coll.sparkSession.sparkContext.defaultParallelism)
         .select("v", curate_name_udf("v").alias("___name"))
     )
     coll = coll.join(names, coll.article == names.v, "left").drop("v")
@@ -250,6 +256,7 @@ def enrich_collections(
     kw_cur = (
         kw_src.select(F.col("kw").alias("v"))
         .distinct()
+        .repartition(kw_src.sparkSession.sparkContext.defaultParallelism)
         .select("v", curate_name_udf("v").alias("kwc"))
     )
     keywords = (
