@@ -1419,7 +1419,22 @@ def rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = ev.filter(F.col("ts") < cut)
     batch = ev.filter(F.col("ts") >= cut)
     # unique dir per invocation: the refresh is idempotent per path, and
-    # a fresh path keeps repeated bench/gate runs independent
+    # a fresh path keeps repeated bench/gate runs independent; stale
+    # dirs from earlier invocations are reaped best-effort (the result
+    # DataFrame reads the path lazily, so the CURRENT dir must outlive
+    # this call — only >1h-old ones are safe to drop)
+    import glob
+    import shutil
+    import time as _time
+
+    for old in glob.glob(
+        os.path.join(tempfile.gettempdir(), "spark_rollup_refresh_*")
+    ):
+        try:
+            if _time.time() - os.path.getmtime(old) > 3600:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
     path = tempfile.mkdtemp(prefix="spark_rollup_refresh_")
     refresh_rollup(spark, path, hist)
     out = refresh_rollup(spark, path, batch)
