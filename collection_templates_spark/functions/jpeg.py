@@ -18,9 +18,13 @@ quantized 8×8 DCT blocks, and an inverse DCT:
   decoder path (markers, both table classes, DC prediction, dequant,
   IDCT, level shift, subsampling). Hand-checkable against the spec.
 
-Progressive (SOF2) and arithmetic-coded JPEGs raise ValueError — the
-caller's documented fallback (``operators/multimodal.fake_decode``)
-covers them, now as the exception rather than the rule.
+Progressive (SOF2) and arithmetic-coded JPEGs raise
+``UnsupportedJpegError`` (a ValueError subclass) — the caller's
+documented fallback (``operators/multimodal.fake_decode``) covers
+those, now as the exception rather than the rule. Corrupt-data errors
+stay plain ValueError so the executor-side degrade-to-NULL boundary
+can tell "format this codec doesn't do" from "broken payload" (r7
+advice).
 
 No reference-repo counterpart: the reference stores avatar/banner image
 URLS only (create_kv.py db5); decoding is this repo's multimodal
@@ -32,6 +36,15 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+
+class UnsupportedJpegError(ValueError):
+    """A well-formed JPEG in a mode this codec intentionally does not
+    implement (progressive/lossless/arithmetic SOF families). Subclasses
+    ValueError so generic malformed-payload handling still catches it,
+    but lets ``operators/multimodal.decode_image`` route ONLY these to
+    the fake_decode fallback while true corruption degrades to NULL."""
+
 
 #: zig-zag order: index i of the scan → (row, col) in the 8×8 block
 _ZIGZAG = [
@@ -224,7 +237,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("invalid sampling factor in SOF")
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError(
+            raise UnsupportedJpegError(
                 f"unsupported JPEG mode (SOF marker FF{marker:02X}); "
                 "only baseline/extended-sequential Huffman is implemented"
             )

@@ -157,6 +157,15 @@ def pagerank(
         F.col(src_col).alias("___src"), F.col(dst_col).alias("___dst")
     )
     for _ in range(iterations):
+        if redistribute_dangling:
+            # The rank iterate is consumed TWICE per sweep here (the
+            # contribs join and the dangling-mass anti-join aggregate),
+            # so without a lineage cut the plan tree doubles each
+            # iteration (2^iterations copies of the sweep subtree) —
+            # the exact dual-consumer shape hits() already guards
+            # (r7 advice). Lazy, so plan building stays job-free; the
+            # simple variant has a single consumer and needs no cut.
+            ranks = ranks.localCheckpoint(eager=False)
         contribs = (
             ranks.join(outdeg, "node")
             .join(e, ranks["node"] == e["___src"])

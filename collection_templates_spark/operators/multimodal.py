@@ -65,7 +65,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     (width, height, color_type, raw pixels). WebP and progressive JPEG
     remain environment-limited and raise ``NotImplementedError``;
     callers fall back to ``fake_decode`` for those."""
-    from collection_templates_spark.functions.jpeg import decode_jpeg
+    from collection_templates_spark.functions.jpeg import (
+        UnsupportedJpegError,
+        decode_jpeg,
+    )
     from collection_templates_spark.functions.png import (
         PNG_SIGNATURE,
         decode_png,
@@ -81,7 +84,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] == b"\xff\xd8":
         try:
             return decode_jpeg(payload)
-        except ValueError as ex:  # progressive/arithmetic/corrupt → fake_decode
+        except UnsupportedJpegError as ex:
+            # progressive/arithmetic MODES → fake_decode fallback; plain
+            # ValueError (truncated/corrupt data) propagates so corruption
+            # degrades to NULL exactly like the PNG/GIF paths (r7 advice —
+            # previously every JPEG ValueError became NotImplementedError
+            # and corrupt payloads yielded fabricated fake_decode features).
             raise NotImplementedError(str(ex)) from ex
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from collection_templates_spark.functions.gif import decode_gif

@@ -219,10 +219,14 @@ def agg_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested/JSON field access (F14 analog, update_es.py:116-130):
-    extract props.k, aggregate per event type."""
+    extract props.k, aggregate per event type. try_cast/TRY_CAST in both
+    engines — malformed props.k degrades to NULL instead of an ANSI
+    crash (r7 advice #4)."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").try_cast("long")
+        )
         .groupBy("event_type")
         .agg(
             F.count("k").alias("n_with_k"),
@@ -1257,7 +1261,10 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     didn't pin (NULL-skipping semantics included: props-derived k is
     NULL for some rows)."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast, not cast: the oracle uses TRY_CAST and ANSI mode is ON —
+    # a regenerated corpus with a non-numeric props.k must NULL out in
+    # both engines, not crash only the Spark side (r7 advice #4).
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
         ev.select("event_type", "value", k.alias("k"))
         .groupBy("event_type")
@@ -1408,10 +1415,9 @@ def rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: refresh cost is O(new events + affected days), never
     O(history) — the affected-day filter is a broadcast semi-join and
     the rewrite is dynamic partition overwrite."""
-    import tempfile
-
     from collection_templates_spark.operators.rollup_table import (
         refresh_rollup,
+        scratch_rollup_path,
     )
 
     ev = _t(spark, sf_dir, "events")
@@ -1419,23 +1425,10 @@ def rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = ev.filter(F.col("ts") < cut)
     batch = ev.filter(F.col("ts") >= cut)
     # unique dir per invocation: the refresh is idempotent per path, and
-    # a fresh path keeps repeated bench/gate runs independent; stale
-    # dirs from earlier invocations are reaped best-effort (the result
-    # DataFrame reads the path lazily, so the CURRENT dir must outlive
-    # this call — only >1h-old ones are safe to drop)
-    import glob
-    import shutil
-    import time as _time
-
-    for old in glob.glob(
-        os.path.join(tempfile.gettempdir(), "spark_rollup_refresh_*")
-    ):
-        try:
-            if _time.time() - os.path.getmtime(old) > 3600:
-                shutil.rmtree(old, ignore_errors=True)
-        except OSError:
-            pass
-    path = tempfile.mkdtemp(prefix="spark_rollup_refresh_")
+    # a fresh path keeps repeated bench/gate runs independent. Scratch
+    # lifecycle (PID-owned naming + orphan reaping) lives in the operator
+    # module — the bank stays pure (r7 verdict #7 / advice #3).
+    path = scratch_rollup_path()
     refresh_rollup(spark, path, hist)
     out = refresh_rollup(spark, path, batch)
     return out.select(
@@ -2662,7 +2655,8 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(k) AS BIGINT) AS sum_k,
                max(k) AS max_k
         FROM (SELECT event_type,
-                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                     TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS k
               FROM events)
         GROUP BY event_type
     """,

@@ -124,6 +124,32 @@ def test_truncated_raises():
         decode_jpeg(data[: len(data) // 2])
 
 
+def test_decode_image_boundary_semantics():
+    """r7 advice: decode_image must route UNSUPPORTED JPEG modes
+    (progressive) to NotImplementedError (→ fake_decode fallback) but
+    let CORRUPT-data ValueError propagate (→ degrade-to-NULL, same as
+    the PNG/GIF paths) — previously every JPEG ValueError became
+    NotImplementedError and corruption yielded fabricated features."""
+    from collection_templates_spark.functions.jpeg import (
+        UnsupportedJpegError,
+    )
+    from collection_templates_spark.operators.multimodal import decode_image
+
+    progressive = bytearray(encode_flat_jpeg([[100]]))
+    i = progressive.find(b"\xff\xc0")
+    progressive[i + 1] = 0xC2
+    with pytest.raises(UnsupportedJpegError):
+        decode_jpeg(bytes(progressive))
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(progressive))
+
+    truncated = encode_flat_jpeg([[200, 30, 90]])
+    truncated = truncated[: len(truncated) // 2]
+    with pytest.raises(ValueError) as exc_info:
+        decode_image(truncated)
+    assert not isinstance(exc_info.value, NotImplementedError)
+
+
 def test_restart_markers_resync_and_reset_dc():
     """DRI/RSTn path: a 1-MCU restart interval pads to byte boundary,
     emits RST0..7 cyclically and RESETS the DC predictor — values chosen
