@@ -60,20 +60,7 @@ def word_frequency_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     counts = corpus_tokens(docs, text_col).groupBy("token").agg(
         F.count("*").alias("n")
     )
-    totals = counts.agg(
-        F.sum("n").alias("___total"), F.count("*").alias("___vocab")
-    )
-    return (
-        counts.join(F.broadcast(totals))
-        .withColumn(
-            "log_prob",
-            F.log(
-                (F.col("n") + F.lit(1).cast("double"))
-                / (F.col("___total") + F.col("___vocab")).cast("double")
-            ),
-        )
-        .drop("___total", "___vocab")
-    )
+    return unigram_model_from_counts(counts)
 
 
 def score_names(
@@ -234,6 +221,8 @@ def doc_perplexity(
     model: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pairs: DataFrame | None = None,
+    bi_full: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document unigram perplexity — the classic LM-based quality
     filter (CCNet/RedPajama-style: documents scoring far from the corpus
@@ -247,17 +236,32 @@ def doc_perplexity(
     rounded to 9dp before the sum; OOV tokens take the Laplace floor.
     Scale: model and its 1-row total broadcast; the only shuffle is the
     per-doc re-aggregation, partial-combined on the doc key.
+
+    ``pairs``/``bi_full`` (r7 verdict #3): callers running several
+    perplexity variants over the same corpus pass a shared
+    ``bigram_pair_stream`` / ``bigram_counts`` so neither the scoring
+    explode nor the model aggregate is rebuilt — the unigram model
+    derived from ``bi_full`` is expression-identical to
+    ``word_frequency_model``'s.
     """
     if model is None:
-        model = word_frequency_model(docs, text_col)
+        if bi_full is not None:
+            model = unigram_model_from_counts(
+                bi_full.groupBy("token").agg(F.sum("n2").alias("n"))
+            )
+        else:
+            model = word_frequency_model(docs, text_col)
     totals = model.agg((F.sum("n") + F.count("*")).alias("___denom"))
     oov_lp = F.log(F.lit(1.0) / F.col("___denom").cast("double"))
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
-        ).alias("token"),
-    ).filter(F.col("token") != "")
+    if pairs is not None:
+        toks = pairs.select("doc", "token")
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+            ).alias("token"),
+        ).filter(F.col("token") != "")
     joined = (
         toks.join(F.broadcast(totals))
         .join(
@@ -294,11 +298,69 @@ def _token_array(text: "F.Column") -> "F.Column":
     )
 
 
+def bigram_pair_stream(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, token, prev) — one row per token OCCURRENCE, ``prev`` NULL
+    at document start. The shared scoring-side stream of the whole
+    perplexity family: the unigram filter reads (doc, token) off it, the
+    bigram/Kneser–Ney filters read all three columns, and
+    ``bigram_counts`` over it is the ONE corpus aggregate every model
+    table re-aggregates (r7 verdict #3 extracted this so callers running
+    several perplexity variants build the stream once)."""
+    arr = _token_array(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.zip_with(
+                arr,
+                F.slice(
+                    F.concat(F.array(F.lit(None).cast("string")), arr),
+                    1,
+                    F.size(arr),
+                ),
+                lambda cur, prv: F.struct(
+                    cur.alias("token"), prv.alias("prev")
+                ),
+            )
+        ).alias("___pos", "___p"),
+    ).select("doc", "___p.token", "___p.prev")
+
+
+def bigram_counts(pairs: DataFrame) -> DataFrame:
+    """(prev, token, n2) over a ``bigram_pair_stream`` — vocab²-bounded;
+    unigram counts, context counts, continuation counts and type totals
+    are all re-aggregations of this one corpus-scale aggregate."""
+    return pairs.groupBy("prev", "token").agg(F.count("*").alias("n2"))
+
+
+def unigram_model_from_counts(counts: DataFrame) -> DataFrame:
+    """(token, n) → (token, n, log_prob) with the Laplace smoothing of
+    ``word_frequency_model`` (shared expression so a model derived from
+    ``bigram_counts`` is bit-identical to one built from the corpus)."""
+    totals = counts.agg(
+        F.sum("n").alias("___total"), F.count("*").alias("___vocab")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .withColumn(
+            "log_prob",
+            F.log(
+                (F.col("n") + F.lit(1).cast("double"))
+                / (F.col("___total") + F.col("___vocab")).cast("double")
+            ),
+        )
+        .drop("___total", "___vocab")
+    )
+
+
 def doc_perplexity_bigram(
     docs: DataFrame,
     lam: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pairs: DataFrame | None = None,
+    bi_full: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document perplexity under an INTERPOLATED bigram LM — the
     CCNet-style quality filter one order up from ``doc_perplexity``:
@@ -319,31 +381,18 @@ def doc_perplexity_bigram(
     joined WITHOUT a broadcast hint (AQE picks broadcast while it fits,
     shuffle-hash beyond — at web scale it is the one legitimately big
     model side). One pair-explode pass over the corpus, one per-doc
-    re-aggregation, both partial-combined.
+    re-aggregation, both partial-combined. ``pairs``/``bi_full``: pass a
+    shared ``bigram_pair_stream`` / ``bigram_counts`` when running
+    several perplexity variants over the same corpus (r7 verdict #3).
     """
-    arr = _token_array(F.col(text_col))
-    pairs = docs.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(
-            F.zip_with(
-                arr,
-                F.slice(
-                    F.concat(F.array(F.lit(None).cast("string")), arr),
-                    1,
-                    F.size(arr),
-                ),
-                lambda cur, prv: F.struct(
-                    cur.alias("token"), prv.alias("prev")
-                ),
-            )
-        ).alias("___pos", "___p"),
-    ).select("doc", "___p.token", "___p.prev")
-
+    if pairs is None:
+        pairs = bigram_pair_stream(docs, id_col, text_col)
     # ONE corpus-scale aggregate feeds every model table: uni and ctx
     # are re-aggregations of the (prev, token) counts (vocab²-bounded),
     # so the explode pass runs twice total (model side + scoring side),
     # not four times
-    bi_full = pairs.groupBy("prev", "token").agg(F.count("*").alias("n2"))
+    if bi_full is None:
+        bi_full = bigram_counts(pairs)
     uni = bi_full.groupBy("token").agg(F.sum("n2").alias("n"))
     totals = uni.agg(
         F.sum("n").alias("___total"), F.count("*").alias("___vocab")
@@ -392,6 +441,8 @@ def doc_perplexity_kneser_ney(
     discount: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pairs: DataFrame | None = None,
+    bi_full: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document perplexity under an interpolated KNESER–NEY bigram
     LM (Kneser & Ney 1995; the smoothing that superseded naive
@@ -417,27 +468,14 @@ def doc_perplexity_kneser_ney(
 
     Scale: identical shape to doc_perplexity_bigram — vocabulary-sized
     broadcasts everywhere except the vocab²-bounded bigram join, which
-    AQE resolves.
+    AQE resolves. ``pairs``/``bi_full``: pass a shared
+    ``bigram_pair_stream`` / ``bigram_counts`` when running several
+    perplexity variants over the same corpus (r7 verdict #3).
     """
-    arr = _token_array(F.col(text_col))
-    pairs = docs.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(
-            F.zip_with(
-                arr,
-                F.slice(
-                    F.concat(F.array(F.lit(None).cast("string")), arr),
-                    1,
-                    F.size(arr),
-                ),
-                lambda cur, prv: F.struct(
-                    cur.alias("token"), prv.alias("prev")
-                ),
-            )
-        ).alias("___pos", "___p"),
-    ).select("doc", "___p.token", "___p.prev")
-
-    bi_full = pairs.groupBy("prev", "token").agg(F.count("*").alias("n2"))
+    if pairs is None:
+        pairs = bigram_pair_stream(docs, id_col, text_col)
+    if bi_full is None:
+        bi_full = bigram_counts(pairs)
     uni = bi_full.groupBy("token").agg(F.sum("n2").alias("n"))
     bi = bi_full.filter(F.col("prev").isNotNull())
     ctx = bi.groupBy("prev").agg(

@@ -646,6 +646,7 @@ def blocked_levenshtein_pairs(
     name_col: str = "text",
     block_cols: tuple[str, ...] = (),
     max_distance: int = 3,
+    max_block_size: int | None = 1000,
 ) -> DataFrame:
     """Blocked fuzzy name matching — the record-linkage primitive
     (Fellegi & Sunter 1969 blocking + edit distance): candidate pairs
@@ -657,10 +658,17 @@ def blocked_levenshtein_pairs(
     DuckDB (unit-cost insert/delete/substitute), so the pairs are fully
     oracle-replayable — no portable re-implementation needed.
 
-    Scale shape: the join is equi-keyed on the block (never all-pairs);
-    block sizes bound the quadratic term exactly like the LSH bucket
-    cap, and the blocking key is the standard first-token heuristic —
-    swap in a phonetic or sorted-neighborhood key for other corpora.
+    Scale shape: bucket-collect over the blocking key (never all-pairs,
+    and the upstream scan runs once instead of once per self-join side);
+    ``max_block_size`` drops degenerate blocks before pair generation —
+    the same hot-bucket guard as ``minhash_lsh_pairs``'s
+    ``max_bucket_size`` (r7 verdict #4: a corpus where many names share
+    a first token within one block otherwise reintroduces an uncapped
+    quadratic term). Unlike LSH there is no second band to recover a
+    dropped pair, so a dropped block is a documented recall cut on a
+    block the caller should re-key anyway (phonetic or
+    sorted-neighborhood keys for skewed corpora); pass ``None`` to
+    disable.
 
     Reference relation: the reference matches names only after exact
     normalization (create_merged.py); fuzzy matching is
@@ -673,20 +681,26 @@ def blocked_levenshtein_pairs(
         blk,
         *[F.col(c) for c in block_cols],
     )
-    keys = ["___blk", *block_cols]
-    a = b.select(
-        F.col("___id").alias("id_a"),
-        F.col("___name").alias("name_a"),
-        *[F.col(k) for k in keys],
+    # member struct leads with ___id so _bucket_pairs' array_sort orders
+    # pairs by id and (a, b) slicing yields id_a < id_b directly
+    grouped = b.groupBy("___blk", *block_cols).agg(
+        F.collect_list(
+            F.struct(
+                F.col("___id"),
+                F.col("___name"),
+                *[F.col(c) for c in block_cols],
+            )
+        ).alias("ms")
     )
-    c = b.select(
-        F.col("___id").alias("id_b"),
-        F.col("___name").alias("name_b"),
-        *[F.col(k) for k in keys],
-    )
+    pairs = _bucket_pairs(grouped, max_block_size)
     return (
-        a.join(c, keys)
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select(
+            F.col("a.___id").alias("id_a"),
+            F.col("b.___id").alias("id_b"),
+            F.col("a.___name").alias("name_a"),
+            F.col("b.___name").alias("name_b"),
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+        )
         .withColumn(
             "distance", F.levenshtein(F.col("name_a"), F.col("name_b"))
         )
