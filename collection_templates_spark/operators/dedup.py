@@ -370,6 +370,67 @@ def minhash_signatures(
     )
 
 
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, sh: array<long>) — xxhash64'd word shingles; the shared
+    input of minhash signature generation AND exact-Jaccard candidate
+    verification (minhash_lsh_pairs inline, incremental_dedup persisted).
+    Session side effect: excludes InferFiltersFromGenerate (``_spread``).
+    """
+    return _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    )
+
+
+def lsh_band_table(
+    sets: DataFrame, num_hashes: int = 64, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc, band_idx, band_hash) from hashed shingle sets: the banded
+    minhash signature exploded to one row per band — the LSH candidacy
+    key (and the exact table ``incremental_dedup`` persists as the
+    probe-able corpus index)."""
+    idx = sets.select("doc", F.explode("sh").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        idx.groupBy("doc")
+        .agg(*mins)
+        .select(
+            "doc",
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+                "signature"
+            ),
+        )
+    )
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[i]
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(num_hashes // rows_per_band)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -420,48 +481,8 @@ def minhash_lsh_pairs(
     # and a persist with no unpersist leaks across a long session. No
     # size(sh)>0 filter — see the same note (Filter over a HOF chain is
     # ~25× slower than Project; empty docs vanish at the explode anyway).
-    sets = _spread(df).select(
-        F.col(id_col).alias("doc"),
-        F.transform(
-            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-        ).alias("sh"),
-    )
-    idx = sets.select("doc", F.explode("sh").alias("shingle"))
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = (
-        idx.groupBy("doc")
-        .agg(*mins)
-        .select(
-            "doc",
-            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
-                "signature"
-            ),
-        )
-    )
-    bands = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[i]
-                                for i in range(
-                                    b * rows_per_band, (b + 1) * rows_per_band
-                                )
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(num_hashes // rows_per_band)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc", "band.band_idx", "band.band_hash")
+    sets = hashed_shingle_sets(df, id_col, text_col, n)
+    bands = lsh_band_table(sets, num_hashes, rows_per_band)
     # bucket-collect pair generation: the full signature aggregation (64
     # mins over every shingle) runs ONCE — a band self-join would compute
     # it once per side, doubling the most expensive stage in the plan.

@@ -1,0 +1,174 @@
+"""Incremental dedup against a persisted signature index (r7 verdict #5).
+
+The delta shape an evolving 100 TB corpus actually needs: batches
+arrive continuously, and deduping a new batch must cost O(batch +
+matched state), never a rescan of history. The LSH side of the
+historical corpus is persisted ONCE — the banded minhash table plus the
+hashed-shingle sets (``dedup.lsh_band_table`` / ``hashed_shingle_sets``,
+the exact tables ``minhash_lsh_pairs`` builds inline) — and each
+incoming batch probes it:
+
+    build_minhash_index(history, index_path)          # once / per-merge
+    pairs = dedup_batch_against_index(spark, index_path, batch)
+    append_to_index(batch, index_path)                # accept the batch
+
+Semantics: ``dedup_batch_against_index`` returns CROSS pairs only
+(batch doc × indexed doc) — batch-internal near-dups are the existing
+``minhash_lsh_pairs(batch)`` (tiny, batch-sized). Candidacy and
+verification replicate ``minhash_lsh_pairs`` exactly (same shingle
+hashing, banding, exact-Jaccard verify with 6dp rounding), so with
+``min_band_collisions=1`` the output equals the full-corpus pair set
+restricted to batch-involving cross pairs (pinned by
+tests/test_incremental_dedup.py) and the DuckDB exact-pair oracle
+replays it.
+
+Scale shape: the probe joins batch bands against the persisted band
+table on (band_idx, band_hash) — equi-keyed, and with the band table
+bucketed/partitioned by band key this is a pruned lookup, not a
+history scan. Hot buckets are capped at probe time by the JOINED
+per-key row count (|batch bucket| × |history bucket| — the actual
+quadratic term), mirroring ``max_bucket_size``. Verification ships
+shingle arrays only for candidate docs. ``append_to_index`` is an
+O(batch) parquet append — the rollup_refresh philosophy applied to
+dedup.
+
+Reference analogue: the snapshot-diff delta machinery
+(/root/reference/airflow/dags/update_es.py:249-313) — process what
+changed, not the world; re-expressed for near-duplicate state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from collection_templates_spark.operators.dedup import (
+    hashed_shingle_sets,
+    lsh_band_table,
+)
+from collection_templates_spark.operators.scratch import scratch_dir
+
+
+def scratch_index_path() -> str:
+    """Unique PID-owned scratch directory for a signature index
+    (lifecycle in ``operators/scratch.scratch_dir``)."""
+    return scratch_dir("spark_dedup_index_")
+
+
+def build_minhash_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    _mode: str = "overwrite",
+) -> None:
+    """Persist the probe-able LSH state of a corpus under
+    ``index_path``: ``bands/`` (doc, band_idx, band_hash) and
+    ``shingles/`` (doc, sh: array<long>). One corpus pass feeds both
+    writes (band table + verification sets)."""
+    sets = hashed_shingle_sets(df, id_col, text_col, n)
+    bands = lsh_band_table(sets, num_hashes, rows_per_band)
+    bands.write.mode(_mode).parquet(f"{index_path}/bands")
+    sets.write.mode(_mode).parquet(f"{index_path}/shingles")
+
+
+def append_to_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+) -> None:
+    """Accept a deduped batch into the historical index — an O(batch)
+    parquet append of its bands and shingle sets. Callers own id
+    uniqueness across appends (same contract as any append-only log)."""
+    build_minhash_index(
+        df, index_path, id_col, text_col, n, num_hashes, rows_per_band,
+        _mode="append",
+    )
+
+
+def dedup_batch_against_index(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+    min_band_collisions: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs between ``batch`` and the indexed corpus:
+    (doc_new, doc_old, jaccard) with exact n-gram Jaccard ≥ threshold,
+    6dp-rounded — the same verify expression as ``minhash_lsh_pairs``.
+
+    ``n``/``num_hashes``/``rows_per_band`` must match the index build
+    (they define the band hashes being probed). The default
+    ``min_band_collisions=1`` makes the output the exact cross-pair set
+    up to the standard banding miss (~(1-j^r)^b per pair); raise it for
+    stress-scale probes exactly like the full-corpus operator."""
+    hist_bands = spark.read.parquet(f"{index_path}/bands")
+    hist_sets = spark.read.parquet(f"{index_path}/shingles")
+
+    # The batch's sets feed band build AND verification; batch-sized, so
+    # a lazy lineage cut is cheap insurance against double scan work.
+    bsets = hashed_shingle_sets(batch, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
+    bbands = lsh_band_table(bsets, num_hashes, rows_per_band)
+
+    joined = bbands.select(
+        F.col("doc").alias("doc_new"), "band_idx", "band_hash"
+    ).join(
+        hist_bands.select(
+            F.col("doc").alias("doc_old"), "band_idx", "band_hash"
+        ),
+        ["band_idx", "band_hash"],
+    )
+    if max_bucket_size is not None:
+        # cap the JOINED per-key candidate count — |batch bucket| ×
+        # |history bucket| is the real quadratic term; counting the join
+        # output touches only keys the batch actually probes
+        kept = (
+            joined.groupBy("band_idx", "band_hash")
+            .agg(F.count("*").alias("___bn"))
+            .filter(F.col("___bn") <= max_bucket_size)
+            .select("band_idx", "band_hash")
+        )
+        joined = joined.join(kept, ["band_idx", "band_hash"], "left_semi")
+    pair_stream = joined.select("doc_new", "doc_old")
+    if min_band_collisions > 1:
+        candidates = (
+            pair_stream.groupBy("doc_new", "doc_old")
+            .agg(F.count("*").alias("___nb"))
+            .filter(F.col("___nb") >= min_band_collisions)
+            .select("doc_new", "doc_old")
+        )
+    else:
+        candidates = pair_stream.distinct()
+
+    s_new = bsets.select(
+        F.col("doc").alias("doc_new"), F.col("sh").alias("sh_new")
+    )
+    s_old = hist_sets.select(
+        F.col("doc").alias("doc_old"), F.col("sh").alias("sh_old")
+    )
+    n_common = F.size(F.array_intersect("sh_new", "sh_old"))
+    jaccard = F.round(
+        n_common / (F.size("sh_new") + F.size("sh_old") - n_common), 6
+    )
+    return (
+        candidates.join(s_new, "doc_new")
+        .join(s_old, "doc_old")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_old", "jaccard")
+    )

@@ -13,62 +13,19 @@ pre-shrunk data. Dynamic partition overwrite keeps the refresh idempotent
 
 from __future__ import annotations
 
-import os
-import re
-import shutil
-import tempfile
-import time
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: scratch-dir naming: spark_rollup_refresh_pid<PID>_<random>
-_SCRATCH_PREFIX = "spark_rollup_refresh_"
-_SCRATCH_RE = re.compile(re.escape(_SCRATCH_PREFIX) + r"pid(\d+)_")
-
-
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True  # exists, owned by someone else
-    return True
+from collection_templates_spark.operators.scratch import scratch_dir
 
 
 def scratch_rollup_path() -> str:
-    """Create a unique scratch directory for a rollup table and reap
-    ORPHANED siblings (r7 advice: the former age-only reaper in the bank
-    query could delete a concurrent LIVE session's backing parquet if its
-    lazy result DataFrame outlived 1h before collection).
-
-    Ownership is the creating PID embedded in the dir name; a sibling is
-    reclaimed only when that process is gone (plus a short grace period
-    against PID-reuse races). Legacy un-owned dirs from the r7 naming
-    keep the old >1h age rule. Centralised here so the query bank stays
-    pure (r7 verdict #7 — no filesystem lifecycle inside query
-    functions)."""
-    base = tempfile.gettempdir()
-    try:
-        names = os.listdir(base)
-    except OSError:
-        names = []
-    for name in names:
-        if not name.startswith(_SCRATCH_PREFIX):
-            continue
-        full = os.path.join(base, name)
-        try:
-            age = time.time() - os.path.getmtime(full)
-        except OSError:
-            continue
-        m = _SCRATCH_RE.match(name)
-        if m:
-            if not _pid_alive(int(m.group(1))) and age > 60:
-                shutil.rmtree(full, ignore_errors=True)
-        elif age > 3600:  # legacy r7-format dir, owner unknowable
-            shutil.rmtree(full, ignore_errors=True)
-    return tempfile.mkdtemp(prefix=f"{_SCRATCH_PREFIX}pid{os.getpid()}_")
+    """Unique PID-owned scratch directory for a rollup table; orphaned
+    siblings reaped only when their owning process is gone (r7 advice
+    #3 — an age-only reaper could delete a concurrent LIVE session's
+    lazily-read backing parquet). Lifecycle logic in
+    ``operators/scratch.scratch_dir``."""
+    return scratch_dir("spark_rollup_refresh_")
 
 
 def build_daily_rollup(events: DataFrame) -> DataFrame:
