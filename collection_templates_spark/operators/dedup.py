@@ -702,6 +702,19 @@ def blocked_levenshtein_pairs(
         blk,
         *[F.col(c) for c in block_cols],
     )
+    # Blocking is EQUALITY on the keys: a NULL key can never equal
+    # another NULL under join semantics (and the DuckDB oracle's
+    # equality self-join agrees), but groupBy would bucket NULLs
+    # together — drop NULL-keyed rows so bucket-collect keeps the
+    # equi-join contract.
+    b = b.filter(
+        F.col("___blk").isNotNull()
+        & reduce(
+            lambda acc, c: acc & F.col(c).isNotNull(),
+            block_cols,
+            F.lit(True),
+        )
+    )
     # member struct leads with ___id so _bucket_pairs' array_sort orders
     # pairs by id and (a, b) slicing yields id_a < id_b directly
     grouped = b.groupBy("___blk", *block_cols).agg(

@@ -69,7 +69,12 @@ def build_minhash_index(
     ``index_path``: ``bands/`` (doc, band_idx, band_hash) and
     ``shingles/`` (doc, sh: array<long>). One corpus pass feeds both
     writes (band table + verification sets)."""
-    sets = hashed_shingle_sets(df, id_col, text_col, n)
+    # lineage cut: the interpreted shingle-hash chain is the plan's
+    # most expensive stage (r4 perf notes) and feeds BOTH writes — a
+    # lazy localCheckpoint makes it one corpus pass, not two
+    sets = hashed_shingle_sets(df, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
     bands = lsh_band_table(sets, num_hashes, rows_per_band)
     bands.write.mode(_mode).parquet(f"{index_path}/bands")
     sets.write.mode(_mode).parquet(f"{index_path}/shingles")

@@ -1981,10 +1981,130 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_col="p_name",
         block_cols=("p_type", "p_brand"),
         max_distance=3,
+        # cap-independent: the DuckDB oracle is an uncapped equality
+        # self-join, so the oracled row must not depend on the
+        # operator's max_block_size recall cut (r8 advice) — block
+        # sizes here are tiny, the cap is a stress-scale guard only
+        max_block_size=None,
     )
     return pairs.groupBy("p_type", "distance").agg(
         F.count("*").alias("n_pairs"),
         F.min(F.concat_ws("|", "name_a", "name_b")).alias("example_pair"),
+    )
+
+
+_INCR_INDEX_MEMO: dict = {}
+
+
+def _incremental_probe_for(spark: SparkSession, sf_dir: str):
+    """Shared persisted-index build + batch probe of the incremental
+    rows (``dedup_incremental`` + ``delta_pipeline`` both consume the
+    identical cross-pair set — same _memo_df reasoning as the ANN
+    rankings: the fill bills to the first consumer). Returns
+    ``(index_path, pairs_df)`` so delta_pipeline can also exercise the
+    accept-into-index append against the SAME persisted index. Memo
+    keyed like _memo_df (content fingerprint + applicationId; a
+    checkpointed frame is unusable from another session)."""
+    from collection_templates_spark.operators.incremental_dedup import (
+        build_minhash_index,
+        dedup_batch_against_index,
+        scratch_index_path,
+    )
+
+    key = (
+        sf_dir,
+        _table_fingerprint(sf_dir, "documents"),
+        spark.sparkContext.applicationId,
+    )
+    if key not in _INCR_INDEX_MEMO:
+        docs = _t(spark, sf_dir, "documents")
+        history = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        # unique scratch dir per fill (lifecycle in operators/scratch)
+        path = scratch_index_path()
+        build_minhash_index(history, path)
+        pairs = dedup_batch_against_index(
+            spark, path, batch, max_bucket_size=None
+        ).localCheckpoint(eager=True)
+        _INCR_INDEX_MEMO[key] = (path, pairs)
+    return _INCR_INDEX_MEMO[key]
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted LSH index (round 9, r8
+    verdict #2): the even-doc_id half of the corpus is indexed ONCE
+    (banded minhash table + hashed shingle sets persisted to a scratch
+    path), then the odd half arrives as a batch and probes it — cost
+    O(batch + matched state), never a history rescan. Output is the
+    CROSS pair set (doc_new=odd, doc_old=even, exact jaccard ≥ 0.5).
+
+    With ``min_band_collisions=1`` (any-band candidacy) and no bucket
+    cap, candidacy + exact-Jaccard verify replicate
+    ``minhash_lsh_pairs`` exactly, so the DuckDB exact cross-pair SQL
+    is the oracle (same banding-miss pin as ``dedup_minhash_lsh``:
+    ~1e-4/pair at j=0.5, ≈0 in the j≥0.7 near-dup regime).
+    Equivalence to the full-corpus run is pinned by
+    tests/test_incremental_dedup.py."""
+    return _incremental_probe_for(spark, sf_dir)[1]
+
+
+def delta_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed incremental story as ONE verifiable surface (round 9,
+    r8 verdict #6 — the delta analogue of ``wiki_pipeline_funnel``):
+    a document batch lands, probes the persisted dedup index, the
+    deduped survivors are accepted into the index, and an event batch
+    refreshes the day-partitioned rollup; per-stage delta counts come
+    back as (stage, n) rows.
+
+    Stages: ``batch_docs`` (incoming batch size), ``dedup_cross_pairs``
+    (near-dup pairs vs history), ``batch_docs_kept`` (batch docs with
+    no history match — what ``append_to_index`` accepts),
+    ``rollup_days_touched`` (days the event batch dirties),
+    ``rollup_rows_total`` (rollup rows after refresh). Every stage is
+    a pure count, so the oracle replays the whole pipeline with exact
+    SQL (cross pairs via the shared shingle CTE; rollup structure via
+    distinct (day, event_type))."""
+    from collection_templates_spark.operators.incremental_dedup import (
+        append_to_index,
+    )
+    from collection_templates_spark.operators.rollup_table import (
+        refresh_rollup,
+        scratch_rollup_path,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    # index build + probe shared with dedup_incremental (checkpointed
+    # pair set — the fill bills to the first consumer)
+    path, pairs = _incremental_probe_for(spark, sf_dir)
+    matched = pairs.select(F.col("doc_new").alias("doc_id")).distinct()
+    kept = batch.join(matched, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    append_to_index(kept, path)  # accept the deduped batch
+
+    ev = _t(spark, sf_dir, "events")
+    cut = "2024-01-20 12:00:00"
+    rpath = scratch_rollup_path()
+    refresh_rollup(spark, rpath, ev.filter(F.col("ts") < cut))
+    rolled = refresh_rollup(spark, rpath, ev.filter(F.col("ts") >= cut))
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+
+    days_touched = (
+        ev.filter(F.col("ts") >= cut)
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct()
+    )
+    return (
+        _stage("batch_docs", batch)
+        .unionByName(_stage("dedup_cross_pairs", pairs))
+        .unionByName(_stage("batch_docs_kept", kept))
+        .unionByName(_stage("rollup_days_touched", days_touched))
+        .unionByName(_stage("rollup_rows_total", rolled))
     )
 
 
@@ -2510,65 +2630,34 @@ def scalar_log_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # STALEST-EXTERNALLY-CHECKED queries FIRST (r6 verdict #3): the driver
-    # samples ~50 of the bank per round in insertion order, so the bank
-    # leads with the 13 rows whose last external green was round 4, then
-    # round-7 additions (never sampled), then the r6/r5-green bulk. All
+    # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
+    # of the bank per round in INSERTION ORDER — this dict's order is
+    # the sampling lever). Rotated for round 9: the 2 new r9 rows lead
+    # (never sampled), then the 18 rows last driver-green in round 5
+    # (the ANN family + training-prep block), then the 30 round-6 rows,
+    # then the 2 plan-test-pinned r6 rows, then the 50 rows the driver
+    # re-verified in rounds 7-8 (the freshest external signal). All 102
     # pass the identical local oracle (tools/check.py) every round.
-    "text_stats": text_stats,
-    "text_language_id": text_language_id,
-    "text_fingerprint": text_fingerprint,
-    "text_token_frequencies": text_token_frequencies,
-    "text_chunking": text_chunking,
-    "ann_label_centroids": ann_label_centroids,
-    "window_running_total": window_running_total,
-    "search_bm25ish": search_bm25ish,
-    "search_stemmed_ltr": search_stemmed_ltr,
-    "quality_report": quality_report,
-    "multimodal_features": multimodal_features,
-    "text_word_model": text_word_model,
-    "scalar_log_probability": scalar_log_probability,
-    # round-7 additions (never driver-sampled)
-    "wiki_pipeline_funnel": wiki_pipeline_funnel,
-    "related_collections": related_collections_q,
-    "graph_pagerank_dangling": graph_pagerank_dangling,
-    "rollup_refresh": rollup_refresh,
-    "sketch_theta_intersection": sketch_theta_intersection,
-    "sketch_bloom_fpr": sketch_bloom_fpr,
-    "text_perplexity_kn": text_perplexity_kn,
-    "ann_knn_accuracy": ann_knn_accuracy,
-    "graph_hits": graph_hits,
-    "text_common_spans": text_common_spans,
-    "window_rank_functions": window_rank_functions,
-    "window_range_moving_sum": window_range_moving_sum,
-    "agg_unpivot": agg_unpivot,
-    "dedup_fuzzy_names": dedup_fuzzy_names,
-    "agg_percentile_bands": agg_percentile_bands,
-    "agg_boolean": agg_boolean,
-    "scalar_array_functions": scalar_array_functions,
-    "agg_grouping_sets": agg_grouping_sets,
-    "corpus_report": corpus_report,
-    # round-6 first-sampled (green in CORRECTNESS_r06)
-    "export_manifest": export_manifest_q,
-    "text_boilerplate": text_boilerplate,
-    "text_containment": text_containment,
-    "text_perplexity": text_perplexity,
-    "text_winnowing": text_winnowing,
-    "vocab_oov": vocab_oov_q,
-    "ann_ivfpq_topk": ann_ivfpq_topk,
-    "bpe_apply_stats": bpe_apply_stats,
-    "dedup_semantic": dedup_semantic,
-    "quality_logistic": quality_logistic,
-    "text_perplexity_bigram": text_perplexity_bigram,
-    "bpe_fertility_by_lang": bpe_fertility_by_lang,
-    "corpus_funnel": corpus_funnel,
-    "sketch_cms_errors": sketch_cms_errors,
-    "sketch_hll_cardinality": sketch_hll_cardinality,
-    "graph_pagerank": graph_pagerank,
-    "sample_weighted": sample_weighted_q,
-    "text_top_terms": text_top_terms,
-    "agg_pricing_summary": agg_pricing_summary,
-    "filter_pushdown_revenue": filter_pushdown_revenue,
+    "dedup_incremental": dedup_incremental,
+    "delta_pipeline": delta_pipeline,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_recall": ann_lsh_recall,
+    "ann_ivf_recall": ann_ivf_recall,
+    "ann_pq_topk": ann_pq_topk,
+    "ann_pq_rerank": ann_pq_rerank,
+    "ann_respq_topk": ann_respq_topk,
+    "ann_respq_recall": ann_respq_recall,
+    "ann_pq_recall": ann_pq_recall,
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "pack_sequences": pack_sequences_windows,
+    "text_repetition": text_repetition,
+    "redact_pii": redact_pii,
+    "decontaminate_spans": decontaminate_spans,
+    "split_assignment": split_assignment,
+    "sample_stratified": sample_stratified_q,
+    "mixture_plan": mixture_plan_q,
     "agg_entity_pivot": agg_entity_pivot,
     "agg_status_histogram": agg_status_histogram,
     "agg_member_metrics": agg_member_metrics,
@@ -2599,24 +2688,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine": dedup_embedding_cosine,
-    "ann_cosine_topk": ann_cosine_topk,
-    "ann_lsh_topk": ann_lsh_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_lsh_recall": ann_lsh_recall,
-    "ann_ivf_recall": ann_ivf_recall,
-    "ann_pq_topk": ann_pq_topk,
-    "ann_pq_rerank": ann_pq_rerank,
-    "ann_respq_topk": ann_respq_topk,
-    "ann_respq_recall": ann_respq_recall,
-    "ann_pq_recall": ann_pq_recall,
-    "decontaminate_ngrams": decontaminate_ngrams,
-    "pack_sequences": pack_sequences_windows,
-    "text_repetition": text_repetition,
-    "redact_pii": redact_pii,
-    "decontaminate_spans": decontaminate_spans,
-    "split_assignment": split_assignment,
-    "sample_stratified": sample_stratified_q,
-    "mixture_plan": mixture_plan_q,
+    "agg_pricing_summary": agg_pricing_summary,
+    "filter_pushdown_revenue": filter_pushdown_revenue,
+    "text_stats": text_stats,
+    "text_language_id": text_language_id,
+    "text_fingerprint": text_fingerprint,
+    "text_token_frequencies": text_token_frequencies,
+    "text_chunking": text_chunking,
+    "ann_label_centroids": ann_label_centroids,
+    "window_running_total": window_running_total,
+    "search_bm25ish": search_bm25ish,
+    "search_stemmed_ltr": search_stemmed_ltr,
+    "quality_report": quality_report,
+    "multimodal_features": multimodal_features,
+    "text_word_model": text_word_model,
+    "scalar_log_probability": scalar_log_probability,
+    "wiki_pipeline_funnel": wiki_pipeline_funnel,
+    "related_collections": related_collections_q,
+    "graph_pagerank_dangling": graph_pagerank_dangling,
+    "rollup_refresh": rollup_refresh,
+    "sketch_theta_intersection": sketch_theta_intersection,
+    "sketch_bloom_fpr": sketch_bloom_fpr,
+    "text_perplexity_kn": text_perplexity_kn,
+    "ann_knn_accuracy": ann_knn_accuracy,
+    "graph_hits": graph_hits,
+    "text_common_spans": text_common_spans,
+    "window_rank_functions": window_rank_functions,
+    "window_range_moving_sum": window_range_moving_sum,
+    "agg_unpivot": agg_unpivot,
+    "dedup_fuzzy_names": dedup_fuzzy_names,
+    "agg_percentile_bands": agg_percentile_bands,
+    "agg_boolean": agg_boolean,
+    "scalar_array_functions": scalar_array_functions,
+    "agg_grouping_sets": agg_grouping_sets,
+    "corpus_report": corpus_report,
+    "export_manifest": export_manifest_q,
+    "text_boilerplate": text_boilerplate,
+    "text_containment": text_containment,
+    "text_perplexity": text_perplexity,
+    "text_winnowing": text_winnowing,
+    "vocab_oov": vocab_oov_q,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
+    "bpe_apply_stats": bpe_apply_stats,
+    "dedup_semantic": dedup_semantic,
+    "quality_logistic": quality_logistic,
+    "text_perplexity_bigram": text_perplexity_bigram,
+    "bpe_fertility_by_lang": bpe_fertility_by_lang,
+    "corpus_funnel": corpus_funnel,
+    "sketch_cms_errors": sketch_cms_errors,
+    "sketch_hll_cardinality": sketch_hll_cardinality,
+    "graph_pagerank": graph_pagerank,
+    "sample_weighted": sample_weighted_q,
+    "text_top_terms": text_top_terms,
 }
 
 # Shared oracle for the two jaccard-based dedup queries: the LSH variant is
@@ -4248,6 +4371,64 @@ ORACLE_SQL["dedup_fuzzy_names"] = """
     FROM pairs WHERE distance <= 3
     GROUP BY p_type, distance
 """
+
+# dedup_incremental / delta_pipeline: exact CROSS-pair replay — odd
+# doc_ids are the incoming batch, even the persisted history index.
+# Same shingle construction as _NGRAM_JACCARD_SQL; the operator's
+# candidacy + exact-Jaccard verify equals this exact pair set under
+# the min_band_collisions=1 / no-cap pin (see dedup_minhash_lsh).
+_CROSS_PAIRS_CTE = """
+    toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), cp AS (
+        SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        GROUP BY 1, 2
+    ), cross_pairs AS (
+        SELECT doc_new, doc_old,
+               round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+        FROM cp
+        JOIN sizes s1 ON s1.doc_id = doc_new
+        JOIN sizes s2 ON s2.doc_id = doc_old
+        WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.5
+    )
+"""
+
+ORACLE_SQL["dedup_incremental"] = (
+    "WITH " + _CROSS_PAIRS_CTE
+    + " SELECT doc_new, doc_old, jaccard FROM cross_pairs"
+)
+
+ORACLE_SQL["delta_pipeline"] = (
+    "WITH " + _CROSS_PAIRS_CTE
+    + """
+    SELECT 'batch_docs' AS stage, count(*) AS n
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 'dedup_cross_pairs', count(*) FROM cross_pairs
+    UNION ALL
+    SELECT 'batch_docs_kept',
+           (SELECT count(*) FROM documents WHERE doc_id % 2 = 1)
+           - (SELECT count(DISTINCT doc_new) FROM cross_pairs)
+    UNION ALL
+    SELECT 'rollup_days_touched',
+           count(DISTINCT strftime(ts, '%Y-%m-%d'))
+    FROM events WHERE ts >= TIMESTAMP '2024-01-20 12:00:00'
+    UNION ALL
+    SELECT 'rollup_rows_total', count(*)
+    FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d'), event_type FROM events)
+"""
+)
 
 # text_common_spans: the corpus-derived shared-gram set (distinct-doc
 # count >= 2 over 5-grams) + the same gaps-and-islands replay as

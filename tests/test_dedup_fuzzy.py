@@ -82,3 +82,22 @@ def test_cap_none_restores_uncapped_semantics(spark):
     single = uncapped.filter("id_a < 10 and id_b < 10")
     assert single.count() == 45  # C(10,2), each distance 1
     assert uncapped.count() > 45
+
+
+def test_null_blocking_keys_produce_no_pairs(spark):
+    # Blocking is join-EQUALITY on the keys: NULL never equals NULL, so
+    # two rows sharing a NULL block column must NOT become candidates
+    # (r8 advice: groupBy would bucket NULLs together — the operator
+    # filters NULL-keyed rows to keep the equi-join / oracle contract).
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp", None),
+            (2, "acme corpo", None),
+            (3, "acme corp", "t1"),
+            (4, "acme corps", "t1"),
+            (5, None, "t1"),  # NULL name → NULL first-token key
+        ],
+        "doc_id int, text string, cat string",
+    )
+    out = blocked_levenshtein_pairs(df, block_cols=("cat",), max_distance=2)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(3, 4)}
