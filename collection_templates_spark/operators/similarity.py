@@ -849,6 +849,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: "np.ndarray | None" = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shape semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse k-means clusters the embedding space, and
@@ -866,7 +867,16 @@ def semantic_dedup(
     self-join is the SemDeDup cost model — pass ``n_clusters=None`` to
     derive k from the corpus count via ``clusters_for_corpus`` (the
     paper's k = O(N/1000); a fixed k silently degrades to N²/k).
-    Centroid training touches the driver with k×dim floats only."""
+    Centroid training touches the driver with k×dim floats only.
+
+    ``max_cluster_size`` (r8 verdict #7) is the hard per-cluster guard
+    the k-scaling argument lacks: a degenerate corpus (one semantic
+    mode swallowing most documents) lands B docs in one cluster and
+    the self-join term is B² regardless of k. Clusters over the cap
+    are EXCLUDED from the drop computation — their documents all come
+    back ``kept`` (a documented recall cut, the fuzzy-block /
+    LSH-bucket convention: never a silent quadratic). Re-key such
+    corpora with more clusters or pre-split the dominant mode."""
     if centroids is None:
         if n_clusters is None:
             n_clusters = clusters_for_corpus(corpus.count())
@@ -879,14 +889,26 @@ def semantic_dedup(
         F.col(vec_col).alias("___v"),
         assign(F.col(vec_col)).alias("cluster"),
     )
-    earlier = a.select(
+    pair_base = a
+    if max_cluster_size is not None:
+        # cluster-size table is ≤ k rows — broadcast the semi-join so
+        # capping never adds a shuffle; the final output still covers
+        # EVERY doc (capped-cluster docs simply never enter `drops`)
+        ok = (
+            a.groupBy("cluster")
+            .agg(F.count("*").alias("___cn"))
+            .filter(F.col("___cn") <= max_cluster_size)
+            .select("cluster")
+        )
+        pair_base = a.join(F.broadcast(ok), "cluster", "left_semi")
+    earlier = pair_base.select(
         F.col("vec_id").alias("___dup_id"),
         F.col("___v").alias("___v2"),
         F.col("cluster"),
     )
     sim = F.round(cosine(F.col("___v"), F.col("___v2")), 6)
     drops = (
-        a.join(earlier, "cluster")
+        pair_base.join(earlier, "cluster")
         .filter(F.col("___dup_id") < F.col("vec_id"))
         .withColumn("___sim", sim)
         .filter(F.col("___sim") >= threshold)

@@ -152,3 +152,45 @@ def test_semantic_dedup_matches_bruteforce(spark):
         assert got[i] == (cl[i], not dup), i
         dropped_planted += int(not got[i][1])
     assert dropped_planted >= 2  # the planted dups actually dropped
+
+
+def test_semantic_dedup_cluster_cap_drops_dominant_mode(spark):
+    """max_cluster_size (r8 verdict #7): a dominant semantic mode that
+    swallows most documents must NOT silently pay a B^2 self-join —
+    over-cap clusters are excluded from the drop computation and their
+    docs all come back kept, while under-cap clusters still dedup."""
+    import numpy as np
+
+    from collection_templates_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    # 200 near-identical vectors: one dominant cluster
+    hot = base + rng.normal(scale=0.001, size=(200, 8))
+    # a small distinct mode with one planted dup pair
+    cold = rng.normal(size=(4, 8)) + 10.0
+    cold[1] = cold[0] * 1.001
+    X = np.vstack([hot, cold])
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, threshold=0.9, n_clusters=2, max_cluster_size=50
+        ).collect()
+    }
+    assert len(out) == len(X)  # every doc still present in the output
+    assert all(out[i] for i in range(200))  # capped cluster: all kept
+    assert out[200] and not out[201]  # small cluster still dedups
+    # uncapped control: the dominant cluster really is a dup ball
+    unc = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, threshold=0.9, n_clusters=2, max_cluster_size=None
+        ).collect()
+    }
+    assert sum(not k for k in unc.values()) >= 199
