@@ -901,6 +901,18 @@ def semantic_dedup(
             .select("cluster")
         )
         pair_base = a.join(F.broadcast(ok), "cluster", "left_semi")
+    # The r4 trap, third sighting: the pre-join exchange is tiny in
+    # BYTES (N × dim floats), so AQE coalesces it to ~1 partition and
+    # the B²/k pairwise-cosine fan-out — the actual work — serializes
+    # onto one core (measured 5 min for 25M pairs at the 10x scale
+    # step vs ~20 s parallel). Explicit-count repartition on the join
+    # key (REPARTITION_BY_NUM — AQE leaves it alone) restores
+    # parallelism = k, which GROWS with the corpus on the
+    # clusters_for_corpus path.
+    shuffle_n = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    pair_base = pair_base.repartition(shuffle_n, "cluster")
     earlier = pair_base.select(
         F.col("vec_id").alias("___dup_id"),
         F.col("___v").alias("___v2"),

@@ -71,4 +71,18 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # The two documented ≤k-row GLOBAL windows (search.py re-ranks a
+    # bounded top-k without a partition key — a deliberate single-task
+    # sort over k rows, see the operator docstrings) trigger a noisy
+    # per-run "WindowExec: No Partition Defined" WARN. Silence that one
+    # logger; any NEW unpartitioned window is still caught by the plan
+    # tests, which pin partition keys on every unbounded window.
+    try:
+        spark._jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            spark._jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 runtime: cosmetic only
+    return spark
