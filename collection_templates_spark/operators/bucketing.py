@@ -19,19 +19,23 @@ from pyspark.sql import DataFrame, SparkSession
 def save_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str,
+    bucket_col: str | tuple[str, ...],
     num_buckets: int = 64,
     path: str | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as a bucketed+sorted parquet table registered in the
     session catalog (bucket metadata lives in the catalog, so readers must
-    go through ``spark.table``)."""
+    go through ``spark.table``). ``bucket_col`` may be a tuple — the
+    shuffle is elided only when the bucket columns equal ALL of a later
+    join's keys (EnsureRequirements requires full-key co-partitioning),
+    so composite join keys need composite buckets."""
+    cols = (bucket_col,) if isinstance(bucket_col, str) else tuple(bucket_col)
     writer = (
         df.write.format("parquet")
         .mode(mode)
-        .bucketBy(num_buckets, bucket_col)
-        .sortBy(bucket_col)
+        .bucketBy(num_buckets, *cols)
+        .sortBy(*cols)
     )
     if path:
         writer = writer.option("path", path)

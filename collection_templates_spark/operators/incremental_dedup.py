@@ -23,14 +23,22 @@ tests/test_incremental_dedup.py) and the DuckDB exact-pair oracle
 replays it.
 
 Scale shape: the probe joins batch bands against the persisted band
-table on (band_idx, band_hash) — equi-keyed, and with the band table
-bucketed/partitioned by band key this is a pruned lookup, not a
-history scan. Hot buckets are capped at probe time by the JOINED
-per-key row count (|batch bucket| × |history bucket| — the actual
-quadratic term), mirroring ``max_bucket_size``. Verification ships
-shingle arrays only for candidate docs. ``append_to_index`` is an
-O(batch) parquet append — the rollup_refresh philosophy applied to
-dedup.
+table on (band_idx, band_hash) — equi-keyed, never all-pairs. With
+``bucket_bands`` set, the band table is written BUCKETED on the full
+join key (band_idx, band_hash) (``operators/bucketing.save_bucketed``
+— EnsureRequirements elides the shuffle only on full-key
+co-partitioning), so the probe join shuffles
+ONLY the batch side — the history side reads bucket-aligned with no
+Exchange (pinned by tests/test_incremental_dedup.py); the band scan
+itself is columnar over three small integer columns. Hot buckets are
+capped at probe time by the JOINED per-key row count (|batch bucket|
+× |history bucket| — the actual quadratic term), mirroring
+``max_bucket_size``. Verification ships shingle arrays only for
+candidate docs. ``append_to_index`` is an O(batch) append — the
+rollup_refresh philosophy applied to dedup. (Bucket metadata lives in
+the session catalog; a different session reading the same
+``index_path`` falls back to the plain parquet files and merely loses
+the shuffle elision.)
 
 Reference analogue: the snapshot-diff delta machinery
 (/root/reference/airflow/dags/update_es.py:249-313) — process what
@@ -55,6 +63,17 @@ def scratch_index_path() -> str:
     return scratch_dir("spark_dedup_index_")
 
 
+def _bands_table_name(index_path: str) -> str:
+    """Stable catalog name for a bucketed band table (bucket metadata
+    is catalog-keyed; the parquet files live under ``index_path``)."""
+    import hashlib
+
+    return (
+        "dedup_idx_bands_"
+        + hashlib.md5(index_path.encode()).hexdigest()[:12]
+    )
+
+
 def build_minhash_index(
     df: DataFrame,
     index_path: str,
@@ -63,12 +82,15 @@ def build_minhash_index(
     n: int = 3,
     num_hashes: int = 64,
     rows_per_band: int = 2,
+    bucket_bands: int | None = None,
     _mode: str = "overwrite",
 ) -> None:
     """Persist the probe-able LSH state of a corpus under
     ``index_path``: ``bands/`` (doc, band_idx, band_hash) and
     ``shingles/`` (doc, sh: array<long>). One corpus pass feeds both
-    writes (band table + verification sets)."""
+    writes (band table + verification sets). ``bucket_bands`` writes
+    the band table bucketed on (band_idx, band_hash) so every later
+    probe join shuffles only the batch side (see module docstring)."""
     # lineage cut: the interpreted shingle-hash chain is the plan's
     # most expensive stage (r4 perf notes) and feeds BOTH writes — a
     # lazy localCheckpoint makes it one corpus pass, not two
@@ -76,7 +98,21 @@ def build_minhash_index(
         eager=False
     )
     bands = lsh_band_table(sets, num_hashes, rows_per_band)
-    bands.write.mode(_mode).parquet(f"{index_path}/bands")
+    if bucket_bands is not None:
+        from collection_templates_spark.operators.bucketing import (
+            save_bucketed,
+        )
+
+        save_bucketed(
+            bands,
+            _bands_table_name(index_path),
+            ("band_idx", "band_hash"),
+            num_buckets=bucket_bands,
+            path=f"{index_path}/bands",
+            mode=_mode,
+        )
+    else:
+        bands.write.mode(_mode).parquet(f"{index_path}/bands")
     sets.write.mode(_mode).parquet(f"{index_path}/shingles")
 
 
@@ -88,13 +124,16 @@ def append_to_index(
     n: int = 3,
     num_hashes: int = 64,
     rows_per_band: int = 2,
+    bucket_bands: int | None = None,
 ) -> None:
     """Accept a deduped batch into the historical index — an O(batch)
-    parquet append of its bands and shingle sets. Callers own id
-    uniqueness across appends (same contract as any append-only log)."""
+    append of its bands and shingle sets (bucketed appends write one
+    more file set per bucket; pass the SAME ``bucket_bands`` as the
+    build). Callers own id uniqueness across appends (same contract as
+    any append-only log)."""
     build_minhash_index(
         df, index_path, id_col, text_col, n, num_hashes, rows_per_band,
-        _mode="append",
+        bucket_bands=bucket_bands, _mode="append",
     )
 
 
@@ -120,7 +159,14 @@ def dedup_batch_against_index(
     ``min_band_collisions=1`` makes the output the exact cross-pair set
     up to the standard banding miss (~(1-j^r)^b per pair); raise it for
     stress-scale probes exactly like the full-corpus operator."""
-    hist_bands = spark.read.parquet(f"{index_path}/bands")
+    # bucketed index (same session as the build): read through the
+    # catalog so the probe join inherits the bucket partitioning and
+    # only the batch side shuffles; otherwise plain parquet
+    tbl = _bands_table_name(index_path)
+    if spark.catalog.tableExists(tbl):
+        hist_bands = spark.table(tbl)
+    else:
+        hist_bands = spark.read.parquet(f"{index_path}/bands")
     hist_sets = spark.read.parquet(f"{index_path}/shingles")
 
     # The batch's sets feed band build AND verification; batch-sized, so

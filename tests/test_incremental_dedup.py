@@ -129,3 +129,44 @@ def test_joined_bucket_cap_drops_hot_bucket(spark, tmp_path):
         spark, idx, _df(spark, probe), max_bucket_size=None
     )
     assert uncapped.count() == 10
+
+
+def test_bucketed_index_probe_skips_history_shuffle(spark, tmp_path):
+    """bucket_bands: the persisted band table is bucketed on band_hash,
+    so the probe's candidate join reads history bucket-aligned (scan
+    shows the bucket spec; one fewer Exchange than the plain-parquet
+    probe) and produces the identical pair set."""
+    import contextlib
+    import io
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    plain_idx = str(tmp_path / "plain")
+    buck_idx = str(tmp_path / "bucketed")
+    hist = _df(spark, _HISTORY)
+    build_minhash_index(hist, plain_idx)
+    build_minhash_index(hist, buck_idx, bucket_bands=8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = dedup_batch_against_index(
+            spark, plain_idx, _df(spark, _BATCH1)
+        )
+        bucketed = dedup_batch_against_index(
+            spark, buck_idx, _df(spark, _BATCH1)
+        )
+        p_plain, p_buck = plan_of(plain), plan_of(bucketed)
+        assert "Bucketed: true" in p_buck, p_buck
+        # the band table feeds both the bucket-cap count and the pair
+        # join — each consumer loses its history-side shuffle
+        assert p_buck.count("Exchange") <= p_plain.count("Exchange") - 2, (
+            p_buck
+        )
+        assert _probe_pairs(bucketed) == _probe_pairs(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
