@@ -2022,7 +2022,10 @@ def _incremental_probe_for(spark: SparkSession, sf_dir: str):
         batch = docs.filter(F.col("doc_id") % 2 == 1)
         # unique scratch dir per fill (lifecycle in operators/scratch)
         path = scratch_index_path()
-        build_minhash_index(history, path)
+        # bucketed on the probe-join key: the gate thereby exercises
+        # the shuffle-eliding bucketed-index path (bucketing changes
+        # physical layout only — the pair set is identical)
+        build_minhash_index(history, path, bucket_bands=8)
         pairs = dedup_batch_against_index(
             spark, path, batch, max_bucket_size=None
         ).localCheckpoint(eager=True)
@@ -2081,7 +2084,8 @@ def delta_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = batch.join(matched, "doc_id", "left_anti").localCheckpoint(
         eager=False
     )
-    append_to_index(kept, path)  # accept the deduped batch
+    # accept the deduped batch (same bucket spec as the index build)
+    append_to_index(kept, path, bucket_bands=8)
 
     ev = _t(spark, sf_dir, "events")
     cut = "2024-01-20 12:00:00"
