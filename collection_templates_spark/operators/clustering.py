@@ -21,7 +21,7 @@ historical 2-3 round behavior is unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -123,3 +123,32 @@ def dedup_keep_canonical(
     return out.withColumn(
         "cluster", F.coalesce("cluster", F.col(id_col))
     ).withColumn("keep", (F.col(id_col) == F.col("cluster")).cast("int"))
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked cluster retention: docs annotated with cluster +
+    keep flag where the kept representative MAXIMIZES quality
+    (``quality_cols`` descending, id ascending tie-break) instead of
+    being the arbitrary min-id canonical — the production near-dup
+    retention policy (keep the longest / highest-scoring page among its
+    duplicates). Singletons keep themselves.
+
+    Same plan as :func:`dedup_keep_canonical` plus one window over the
+    cluster key; the window order is totally determined because
+    ``id_col`` is unique, so partitioning never changes the answer.
+    """
+    quality_cols = quality_cols or ["n_chars"]
+    cc = connected_components(pairs)
+    out = docs.join(cc, docs[id_col] == cc.node, "left").drop("node")
+    out = out.withColumn("cluster", F.coalesce("cluster", F.col(id_col)))
+    w = Window.partitionBy("cluster").orderBy(
+        *[F.col(c).desc() for c in quality_cols], F.col(id_col).asc()
+    )
+    return out.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )

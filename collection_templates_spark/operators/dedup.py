@@ -741,3 +741,63 @@ def blocked_levenshtein_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "name_a", "name_b", "distance", *block_cols)
     )
+
+
+def paragraph_dedup_stats(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_threshold: float = 0.6,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the Dolma / RefinedWeb passage pass):
+    documents are split into non-overlapping ``chunk_tokens``-token
+    windows (last partial window kept); a chunk INSTANCE is duplicated if
+    its exact text also occurs in at least one OTHER document. Returns
+    one row per doc: ``n_chunks``, ``n_dup_chunks``, ``dup_ratio``
+    (rounded 6dp) and ``drop_doc`` = 1 when the rounded ratio reaches
+    ``drop_threshold`` — the per-document decision a corpus-cleaning
+    pipeline feeds into its filter stage.
+
+    Plan shape: one explode (~n_tokens/chunk_tokens rows per doc), one
+    groupBy on (chunk_text, id) with map-side combine, a count window
+    re-using the chunk_text clustering, and a final per-doc aggregate.
+    The shuffled key is the chunk text itself — bounded at
+    ``chunk_tokens`` words, and any exact text-equality pass must move
+    the corpus bytes at least once; cross-doc multiplicity is decided by
+    per-(chunk, doc) GROUPS, so a doc repeating its own chunk never
+    counts as duplicated. The reference has no passage-level pass (its
+    dedup is keep-first-by-name, SURVEY §2.4 A7); this is part of the
+    LLM-corpus extension suite.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(chunk_tokens)
+    )
+    chunks = _spread(docs).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens)),
+            )
+        ).alias("chunk_text"),
+    )
+    per_doc_chunk = chunks.groupBy("chunk_text", id_col).agg(
+        F.count(F.lit(1)).alias("n_inst")
+    )
+    w = Window.partitionBy("chunk_text")
+    flagged = per_doc_chunk.withColumn("n_docs", F.count(F.lit(1)).over(w))
+    out = flagged.groupBy(id_col).agg(
+        F.sum("n_inst").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_inst")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_chunks"),
+    )
+    out = out.withColumn(
+        "dup_ratio", F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6)
+    )
+    return out.withColumn(
+        "drop_doc",
+        (F.col("dup_ratio") >= F.lit(drop_threshold)).cast("int"),
+    )

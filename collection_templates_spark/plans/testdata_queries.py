@@ -2629,6 +2629,73 @@ def scalar_log_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup stats (Dolma/RefinedWeb passage pass):
+    16-token non-overlapping chunks, cross-document exact-match flags,
+    per-doc duplicate ratio + drop decision. Oracle replays the identical
+    chunking with string_split + generate_series."""
+    from collection_templates_spark.operators.dedup import (
+        paragraph_dedup_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return paragraph_dedup_stats(docs, chunk_tokens=16)
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked near-dup retention: LSH pairs → transitive clusters
+    → keep the HIGHEST-QUALITY doc per cluster (n_chars desc, doc_id asc
+    tie-break) instead of the arbitrary min-id canonical. Oracle:
+    recursive-CTE reachability + a window argmax."""
+    from collection_templates_spark.operators.clustering import (
+        dedup_keep_best as _keep_best,
+    )
+    from collection_templates_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # Same pair source as dedup_clusters: LSH candidates + exact verify
+    # equal the exact pair set on this corpus (min_band_collisions=1 pin).
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, min_band_collisions=1)
+    return _keep_best(docs, pairs, quality_cols=["n_chars"]).select(
+        "doc_id", "cluster", "keep"
+    )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream: users grouped by
+    first-seen ISO week; for each (cohort_week, week_offset) the count of
+    still-active users and the retention rate vs the cohort size. Plan:
+    one distinct on (user, week), one per-user min, a user-keyed join,
+    one (cohort, week) aggregate; the per-cohort size table is tiny
+    (#distinct weeks) and broadcast into the final join."""
+    ev = _t(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    act = (
+        weeks.join(first, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(F.col("n_active") / F.col("cohort_n"), 6).alias(
+                "retention_rate"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2636,12 +2703,15 @@ def scalar_log_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 9: the 2 new r9 rows lead
+    # the sampling lever). Rotated for round 9: the 5 new r9 rows lead
     # (never sampled), then the 18 rows last driver-green in round 5
     # (the ANN family + training-prep block), then the 30 round-6 rows,
     # then the 2 plan-test-pinned r6 rows, then the 50 rows the driver
-    # re-verified in rounds 7-8 (the freshest external signal). All 102
+    # re-verified in rounds 7-8 (the freshest external signal). All 105
     # pass the identical local oracle (tools/check.py) every round.
+    "dedup_paragraph": dedup_paragraph,
+    "dedup_keep_best": dedup_keep_best,
+    "events_cohort_retention": events_cohort_retention,
     "dedup_incremental": dedup_incremental,
     "delta_pipeline": delta_pipeline,
     "ann_cosine_topk": ann_cosine_topk,
@@ -5936,4 +6006,89 @@ ORACLE_SQL["scalar_log_probability"] = f"""
            round(sum(lp), 4) AS log_probability,
            round(exp(sum(lp) / count(*)), 6) AS interesting_score
     FROM scored GROUP BY p_partkey, name
+"""
+
+
+# dedup_paragraph oracle: identical 16-token non-overlapping chunking
+# (generate_series step = window width, last partial window kept), exact
+# cross-doc multiplicity via per-(chunk, doc) groups.
+ORACLE_SQL["dedup_paragraph"] = """
+    WITH base AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               array_to_string(toks[i : i + 15], ' ') AS chunk_text
+        FROM base,
+             unnest(generate_series(1, greatest(len(toks), 1), 16)) AS t(i)
+    ), per_doc_chunk AS (
+        SELECT chunk_text, doc_id, count(*) AS n_inst
+        FROM chunks GROUP BY 1, 2
+    ), flagged AS (
+        SELECT doc_id, n_inst,
+               count(*) OVER (PARTITION BY chunk_text) AS n_docs
+        FROM per_doc_chunk
+    ), agg AS (
+        SELECT doc_id,
+               CAST(sum(n_inst) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN n_docs > 1 THEN n_inst ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks
+        FROM flagged GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_dup_chunks,
+           round(n_dup_chunks * 1.0 / n_chunks, 6) AS dup_ratio,
+           CAST(round(n_dup_chunks * 1.0 / n_chunks, 6) >= 0.6 AS INT)
+               AS drop_doc
+    FROM agg
+"""
+
+# dedup_keep_best oracle: the dedup_clusters reachability CTE plus a
+# window argmax on (n_chars DESC, doc_id ASC) per cluster.
+ORACLE_SQL["dedup_keep_best"] = f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+    edges(a, b) AS (
+        SELECT doc1, doc2 FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+        SELECT a AS node, least(a, min(b)) AS cluster
+        FROM reach GROUP BY a
+    ), labeled AS (
+        SELECT d.doc_id, d.n_chars,
+               coalesce(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster,
+           CAST(row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY n_chars DESC, doc_id ASC) = 1 AS INT) AS keep
+    FROM labeled
+"""
+
+# events_cohort_retention oracle: ISO-week truncation is Monday-aligned in
+# both engines, so the day delta is always a multiple of 7.
+ORACLE_SQL["events_cohort_retention"] = """
+    WITH weeks AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ), first AS (
+        SELECT user_id, min(week) AS cohort_week
+        FROM weeks GROUP BY user_id
+    ), cohort_sizes AS (
+        SELECT cohort_week, count(*) AS cohort_n
+        FROM first GROUP BY cohort_week
+    ), act AS (
+        SELECT f.cohort_week, w.week, count(*) AS n_active
+        FROM weeks w JOIN first f ON w.user_id = f.user_id
+        GROUP BY f.cohort_week, w.week
+    )
+    SELECT a.cohort_week,
+           CAST((a.week - a.cohort_week) / 7 AS INT) AS week_offset,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           round(a.n_active * 1.0 / s.cohort_n, 6) AS retention_rate
+    FROM act a JOIN cohort_sizes s ON a.cohort_week = s.cohort_week
 """
