@@ -309,3 +309,82 @@ def hits(
             F.round("a", 6).alias("authority"),
         )
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation —
+    the join formulation of Suri & Vassilvitskii (WWW 2011) / the
+    Chiba–Nishizeki arboricity bound.
+
+    Plan: distinct undirected edges (min, max); one degree aggregate;
+    each edge oriented AWAY from its (degree, id)-smaller endpoint, so
+    every node's out-degree is O(√m) no matter how skewed the real
+    degree distribution is — a hub of degree 10⁶ contributes wedges only
+    through its (few) higher-keyed neighbors. Wedges are the oriented
+    self-join on the tail (Σ outdeg² ≤ m^1.5 rows TOTAL — the bound that
+    makes the operator safe on power-law graphs where the naive wedge
+    count Σ deg² explodes); one more join against the oriented edges
+    finds each triangle exactly once, and a posexplode + count rolls the
+    per-corner credit up per node. The oriented edge set is eagerly
+    checkpointed — three consumers, computed once. Nodes in no triangle
+    are absent (callers left-join and zero-fill).
+
+    No reference counterpart (the reference's graph work is the ontology
+    BFS, SURVEY §2.3 J13); this is the LLM/graph-analytics extension
+    suite alongside pagerank/HITS.
+    """
+    # e feeds THREE consumers (two degree scans + the orientation join);
+    # without the lineage cut the whole upstream edge construction runs
+    # once per consumer (measured 3× the projection cost on the
+    # co-purchase bank row).
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    fwd = F.struct(
+        F.col("da").alias("kd"), F.col("a").alias("kn")
+    ) < F.struct(F.col("db").alias("kd"), F.col("b").alias("kn"))
+    o = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(
+            fwd, F.struct(F.col("db").alias("kd"), F.col("b").alias("kn"))
+        )
+        .otherwise(F.struct(F.col("da").alias("kd"), F.col("a").alias("kn")))
+        .alias("kv"),
+    ).localCheckpoint(eager=True)
+    wedges = (
+        o.alias("x")
+        .join(o.alias("y"), F.col("x.u") == F.col("y.u"))
+        .filter(F.col("x.kv") < F.col("y.kv"))
+        .select(
+            F.col("x.u").alias("t1"),
+            F.col("x.v").alias("t2"),
+            F.col("y.v").alias("t3"),
+        )
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("t2"), F.col("v").alias("t3")),
+        ["t2", "t3"],
+    )
+    return (
+        tri.select(F.explode(F.array("t1", "t2", "t3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

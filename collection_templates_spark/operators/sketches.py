@@ -398,3 +398,58 @@ def hll_cardinality(
             ).alias("rel_err"),
         )
     )
+
+
+def hash_sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key: F.Column,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    sample_mod: int = 16,
+) -> DataFrame:
+    """Deterministic hash-sampled quantile estimates, read back against
+    the exact quantiles to SURFACE the sampling error (the CMS/HLL/theta
+    convention applied to order statistics).
+
+    The sample is the rows whose portable ``_numeric_mix(key)`` residue,
+    scaled to [0,1), falls below ``1/sample_mod`` — a property of the ROW
+    (no RNG, no partition order), so the estimate is bit-reproducible
+    across engines and the DuckDB oracle replays it exactly. Both sides
+    interpolate with the shared (n−1)·q convention (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont`` — verified identical at 6dp).
+
+    Scale shape: the sample is a scan-side filter (no shuffle) keeping an
+    expected 1/sample_mod of rows; ``sample_mod`` is the memory knob —
+    production corpora size it so p·N sample values fit one aggregation
+    buffer (for truly unbounded streams a mergeable KLL sketch replaces
+    the sample; this operator is the portable-deterministic variant whose
+    error the oracle can grade). The EXACT side is the grading harness —
+    one ``percentile`` aggregate, the thing the sample exists to avoid.
+
+    Output: one row per requested quantile — (q, est_q, exact_q,
+    abs_err, rel_err), errors computed on raw doubles then rounded.
+    """
+    p = F.lit(_P31).cast("double")
+    u = _numeric_mix(key).cast("double") / p
+    qs_arr = F.array(*[F.lit(float(q)) for q in quantiles])
+    val = F.col(value_col).cast("double")
+    samp = (
+        df.filter(u < F.lit(1.0 / sample_mod))
+        .agg(F.percentile(val, qs_arr).alias("p"))
+        .select(F.posexplode("p").alias("i", "est"))
+    )
+    full = df.agg(F.percentile(val, qs_arr).alias("p")).select(
+        F.posexplode("p").alias("i", "exact")
+    )
+    return (
+        samp.join(full, "i")
+        .select(
+            F.element_at(qs_arr, F.col("i") + 1).alias("q"),
+            F.round("est", 4).alias("est_q"),
+            F.round("exact", 4).alias("exact_q"),
+            F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
+            F.round(
+                F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6
+            ).alias("rel_err"),
+        )
+    )

@@ -2696,6 +2696,70 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the 1995 customer co-purchase graph
+    (edges = customer pairs sharing ≥2 distinct parts that year — the
+    thresholded co-occurrence projection that keeps a projection graph
+    sparse; the one-year slice is the graph_pagerank convention, and the
+    date filter pushes to the orders scan). Pair generation is a plain
+    codegen'd self-join on the part key — the upstream is ONE cheap
+    distinct, so the bucket-collect trade (shuffle-once but interpreted
+    array enumeration) measures 2× SLOWER here; bucket-collect wins only
+    when the per-side upstream is the expensive part (see dedup.py).
+    The count itself is the degree-oriented wedge join
+    (graph.py::triangle_count). Oracle: the projection + the exact
+    three-way a<b<c edge join."""
+    from collection_templates_spark.operators.graph import triangle_count
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cp = (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1996-01-01")
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        # both self-join sides read cp; the cut runs the orders⋈lineitem
+        # upstream once (ReuseExchange can't help — the join needs a
+        # different partitioning than the distinct produced)
+        .localCheckpoint(eager=True)
+    )
+    a = cp.select(F.col("c").alias("u"), "p")
+    b = cp.select(F.col("c").alias("v"), "p")
+    edges = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    return triangle_count(edges, "u", "v")
+
+
+def sketch_quantile_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sampled quantile estimates of the lineitem
+    price distribution vs exact quantiles — the order-statistics member
+    of the sketch family (CMS/HLL/theta/Bloom), same surface-the-error
+    convention. The sample key is the unique (l_orderkey, l_linenumber)
+    row id folded through the portable mixer; both engines interpolate
+    with the (n−1)·q convention."""
+    from collection_templates_spark.operators.sketches import (
+        hash_sampled_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    return hash_sampled_quantiles(
+        li, "l_extendedprice", key, sample_mod=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2703,15 +2767,17 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 9: the 5 new r9 rows lead
+    # the sampling lever). Rotated for round 9: the 7 new r9 rows lead
     # (never sampled), then the 18 rows last driver-green in round 5
     # (the ANN family + training-prep block), then the 30 round-6 rows,
     # then the 2 plan-test-pinned r6 rows, then the 50 rows the driver
-    # re-verified in rounds 7-8 (the freshest external signal). All 105
+    # re-verified in rounds 7-8 (the freshest external signal). All 107
     # pass the identical local oracle (tools/check.py) every round.
     "dedup_paragraph": dedup_paragraph,
     "dedup_keep_best": dedup_keep_best,
     "events_cohort_retention": events_cohort_retention,
+    "graph_triangle_count": graph_triangle_count,
+    "sketch_quantile_errors": sketch_quantile_errors,
     "dedup_incremental": dedup_incremental,
     "delta_pipeline": delta_pipeline,
     "ann_cosine_topk": ann_cosine_topk,
@@ -6092,3 +6158,77 @@ ORACLE_SQL["events_cohort_retention"] = """
            round(a.n_active * 1.0 / s.cohort_n, 6) AS retention_rate
     FROM act a JOIN cohort_sizes s ON a.cohort_week = s.cohort_week
 """
+
+
+# graph_triangle_count oracle: thresholded co-purchase projection + the
+# exact three-way a<b<c edge join (no orientation needed for exactness),
+# per-corner credit via three unions.
+ORACLE_SQL["graph_triangle_count"] = """
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate < DATE '1996-01-01'
+    ), e AS (
+        SELECT u, v FROM (
+            SELECT a.c AS u, b.c AS v, count(*) AS shared
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2
+        ) WHERE shared >= 2
+    ), tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+"""
+
+
+# sketch_quantile_errors oracle: the portable mixer replayed on the
+# unique row id, quantile_cont per requested q (DuckDB's (n-1)*q linear
+# interpolation ≡ Spark's percentile), errors on raw doubles then
+# rounded. Literal quantiles are CAST to DOUBLE (DuckDB float literals
+# are DECIMAL).
+def _quantile_oracle_sql(
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    sample_mod: int = 16,
+) -> str:
+    p = 2147483647
+    mix = (
+        f"((((v * 31) % {p}) * ((v * 31) % {p}) % {p}) * 48271 % {p}"
+        f" + (v * 37) % {p}) % {p}"
+    )
+    branches = "\n        UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q,"
+        f" (SELECT quantile_cont(val, {q}) FROM samp) AS e,"
+        f" (SELECT quantile_cont(val, {q}) FROM fullt) AS x"
+        for q in quantiles
+    )
+    return f"""
+        WITH keyed AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS val,
+                   CAST({mix} AS DOUBLE) / {p}.0 AS u
+            FROM (SELECT l_extendedprice,
+                         l_orderkey * 8 + l_linenumber AS v
+                  FROM lineitem)
+        ), samp AS (
+            SELECT val FROM keyed WHERE u < 1.0 / {sample_mod}
+        ), fullt AS (
+            SELECT val FROM keyed
+        ), vals AS (
+            {branches}
+        )
+        SELECT q, round(e, 4) AS est_q, round(x, 4) AS exact_q,
+               round(abs(e - x), 4) AS abs_err,
+               round(abs(e - x) / x, 6) AS rel_err
+        FROM vals
+    """
+
+
+ORACLE_SQL["sketch_quantile_errors"] = _quantile_oracle_sql()

@@ -155,3 +155,79 @@ def test_cohort_retention_offsets(spark):
     assert out[("2024-01-01", 2)] == (2, 1.0)
     assert out[("2024-01-08", 0)] == (1, 1.0)
     assert len(out) == 4
+
+
+def test_triangle_count_known_graph(spark):
+    from collection_templates_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4}: C(4,3)=4 triangles, each node in exactly 3.
+    # Square {10,11,12,13}: zero triangles (nodes absent from output).
+    # Edges given in mixed orientation with a duplicate to exercise the
+    # normalize+distinct step.
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    square = [(10, 11), (11, 12), (13, 12), (10, 13), (11, 10)]
+    edges = spark.createDataFrame(
+        k4 + square + [(2, 1)], "src bigint, dst bigint"
+    )
+    out = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_hub_graph(spark):
+    from collection_templates_spark.operators.graph import triangle_count
+
+    # star hub 0 with leaves 1..20 plus one leaf-leaf edge (1,2): the
+    # only triangle is (0,1,2) — the degree orientation must not lose it
+    # even though the hub's degree dwarfs everyone.
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)] + [(1, 2)],
+        "src bigint, dst bigint",
+    )
+    out = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_hash_sampled_quantiles_full_sample_is_exact(spark):
+    from collection_templates_spark.operators.sketches import (
+        hash_sampled_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "k bigint, x double"
+    )
+    out = hash_sampled_quantiles(
+        df, "x", F.col("k"), sample_mod=1
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.est_q == r.exact_q
+        assert r.abs_err == 0.0 and r.rel_err == 0.0
+    med = {r.q: r.exact_q for r in out}[0.5]
+    assert med == 50.5  # (n-1)*q interpolation on 1..100
+
+
+def test_hash_sampled_quantiles_sampled_close(spark):
+    from collection_templates_spark.operators.sketches import (
+        hash_sampled_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 1000)) for i in range(1, 5001)], "k bigint, x double"
+    )
+    out = {
+        r.q: r for r in hash_sampled_quantiles(
+            df, "x", F.col("k"), sample_mod=8
+        ).collect()
+    }
+    # deterministic: rerun is bit-identical
+    out2 = {
+        r.q: r for r in hash_sampled_quantiles(
+            df, "x", F.col("k"), sample_mod=8
+        ).collect()
+    }
+    assert {q: (r.est_q, r.exact_q) for q, r in out.items()} == {
+        q: (r.est_q, r.exact_q) for q, r in out2.items()
+    }
+    # ~uniform values: the 1/8 hash sample tracks within a loose band
+    for q, r in out.items():
+        assert r.abs_err <= 100, (q, r)
