@@ -138,3 +138,112 @@ def range_join_binned(
     return joined.filter(
         (rt >= lt + F.lit(lower_us)) & (rt <= lt + F.lit(upper_us))
     ).select("l", "r")
+
+
+def gap_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Resample an event stream onto a dense per-key daily grid with
+    forward-fill (the time-series gap-fill / LOCF operator — TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``, InfluxDB's ``fill(previous)``).
+    The reference has no time dimension at all; this is part of the
+    event-analytics extension surface next to :func:`as_of_join`.
+
+    Per key: the last observation of each calendar day (latest
+    ``order_cols`` wins — a total order, so the pick is deterministic),
+    a dense day grid spanning [first_day, last_day] via ``sequence``,
+    and a forward-fill window (``last(..., ignorenulls=True)`` over an
+    unbounded-preceding frame). Output: one row per (key, day) with the
+    observed value (NULL on gap days), the filled value (never NULL —
+    the first grid day is an observed day by construction), and an
+    ``is_observed`` flag.
+
+    Scale: two shuffles — the per-(key, day) reduce and the per-key
+    window; grid size is keys × days (linear in keys, never in events),
+    and the sequence explode happens AFTER the reduce, on the tiny
+    per-key span table. No driver-side state.
+    """
+    day = F.col(ts_col).cast("date").alias("day")
+    w_pick = Window.partitionBy(key_col, "day").orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    obs = (
+        events.select(key_col, day, *order_cols, value_col)
+        .withColumn("___rn", F.row_number().over(w_pick))
+        .filter(F.col("___rn") == 1)
+        .select(key_col, "day", F.col(value_col).alias("obs_value"))
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("day").alias("___d0"), F.max("day").alias("___d1")
+    )
+    grid = span.select(
+        key_col, F.explode(F.sequence("___d0", "___d1")).alias("day")
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, [key_col, "day"], "left")
+        .withColumn(
+            "filled_value", F.last("obs_value", ignorenulls=True).over(w_fill)
+        )
+        .withColumn("is_observed", F.col("obs_value").isNotNull().cast("int"))
+    )
+
+
+def trailing_zscore(
+    events: DataFrame,
+    part_col: str = "event_type",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    window: int = 20,
+    min_n: int = 5,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly flags: each value is compared to
+    the mean/stddev of the previous ``window`` rows of its partition
+    (frame EXCLUDES the current row — the classic control-chart
+    baseline; including it would let an outlier mask itself). Rows with
+    fewer than ``min_n`` predecessors get a NULL score (cold start).
+
+    Determinism: ``order_cols`` must be a total order within
+    ``part_col``; mean and stddev are rounded to 6dp BEFORE the z
+    arithmetic in both engines so frame-summation order can't flip the
+    flag (same convention as window_range_moving_sum).
+
+    Scale: ONE shuffle (the partition window); the frame is bounded at
+    ``window`` rows so state per task is O(window), and a skewed
+    partition column rides AQE — for a single giant partition, salt by
+    coarse time bucket first (the frame crosses salt boundaries only
+    for the first ``window`` rows per salt).
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-window, -1)
+    )
+    n_prev = F.count(value_col).over(w)
+    mu = F.round(F.avg(value_col).over(w), 6)
+    sigma = F.round(F.stddev_samp(value_col).over(w), 6)
+    z = F.when(
+        (n_prev >= F.lit(min_n)) & (sigma > 0),
+        F.round((F.col(value_col) - mu) / sigma, 6),
+    )
+    return (
+        events.withColumn("n_prev", n_prev.cast("long"))
+        .withColumn("mu", F.when(n_prev >= F.lit(min_n), mu))
+        .withColumn("sigma", F.when(n_prev >= F.lit(min_n), sigma))
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(
+                (F.abs(F.col("z")) >= F.lit(threshold)).cast("int"), F.lit(0)
+            ),
+        )
+    )

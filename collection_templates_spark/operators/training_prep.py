@@ -667,3 +667,137 @@ def sample_weighted(
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def dynamic_quality_threshold(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_fraction: float = 0.6,
+) -> DataFrame:
+    """Per-group dynamic quality gating: rank documents WITHIN each
+    group by a quality signal and keep the top ``keep_fraction`` — the
+    CCNet/FineWeb practice of thresholding per LANGUAGE rather than
+    globally (a global cutoff starves low-resource languages whose
+    score distribution sits lower). Signal here: type-token ratio
+    (lexical diversity), the cheap-but-standard proxy; swap in any
+    scored column without changing the plan.
+
+    Determinism: ``percent_rank`` over the total order
+    (ttr DESC, id ASC); ttr rounded to 6dp BEFORE ranking in both
+    engines. Zero-token docs are dropped (no rankable signal).
+
+    Scale: one explode + per-doc aggregate (map-side combined), one
+    per-group window. Groups = languages (dozens), so the window
+    partitions are large but few — at 100 TB use the two-pass variant
+    (per-group ``approx_percentile`` of the score, broadcast the cutoff
+    back) to avoid a single-language sort; this exact-rank form is the
+    oracle-checkable semantics of that pass.
+    """
+    from collection_templates_spark.functions.langmodel import (
+        TOKEN_SPLIT_RE,
+    )
+
+    toks = docs.select(
+        id_col,
+        group_col,
+        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias(
+            "___tok"
+        ),
+    ).filter(F.col("___tok") != "")
+    per_doc = toks.groupBy(id_col, group_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct(F.col("___tok")).alias("n_distinct"),
+    )
+    per_doc = per_doc.withColumn(
+        "ttr", F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("ttr").desc(), F.col(id_col).asc()
+    )
+    return per_doc.select(
+        id_col,
+        group_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "ttr",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ).withColumn(
+        "keep",
+        (F.round(F.percent_rank().over(w), 6) <= F.lit(keep_fraction)).cast(
+            "int"
+        ),
+    )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of exact ``chunk_tokens``-token passages they share and the
+    Jaccard overlap of their passage sets — the audit a multi-source
+    corpus runs before mixing (shared boilerplate / mirrored scrapes
+    inflate dedup debt and leak eval data between sources). Chunking is
+    identical to :func:`~collection_templates_spark.operators.dedup.
+    paragraph_dedup_stats` (non-overlapping, last partial window kept).
+
+    Plan: explode → DISTINCT (source, chunk) → self-equi-join on the
+    chunk text with ``src_a < src_b`` → pair aggregate, plus a broadcast
+    per-source size table for the Jaccard denominator. Per-chunk join
+    fan-out is bounded by the SOURCE count (not corpus size) — a chunk
+    present in all S sources yields at most S²/2 pair rows — so the
+    shuffle is ~distinct-chunk-count rows at any corpus scale. Only
+    pairs sharing at least one chunk are returned.
+    """
+    from collection_templates_spark.operators.dedup import _spread
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(chunk_tokens)
+    )
+    chunks = (
+        _spread(docs)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens)),
+                )
+            ).alias("chunk_text"),
+        )
+        .distinct()
+    )
+    sizes = chunks.groupBy("src").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a = chunks.select(F.col("src").alias("src_a"), "chunk_text")
+    b = chunks.select(F.col("src").alias("src_b"), "chunk_text")
+    shared = (
+        a.join(b, "chunk_text")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.select(F.col("src").alias("src_a"),
+                                  F.col("n_chunks").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("src").alias("src_b"),
+                                  F.col("n_chunks").alias("n_b")))
+    return (
+        shared.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
