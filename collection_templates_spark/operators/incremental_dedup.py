@@ -112,6 +112,15 @@ def build_minhash_index(
             mode=_mode,
         )
     else:
+        if _mode == "overwrite":
+            # a previous BUCKETED build of this same path left a catalog
+            # entry describing bucket-named files; overwriting with plain
+            # parquet underneath it would make later probes read through
+            # the stale spec and fail with 'Invalid bucket file' — the
+            # catalog must never outlive the layout it describes
+            df.sparkSession.sql(
+                f"DROP TABLE IF EXISTS {_bands_table_name(index_path)}"
+            )
         bands.write.mode(_mode).parquet(f"{index_path}/bands")
     sets.write.mode(_mode).parquet(f"{index_path}/shingles")
 

@@ -124,4 +124,36 @@ def zorder_layout_stats(
     roworder = bucket_stats(
         F.shiftright(F.col("zx"), bits - shift_bits), "roworder"
     )
-    return zorder.unionByName(roworder)
+    # Enforce the docstring's "callers bin first" precondition: values
+    # >= 2**bits would silently alias in the Morton code (zorder_value
+    # drops high bits) and push roworder buckets past n_buckets, making
+    # the area comparison meaningless. Checked on the 2*n_buckets
+    # aggregated rows (min/max bound every input), so the guard costs
+    # nothing and fails loudly instead of lying.
+    lim = F.lit(2**bits).cast("long")
+    ok = (
+        (F.col("x_min") >= 0)
+        & (F.col("y_min") >= 0)
+        & (F.col("x_max") < lim)
+        & (F.col("y_max") < lim)
+    )
+    return zorder.unionByName(roworder).where(
+        F.assert_true(
+            ok,
+            F.concat_ws(
+                " ",
+                F.lit(f"zorder_layout_stats: input exceeds {bits}-bit"),
+                F.lit("domain [0, 2**bits); bin columns first — bucket"),
+                F.col("layout"),
+                F.col("bucket").cast("string"),
+                F.lit("spans x"),
+                F.col("x_min").cast("string"),
+                F.lit(".."),
+                F.col("x_max").cast("string"),
+                F.lit("y"),
+                F.col("y_min").cast("string"),
+                F.lit(".."),
+                F.col("y_max").cast("string"),
+            ),
+        ).isNull()
+    )

@@ -1,0 +1,332 @@
+"""Round-10 wiring of the five r9-snapshot operators (r9 verdict #1):
+Z-order layout stats, gap-fill/LOCF, trailing z-score, per-group dynamic
+quality threshold, cross-source overlap — each pinned by hand-computed
+fixtures here AND an oracled bank row in plans/testdata_queries.py.
+Plus regressions for the r9 advice items (stale bucketed catalog on
+non-bucketed rebuild; delta_pipeline append idempotency)."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from collection_templates_spark.operators.layout import (
+    zorder_layout_stats,
+    zorder_value,
+)
+from collection_templates_spark.operators.temporal import (
+    gap_fill,
+    trailing_zscore,
+)
+from collection_templates_spark.operators.training_prep import (
+    cross_source_overlap,
+    dynamic_quality_threshold,
+)
+
+
+def _morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_value_matches_reference_interleave(spark):
+    pts = [(x, y) for x in (0, 1, 3, 5, 170, 255) for y in (0, 2, 7, 85, 255)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_value(F.col("x"), F.col("y"), bits=8).alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _morton(x, y, 8), (x, y)
+
+
+def test_zorder_layout_stats_quadrants(spark):
+    # full 4x4 grid, bits=2, 4 buckets: the zorder cut is exactly the
+    # four 2x2 quadrants (bucket = x1 + 2*y1); the roworder cut is the
+    # four single-x columns (shift bits-log2(n)=0).
+    grid = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(grid, "x long, y long")
+    out = zorder_layout_stats(
+        df, F.col("x"), F.col("y"), n_buckets=4, bits=2
+    ).collect()
+    z = {
+        r.bucket: (r.n_rows, r.x_min, r.x_max, r.y_min, r.y_max, r.area)
+        for r in out
+        if r.layout == "zorder"
+    }
+    assert z == {
+        0: (4, 0, 1, 0, 1, 4),
+        1: (4, 2, 3, 0, 1, 4),
+        2: (4, 0, 1, 2, 3, 4),
+        3: (4, 2, 3, 2, 3, 4),
+    }
+    r = {
+        b.bucket: (b.n_rows, b.x_min, b.x_max, b.y_min, b.y_max, b.area)
+        for b in out
+        if b.layout == "roworder"
+    }
+    assert r == {x: (4, x, x, 0, 3, 4) for x in range(4)}
+
+
+def test_zorder_bounds_both_dimensions(spark):
+    # 8x8 grid, 4 buckets: zorder buckets bound BOTH spans at 4;
+    # roworder leaves y unbounded (span 8) — the data-skipping point.
+    grid = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(grid, "x long, y long")
+    out = zorder_layout_stats(
+        df, F.col("x"), F.col("y"), n_buckets=4, bits=3
+    ).collect()
+    for row in out:
+        if row.layout == "zorder":
+            assert row.x_max - row.x_min == 3 and row.y_max - row.y_min == 3
+        else:
+            assert row.y_max - row.y_min == 7  # y unbounded per column pair
+
+
+def test_zorder_layout_stats_rejects_out_of_domain(spark):
+    # values >= 2**bits would silently alias in the Morton code; the
+    # aggregated-row guard must fail loudly instead (r9 advice).
+    df = spark.createDataFrame([(1, 1), (7, 2)], "x long, y long")
+    with pytest.raises(Exception, match="zorder_layout_stats"):
+        zorder_layout_stats(
+            df, F.col("x"), F.col("y"), n_buckets=2, bits=2
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
+# gap_fill (LOCF)
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+
+
+def test_gap_fill_locf_and_day_pick(spark):
+    t = datetime.datetime
+    ev = _ev(
+        spark,
+        [
+            # user 1: two events on day 1 (later ts wins), gap days
+            # 2-3, then day 4
+            (1, t(2024, 1, 1, 10), 1.0, 1),
+            (1, t(2024, 1, 1, 12), 2.0, 2),
+            (1, t(2024, 1, 4, 9), 5.0, 3),
+            # user 2: single observation → single grid row
+            (2, t(2024, 1, 2, 8), 7.0, 4),
+            # user 3: ts tie on day 1 — event_id desc breaks it
+            (3, t(2024, 1, 1, 0), 3.0, 10),
+            (3, t(2024, 1, 1, 0), 4.0, 11),
+        ],
+    )
+    out = {
+        (r.user_id, str(r.day)): (r.obs_value, r.filled_value, r.is_observed)
+        for r in gap_fill(ev).collect()
+    }
+    assert out[(1, "2024-01-01")] == (2.0, 2.0, 1)
+    assert out[(1, "2024-01-02")] == (None, 2.0, 0)
+    assert out[(1, "2024-01-03")] == (None, 2.0, 0)
+    assert out[(1, "2024-01-04")] == (5.0, 5.0, 1)
+    assert out[(2, "2024-01-02")] == (7.0, 7.0, 1)
+    assert out[(3, "2024-01-01")] == (4.0, 4.0, 1)
+    assert len(out) == 6  # grid is per-key span, never the global span
+
+
+# ---------------------------------------------------------------------------
+# trailing_zscore
+# ---------------------------------------------------------------------------
+
+
+def test_trailing_zscore_hand_computed(spark):
+    t = datetime.datetime
+    vals = [10.0, 12.0, 11.0, 20.0, 12.0]
+    ev = spark.createDataFrame(
+        [
+            ("a", t(2024, 1, 1, h), v, h)
+            for h, v in enumerate(vals, start=1)
+        ],
+        "event_type string, ts timestamp, value double, event_id long",
+    )
+    out = {
+        r.event_id: r
+        for r in trailing_zscore(
+            ev, window=3, min_n=2, threshold=1.0
+        ).collect()
+    }
+    # cold start: 0 and 1 predecessors → NULL score, not anomalous
+    assert (out[1].n_prev, out[1].z, out[1].is_anomaly) == (0, None, 0)
+    assert (out[2].n_prev, out[2].z, out[2].is_anomaly) == (1, None, 0)
+    # row 3: frame [10,12] → mu 11, sigma sqrt(2), z 0
+    assert (out[3].mu, out[3].z, out[3].is_anomaly) == (
+        11.0,
+        0.0,
+        0,
+    )
+    assert out[3].sigma == round(math.sqrt(2.0), 6)
+    # row 4: frame [10,12,11] → mu 11, sigma 1, z 9 → anomaly
+    assert (out[4].mu, out[4].sigma, out[4].z, out[4].is_anomaly) == (
+        11.0,
+        1.0,
+        9.0,
+        1,
+    )
+    # row 5: frame excludes the current row — [12,11,20], and the
+    # rounding happens BEFORE the z arithmetic
+    frame = [12.0, 11.0, 20.0]
+    mu = round(sum(frame) / 3, 6)
+    var = sum((v - sum(frame) / 3) ** 2 for v in frame) / 2
+    sigma = round(math.sqrt(var), 6)
+    assert out[5].mu == mu and out[5].sigma == sigma
+    assert out[5].z == round((12.0 - mu) / sigma, 6)
+
+
+def test_trailing_zscore_partitions_independent(spark):
+    t = datetime.datetime
+    ev = spark.createDataFrame(
+        [
+            ("a", t(2024, 1, 1, 1), 1.0, 1),
+            ("a", t(2024, 1, 1, 2), 2.0, 2),
+            ("b", t(2024, 1, 1, 3), 100.0, 3),
+        ],
+        "event_type string, ts timestamp, value double, event_id long",
+    )
+    out = {
+        r.event_id: r.n_prev
+        for r in trailing_zscore(ev, window=3, min_n=2).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 0}  # b's row never sees a's history
+
+
+# ---------------------------------------------------------------------------
+# dynamic_quality_threshold
+# ---------------------------------------------------------------------------
+
+
+def test_dynamic_quality_threshold_per_group_cut(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b c"),  # ttr 1.0      → pct_rank 0.0  keep
+            (2, "en", "a a b"),  # ttr 0.666667 → pct_rank 0.5  keep
+            (3, "en", "a a a"),  # ttr 0.333333 → pct_rank 1.0  drop
+            (4, "fr", "x y"),  #  sole doc     → pct_rank 0.0  keep
+            (5, "en", "!!!"),  #  zero tokens  → dropped from output
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dynamic_quality_threshold(
+            docs, keep_fraction=0.6
+        ).collect()
+    }
+    assert 5 not in rows
+    assert (rows[1].ttr, rows[1].pct_rank, rows[1].keep) == (1.0, 0.0, 1)
+    assert (rows[2].ttr, rows[2].pct_rank, rows[2].keep) == (
+        0.666667,
+        0.5,
+        1,
+    )
+    assert (rows[3].ttr, rows[3].pct_rank, rows[3].keep) == (
+        0.333333,
+        1.0,
+        0,
+    )
+    assert (rows[4].pct_rank, rows[4].keep) == (0.0, 1)
+    assert (rows[2].n_tokens, rows[2].n_distinct) == (3, 2)
+
+
+def test_dynamic_quality_threshold_tokenizes_like_langmodel(spark):
+    # punctuation/case folding: "A, b-c!" → tokens a, b, c (ttr 1.0)
+    docs = spark.createDataFrame(
+        [(1, "en", "A, b-c!")], "doc_id long, lang string, text string"
+    )
+    row = dynamic_quality_threshold(docs).collect()[0]
+    assert (row.n_tokens, row.n_distinct, row.ttr) == (3, 3, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# cross_source_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_cross_source_overlap_jaccard(spark):
+    # chunk width 4 and all texts shorter → one chunk per doc; src A's
+    # duplicated "x y" across two docs counts ONCE (DISTINCT per src)
+    docs = spark.createDataFrame(
+        [
+            ("A", "x y"),
+            ("A", "q q"),
+            ("A", "x y"),
+            ("B", "x y"),
+            ("B", "z"),
+            ("C", "w"),
+        ],
+        "source string, text string",
+    )
+    out = cross_source_overlap(docs, chunk_tokens=4).collect()
+    assert len(out) == 1  # only pairs sharing >= 1 chunk appear
+    r = out[0]
+    assert (r.src_a, r.src_b) == ("A", "B")
+    assert (r.n_a, r.n_b, r.n_shared) == (2, 2, 1)
+    assert r.jaccard == round(1 / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# r9 advice regressions
+# ---------------------------------------------------------------------------
+
+
+def test_nonbucketed_rebuild_drops_stale_catalog(spark, tmp_path):
+    # build bucketed, then rebuild the SAME path non-bucketed: the
+    # stale bucketed catalog entry must not survive to describe plain
+    # parquet files ('Invalid bucket file' on probe otherwise).
+    from collection_templates_spark.operators.incremental_dedup import (
+        _bands_table_name,
+        build_minhash_index,
+        dedup_batch_against_index,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}x{j}" for j in range(10)))
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    build_minhash_index(docs, path, bucket_bands=4)
+    assert spark.catalog.tableExists(_bands_table_name(path))
+    build_minhash_index(docs, path, bucket_bands=None)
+    assert not spark.catalog.tableExists(_bands_table_name(path))
+    batch = spark.createDataFrame(
+        [(100, " ".join(f"tok0x{j}" for j in range(10)))],
+        "doc_id long, text string",
+    )
+    pairs = dedup_batch_against_index(spark, path, batch).collect()
+    assert {(p.doc_new, p.doc_old) for p in pairs} == {(100, 0)}
+
+
+def test_delta_pipeline_append_is_idempotent(spark):
+    # the memoized index is shared across invocations; re-running the
+    # pipeline must not stack duplicate doc_ids into bands/shingles
+    from collection_templates_spark.plans import testdata_queries as q
+
+    sf = "/root/testdata/sf0.001"
+    r1 = {r.stage: r.n for r in q.delta_pipeline(spark, sf).collect()}
+    path, _ = q._incremental_probe_for(spark, sf)
+    n1 = spark.read.parquet(f"{path}/bands").count()
+    r2 = {r.stage: r.n for r in q.delta_pipeline(spark, sf).collect()}
+    n2 = spark.read.parquet(f"{path}/bands").count()
+    assert r1 == r2
+    assert n1 == n2
