@@ -114,11 +114,17 @@ def connected_components(
 
 
 def dedup_keep_canonical(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """Docs annotated with cluster + keep flag (canonical = min id in its
-    cluster; singletons keep themselves)."""
-    cc = connected_components(pairs)
+    cluster; singletons keep themselves). ``cc`` lets callers supply a
+    precomputed ``connected_components(pairs)`` frame so several
+    retention policies over the same pair set share ONE CC pass."""
+    if cc is None:
+        cc = connected_components(pairs)
     out = docs.join(cc, docs[id_col] == cc.node, "left").drop("node")
     return out.withColumn(
         "cluster", F.coalesce("cluster", F.col(id_col))
@@ -130,6 +136,7 @@ def dedup_keep_best(
     pairs: DataFrame,
     quality_cols: list[str] | None = None,
     id_col: str = "doc_id",
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-ranked cluster retention: docs annotated with cluster +
     keep flag where the kept representative MAXIMIZES quality
@@ -141,9 +148,12 @@ def dedup_keep_best(
     Same plan as :func:`dedup_keep_canonical` plus one window over the
     cluster key; the window order is totally determined because
     ``id_col`` is unique, so partitioning never changes the answer.
+    ``cc``: optional precomputed ``connected_components(pairs)`` frame
+    (shared-CC-pass contract as in :func:`dedup_keep_canonical`).
     """
     quality_cols = quality_cols or ["n_chars"]
-    cc = connected_components(pairs)
+    if cc is None:
+        cc = connected_components(pairs)
     out = docs.join(cc, docs[id_col] == cc.node, "left").drop("node")
     out = out.withColumn("cluster", F.coalesce("cluster", F.col(id_col)))
     w = Window.partitionBy("cluster").orderBy(
