@@ -1,0 +1,136 @@
+"""Distribution-drift monitoring: equi-width histograms + Jensen–Shannon
+divergence between data splits.
+
+The check a continuously-fed 100 TB corpus runs on every batch: has the
+VALUE DISTRIBUTION of a signal (event values, doc lengths, quality
+scores) moved between two slices (yesterday vs today, source A vs B)?
+The standard monitor is a binned histogram per slice and a bounded
+symmetric divergence between them — JS divergence (½KL(P‖M) + ½KL(Q‖M),
+M = ½(P+Q)), which unlike raw KL is finite even when a bin is empty on
+one side.
+
+Everything is pure column arithmetic over ONE aggregate per slice:
+bin ids are a clamped floor((v − lo)/width) (bounds are caller-pinned
+literals, so the pass is one map + one map-side-combined groupBy —
+no global min/max scan, no sort), per-bin probabilities are exact
+integer-count ratios, and the per-bin JS contributions are rounded to
+9dp before the per-group sum (the perplexity-family convention: makes
+the ≤ n_bins-term summation replayable in any engine / any order) with
+the final divergence rounded to 6dp.
+
+Scale shape: the histogram is n_groups × n_splits × n_bins rows —
+bounded by configuration, not data; the divergence join/aggregate runs
+on that tiny frame. The one full-data pass is the binning groupBy
+(map-side combined). Skewed group keys ride AQE; there is no window.
+
+The reference has no numeric-drift surface (its snapshot diff is exact
+row identity — airflow/dags/update_es.py); this is part of the at-scale
+extension surface next to the sketch family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def binned_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    split: Column,
+    n_bins: int = 16,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """(group, split, bin, n) equi-width histogram counts. ``split`` is
+    any string-typed column expression naming the slice a row belongs
+    to. Out-of-range values clamp into the edge bins (deterministic —
+    monitors must not crash on a stray outlier); NULL values are
+    dropped. Bin arithmetic is double-precision floor((v − lo)/width),
+    identical in any IEEE engine."""
+    width = (hi - lo) / n_bins
+    raw = F.floor(
+        (F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(width)
+    )
+    bin_id = (
+        F.greatest(F.lit(0).cast("long"), F.least(F.lit(n_bins - 1).cast("long"), raw))
+    ).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            split.alias("split"),
+            bin_id.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    split: Column,
+    split_a: str,
+    split_b: str,
+    n_bins: int = 16,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Per-group Jensen–Shannon divergence (natural log) between the
+    ``split_a`` and ``split_b`` value distributions, plus the slice
+    sizes. Output: (grp, n_a, n_b, js_divergence); groups missing one
+    side entirely are omitted (no distribution to compare). JS is
+    bounded by ln 2 ≈ 0.6931; 0 ⇔ identical binned distributions.
+
+    Determinism: per-bin contributions rounded to 9dp before the sum,
+    total to 6dp; probability ratios are exact integer-count divisions
+    evaluated in the same shape both engines (n/tot, p/m)."""
+    hist = binned_counts(df, group_col, value_col, split, n_bins, lo, hi)
+    tot = hist.groupBy("grp", "split").agg(F.sum("n").alias("tot"))
+    h = hist.join(tot, ["grp", "split"])
+    a = h.filter(F.col("split") == split_a).select(
+        "grp",
+        "bin",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+        F.col("tot").alias("n_a"),
+    )
+    b = h.filter(F.col("split") == split_b).select(
+        "grp",
+        "bin",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("q"),
+        F.col("tot").alias("n_b"),
+    )
+    # full outer per (grp, bin): a bin empty on one side contributes
+    # p·ln(p/m) with m = p/2 (the finite-JS property)
+    j = a.join(b, ["grp", "bin"], "full_outer").select(
+        "grp",
+        F.coalesce("p", F.lit(0.0)).alias("p"),
+        F.coalesce("q", F.lit(0.0)).alias("q"),
+        "n_a",
+        "n_b",
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    term_p = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(
+        F.lit(0.0)
+    )
+    term_q = F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)).otherwise(
+        F.lit(0.0)
+    )
+    contrib = F.round(F.lit(0.5) * term_p + F.lit(0.5) * term_q, 9)
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.round(F.sum(contrib), 6).alias("js_divergence"),
+        )
+        .filter(F.col("n_a").isNotNull() & F.col("n_b").isNotNull())
+        .select(
+            "grp",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "js_divergence",
+        )
+    )

@@ -247,3 +247,55 @@ def trailing_zscore(
             ),
         )
     )
+
+
+def state_islands(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Collapse consecutive equal states per key into validity
+    intervals — the gaps-and-islands pattern / the build step of a
+    type-2 slowly-changing dimension: one output row per RUN of equal
+    ``state_col`` values in ``order_cols`` order, with
+    ``valid_from`` (first event of the run), ``valid_to`` (start of the
+    NEXT run, NULL for the key's current open state), ``last_seen``
+    (last event inside the run) and the run's event count.
+
+    Determinism: ``order_cols`` must be a total order within the key
+    (the repo convention — (ts, event_id) is unique); the island id is
+    a running sum of change flags over an explicit ROWS frame, so ties
+    can never regroup rows.
+
+    Scale: ONE shuffle (everything — the lag, the running sum, the
+    island aggregate, and the lead — partitions by ``key_col``; Spark
+    plans a single Exchange and sorts once). State per task is O(1)
+    beyond the sort. The reference's snapshot diff tracks identity
+    changes between two snapshots (update_es.py); this is the
+    event-native generalization to full state HISTORY.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    chg = (
+        F.lag(state_col).over(w).isNull()
+        | (F.lag(state_col).over(w) != F.col(state_col))
+    ).cast("int")
+    isl = events.withColumn("___isl", F.sum(chg).over(w_run))
+    g = isl.groupBy(F.col(key_col), F.col("___isl").alias("island")).agg(
+        F.min(state_col).alias("state"),  # constant within the island
+        F.min(ts_col).alias("valid_from"),
+        F.max(ts_col).alias("last_seen"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("island")
+    return g.select(
+        key_col,
+        F.col("island").cast("long").alias("island"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "last_seen",
+        "n_events",
+    )

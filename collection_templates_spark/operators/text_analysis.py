@@ -331,3 +331,74 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     return df.withColumn("fingerprint", poly_fingerprint(norm))
+
+
+def token_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Pointwise mutual information of ADJACENT token pairs — the
+    collocation / multi-word-expression detector (Church & Hanks 1990)
+    a tokenizer-induction or phrase-mining pass runs over a corpus:
+    PMI = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) from adjacent-pair
+    counts (denominator = total adjacent pairs) and p(·) from unigram
+    occurrence counts (denominator = total tokens). Pairs under
+    ``min_count`` are cut (PMI is notoriously unstable on rare counts).
+
+    Output: (prev, token, n_pair, pmi) for every surviving pair, pmi
+    rounded to 6dp. The two corpus totals are single-row aggregates
+    (bounded driver state, the audited-collect convention); counts are
+    exact integers so the probability ratios are bit-reproducible in
+    any IEEE engine evaluating the same division shape:
+    (n2/M) / ((n_a/N) · (n_b/N)).
+
+    ``pairs``: optional precomputed
+    :func:`~collection_templates_spark.functions.langmodel.bigram_pair_stream`
+    — the perplexity family shares the identical stream, so callers
+    holding its memo pass it in and this costs ONE vocab²-bounded
+    aggregate, no corpus re-explode.
+
+    Scale: unigram and bigram counts are map-side-combined groupBys
+    (vocab- / vocab²-bounded); the final join joins the bigram table to
+    the (small, broadcast) unigram table twice. No window, no
+    all-pairs anything.
+    """
+    from collection_templates_spark.functions.langmodel import (
+        bigram_pair_stream,
+    )
+
+    if pairs is None:
+        pairs = bigram_pair_stream(docs, text_col=text_col)
+    totals = pairs.agg(
+        F.count(F.lit(1)).alias("n_tok"), F.count("prev").alias("n_pair")
+    ).collect()[0]
+    n_tok = float(totals["n_tok"])
+    n_pair = float(totals["n_pair"])
+    uni = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("n1"))
+    bi = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .filter(F.col("n2") >= min_count)
+    )
+    ua = F.broadcast(
+        uni.select(F.col("token").alias("prev"), F.col("n1").alias("n_a"))
+    )
+    ub = F.broadcast(
+        uni.select(F.col("token").alias("token"), F.col("n1").alias("n_b"))
+    )
+    p_pair = F.col("n2").cast("double") / F.lit(n_pair)
+    p_a = F.col("n_a").cast("double") / F.lit(n_tok)
+    p_b = F.col("n_b").cast("double") / F.lit(n_tok)
+    return (
+        bi.join(ua, "prev")
+        .join(ub, "token")
+        .select(
+            "prev",
+            "token",
+            F.col("n2").cast("long").alias("n_pair"),
+            F.round(F.log(p_pair / (p_a * p_b)), 6).alias("pmi"),
+        )
+    )

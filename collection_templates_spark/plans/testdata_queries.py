@@ -2904,6 +2904,102 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_js_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/drift.js_divergence): the
+    per-event-type value distribution of the first half of January vs
+    the second, 16 equi-width bins over the pinned [0, 500] domain,
+    Jensen–Shannon divergence per type. One map-side-combined binning
+    aggregate; the divergence arithmetic runs on the 16×2-row-per-type
+    histogram frame."""
+    from collection_templates_spark.operators.drift import js_divergence
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit("early")
+    ).otherwise(F.lit("late"))
+    return js_divergence(
+        ev,
+        group_col="event_type",
+        value_col="value",
+        split=split,
+        split_a="early",
+        split_b="late",
+        n_bins=16,
+        lo=0.0,
+        hi=500.0,
+    )
+
+
+def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization audit (operators/stats.winsorize_stats):
+    l_extendedprice clipped at the per-returnflag 5th/95th exact
+    percentiles; cut values 6dp-rounded BEFORE any comparison so the
+    (n−1)·q interpolation can never flip a row's classification
+    between engines. Exact percentile = the oracle-checkable semantics
+    of the approx_percentile 100 TB pass."""
+    from collection_templates_spark.operators.stats import winsorize_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return winsorize_stats(
+        li, "l_returnflag", "l_extendedprice", p_lo=0.05, p_hi=0.95
+    )
+
+
+def text_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token PMI collocations (text_analysis.token_pmi) over
+    the documents corpus, pairs under 5 occurrences cut. Rides the
+    memoized perplexity pair stream (_perplexity_pairs_for) — one
+    vocab²-bounded aggregate, no corpus re-explode."""
+    from collection_templates_spark.operators.text_analysis import (
+        token_pmi,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_pmi(
+        docs, min_count=5, pairs=_perplexity_pairs_for(spark, sf_dir)
+    )
+
+
+def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands state history (temporal.state_islands): each
+    user's event_type stream collapsed into consecutive-run validity
+    intervals (the SCD2 build step). One shuffle — lag, running sum,
+    island aggregate and lead all partition by user."""
+    from collection_templates_spark.operators.temporal import state_islands
+
+    ev = _t(spark, sf_dir, "events")
+    return state_islands(
+        ev,
+        key_col="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        order_cols=("ts", "event_id"),
+    )
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join equivalence under the external oracle
+    (operators/skew.salted_join, previously pytest-only): orders ⋈
+    customer with the dim side replicated 8× and the fact side
+    deterministically salted on o_orderkey, aggregated per market
+    segment. The salt changes the shuffle key, never the result — the
+    oracle is the PLAIN join."""
+    from collection_templates_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(
+        orders, cust, key="o_custkey", salt_factor=8,
+        salt_source="o_orderkey",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2918,6 +3014,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rounds 7-8, then the 50 rows the driver re-verified in round 9
     # (the freshest external signal). All 112 pass the identical local
     # oracle (tools/check.py) every round.
+    "drift_js_events": drift_js_events,
+    "stats_winsorize": stats_winsorize,
+    "text_token_pmi": text_token_pmi,
+    "events_state_islands": events_state_islands,
+    "join_salted_skew": join_salted_skew,
     "layout_zorder_stats": layout_zorder_stats,
     "temporal_gap_fill": temporal_gap_fill,
     "events_trailing_zscore": events_trailing_zscore,
@@ -6566,4 +6667,168 @@ ORACLE_SQL["corpus_cross_source_overlap"] = """
     FROM shared
     JOIN sizes sa ON sa.src = src_a
     JOIN sizes sb ON sb.src = src_b
+"""
+
+
+# drift_js_events oracle: identical clamped equi-width binning (width
+# 500/16 = 31.25 exact in binary), exact count-ratio probabilities,
+# per-bin JS contributions rounded to 9dp before the sum (the
+# perplexity-family convention), total to 6dp. All float literals CAST
+# to DOUBLE (DuckDB bare decimals are DECIMAL).
+def _js_drift_oracle_sql(n_bins: int = 16, lo: float = 0.0, hi: float = 500.0) -> str:
+    width = (hi - lo) / n_bins
+    return f"""
+        WITH binned AS (
+            SELECT event_type AS grp,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 'early' ELSE 'late' END AS split,
+                   CAST(greatest(0, least({n_bins - 1},
+                       floor((CAST(value AS DOUBLE) - CAST({lo!r} AS DOUBLE))
+                             / CAST({width!r} AS DOUBLE)))) AS INT) AS bin
+            FROM events WHERE value IS NOT NULL
+        ), hist AS (
+            SELECT grp, split, bin, count(*) AS n
+            FROM binned GROUP BY 1, 2, 3
+        ), tot AS (
+            SELECT grp, split, sum(n) AS tot FROM hist GROUP BY 1, 2
+        ), h AS (
+            SELECT hist.grp, hist.split, hist.bin,
+                   CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS pr, tot
+            FROM hist JOIN tot USING (grp, split)
+        ), a AS (
+            SELECT grp, bin, pr AS p, tot AS n_a FROM h WHERE split = 'early'
+        ), b AS (
+            SELECT grp, bin, pr AS q, tot AS n_b FROM h WHERE split = 'late'
+        ), j AS (
+            SELECT coalesce(a.grp, b.grp) AS grp,
+                   coalesce(p, CAST(0 AS DOUBLE)) AS p,
+                   coalesce(q, CAST(0 AS DOUBLE)) AS q,
+                   n_a, n_b
+            FROM a FULL OUTER JOIN b
+              ON a.grp = b.grp AND a.bin = b.bin
+        ), t AS (
+            SELECT grp, n_a, n_b,
+                   round(CAST(0.5 AS DOUBLE)
+                         * (CASE WHEN p > 0 THEN p * ln(p / ((p + q)
+                              / CAST(2.0 AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END)
+                       + CAST(0.5 AS DOUBLE)
+                         * (CASE WHEN q > 0 THEN q * ln(q / ((p + q)
+                              / CAST(2.0 AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END),
+                       9) AS c
+            FROM j
+        )
+        SELECT grp, CAST(max(n_a) AS BIGINT) AS n_a,
+               CAST(max(n_b) AS BIGINT) AS n_b,
+               round(sum(c), 6) AS js_divergence
+        FROM t GROUP BY grp
+        HAVING max(n_a) IS NOT NULL AND max(n_b) IS NOT NULL
+    """
+
+
+ORACLE_SQL["drift_js_events"] = _js_drift_oracle_sql()
+
+# stats_winsorize oracle: quantile_cont ≡ Spark percentile ((n−1)·q
+# interpolation — the sketch_quantile_errors-pinned convention), cuts
+# rounded to 6dp BEFORE the clamp/classification.
+ORACLE_SQL["stats_winsorize"] = """
+    WITH cuts AS (
+        SELECT l_returnflag AS grp,
+               round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                   CAST(0.05 AS DOUBLE)), 6) AS cut_lo,
+               round(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                   CAST(0.95 AS DOUBLE)), 6) AS cut_hi
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT l.l_returnflag AS grp,
+           min(c.cut_lo) AS cut_lo,
+           min(c.cut_hi) AS cut_hi,
+           CAST(sum(CASE WHEN l.l_extendedprice < c.cut_lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN l.l_extendedprice > c.cut_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           round(avg(CAST(l.l_extendedprice AS DOUBLE)), 4) AS mean_raw,
+           round(avg(least(greatest(CAST(l.l_extendedprice AS DOUBLE),
+                                    c.cut_lo), c.cut_hi)), 4)
+               AS mean_winsorized
+    FROM lineitem l JOIN cuts c ON c.grp = l.l_returnflag
+    WHERE l.l_extendedprice IS NOT NULL
+    GROUP BY 1
+"""
+
+# text_token_pmi oracle: the perplexity-family tokenization CTE, exact
+# integer-count probabilities, the identical division shape
+# (n2/M) / ((n_a/N) * (n_b/N)).
+ORACLE_SQL["text_token_pmi"] = """
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9'']+'), x -> x <> '') AS t
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, t[i.i] AS token,
+               CASE WHEN i.i > 1 THEN t[i.i - 1] END AS prev
+        FROM arrs, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i
+        WHERE len(t) > 0
+    ), uni AS (
+        SELECT token, count(*) AS n1 FROM tok GROUP BY token
+    ), tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_tok,
+               CAST(count(prev) AS DOUBLE) AS n_pair
+        FROM tok
+    ), bi AS (
+        SELECT prev, token, count(*) AS n2 FROM tok
+        WHERE prev IS NOT NULL GROUP BY prev, token
+        HAVING count(*) >= 5
+    )
+    SELECT bi.prev, bi.token, CAST(bi.n2 AS BIGINT) AS n_pair,
+           round(ln((CAST(bi.n2 AS DOUBLE) / tot.n_pair)
+                    / ((CAST(ua.n1 AS DOUBLE) / tot.n_tok)
+                       * (CAST(ub.n1 AS DOUBLE) / tot.n_tok))), 6) AS pmi
+    FROM bi
+    CROSS JOIN tot
+    JOIN uni ua ON ua.token = bi.prev
+    JOIN uni ub ON ub.token = bi.token
+"""
+
+# events_state_islands oracle: identical lag-change flag + running-sum
+# island id over the unique (ts, event_id) order, then the per-island
+# aggregate and the lead() to close each interval.
+ORACLE_SQL["events_state_islands"] = """
+    WITH base AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+        SELECT user_id, event_type, ts,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM base
+    ), g AS (
+        SELECT user_id, island,
+               min(event_type) AS state,
+               min(ts) AS valid_from,
+               max(ts) AS last_seen,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+               AS valid_to,
+           last_seen, n_events
+    FROM g
+"""
+
+# join_salted_skew oracle: the salt changes the physical shuffle key
+# only — the oracle is the plain join + aggregate.
+ORACLE_SQL["join_salted_skew"] = """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
 """

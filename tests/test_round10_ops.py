@@ -330,3 +330,174 @@ def test_delta_pipeline_append_is_idempotent(spark):
     n2 = spark.read.parquet(f"{path}/bands").count()
     assert r1 == r2
     assert n1 == n2
+
+
+# ---------------------------------------------------------------------------
+# drift: binned histograms + JS divergence
+# ---------------------------------------------------------------------------
+
+
+def test_binned_counts_edges_and_clamp(spark):
+    from collection_templates_spark.operators.drift import binned_counts
+
+    df = spark.createDataFrame(
+        [("g", 4.0), ("g", 3.9999), ("g", -5.0), ("g", 99.0), ("g", 0.0)],
+        "grp string, v double",
+    )
+    out = {
+        r.bin: r.n
+        for r in binned_counts(
+            df, "grp", "v", F.lit("s"), n_bins=5, lo=0.0, hi=10.0
+        ).collect()
+    }
+    # width 2: 4.0 → bin 2, 3.9999 → bin 1, -5 clamps to 0, 99 to 4
+    assert out == {2: 1, 1: 1, 0: 2, 4: 1}
+
+
+def test_js_divergence_identical_zero_disjoint_ln2(spark):
+    from collection_templates_spark.operators.drift import js_divergence
+
+    rows = [("g", "a", float(v)) for v in (1, 5, 9)] + [
+        ("g", "b", float(v)) for v in (1, 5, 9)
+    ]
+    rows += [("h", "a", 1.0), ("h", "b", 9.0)]  # disjoint bins
+    rows += [("only_a", "a", 1.0)]  # missing side b → omitted
+    df = spark.createDataFrame(rows, "grp string, split string, v double")
+    out = {
+        r.grp: (r.n_a, r.n_b, r.js_divergence)
+        for r in js_divergence(
+            df, "grp", "v", F.col("split"), "a", "b",
+            n_bins=10, lo=0.0, hi=10.0,
+        ).collect()
+    }
+    assert out["g"] == (3, 3, 0.0)
+    assert out["h"] == (1, 1, round(math.log(2.0), 6))
+    assert "only_a" not in out
+
+
+def test_js_divergence_hand_computed(spark):
+    from collection_templates_spark.operators.drift import js_divergence
+
+    # split a: bins {0: p=.5, 1: p=.5}; split b: bin {0: q=1}
+    df = spark.createDataFrame(
+        [("g", "a", 0.5), ("g", "a", 1.5), ("g", "b", 0.5)],
+        "grp string, split string, v double",
+    )
+    (row,) = js_divergence(
+        df, "grp", "v", F.col("split"), "a", "b", n_bins=2, lo=0.0, hi=2.0
+    ).collect()
+    tp = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    tq = 1.0 * math.log(1.0 / 0.75)
+    expected = round(round(0.5 * (0.5 * math.log(0.5 / 0.75))
+                           + 0.5 * (1.0 * math.log(1.0 / 0.75)), 9)
+                     + round(0.5 * (0.5 * math.log(0.5 / 0.25)), 9), 6)
+    assert row.js_divergence == expected
+    # and the unrounded value agrees to 6dp with the analytic JS
+    assert abs(row.js_divergence - (0.5 * tp + 0.5 * tq)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# winsorize_stats
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_stats_hand_computed(spark):
+    from collection_templates_spark.operators.stats import winsorize_stats
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4, 100)]
+        + [("h", float(v)) for v in (10, 20, 30)],
+        "grp string, v double",
+    )
+    out = {
+        r.grp: r
+        for r in winsorize_stats(df, "grp", "v", 0.25, 0.75).collect()
+    }
+    g = out["g"]  # (n-1)q: cut_lo idx 1 → 2.0, cut_hi idx 3 → 4.0
+    assert (g.cut_lo, g.cut_hi) == (2.0, 4.0)
+    assert (g.n_below, g.n_above) == (1, 1)
+    assert (g.mean_raw, g.mean_winsorized) == (22.0, 3.0)
+    h = out["h"]  # idx 0.5 → 15.0, idx 1.5 → 25.0
+    assert (h.cut_lo, h.cut_hi) == (15.0, 25.0)
+    assert (h.n_below, h.n_above) == (1, 1)
+    assert (h.mean_raw, h.mean_winsorized) == (20.0, 20.0)
+
+
+# ---------------------------------------------------------------------------
+# token_pmi
+# ---------------------------------------------------------------------------
+
+
+def test_token_pmi_hand_computed(spark):
+    from collection_templates_spark.operators.text_analysis import token_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = token_pmi(docs, min_count=2).collect()
+    # N=6 tokens (a:3 b:2 c:1), M=4 adjacent pairs; only (a,b) has n2>=2
+    assert len(out) == 1
+    r = out[0]
+    assert (r.prev, r.token, r.n_pair) == ("a", "b", 2)
+    assert r.pmi == round(math.log((2 / 4) / ((3 / 6) * (2 / 6))), 6)
+
+
+def test_token_pmi_min_count_cuts_rare_pairs(spark):
+    from collection_templates_spark.operators.text_analysis import token_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "x y z")], "doc_id long, text string"
+    )
+    assert token_pmi(docs, min_count=2).collect() == []
+    assert len(token_pmi(docs, min_count=1).collect()) == 2
+
+
+# ---------------------------------------------------------------------------
+# state_islands (gaps-and-islands / SCD2 build)
+# ---------------------------------------------------------------------------
+
+
+def test_state_islands_runs_and_intervals(spark):
+    from collection_templates_spark.operators.temporal import state_islands
+
+    t = datetime.datetime
+    ev = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1), "A", 1),
+            (1, t(2024, 1, 2), "A", 2),
+            (1, t(2024, 1, 3), "B", 3),
+            (1, t(2024, 1, 4), "A", 4),
+            (2, t(2024, 1, 1), "X", 5),
+        ],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    out = {
+        (r.user_id, r.island): (
+            r.state,
+            r.valid_from,
+            r.valid_to,
+            r.last_seen,
+            r.n_events,
+        )
+        for r in state_islands(ev).collect()
+    }
+    assert out[(1, 1)] == (
+        "A", t(2024, 1, 1), t(2024, 1, 3), t(2024, 1, 2), 2
+    )
+    assert out[(1, 2)] == ("B", t(2024, 1, 3), t(2024, 1, 4), t(2024, 1, 3), 1)
+    assert out[(1, 3)] == ("A", t(2024, 1, 4), None, t(2024, 1, 4), 1)
+    assert out[(2, 1)] == ("X", t(2024, 1, 1), None, t(2024, 1, 1), 1)
+    assert len(out) == 4
+
+
+def test_state_islands_tie_broken_by_event_id(spark):
+    from collection_templates_spark.operators.temporal import state_islands
+
+    t = datetime.datetime
+    # same ts: event_id orders B(6) after A(5) → two islands, A first
+    ev = spark.createDataFrame(
+        [(1, t(2024, 1, 1), "A", 5), (1, t(2024, 1, 1), "B", 6)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    out = {r.island: r.state for r in state_islands(ev).collect()}
+    assert out == {1: "A", 2: "B"}
