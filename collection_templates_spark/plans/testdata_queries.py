@@ -2977,6 +2977,20 @@ def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (temporal.window_funnel — ClickHouse
+    windowFunnel semantics): view → click → purchase strictly ordered
+    within 7 days of each user's first view; per-stage user counts and
+    conversion vs stage 1. k−1 user-keyed joins, no event-stream
+    window."""
+    from collection_templates_spark.operators.temporal import window_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return window_funnel(
+        ev, steps=("view", "click", "purchase"), window_days=7
+    )
+
+
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted-join equivalence under the external oracle
     (operators/skew.salted_join, previously pytest-only): orders ⋈
@@ -3018,6 +3032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_winsorize": stats_winsorize,
     "text_token_pmi": text_token_pmi,
     "events_state_islands": events_state_islands,
+    "events_window_funnel": events_window_funnel,
     "join_salted_skew": join_salted_skew,
     "layout_zorder_stats": layout_zorder_stats,
     "temporal_gap_fill": temporal_gap_fill,
@@ -6831,4 +6846,38 @@ ORACLE_SQL["join_salted_skew"] = """
            round(sum(o.o_totalprice), 2) AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
+"""
+
+
+# events_window_funnel oracle: the identical sequential min-aggregate
+# chain — strict ordering (ts > previous stage), 7-day window anchored
+# at each user's first stage-1 event, earliest qualifying event per
+# stage.
+ORACLE_SQL["events_window_funnel"] = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+          AND e.ts <= v.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          AND e.ts <= c.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ), counts AS (
+        SELECT 1 AS stage_idx, 'view' AS stage,
+               (SELECT count(*) FROM v) AS n
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    )
+    SELECT stage_idx, stage, CAST(n AS BIGINT) AS n_users,
+           round(CAST(n AS DOUBLE)
+                 / CAST((SELECT count(*) FROM v) AS DOUBLE), 6)
+               AS conversion
+    FROM counts
 """

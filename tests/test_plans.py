@@ -241,3 +241,41 @@ def test_round6_extension_plans(spark):
     p = _plan(spark, "text_perplexity_bigram")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_round10_extension_plans(spark):
+    """Plan shapes for the round-10 operators."""
+    # zorder layout: one map + map-side-combined aggregates per layout;
+    # no sort, no window, no join anywhere
+    p = _plan(spark, "layout_zorder_stats")
+    assert "Window" not in p and "Join" not in p, p
+    # gap_fill: the sequence explode runs on the tiny per-key span
+    # table AFTER the reduce — the full event stream is never exploded
+    assert "Generate" in _plan(spark, "temporal_gap_fill")
+    # trailing z-score: exactly ONE exchange (the event_type window)
+    p = _plan(spark, "events_trailing_zscore")
+    assert p.count("Exchange") <= 2, p  # hash partitioning (+AQE read)
+    assert "Join" not in p, p
+    # winsorize: the per-group cut table broadcasts back, never a SMJ
+    p = _plan(spark, "stats_winsorize")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    # JS drift: histogram aggregates partial-combine; the per-bin
+    # a/b join is an equi-join on (grp, bin), never cartesian
+    p = _plan(spark, "drift_js_events")
+    assert "CartesianProduct" not in p, p
+    # PMI: both unigram lookups broadcast into the bigram table
+    p = _plan(spark, "text_token_pmi")
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p, p
+    # state islands: lag, running sum, island agg and lead all ride
+    # the user partitioning — no join, no cartesian
+    p = _plan(spark, "events_state_islands")
+    assert "Join" not in p, p
+    # window funnel: user-keyed equi-joins only; the k-row summary's
+    # conversion window is the only Window node
+    p = _plan(spark, "events_window_funnel")
+    assert "CartesianProduct" not in p, p
+    # salted join: the join key is (key, salt) — a real equi-join; the
+    # dim replication is an explode, not a cartesian
+    p = _plan(spark, "join_salted_skew")
+    assert "CartesianProduct" not in p, p
+    assert "Generate" in p, p  # the salt explode on the dim side

@@ -501,3 +501,66 @@ def test_state_islands_tie_broken_by_event_id(spark):
     )
     out = {r.island: r.state for r in state_islands(ev).collect()}
     assert out == {1: "A", 2: "B"}
+
+
+# ---------------------------------------------------------------------------
+# window_funnel
+# ---------------------------------------------------------------------------
+
+
+def test_window_funnel_ordering_window_and_strictness(spark):
+    from collection_templates_spark.operators.temporal import window_funnel
+
+    t = datetime.datetime
+    rows = [
+        # user 1: full chain within window
+        (1, t(2024, 1, 1), "view"), (1, t(2024, 1, 2), "click"),
+        (1, t(2024, 1, 3), "purchase"),
+        # user 2: purchase without click → depth 1
+        (2, t(2024, 1, 1), "view"), (2, t(2024, 1, 2), "purchase"),
+        # user 3: click BEFORE first view doesn't count; later one does
+        (3, t(2024, 1, 1), "click"), (3, t(2024, 1, 2), "view"),
+        (3, t(2024, 1, 3), "click"),
+        # user 4: click outside the 7-day window of the first view
+        (4, t(2024, 1, 1), "view"), (4, t(2024, 1, 10), "click"),
+        # user 5: never enters the funnel
+        (5, t(2024, 1, 1), "purchase"),
+        # user 6: same-ts click is NOT strictly after the view
+        (6, t(2024, 1, 1), "view"), (6, t(2024, 1, 1), "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, s, i) for i, (u, ts, s) in enumerate(rows)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    out = {
+        r.stage_idx: (r.stage, r.n_users, r.conversion)
+        for r in window_funnel(
+            ev, steps=("view", "click", "purchase"), window_days=7
+        ).collect()
+    }
+    assert out[1] == ("view", 5, 1.0)       # users 1,2,3,4,6
+    assert out[2] == ("click", 2, 0.4)      # users 1,3
+    assert out[3] == ("purchase", 1, 0.2)   # user 1
+
+
+def test_window_funnel_anchored_at_first_step(spark):
+    from collection_templates_spark.operators.temporal import window_funnel
+
+    t = datetime.datetime
+    # click within 2 days of ITS predecessor but outside the window of
+    # the stage-1 anchor → rejected (anchored semantics, not sliding)
+    ev = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1), "view", 1),
+            (1, t(2024, 1, 6), "click", 2),
+            (1, t(2024, 1, 9), "purchase", 3),  # day 9 > day 1 + 7
+        ],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    out = {
+        r.stage_idx: r.n_users
+        for r in window_funnel(
+            ev, steps=("view", "click", "purchase"), window_days=7
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 0}
