@@ -57,6 +57,9 @@ def main() -> None:
             runs = int(args[i + 1]); i += 2
         elif args[i] == "--ratio":
             ratio = float(args[i + 1]); i += 2
+        elif args[i] == "--queries":
+            # override the HEAVY list: comma-separated bank keys
+            HEAVY[:] = args[i + 1].split(","); i += 2
         else:
             dirs.append(args[i]); i += 1
     if not dirs:
