@@ -132,6 +132,26 @@ def _centroid_assign_udf(centroids: "np.ndarray"):
     return assign
 
 
+def make_probe_udf(centroids: "np.ndarray", n_probe: int):
+    """vec → its ``n_probe`` nearest cluster ids by ROUNDED cosine.
+    Stable sort on the negated rounded cosines: equal sims keep index
+    order, i.e. ties break to the lowest cluster id — the same
+    (sim DESC, cluster ASC) total order the oracle replays. Shared by
+    ``ivf_cosine_topk`` and the persisted-index probe
+    (operators/incremental_ann)."""
+    cents = centroids.copy()
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        order = np.argsort(
+            -_rounded_cosines(m, cents), axis=1, kind="stable"
+        )[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probe_udf
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_clusters: int = 16,
@@ -208,18 +228,7 @@ def ivf_cosine_topk(
         assign(F.col(vec_col)).alias("cluster"),
     )
 
-    cents = centroids.copy()
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def probe_udf(vecs: pd.Series) -> pd.Series:
-        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        # stable sort on the NEGATED rounded cosines: equal sims keep
-        # index order, i.e. ties break to the lowest cluster id — the
-        # same (sim DESC, cluster ASC) total order the oracle replays
-        order = np.argsort(-_rounded_cosines(m, cents), axis=1, kind="stable")[
-            :, :n_probe
-        ]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+    probe_udf = make_probe_udf(centroids, n_probe)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

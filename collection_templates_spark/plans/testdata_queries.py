@@ -2977,6 +2977,56 @@ def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_INDEX_MEMO: dict = {}
+
+
+def _ann_index_probe_for(spark: SparkSession, sf_dir: str):
+    """Shared persisted-IVF-index build + batch probe (even vec_ids
+    indexed, odd vec_ids < 16 arriving as the batch) — the vector-side
+    sibling of _incremental_probe_for, same memo reasoning (the fill
+    bills to the first consumer; keyed by content fingerprint +
+    applicationId)."""
+    from collection_templates_spark.operators.incremental_ann import (
+        ann_batch_against_index,
+        build_ivf_index,
+        scratch_ann_index_path,
+    )
+
+    key = (
+        sf_dir,
+        _embeddings_fingerprint(sf_dir),
+        spark.sparkContext.applicationId,
+    )
+    if key not in _ANN_INDEX_MEMO:
+        emb = _t(spark, sf_dir, "embeddings")
+        history = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 16)
+        )
+        path = scratch_ann_index_path()
+        build_ivf_index(history, path)
+        topk = ann_batch_against_index(
+            spark, path, batch
+        ).localCheckpoint(eager=True)
+        _ANN_INDEX_MEMO[key] = (path, topk)
+    return _ANN_INDEX_MEMO[key]
+
+
+def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN against a persisted IVF index
+    (operators/incremental_ann — the vector-side sibling of
+    dedup_incremental): the even half of the embeddings corpus is
+    indexed ONCE (coarse quantizer + cluster-partitioned lists written
+    to a scratch path), then an odd-id batch probes it — probe IO is
+    the probed partitions only (dynamic partition pruning, pinned by a
+    plan test), cost O(batch + probed lists). Deterministic end to end
+    (6dp trainer/probe/ranking convention), so the DuckDB oracle
+    replays the whole chain with the corpus/query split applied to the
+    shared IVF CTEs; equivalence to the direct ivf_cosine_topk run is
+    pinned by tests/test_incremental_ann.py."""
+    return _ann_index_probe_for(spark, sf_dir)[1]
+
+
 def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (temporal.window_funnel — ClickHouse
     windowFunnel semantics): view → click → purchase strictly ordered
@@ -3028,6 +3078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rounds 7-8, then the 50 rows the driver re-verified in round 9
     # (the freshest external signal). All 112 pass the identical local
     # oracle (tools/check.py) every round.
+    "ann_incremental_topk": ann_incremental_topk,
     "drift_js_events": drift_js_events,
     "stats_winsorize": stats_winsorize,
     "text_token_pmi": text_token_pmi,
@@ -3164,7 +3215,7 @@ def memo_backed_queries() -> list[str]:
         r"_memo_df|_brute_topk_for|_lsh_topk_for|_ivf_topk_for|_pq_"
         r"|_respq_|_ivfpq_|_ivf_centroids_for|_perplexity_pairs_for"
         r"|_bigram_counts_for|_unigram_model_for|_incremental_probe_for"
-        r"|_lsh_cc_for"
+        r"|_lsh_cc_for|_ann_index_probe_for"
     )
     return sorted(
         name
@@ -3917,9 +3968,17 @@ def _ivf_common_ctes(
     n_probe: int = 4,
     k: int = 5,
     dim: int = 64,
+    corpus_pred: str = "TRUE",
+    query_pred: str = "vec_id < 8",
 ) -> str:
+    # corpus_pred restricts the indexed corpus (trainer init + lists);
+    # query_pred selects the probing vectors — by default the classic
+    # in-corpus 8 queries, for the incremental row a DISJOINT batch
     ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+        f" WHERE {corpus_pred})",
+        "eq AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+        f" WHERE {query_pred})",
         f"""c0 AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                        AS cluster,
@@ -3969,8 +4028,7 @@ def _ivf_common_ctes(
                 SELECT e.vec_id, c.cluster,
                        row_number() OVER (PARTITION BY e.vec_id
                            ORDER BY {rcos} DESC, c.cluster ASC) AS rn
-                FROM e CROSS JOIN {cf} c
-                WHERE e.vec_id < 8)
+                FROM eq e CROSS JOIN {cf} c)
             WHERE rn <= {n_probe})"""
     )
     ctes.append(
@@ -3986,7 +4044,7 @@ def _ivf_common_ctes(
                     FROM probe p
                     JOIN af a ON a.cluster = p.cluster
                              AND a.vec_id <> p.qid
-                    JOIN e q ON q.vec_id = p.qid
+                    JOIN eq q ON q.vec_id = p.qid
                     JOIN e n ON n.vec_id = a.vec_id) s)
             WHERE rnk <= {k})"""
     )
@@ -6880,4 +6938,18 @@ ORACLE_SQL["events_window_funnel"] = """
                  / CAST((SELECT count(*) FROM v) AS DOUBLE), 6)
                AS conversion
     FROM counts
+"""
+
+
+# ann_incremental_topk oracle: the shared IVF CTE chain with the
+# corpus/query split applied — trainer init = 16 lowest EVEN ids,
+# lists = even half, probes = the odd-id batch (disjoint from the
+# index, so the self-exclusion guard is vacuous but kept).
+ORACLE_SQL["ann_incremental_topk"] = f"""
+    WITH {_ivf_common_ctes(
+        corpus_pred="vec_id % 2 = 0",
+        query_pred="vec_id % 2 = 1 AND vec_id < 16",
+    )}
+    SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank, sim
+    FROM ivf
 """
