@@ -301,6 +301,105 @@ def bloom_filter_fpr(
     )
 
 
+def _hll_estimate(
+    regs: DataFrame, m: int, rank_bits: int, alpha: float
+) -> tuple[DataFrame, "F.Column"]:
+    """(one-row register aggregate, estimate Column over it) — the HLL
+    estimator split out so the union/merge surface shares the exact
+    arithmetic with ``hll_cardinality`` (formula documented there)."""
+    rmax = rank_bits + 1
+    agg = regs.agg(
+        F.count("*").alias("___nonzero"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(rmax) - F.col("mx")).cast("double"))
+            .cast("long")
+        ).alias("___num"),
+    )
+    denom = (
+        F.col("___num").cast("double") / F.lit(float(2**rmax))
+        + (F.lit(m) - F.col("___nonzero")).cast("double")  # empty regs: 2^0
+    )
+    raw_e = F.lit(alpha * m * m) / denom
+    v = F.lit(m) - F.col("___nonzero")
+    est = F.round(
+        F.when(
+            (raw_e <= 2.5 * m) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+        ).otherwise(raw_e),
+        4,
+    )
+    return agg, est
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge HLL register tables by per-bucket max — the associative /
+    commutative / idempotent combine that makes the sketch distributed:
+    shards (or micro-batches, or days) sketch independently and the
+    union's registers are the element-wise max, with NO access to the
+    original streams. Input/output schema: (bucket, mx)."""
+    merged = registers[0]
+    for r in registers[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy("bucket").agg(F.max("mx").alias("mx"))
+
+
+def hll_union_cardinality(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    m: int = HLL_M,
+    rank_bits: int = HLL_RANK_BITS,
+    alpha: float = HLL_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The mergeability property SURFACED, not assumed: register tables
+    built independently per split, max-merged, and the merged estimate
+    compared to (a) the exact distinct-token count of the union and
+    (b) the registers a single pass over the combined stream would
+    produce (``n_register_mismatch`` — 0 by the max-merge identity,
+    computed in both engines). One row:
+    (m, n_true, estimate, rel_err, n_register_mismatch)."""
+    ta = _analyzer_tokens(docs_a, id_col, text_col)
+    tb = _analyzer_tokens(docs_b, id_col, text_col)
+    merged = hll_merge(
+        hll_register_table(ta, m=m, rank_bits=rank_bits),
+        hll_register_table(tb, m=m, rank_bits=rank_bits),
+    )
+    direct = hll_register_table(
+        ta.unionByName(tb), m=m, rank_bits=rank_bits
+    )
+    mism = (
+        merged.withColumnRenamed("mx", "___ma")
+        .join(direct.withColumnRenamed("mx", "___md"), "bucket", "full_outer")
+        .filter(
+            (F.col("___ma") != F.col("___md"))
+            | F.col("___ma").isNull()
+            | F.col("___md").isNull()
+        )
+        .agg(F.count(F.lit(1)).alias("n_register_mismatch"))
+    )
+    n_true = (
+        ta.select("token")
+        .unionByName(tb.select("token"))
+        .distinct()
+        .agg(F.count("*").alias("n_true"))
+    )
+    agg, est = _hll_estimate(merged, m, rank_bits, alpha)
+    return (
+        agg.join(F.broadcast(n_true))
+        .join(F.broadcast(mism))
+        .select(
+            F.lit(m).alias("m"),
+            "n_true",
+            est.alias("estimate"),
+            F.round(
+                F.abs(est - F.col("n_true")) / F.col("n_true"), 4
+            ).alias("rel_err"),
+            "n_register_mismatch",
+        )
+    )
+
+
 def hll_register_table(
     toks: DataFrame, m: int = HLL_M, rank_bits: int = HLL_RANK_BITS
 ) -> DataFrame:
@@ -363,29 +462,9 @@ def hll_cardinality(
     estimator lands within ±16 % at m=64 (theory: σ = 1.04/√m ≈ 13 %)."""
     toks = _analyzer_tokens(docs, id_col, text_col)
     regs = hll_register_table(toks, m=m, rank_bits=rank_bits)
-    rmax = rank_bits + 1
-    agg = regs.agg(
-        F.count("*").alias("___nonzero"),
-        F.sum(
-            F.pow(F.lit(2.0), (F.lit(rmax) - F.col("mx")).cast("double"))
-            .cast("long")
-        ).alias("___num"),
-    )
+    agg, est = _hll_estimate(regs, m, rank_bits, alpha)
     n_true = toks.select("token").distinct().agg(
         F.count("*").alias("n_true")
-    )
-    denom = (
-        F.col("___num").cast("double") / F.lit(float(2**rmax))
-        + (F.lit(m) - F.col("___nonzero")).cast("double")  # empty regs: 2^0
-    )
-    raw_e = F.lit(alpha * m * m) / denom
-    v = F.lit(m) - F.col("___nonzero")
-    est = F.round(
-        F.when(
-            (raw_e <= 2.5 * m) & (v > 0),
-            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
-        ).otherwise(raw_e),
-        4,
     )
     return (
         agg.join(F.broadcast(n_true))

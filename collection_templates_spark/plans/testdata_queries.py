@@ -2977,6 +2977,25 @@ def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY under the external gate
+    (sketches.hll_union_cardinality): registers built independently per
+    corpus half, max-merged, the merged estimate graded against the
+    union's exact distinct count AND against the single-pass registers
+    (mismatch count — 0 by the max-merge identity, computed not
+    assumed). Mergeability is what makes the sketch distributed:
+    shards sketch alone, the combine is m rows."""
+    from collection_templates_spark.operators.sketches import (
+        hll_union_cardinality,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_union_cardinality(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 _ANN_INDEX_MEMO: dict = {}
 
 
@@ -3079,6 +3098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (the freshest external signal). All 112 pass the identical local
     # oracle (tools/check.py) every round.
     "ann_incremental_topk": ann_incremental_topk,
+    "sketch_hll_union": sketch_hll_union,
     "drift_js_events": drift_js_events,
     "stats_winsorize": stats_winsorize,
     "text_token_pmi": text_token_pmi,
@@ -6953,3 +6973,84 @@ ORACLE_SQL["ann_incremental_topk"] = f"""
     SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank, sim
     FROM ivf
 """
+
+
+# sketch_hll_union oracle: the per-half register chains (same hashing /
+# mixer / rank scheme as sketch_hll_cardinality), the per-bucket max
+# merge, the estimator over the merged registers, and the
+# merged-vs-single-pass register comparison.
+def _hll_union_oracle_sql() -> str:
+    from collection_templates_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_RANK_BITS,
+    )
+
+    m, rb = HLL_M, HLL_RANK_BITS
+    rmax = rb + 1
+    amm = repr(HLL_ALPHA * m * m)
+    return f"""
+        WITH tok AS (
+            SELECT doc_id % 2 AS half, t.token
+            FROM documents,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                     AS t(token)
+            WHERE t.token <> ''
+        ), hs AS (
+            SELECT DISTINCT half, {_poly_hash_sql('token', 31)} AS h1,
+                   {_poly_hash_sql('token', 37)} AS h2
+            FROM tok
+        ), gs AS (
+            SELECT half,
+                   ((h1 * h1 % 2147483647) * 48271 % 2147483647 + h2)
+                       % 2147483647 AS g1,
+                   ((h2 * h2 % 2147483647) * 48271 % 2147483647 + h1)
+                       % 2147483647 AS g2
+            FROM hs
+        ), rnk AS (
+            SELECT half, g1 % {m} AS bucket,
+                   CASE WHEN g2 > 0
+                        THEN least(length(bin(g2 & (-g2))), {rmax})
+                        ELSE {rmax} END AS r
+            FROM gs
+        ), regs AS (
+            SELECT half, bucket, max(r) AS mx FROM rnk GROUP BY 1, 2
+        ), merged AS (
+            SELECT bucket, max(mx) AS mx FROM regs GROUP BY bucket
+        ), direct AS (
+            SELECT bucket, max(r) AS mx FROM rnk GROUP BY bucket
+        ), mism AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_register_mismatch
+            FROM merged mm FULL OUTER JOIN direct d
+              ON mm.bucket = d.bucket
+            WHERE mm.mx <> d.mx OR mm.mx IS NULL OR d.mx IS NULL
+        ), agg AS (
+            SELECT count(*) AS nonzero,
+                   CAST(sum(CAST(pow(2.0, {rmax} - mx) AS BIGINT))
+                        AS BIGINT) AS num
+            FROM merged
+        ), nt AS (
+            SELECT count(DISTINCT token) AS n_true FROM tok
+        ), est AS (
+            SELECT nonzero, num, n_true,
+                   {amm} / (num / {float(2 ** rmax)!r}
+                            + ({m} - nonzero)) AS raw_e
+            FROM agg, nt
+        ), est2 AS (
+            SELECT n_true,
+                   round(CASE WHEN raw_e <= {2.5 * m!r}
+                                  AND ({m} - nonzero) > 0
+                              THEN {float(m)!r}
+                                   * ln({float(m)!r} / ({m} - nonzero))
+                              ELSE raw_e END, 4) AS estimate
+            FROM est
+        )
+        SELECT {m} AS m, n_true, estimate,
+               round(abs(estimate - n_true) / n_true, 4) AS rel_err,
+               (SELECT n_register_mismatch FROM mism)
+                   AS n_register_mismatch
+        FROM est2
+    """
+
+
+ORACLE_SQL["sketch_hll_union"] = _hll_union_oracle_sql()

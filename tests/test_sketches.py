@@ -266,3 +266,69 @@ def test_bloom_no_false_negatives_and_model_sane(spark):
     for i in range(200):
         tok = f"key{i}"
         assert {py_poly(tok, b) % m for b in BLOOM_BASES} <= bits, tok
+
+
+def test_hll_merge_equals_single_pass_registers(spark):
+    from collection_templates_spark.operators.sketches import (
+        _analyzer_tokens,
+        hll_merge,
+        hll_register_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} shared common") for i in range(30)],
+        "doc_id long, text string",
+    )
+    ta = _analyzer_tokens(docs.filter("doc_id % 2 = 0"), "doc_id", "text")
+    tb = _analyzer_tokens(docs.filter("doc_id % 2 = 1"), "doc_id", "text")
+    merged = {
+        r.bucket: r.mx
+        for r in hll_merge(
+            hll_register_table(ta), hll_register_table(tb)
+        ).collect()
+    }
+    direct = {
+        r.bucket: r.mx
+        for r in hll_register_table(ta.unionByName(tb)).collect()
+    }
+    assert merged == direct  # max-merge identity, element-wise
+
+
+def test_hll_union_cardinality_row(spark):
+    from collection_templates_spark.operators.sketches import (
+        hll_union_cardinality,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} shared common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    (row,) = hll_union_cardinality(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    ).collect()
+    assert row.n_register_mismatch == 0
+    assert row.n_true == 43  # tok0..tok40 + shared + common
+    assert row.rel_err < 0.35  # m=64 union estimate within tolerance
+
+
+def test_hll_merge_idempotent_and_commutative(spark):
+    from collection_templates_spark.operators.sketches import (
+        _analyzer_tokens,
+        hll_merge,
+        hll_register_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i * 7 % 11}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ra = hll_register_table(
+        _analyzer_tokens(docs.filter("doc_id < 10"), "doc_id", "text")
+    )
+    rb = hll_register_table(
+        _analyzer_tokens(docs.filter("doc_id >= 10"), "doc_id", "text")
+    )
+    ab = {(r.bucket, r.mx) for r in hll_merge(ra, rb).collect()}
+    ba = {(r.bucket, r.mx) for r in hll_merge(rb, ra).collect()}
+    aa = {(r.bucket, r.mx) for r in hll_merge(ra, ra, rb).collect()}
+    assert ab == ba == aa
