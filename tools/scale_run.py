@@ -79,6 +79,8 @@ def main() -> None:
             for _ in range(runs):
                 tq._TRAINER_MEMO.clear()
                 tq._INCR_INDEX_MEMO.clear()
+                tq._ANN_INDEX_MEMO.clear()
+                tq._DELTA_APPENDED.clear()
                 t0 = time.time()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 ts.append(round(time.time() - t0, 3))
