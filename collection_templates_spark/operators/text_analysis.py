@@ -402,3 +402,76 @@ def token_pmi(
             F.round(F.log(p_pair / (p_a * p_b)), 6).alias("pmi"),
         )
     )
+
+
+def script_mix(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document script composition — the multilingual-corpus audit
+    that catches mislabeled languages and code/markup contamination:
+    counts and fractions of Latin letters, CJK ideographs, digits,
+    whitespace and other codepoints, a deterministic dominant-script
+    pick, and a mixed-script flag (Latin AND CJK both present).
+
+    Classes are explicit CODEPOINT RANGES (digits 48-57, Latin 65-90 /
+    97-122, CJK U+4E00-U+9FFF, whitespace 9/10/13/32), not regex
+    ``\\p{...}`` classes — property-class semantics differ between
+    regex engines, codepoint arithmetic doesn't (Spark ``ascii`` and
+    DuckDB ``ascii`` both return the first codepoint). Dominance
+    resolves ties with a fixed priority (cjk > latin > digit > other);
+    whitespace never dominates.
+
+    Scale: one per-char explode feeding ONE map-side-combined per-doc
+    aggregate — scan-shaped, no join, no window; at 100 TB the explode
+    can be swapped for per-class ``regexp_count`` expressions if the
+    regex engine is trusted, this form is the oracle-replayable exact
+    semantics."""
+    cp = F.ascii(F.col("c"))
+    cls = (
+        F.when((cp >= 48) & (cp <= 57), "digit")
+        .when(((cp >= 65) & (cp <= 90)) | ((cp >= 97) & (cp <= 122)), "latin")
+        .when((cp >= 19968) & (cp <= 40959), "cjk")
+        .when(cp.isin(9, 10, 13, 32), "space")
+        .otherwise("other")
+    )
+    chars = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), "")).alias("c")
+    ).filter(F.col("c") != "")
+
+    def n(k: str) -> F.Column:
+        return F.sum((cls == k).cast("long")).alias(f"n_{k}")
+
+    agg = chars.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chars"),
+        n("latin"), n("cjk"), n("digit"), n("space"), n("other"),
+    )
+    dom = (
+        F.when(
+            (F.col("n_cjk") >= F.col("n_latin"))
+            & (F.col("n_cjk") >= F.col("n_digit"))
+            & (F.col("n_cjk") >= F.col("n_other")),
+            "cjk",
+        )
+        .when(
+            (F.col("n_latin") >= F.col("n_digit"))
+            & (F.col("n_latin") >= F.col("n_other")),
+            "latin",
+        )
+        .when(F.col("n_digit") >= F.col("n_other"), "digit")
+        .otherwise("other")
+    )
+    return agg.select(
+        id_col,
+        "n_chars",
+        "n_latin",
+        "n_cjk",
+        "n_digit",
+        "n_space",
+        "n_other",
+        F.round(F.col("n_latin") / F.col("n_chars"), 6).alias("frac_latin"),
+        F.round(F.col("n_cjk") / F.col("n_chars"), 6).alias("frac_cjk"),
+        dom.alias("dominant"),
+        ((F.col("n_latin") > 0) & (F.col("n_cjk") > 0))
+        .cast("int")
+        .alias("is_mixed"),
+    )

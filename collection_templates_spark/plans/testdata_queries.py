@@ -2983,6 +2983,52 @@ def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document script composition (text_analysis.script_mix):
+    codepoint-range counts/fractions of latin/cjk/digit/space/other,
+    deterministic dominant script, mixed-script flag — the
+    multilingual-corpus audit. One explode + one map-side-combined
+    per-doc aggregate."""
+    from collection_templates_spark.operators.text_analysis import (
+        script_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return script_mix(docs)
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event-type
+    stream: P(next | current) with counts, over the unique (ts,
+    event_id) order. The sequence-mining companion of the funnel/island
+    rows — one lag window (single shuffle) + one pair aggregate;
+    output is |types|² rows regardless of corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("cur"),
+            F.col("event_type").alias("nxt"),
+        )
+        .filter(F.col("cur").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return (
+        pairs.join(F.broadcast(tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_cur").cast("double"), 6
+            ).alias("p"),
+        )
+    )
+
+
 def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL MERGEABILITY under the external gate
     (sketches.hll_union_cardinality): registers built independently per
@@ -3105,6 +3151,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle (tools/check.py) every round.
     "ann_incremental_topk": ann_incremental_topk,
     "sketch_hll_union": sketch_hll_union,
+    "events_markov_transitions": events_markov_transitions,
+    "text_script_mix": text_script_mix,
     "drift_js_events": drift_js_events,
     "stats_winsorize": stats_winsorize,
     "text_token_pmi": text_token_pmi,
@@ -7060,3 +7108,70 @@ def _hll_union_oracle_sql() -> str:
 
 
 ORACLE_SQL["sketch_hll_union"] = _hll_union_oracle_sql()
+
+
+# events_markov_transitions oracle: the identical lag pairing over the
+# unique (ts, event_id) order, pair counts, per-current normalization.
+ORACLE_SQL["events_markov_transitions"] = """
+    WITH seq AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS cur,
+               event_type AS nxt
+        FROM events
+    ), pr AS (
+        SELECT cur, nxt, count(*) AS n FROM seq
+        WHERE cur IS NOT NULL GROUP BY 1, 2
+    ), tt AS (
+        SELECT cur, sum(n) AS n_cur FROM pr GROUP BY cur
+    )
+    SELECT pr.cur, pr.nxt, CAST(pr.n AS BIGINT) AS n,
+           round(CAST(pr.n AS DOUBLE) / CAST(tt.n_cur AS DOUBLE), 6) AS p
+    FROM pr JOIN tt ON pr.cur = tt.cur
+"""
+
+
+# text_script_mix oracle: identical per-char codepoint classification
+# (string_split('') ≡ F.split(s, ""); ascii() returns the first
+# codepoint in both engines), fixed-priority dominance, 6dp fractions.
+ORACLE_SQL["text_script_mix"] = """
+    WITH chars AS (
+        SELECT doc_id, ascii(t.c) AS cp
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(text, '')) AS c) t
+        WHERE t.c <> ''
+    ), cls AS (
+        SELECT doc_id,
+               CASE WHEN cp BETWEEN 48 AND 57 THEN 'digit'
+                    WHEN cp BETWEEN 65 AND 90 OR cp BETWEEN 97 AND 122
+                         THEN 'latin'
+                    WHEN cp BETWEEN 19968 AND 40959 THEN 'cjk'
+                    WHEN cp IN (9, 10, 13, 32) THEN 'space'
+                    ELSE 'other' END AS k
+        FROM chars
+    ), agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chars,
+               CAST(sum(CASE WHEN k = 'latin' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_latin,
+               CAST(sum(CASE WHEN k = 'cjk' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cjk,
+               CAST(sum(CASE WHEN k = 'digit' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_digit,
+               CAST(sum(CASE WHEN k = 'space' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_space,
+               CAST(sum(CASE WHEN k = 'other' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_other
+        FROM cls GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_latin, n_cjk, n_digit, n_space, n_other,
+           round(n_latin * 1.0 / n_chars, 6) AS frac_latin,
+           round(n_cjk * 1.0 / n_chars, 6) AS frac_cjk,
+           CASE WHEN n_cjk >= n_latin AND n_cjk >= n_digit
+                     AND n_cjk >= n_other THEN 'cjk'
+                WHEN n_latin >= n_digit AND n_latin >= n_other
+                     THEN 'latin'
+                WHEN n_digit >= n_other THEN 'digit'
+                ELSE 'other' END AS dominant,
+           CAST(n_latin > 0 AND n_cjk > 0 AS INT) AS is_mixed
+    FROM agg
+"""

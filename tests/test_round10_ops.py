@@ -564,3 +564,79 @@ def test_window_funnel_anchored_at_first_step(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 0}
+
+
+# ---------------------------------------------------------------------------
+# markov transitions
+# ---------------------------------------------------------------------------
+
+
+def test_markov_transitions_hand_computed(spark):
+    from pyspark.sql import Window as W
+
+    t = datetime.datetime
+    ev = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1), "A", 1),
+            (1, t(2024, 1, 2), "B", 2),
+            (1, t(2024, 1, 3), "A", 3),
+            (1, t(2024, 1, 4), "B", 4),
+            (2, t(2024, 1, 1), "A", 5),
+            (2, t(2024, 1, 2), "A", 6),
+        ],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("cur"),
+            F.col("event_type").alias("nxt"),
+        )
+        .filter(F.col("cur").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r.cur, r.nxt): r.n for r in pairs.collect()}
+    # user1: A→B, B→A, A→B; user2: A→A — cross-user pairs never form
+    assert got == {("A", "B"): 2, ("B", "A"): 1, ("A", "A"): 1}
+
+
+# ---------------------------------------------------------------------------
+# script_mix
+# ---------------------------------------------------------------------------
+
+
+def test_script_mix_classes_and_dominance(spark):
+    from collection_templates_spark.operators.text_analysis import script_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abc 12"),      # 3 latin, 2 digit, 1 space → latin
+            (2, "中文a"),  # 2 cjk + 1 latin → cjk, mixed
+            (3, "!!!"),         # other only
+            (4, "99"),          # digit dominant
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in script_mix(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_chars, r1.n_latin, r1.n_digit, r1.n_space) == (6, 3, 2, 1)
+    assert (r1.dominant, r1.is_mixed) == ("latin", 0)
+    assert r1.frac_latin == 0.5
+    r2 = out[2]
+    assert (r2.n_cjk, r2.n_latin, r2.dominant, r2.is_mixed) == (
+        2, 1, "cjk", 1,
+    )
+    assert out[3].dominant == "other"
+    assert out[4].dominant == "digit"
+
+
+def test_script_mix_tie_priority(spark):
+    from collection_templates_spark.operators.text_analysis import script_mix
+
+    # equal latin and cjk counts → the fixed priority picks cjk
+    docs = spark.createDataFrame(
+        [(1, "a中")], "doc_id long, text string"
+    )
+    (row,) = script_mix(docs).collect()
+    assert row.dominant == "cjk" and row.is_mixed == 1
