@@ -388,3 +388,64 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    left: str = "u",
+    right: str = "v",
+    iterations: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007), made engine-replayable: every node starts
+    labeled with its own id; each sweep every node SIMULTANEOUSLY
+    adopts the most frequent label among its neighbors, ties broken by
+    the smallest label; a FIXED iteration count. Asynchronous LPA (the
+    paper's default) is order-dependent and unreproducible across
+    partitionings — the synchronous variant with a total tie order is a
+    pure function of (edges, iterations), which is what lets a DuckDB
+    oracle replay it sweep for sweep. Output: (node, community).
+
+    Scale: per sweep, one |E|-row equi-join (neighbor labels), one
+    map-side-combined (node, label) count, one per-node argmax window
+    — the window input is at most the distinct (node, label) pairs,
+    degree-bounded per node. Labels are checkpointed per sweep so the
+    plan doesn't grow with the sweep count. Isolated nodes never
+    appear in ``edges`` and are simply absent (callers coalesce to
+    self, the connected_components convention).
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col(left).alias("a"), F.col(right).alias("b"))
+        .unionByName(
+            edges.select(F.col(right).alias("a"), F.col(left).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(
+        F.desc("___n"), F.asc("community")
+    )
+    for _ in range(iterations):
+        freq = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("b"),
+                    F.col("community"),
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("___n"))
+        )
+        labels = (
+            freq.withColumn("___rn", F.row_number().over(w))
+            .filter(F.col("___rn") == 1)
+            .select("node", "community")
+            .localCheckpoint(eager=True)
+        )
+    return labels

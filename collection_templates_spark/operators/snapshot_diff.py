@@ -94,3 +94,44 @@ def produce_update_operations(
 def archive_snapshot(docs: DataFrame, path: str, run_label: str) -> None:
     """D1: dated snapshot table for the next run's diff."""
     docs.write.mode("overwrite").parquet(f"{path}/snapshot={run_label}")
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+    delete_op: str = "archive",
+) -> DataFrame:
+    """Apply a CDC change stream to a base table — MERGE INTO /
+    SCD-type-1 semantics as ONE full-outer join: a matched non-delete
+    change overwrites the row (update), an unmatched change inserts,
+    a ``delete_op`` change removes the row, and base rows without a
+    change pass through. The complement of
+    :func:`produce_update_operations` (which DERIVES the ops); together
+    they are the reference's update_es delta cycle as pure relational
+    ops (reference: airflow/dags/update_es.py:249-313).
+
+    ``changes`` carries the same payload columns as ``base`` plus
+    ``op_col``; at most one change per key is the caller contract
+    (dedup upstream — e.g. window_dedup_keep_first — exactly as any
+    MERGE requires a unique source).
+
+    Scale: one key-keyed full-outer join (both sides shuffle on the
+    key; small change batches broadcast automatically under AQE) and
+    pure column expressions — no window, no driver state. Copy-on-write
+    table formats implement exactly this plan under their MERGE.
+    """
+    payload = [c for c in base.columns if c != key_col]
+    j = base.alias("b").join(changes.alias("c"), key_col, "full_outer")
+    is_change = F.col(f"c.{op_col}").isNotNull()
+    kept = j.filter(~is_change | (F.col(f"c.{op_col}") != delete_op))
+    return kept.select(
+        F.col(key_col),
+        *[
+            F.when(is_change, F.col(f"c.{x}"))
+            .otherwise(F.col(f"b.{x}"))
+            .alias(x)
+            for x in payload
+        ],
+    )

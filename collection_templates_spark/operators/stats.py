@@ -28,7 +28,7 @@ at-scale generalization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,4 +69,55 @@ def winsorize_stats(
             F.round(F.avg("v"), 4).alias("mean_raw"),
             F.round(F.avg(clipped), 4).alias("mean_winsorized"),
         )
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tie_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact per-group weighted median: the smallest value whose
+    cumulative weight reaches half the group's total (the lower
+    weighted median — deterministic, no interpolation, so engines can
+    never disagree on a midpoint). The estimator ``percentile`` can't
+    express (it has no weight argument) and the one a corpus needs the
+    moment rows carry multiplicities — dedup counts, token counts,
+    sampling weights.
+
+    Plan: ONE shuffle — the per-group cumulative-sum window over
+    (value, tie_cols) order — plus a map-side-combined total; the
+    crossing pick is a filter + min-aggregate, no second sort. NULL
+    values/weights and non-positive weights are dropped.
+
+    Output: (grp, w_total, w_median) with w_total rounded to 6dp and
+    the median a raw value from the data (exact pass-through).
+    """
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & w.isNotNull() & (w > 0)
+    ).select(
+        F.col(group_col).alias("grp"),
+        v.alias("v"),
+        w.alias("w"),
+        *[F.col(c) for c in tie_cols],
+    )
+    win = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("v").asc(), *[F.col(c).asc() for c in tie_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("grp")
+    cum = base.withColumn("___cw", F.round(F.sum("w").over(win), 6)).withColumn(
+        "___tw", F.round(F.sum("w").over(tot), 6)
+    )
+    crossed = cum.filter(
+        F.col("___cw") >= F.col("___tw") / F.lit(2.0)
+    )
+    return crossed.groupBy("grp").agg(
+        F.min("___tw").alias("w_total"),
+        F.min("v").alias("w_median"),
     )

@@ -2983,6 +2983,86 @@ def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one full-outer join
+    (snapshot_diff.merge_upsert — the APPLY complement of
+    produce_update_operations): a deterministic change batch over the
+    customer table (custkey%10==0 → segment update, %10==1 → delete,
+    %10==2 → re-keyed insert) applied to the base; output is the
+    post-merge table."""
+    from collection_templates_spark.operators.snapshot_diff import (
+        merge_upsert,
+    )
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    upd = base.filter(F.col("k") % 10 == 0).select(
+        "k", F.lit("UPDATED").alias("seg"), "bal", F.lit("update").alias("op")
+    )
+    dele = base.filter(F.col("k") % 10 == 1).select(
+        "k", "seg", "bal", F.lit("archive").alias("op")
+    )
+    ins = base.filter(F.col("k") % 10 == 2).select(
+        (F.col("k") + 1000000).alias("k"), "seg", "bal",
+        F.lit("insert").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return merge_upsert(base, changes, key_col="k")
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (graph.label_propagation, 3 sweeps, min-label ties) over the same
+    1995 co-purchase projection as graph_triangle_count. Per sweep: one
+    |E| join + one map-side-combined count + one degree-bounded argmax
+    window. Oracle unrolls the three sweeps as CTEs."""
+    from collection_templates_spark.operators.graph import (
+        label_propagation,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cp = (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1996-01-01")
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = cp.select(F.col("c").alias("u"), "p")
+    b = cp.select(F.col("c").alias("v"), "p")
+    edges = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    return label_propagation(edges, "u", "v", iterations=3)
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group weighted median (stats.weighted_median — the
+    lower weighted median, no interpolation): l_extendedprice weighted
+    by l_quantity per returnflag. One cumulative-weight window shuffle;
+    quantities are integer-valued so every cumulative sum is exact in
+    both engines."""
+    from collection_templates_spark.operators.stats import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
 def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document script composition (text_analysis.script_mix):
     codepoint-range counts/fractions of latin/cjk/digit/space/other,
@@ -3153,6 +3233,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_union": sketch_hll_union,
     "events_markov_transitions": events_markov_transitions,
     "text_script_mix": text_script_mix,
+    "agg_weighted_median": agg_weighted_median,
+    "graph_label_propagation": graph_label_propagation,
+    "snapshot_merge_upsert": snapshot_merge_upsert,
     "drift_js_events": drift_js_events,
     "stats_winsorize": stats_winsorize,
     "text_token_pmi": text_token_pmi,
@@ -7174,4 +7257,95 @@ ORACLE_SQL["text_script_mix"] = """
                 ELSE 'other' END AS dominant,
            CAST(n_latin > 0 AND n_cjk > 0 AS INT) AS is_mixed
     FROM agg
+"""
+
+
+# agg_weighted_median oracle: identical cumulative-weight crossing pick
+# (lower weighted median, ROWS frame, 6dp-rounded cumulative sums —
+# integer-valued weights make every sum exact anyway).
+ORACLE_SQL["agg_weighted_median"] = """
+    WITH base AS (
+        SELECT l_returnflag AS grp,
+               CAST(l_extendedprice AS DOUBLE) AS v,
+               CAST(l_quantity AS DOUBLE) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_quantity > 0
+    ), cum AS (
+        SELECT grp, v,
+               round(sum(w) OVER (PARTITION BY grp ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS cw,
+               round(sum(w) OVER (PARTITION BY grp), 6) AS tw
+        FROM base
+    )
+    SELECT grp, min(tw) AS w_total, min(v) AS w_median
+    FROM cum WHERE cw >= tw / CAST(2.0 AS DOUBLE)
+    GROUP BY grp
+"""
+
+
+# graph_label_propagation oracle: the co-purchase projection + three
+# synchronous sweeps unrolled as CTEs (most-frequent neighbor label,
+# smallest label on ties).
+def _lpa_oracle_sql(iterations: int = 3) -> str:
+    ctes = ["""cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate < DATE '1996-01-01'
+    )""", """e AS (
+        SELECT u, v FROM (
+            SELECT a.c AS u, b.c AS v, count(*) AS shared
+            FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2
+        ) WHERE shared >= 2
+    )""", """und AS (
+        SELECT u AS a, v AS b FROM e
+        UNION SELECT v, u FROM e
+    )""", """l0 AS (
+        SELECT DISTINCT a AS node, a AS community FROM und
+    )"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""f{i} AS (
+        SELECT und.a AS node, l.community, count(*) AS n
+        FROM und JOIN l{i - 1} l ON l.node = und.b
+        GROUP BY 1, 2
+    )""")
+        ctes.append(f"""l{i} AS (
+        SELECT node, community FROM (
+            SELECT node, community,
+                   row_number() OVER (PARTITION BY node
+                       ORDER BY n DESC, community ASC) AS rn
+            FROM f{i}) WHERE rn = 1
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, community FROM l{iterations}"
+    )
+
+
+ORACLE_SQL["graph_label_propagation"] = _lpa_oracle_sql()
+
+
+# snapshot_merge_upsert oracle: the identical change derivation and
+# the full-outer MERGE (change wins; delete removes; base passes).
+ORACLE_SQL["snapshot_merge_upsert"] = """
+    WITH base AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               round(c_acctbal, 2) AS bal
+        FROM customer
+    ), changes AS (
+        SELECT k, 'UPDATED' AS seg, bal, 'update' AS op
+        FROM base WHERE k % 10 = 0
+        UNION ALL
+        SELECT k, seg, bal, 'archive' FROM base WHERE k % 10 = 1
+        UNION ALL
+        SELECT k + 1000000, seg, bal, 'insert' FROM base WHERE k % 10 = 2
+    )
+    SELECT coalesce(c.k, b.k) AS k,
+           CASE WHEN c.op IS NOT NULL THEN c.seg ELSE b.seg END AS seg,
+           CASE WHEN c.op IS NOT NULL THEN c.bal ELSE b.bal END AS bal
+    FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+    WHERE c.op IS NULL OR c.op <> 'archive'
 """

@@ -640,3 +640,138 @@ def test_script_mix_tie_priority(spark):
     )
     (row,) = script_mix(docs).collect()
     assert row.dominant == "cjk" and row.is_mixed == 1
+
+
+# ---------------------------------------------------------------------------
+# weighted_median
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_hand_computed(spark):
+    from collection_templates_spark.operators.stats import weighted_median
+
+    df = spark.createDataFrame(
+        # group g: values 1(w3), 2(w1), 10(w2) → total 6, half 3 →
+        # cumulative 3 at v=1 crosses → lower weighted median 1.0
+        [("g", 1.0, 3.0), ("g", 2.0, 1.0), ("g", 10.0, 2.0)]
+        # group h: equal weights → ordinary lower median
+        + [("h", float(v), 1.0) for v in (5, 6, 7, 8)],
+        "grp string, v double, w double",
+    )
+    out = {
+        r.grp: (r.w_total, r.w_median)
+        for r in weighted_median(df, "grp", "v", "w").collect()
+    }
+    assert out["g"] == (6.0, 1.0)
+    assert out["h"] == (4.0, 6.0)  # cw 2 >= 4/2 at the second value
+
+
+def test_weighted_median_skews_with_weight(spark):
+    from collection_templates_spark.operators.stats import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 100.0, 9.0)], "grp string, v double, w double"
+    )
+    (row,) = weighted_median(df, "grp", "v", "w").collect()
+    assert row.w_median == 100.0  # weight mass, not row count, decides
+
+
+def test_weighted_median_drops_nonpositive_weights(spark):
+    from collection_templates_spark.operators.stats import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", 50.0, 0.0), ("g", 1.0, 1.0), ("g", 2.0, None)],
+        "grp string, v double, w double",
+    )
+    (row,) = weighted_median(df, "grp", "v", "w").collect()
+    assert (row.w_total, row.w_median) == (1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def _lpa_reference(edge_list, iterations):
+    """Independent pure-python synchronous LPA with min-label ties."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for u, v in edge_list:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    labels = {n: n for n in nbrs}
+    for _ in range(iterations):
+        new = {}
+        for n in nbrs:
+            counts = Counter(labels[m] for m in nbrs[n])
+            top = max(counts.values())
+            new[n] = min(l for l, c in counts.items() if c == top)
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_reference(spark):
+    from collection_templates_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge, plus a pendant node
+    edge_list = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+                 (6, 7)]
+    edges = spark.createDataFrame(edge_list, "u long, v long")
+    for its in (1, 2, 3):
+        got = {
+            r.node: r.community
+            for r in label_propagation(edges, iterations=its).collect()
+        }
+        assert got == _lpa_reference(edge_list, its), its
+
+
+def test_label_propagation_separates_disjoint_components(spark):
+    from collection_templates_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "u long, v long",
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_semantics(spark):
+    from collection_templates_spark.operators.snapshot_diff import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, payload string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", "update"),    # matched non-delete → overwrite
+            (3, None, "archive"),  # matched delete → removed
+            (4, "d", "insert"),    # unmatched → insert
+        ],
+        "k long, payload string, op string",
+    )
+    out = {r.k: r.payload for r in merge_upsert(base, changes, "k").collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_merge_upsert_noop_on_empty_changes(spark):
+    from collection_templates_spark.operators.snapshot_diff import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame([(1, "a")], "k long, payload string")
+    changes = spark.createDataFrame([], "k long, payload string, op string")
+    assert [
+        (r.k, r.payload) for r in merge_upsert(base, changes, "k").collect()
+    ] == [(1, "a")]
