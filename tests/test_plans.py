@@ -279,3 +279,31 @@ def test_round10_extension_plans(spark):
     p = _plan(spark, "join_salted_skew")
     assert "CartesianProduct" not in p, p
     assert "Generate" in p, p  # the salt explode on the dim side
+
+
+def test_round10_late_extension_plans(spark):
+    """Plan shapes for the second round-10 operator batch."""
+    # markov: ONE event-stream window exchange + a broadcast of the
+    # tiny per-current totals — never an SMJ on the pair table
+    p = _plan(spark, "events_markov_transitions")
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p, p
+    # script mix: explode + one map-side-combined aggregate; no join
+    p = _plan(spark, "text_script_mix")
+    assert "Join" not in p and "Generate" in p, p
+    # weighted median: the cumulative window is the only sort source;
+    # no join anywhere
+    p = _plan(spark, "agg_weighted_median")
+    assert "Join" not in p, p
+    # label propagation: equi-joins only (no cartesian) per sweep
+    p = _plan(spark, "graph_label_propagation")
+    assert "CartesianProduct" not in p, p
+    # merge upsert: a single full-outer equi-join on the key
+    p = _plan(spark, "snapshot_merge_upsert")
+    assert "FullOuter" in p and "CartesianProduct" not in p, p
+    # hll union: no cartesian; the only sort-merge join is the
+    # full-outer register comparison (m-row inputs — full outer can't
+    # broadcast), never the token stream
+    p = _plan(spark, "sketch_hll_union")
+    assert "CartesianProduct" not in p, p
+    assert p.count("SortMergeJoin FullOuter") == 1, p  # tree node once
+    assert "SortMergeJoin Inner" not in p, p
