@@ -2983,6 +2983,84 @@ def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def basket_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-occurring in the same order
+    (support ≥ 2) with their lift — the frequent-itemset primitive at
+    the pair level. Self-equi-join on the order key: per-order fan-out
+    is basket² (TPC-H baskets are ≤ 7 lines), never corpus²; item
+    supports broadcast for the lift denominator."""
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = basket.select("o").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()[0]["n"]
+    a = basket.select("o", F.col("p").alias("p1"))
+    b = basket.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    sup = basket.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    s1 = F.broadcast(sup.select(F.col("p").alias("p1"), F.col("s").alias("s1")))
+    s2 = F.broadcast(sup.select(F.col("p").alias("p2"), F.col("s").alias("s2")))
+    n = float(n_orders)
+    return (
+        pairs.join(s1, "p1")
+        .join(s2, "p2")
+        .select(
+            "p1",
+            "p2",
+            F.col("support").cast("long").alias("support"),
+            F.round(
+                (F.col("support").cast("double") / F.lit(n))
+                / (
+                    (F.col("s1").cast("double") / F.lit(n))
+                    * (F.col("s2").cast("double") / F.lit(n))
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (raw tf × ln(N/df), ties broken
+    alphabetically) — the classic keyword extractor. Rides the memoized
+    perplexity pair stream for the token explode; df and N are
+    vocab-bounded / scalar aggregates; top-k is the engine's partial
+    group-limit (one window above the rank filter)."""
+    pairs = _perplexity_pairs_for(spark, sf_dir)
+    tf = pairs.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = float(
+        pairs.select("doc").distinct().agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()[0]["n"]
+    )
+    scored = tf.join(F.broadcast(df_tbl), "token").select(
+        F.col("doc").alias("doc_id"),
+        "token",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(n_docs) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tfidf")
+    )
+
+
 def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics as one full-outer join
     (snapshot_diff.merge_upsert — the APPLY complement of
@@ -3236,6 +3314,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_weighted_median": agg_weighted_median,
     "graph_label_propagation": graph_label_propagation,
     "snapshot_merge_upsert": snapshot_merge_upsert,
+    "basket_item_pairs": basket_item_pairs,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "drift_js_events": drift_js_events,
     "stats_winsorize": stats_winsorize,
     "text_token_pmi": text_token_pmi,
@@ -7348,4 +7428,63 @@ ORACLE_SQL["snapshot_merge_upsert"] = """
            CASE WHEN c.op IS NOT NULL THEN c.bal ELSE b.bal END AS bal
     FROM base b FULL OUTER JOIN changes c ON b.k = c.k
     WHERE c.op IS NULL OR c.op <> 'archive'
+"""
+
+
+# basket_item_pairs oracle: DISTINCT baskets, the p1<p2 self-join,
+# support cut, lift from broadcast-shaped item supports.
+ORACLE_SQL["basket_item_pairs"] = """
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), nn AS (
+        SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM basket
+    ), pairs AS (
+        SELECT a.p AS p1, b.p AS p2, count(*) AS support
+        FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), sup AS (
+        SELECT p, count(*) AS s FROM basket GROUP BY p
+    )
+    SELECT p1, p2, CAST(support AS BIGINT) AS support,
+           round((CAST(support AS DOUBLE) / nn.n)
+                 / ((CAST(s1.s AS DOUBLE) / nn.n)
+                    * (CAST(s2.s AS DOUBLE) / nn.n)), 6) AS lift
+    FROM pairs
+    CROSS JOIN nn
+    JOIN sup s1 ON s1.p = pairs.p1
+    JOIN sup s2 ON s2.p = pairs.p2
+"""
+
+# text_tfidf_top_terms oracle: the perplexity-family tokenization,
+# tf/df/N aggregates, identical tf·ln(N/df) shape, top-3 per doc with
+# the (tfidf DESC, token ASC) total order.
+ORACLE_SQL["text_tfidf_top_terms"] = """
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9'']+'), x -> x <> '') AS t
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, t[i.i] AS token
+        FROM arrs, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i
+        WHERE len(t) > 0
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dft AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), nd AS (
+        SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(CAST(tf.tf AS DOUBLE)
+                     * ln(nd.n / CAST(dft.df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN dft USING (token) CROSS JOIN nd
+    )
+    SELECT doc_id, rank, token, tfidf FROM (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token ASC) AS rank
+        FROM scored)
+    WHERE rank <= 3
 """

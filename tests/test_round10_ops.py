@@ -775,3 +775,68 @@ def test_merge_upsert_noop_on_empty_changes(spark):
     assert [
         (r.k, r.payload) for r in merge_upsert(base, changes, "k").collect()
     ] == [(1, "a")]
+
+
+# ---------------------------------------------------------------------------
+# basket pairs + tf-idf (bank-row semantics on tiny fixtures)
+# ---------------------------------------------------------------------------
+
+
+def test_basket_pair_support_and_lift_semantics(spark):
+    # replicate the bank row's expressions on a fixture: baskets
+    # {A,B,C}, {A,B}, {A} → only (A,B) reaches support 2; lift
+    # (2/3) / ((3/3)(2/3)) = 1.0; duplicate lines collapse (DISTINCT)
+    li = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (1, "B"), (1, "C"),
+         (2, "A"), (2, "B"), (3, "A")],
+        "o long, p string",
+    )
+    basket = li.distinct()
+    a = basket.select("o", F.col("p").alias("p1"))
+    b = basket.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    ).collect()
+    assert [(r.p1, r.p2, r.support) for r in pairs] == [("A", "B", 2)]
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math as m
+
+    from collection_templates_spark.functions.langmodel import (
+        bigram_pair_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog bird"), (3, "bird bird bird fish")],
+        "doc_id long, text string",
+    )
+    pairs = bigram_pair_stream(docs)
+    tf = pairs.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window as W
+
+    scored = tf.join(df_tbl, "token").select(
+        F.col("doc").alias("doc_id"),
+        "token",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(3.0) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    got = {(r.doc_id, r.rank): (r.token, r.tfidf) for r in top}
+    assert got[(1, 1)] == ("cat", round(2 * m.log(3), 6))
+    assert got[(1, 2)] == ("dog", round(m.log(1.5), 6))
+    assert got[(3, 1)] == ("bird", round(3 * m.log(1.5), 6))
+    assert got[(3, 2)] == ("fish", round(m.log(3), 6))
