@@ -134,3 +134,61 @@ def js_divergence(
             "js_divergence",
         )
     )
+
+
+def welch_t_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    split: Column,
+    split_a: str,
+    split_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t statistic per group between two
+    slices — the parametric companion of :func:`js_divergence` (JS asks
+    "did the distribution move?", Welch asks "did the MEAN move, and is
+    the gap larger than the noise?"). Output per group: slice sizes,
+    6dp means, the t statistic and the Welch–Satterthwaite degrees of
+    freedom (both computed FROM the 6dp-rounded means/variances, so the
+    arithmetic replays in any engine).
+
+    Scale: one map-side-combined aggregate per (group, split) — count/
+    mean/variance are the classic one-pass moments — then pure column
+    arithmetic on the groups×2-row frame. No window, no join wider
+    than groups×2."""
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        split.alias("split"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    mom = base.groupBy("grp", "split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("m"),
+        F.round(F.var_samp("v"), 6).alias("s2"),
+    )
+
+    def side(tag: str) -> DataFrame:
+        return mom.filter(F.col("split") == tag).select(
+            "grp",
+            F.col("n").alias(f"n_{tag}"),
+            F.col("m").alias(f"mean_{tag}"),
+            F.col("s2").alias(f"___v_{tag}"),
+        )
+
+    j = side(split_a).join(side(split_b), "grp")
+    va = F.col(f"___v_{split_a}") / F.col(f"n_{split_a}").cast("double")
+    vb = F.col(f"___v_{split_b}") / F.col(f"n_{split_b}").cast("double")
+    t = (F.col(f"mean_{split_a}") - F.col(f"mean_{split_b}")) / F.sqrt(va + vb)
+    dof = (va + vb) * (va + vb) / (
+        va * va / (F.col(f"n_{split_a}").cast("double") - 1)
+        + vb * vb / (F.col(f"n_{split_b}").cast("double") - 1)
+    )
+    return j.select(
+        "grp",
+        F.col(f"n_{split_a}").cast("long").alias("n_a"),
+        F.col(f"n_{split_b}").cast("long").alias("n_b"),
+        F.col(f"mean_{split_a}").alias("mean_a"),
+        F.col(f"mean_{split_b}").alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 2).alias("welch_df"),
+    )

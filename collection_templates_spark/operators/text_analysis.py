@@ -475,3 +475,64 @@ def script_mix(
         .cast("int")
         .alias("is_mixed"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_rank: int = 1000,
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
+    """Zipf-law fit of the corpus frequency distribution: the OLS slope
+    of ln(frequency) against ln(rank) over the top ``max_rank`` terms —
+    the corpus-health scalar (natural prose sits near −1; templated or
+    deduplicate-me corpora drift far off). One row:
+    (n_terms, slope, intercept).
+
+    Determinism: rank order is the total (count DESC, token ASC); the
+    regression is the CLOSED FORM over sums that are each rounded to
+    6dp before the final division, so fp summation order can never move
+    the slope (same convention as the JS/perplexity families — no
+    reliance on an engine's regr_slope internals). ``tokens_df``: an
+    optional precomputed (token) occurrence stream (the memoized
+    perplexity pairs), else tokenized here.
+
+    Scale: one vocab-bounded count aggregate, an engine-partial top-k
+    (orderBy+limit), and a ≤ max_rank-row window + single-row reduce.
+    """
+    from pyspark.sql import Window
+
+    from collection_templates_spark.functions.langmodel import (
+        TOKEN_SPLIT_RE,
+    )
+
+    if tokens_df is None:
+        tokens_df = docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+            ).alias("token")
+        ).filter(F.col("token") != "")
+    counts = tokens_df.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(max_rank)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    pts = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+    )
+    slope = (
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return sums.select(
+        F.col("k").cast("long").alias("n_terms"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4).alias(
+            "intercept"
+        ),
+    )

@@ -2983,6 +2983,37 @@ def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t per event_type between the two
+    January halves (drift.welch_t_by_group — the parametric companion
+    of drift_js_events, same split). One moments aggregate + arithmetic
+    on the groups×2 frame; t and df computed FROM 6dp-rounded
+    means/variances so both engines replay identically."""
+    from collection_templates_spark.operators.drift import welch_t_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit("early")
+    ).otherwise(F.lit("late"))
+    return welch_t_by_group(
+        ev, "event_type", "value", split, "early", "late"
+    )
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus token distribution
+    (text_analysis.zipf_fit): OLS slope of ln(freq) vs ln(rank) for the
+    top 1000 terms, closed form over 6dp-rounded sums. Rides the
+    memoized token stream."""
+    from collection_templates_spark.operators.text_analysis import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(
+        docs,
+        tokens_df=_perplexity_pairs_for(spark, sf_dir).select("token"),
+    )
+
+
 def basket_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: parts co-occurring in the same order
     (support ≥ 2) with their lift — the frequent-itemset primitive at
@@ -3316,6 +3347,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_merge_upsert": snapshot_merge_upsert,
     "basket_item_pairs": basket_item_pairs,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "drift_welch_ttest": drift_welch_ttest,
+    "text_zipf_fit": text_zipf_fit,
     "drift_js_events": drift_js_events,
     "stats_winsorize": stats_winsorize,
     "text_token_pmi": text_token_pmi,
@@ -7487,4 +7520,68 @@ ORACLE_SQL["text_tfidf_top_terms"] = """
                    ORDER BY tfidf DESC, token ASC) AS rank
         FROM scored)
     WHERE rank <= 3
+"""
+
+
+# drift_welch_ttest oracle: identical moments (6dp means/variances
+# BEFORE the t arithmetic), same expression shapes (no pow()).
+ORACLE_SQL["drift_welch_ttest"] = """
+    WITH base AS (
+        SELECT event_type AS grp,
+               CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN 'early' ELSE 'late' END AS split,
+               CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ), mom AS (
+        SELECT grp, split, count(*) AS n,
+               round(avg(v), 6) AS m, round(var_samp(v), 6) AS s2
+        FROM base GROUP BY 1, 2
+    ), a AS (
+        SELECT grp, n AS n_a, m AS mean_a, s2 / n AS va
+        FROM mom WHERE split = 'early'
+    ), b AS (
+        SELECT grp, n AS n_b, m AS mean_b, s2 / n AS vb
+        FROM mom WHERE split = 'late'
+    )
+    SELECT a.grp, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a, mean_b,
+           round((mean_a - mean_b) / sqrt(va + vb), 6) AS t_stat,
+           round((va + vb) * (va + vb)
+                 / (va * va / (n_a - 1) + vb * vb / (n_b - 1)), 2)
+               AS welch_df
+    FROM a JOIN b ON a.grp = b.grp
+"""
+
+# text_zipf_fit oracle: identical tokenization, (count DESC, token ASC)
+# rank, closed-form OLS over 6dp-rounded sums.
+ORACLE_SQL["text_zipf_fit"] = """
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9'']+'), x -> x <> '') AS t
+        FROM documents
+    ), tok AS (
+        SELECT t[i.i] AS token
+        FROM arrs, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i
+        WHERE len(t) > 0
+    ), counts AS (
+        SELECT token, count(*) AS n FROM tok GROUP BY token
+    ), top AS (
+        SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 1000
+    ), pts AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                        AS DOUBLE)) AS x,
+               ln(CAST(n AS DOUBLE)) AS y
+        FROM top
+    ), sums AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k,
+               round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+               round(sum(x * y), 6) AS sxy, round(sum(x * x), 6) AS sxx
+        FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS n_terms,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS slope,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+                 / k, 4) AS intercept
+    FROM sums
 """

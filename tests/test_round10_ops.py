@@ -840,3 +840,66 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert got[(1, 2)] == ("dog", round(m.log(1.5), 6))
     assert got[(3, 1)] == ("bird", round(3 * m.log(1.5), 6))
     assert got[(3, 2)] == ("fish", round(m.log(3), 6))
+
+
+# ---------------------------------------------------------------------------
+# welch t + zipf fit
+# ---------------------------------------------------------------------------
+
+
+def test_welch_t_hand_computed(spark):
+    from collection_templates_spark.operators.drift import welch_t_by_group
+
+    # a: [1,2,3] (mean 2, var 1); b: [4,6] (mean 5, var 2)
+    rows = [("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+            ("g", "b", 4.0), ("g", "b", 6.0)]
+    df = spark.createDataFrame(rows, "grp string, split string, v double")
+    (r,) = welch_t_by_group(
+        df, "grp", "v", F.col("split"), "a", "b"
+    ).collect()
+    va, vb = 1.0 / 3, 2.0 / 2
+    t = (2.0 - 5.0) / math.sqrt(va + vb)
+    dof = (va + vb) ** 2 / (va**2 / 2 + vb**2 / 1)
+    assert (r.n_a, r.n_b, r.mean_a, r.mean_b) == (3, 2, 2.0, 5.0)
+    assert r.t_stat == round(t, 6)
+    assert r.welch_df == round(dof, 2)
+
+
+def test_welch_t_zero_for_identical_slices(spark):
+    from collection_templates_spark.operators.drift import welch_t_by_group
+
+    rows = [("g", s, float(v)) for s in ("a", "b") for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "grp string, split string, v double")
+    (r,) = welch_t_by_group(
+        df, "grp", "v", F.col("split"), "a", "b"
+    ).collect()
+    assert r.t_stat == 0.0
+
+
+def test_zipf_fit_exact_power_law(spark):
+    from collection_templates_spark.operators.text_analysis import zipf_fit
+
+    # construct a corpus whose counts are exactly 64/rank for ranks
+    # 1,2,4,8,...: ln(freq) = ln(64) - 1·ln(rank) → slope -1 exactly
+    rows = []
+    doc = 0
+    for rank, n in [(1, 64), (2, 32), (4, 16), (8, 8)]:
+        # token names chosen so count order == alphabetical tie order
+        rows.append((doc, " ".join([f"t{rank:02d}"] * n)))
+        doc += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    (r,) = zipf_fit(docs, max_rank=10).collect()
+    assert r.n_terms == 4
+    # points: (ln1,ln64),(ln2,ln32),(ln4? no — ranks are 1..4 by
+    # row_number, not the designed 1,2,4,8
+    # → fit the actual points independently
+    import numpy as np
+
+    x = np.log(np.arange(1, 5, dtype=float))
+    y = np.log(np.array([64.0, 32.0, 16.0, 8.0]))
+    k = 4.0
+    sx, sy = round(x.sum(), 6), round(y.sum(), 6)
+    sxy, sxx = round((x * y).sum(), 6), round((x * x).sum(), 6)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert r.slope == round(slope, 4)
+    assert r.intercept == round((sy - slope * sx) / k, 4)
