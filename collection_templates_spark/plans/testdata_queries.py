@@ -2983,6 +2983,75 @@ def events_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size report — the audit a dedup pass publishes:
+    one row per cluster SIZE with the number of clusters that size, the
+    docs they hold, and the docs a keep-one policy would drop
+    (size − 1 each). Singletons (docs in no pair) count as size 1.
+    Rides the shared memoized CC labels (_lsh_cc_for) — this row costs
+    two tiny aggregates on top of it."""
+    docs = _t(spark, sf_dir, "documents")
+    cc = _lsh_cc_for(spark, sf_dir)
+    labeled = (
+        docs.join(cc, docs.doc_id == cc.node, "left")
+        .select(F.coalesce("cluster", F.col("doc_id")).alias("cluster"))
+    )
+    sizes = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("size").cast("long").alias("size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_dropped_keep_one"),
+        )
+    )
+
+
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert statistics: for each user with a purchase
+    STRICTLY after their first view, the lag between the two; one
+    summary row (n_converted, mean/min/max lag seconds, exact median
+    via the shared (n−1)·q percentile convention). Two type-filtered
+    min-aggregates + one user-keyed join — the window_funnel plan shape
+    reduced to its lag."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_buy")
+    )
+    lag = (
+        p.join(v, "user_id")
+        .filter(F.col("t_buy") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t_buy").alias("t_buy"), F.min("t_view").alias("t_view"))
+        .select(
+            (
+                F.unix_micros("t_buy") - F.unix_micros("t_view")
+            ).cast("double").alias("lag_us")
+        )
+    )
+    sec = F.col("lag_us") / F.lit(1000000.0)
+    return lag.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.avg(sec), 4).alias("mean_lag_sec"),
+        F.round(F.min(sec), 4).alias("min_lag_sec"),
+        F.round(F.max(sec), 4).alias("max_lag_sec"),
+        F.round(F.percentile(sec, F.lit(0.5)), 4).alias("median_lag_sec"),
+    )
+
+
 def drift_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t per event_type between the two
     January halves (drift.welch_t_by_group — the parametric companion
@@ -3349,6 +3418,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "drift_welch_ttest": drift_welch_ttest,
     "text_zipf_fit": text_zipf_fit,
+    "dedup_cluster_report": dedup_cluster_report,
+    "events_conversion_lag": events_conversion_lag,
     "drift_js_events": drift_js_events,
     "stats_winsorize": stats_winsorize,
     "text_token_pmi": text_token_pmi,
@@ -7584,4 +7655,58 @@ ORACLE_SQL["text_zipf_fit"] = """
            round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
                  / k, 4) AS intercept
     FROM sums
+"""
+
+
+# dedup_cluster_report oracle: the reachability CTE (shared with
+# dedup_clusters/dedup_keep_best) + the size histogram.
+ORACLE_SQL["dedup_cluster_report"] = f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+    edges(a, b) AS (
+        SELECT doc1, doc2 FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), clusters AS (
+        SELECT a AS node, least(a, min(b)) AS cluster
+        FROM reach GROUP BY a
+    ), labeled AS (
+        SELECT coalesce(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+    ), sizes AS (
+        SELECT cluster, count(*) AS sz FROM labeled GROUP BY cluster
+    )
+    SELECT CAST(sz AS BIGINT) AS size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * count(*) AS BIGINT) AS n_dropped_keep_one
+    FROM sizes GROUP BY sz
+"""
+
+# events_conversion_lag oracle: identical first-view anchor, strictly-
+# after purchase, earliest conversion, micros arithmetic, (n−1)·q
+# median.
+ORACLE_SQL["events_conversion_lag"] = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT p.user_id, min(p.ts) AS t_buy, min(v.t_view) AS t_view
+        FROM events p JOIN v ON p.user_id = v.user_id
+        WHERE p.event_type = 'purchase' AND p.ts > v.t_view
+        GROUP BY p.user_id
+    ), lagt AS (
+        SELECT CAST(epoch_us(t_buy) - epoch_us(t_view) AS DOUBLE)
+               / CAST(1000000.0 AS DOUBLE) AS sec
+        FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(avg(sec), 4) AS mean_lag_sec,
+           round(min(sec), 4) AS min_lag_sec,
+           round(max(sec), 4) AS max_lag_sec,
+           round(quantile_cont(sec, CAST(0.5 AS DOUBLE)), 4)
+               AS median_lag_sec
+    FROM lagt
 """

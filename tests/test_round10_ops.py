@@ -903,3 +903,73 @@ def test_zipf_fit_exact_power_law(spark):
     slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
     assert r.slope == round(slope, 4)
     assert r.intercept == round((sy - slope * sx) / k, 4)
+
+
+# ---------------------------------------------------------------------------
+# cluster report + conversion lag (bank-row semantics on fixtures)
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_report_histogram_semantics(spark):
+    # sizes: one 3-cluster, one 2-cluster, two singletons → histogram
+    from collection_templates_spark.operators.clustering import (
+        dedup_keep_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", 1) for i in range(7)],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc1 long, doc2 long"
+    )
+    labeled = dedup_keep_canonical(docs, pairs).select("cluster")
+    sizes = labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
+    hist = {
+        r.size: r.n
+        for r in sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert hist == {3: 1, 2: 1, 1: 2}
+
+
+def test_conversion_lag_strictly_after_first_view(spark):
+    t = datetime.datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1: view 10:00, purchases 09:00 (before → ignored)
+            # and 12:00 → lag 7200 s
+            (1, t(2024, 1, 1, 10), "view", 1),
+            (1, t(2024, 1, 1, 9), "purchase", 2),
+            (1, t(2024, 1, 1, 12), "purchase", 3),
+            # user 2: purchase only → never converts
+            (2, t(2024, 1, 1, 8), "purchase", 4),
+            # user 3: view only
+            (3, t(2024, 1, 1, 8), "view", 5),
+        ],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_buy")
+    )
+    conv = (
+        p.join(v, "user_id")
+        .filter(F.col("t_buy") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t_buy").alias("t_buy"), F.min("t_view").alias("t_view"))
+        .select(
+            "user_id",
+            (
+                (F.unix_micros("t_buy") - F.unix_micros("t_view"))
+                / F.lit(1000000.0)
+            ).alias("sec"),
+        )
+        .collect()
+    )
+    assert [(r.user_id, r.sec) for r in conv] == [(1, 7200.0)]
