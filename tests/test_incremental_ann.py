@@ -85,3 +85,21 @@ def test_probe_scan_prunes_unprobed_partitions(spark, tmp_path):
     p = plan_buf.getvalue()
     pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     assert pf and any("cluster" in ln and " IN " in ln for ln in pf), p
+
+
+def test_two_appends_accumulate(spark, tmp_path):
+    path = str(tmp_path / "ivf")
+    build_ivf_index(_vectors(spark, 16), path, n_clusters=4, iterations=2)
+    probe_vec = [0.0] * 7 + [3.0]
+    for vid in (201, 202):
+        append_to_ivf_index(
+            spark.createDataFrame(
+                [(vid, probe_vec)], "vec_id long, embedding array<float>"
+            ),
+            path,
+        )
+    batch = spark.createDataFrame(
+        [(300, probe_vec)], "vec_id long, embedding array<float>"
+    )
+    top = ann_batch_against_index(spark, path, batch, k=2, n_probe=2).collect()
+    assert {r.neighbor_id for r in top} == {201, 202}  # both appends live

@@ -332,3 +332,22 @@ def test_hll_merge_idempotent_and_commutative(spark):
     ba = {(r.bucket, r.mx) for r in hll_merge(rb, ra).collect()}
     aa = {(r.bucket, r.mx) for r in hll_merge(ra, ra, rb).collect()}
     assert ab == ba == aa
+
+
+def test_hll_merge_with_empty_side_is_identity(spark):
+    from collection_templates_spark.operators.sketches import (
+        _analyzer_tokens,
+        hll_merge,
+        hll_register_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    regs = hll_register_table(_analyzer_tokens(docs, "doc_id", "text"))
+    empty = hll_register_table(
+        _analyzer_tokens(docs.filter("doc_id < 0"), "doc_id", "text")
+    )
+    merged = {(r.bucket, r.mx) for r in hll_merge(regs, empty).collect()}
+    assert merged == {(r.bucket, r.mx) for r in regs.collect()}
