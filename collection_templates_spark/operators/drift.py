@@ -49,6 +49,10 @@ def binned_counts(
     monitors must not crash on a stray outlier); NULL values are
     dropped. Bin arithmetic is double-precision floor((v − lo)/width),
     identical in any IEEE engine."""
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
     width = (hi - lo) / n_bins
     raw = F.floor(
         (F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(width)

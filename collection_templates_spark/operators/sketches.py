@@ -337,6 +337,8 @@ def hll_merge(*registers: DataFrame) -> DataFrame:
     shards (or micro-batches, or days) sketch independently and the
     union's registers are the element-wise max, with NO access to the
     original streams. Input/output schema: (bucket, mx)."""
+    if not registers:
+        raise ValueError("hll_merge needs at least one register table")
     merged = registers[0]
     for r in registers[1:]:
         merged = merged.unionByName(r)

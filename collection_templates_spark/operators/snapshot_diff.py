@@ -117,10 +117,11 @@ def merge_upsert(
     (dedup upstream — e.g. window_dedup_keep_first — exactly as any
     MERGE requires a unique source).
 
-    Scale: one key-keyed full-outer join (both sides shuffle on the
-    key; small change batches broadcast automatically under AQE) and
-    pure column expressions — no window, no driver state. Copy-on-write
-    table formats implement exactly this plan under their MERGE.
+    Scale: one key-keyed full-outer join — always a shuffle, since
+    Spark cannot broadcast any side of a full-outer join (the plan test
+    pins the FullOuter sort-merge join) — and pure column expressions:
+    no window, no driver state. Copy-on-write table formats implement
+    exactly this plan under their MERGE.
     """
     payload = [c for c in base.columns if c != key_col]
     j = base.alias("b").join(changes.alias("c"), key_col, "full_outer")

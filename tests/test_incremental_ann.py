@@ -1,7 +1,7 @@
 """Incremental ANN vs persisted IVF index (operators/incremental_ann):
 probe ≡ direct ivf_cosine_topk with the same centroids, O(batch) append
-round-trip, persisted-quantizer fidelity, and the dynamic-partition-
-pruning plan shape that makes probe IO proportional to probed lists."""
+round-trip, persisted-quantizer fidelity, and the static-partition-
+filter plan shape that makes probe IO proportional to probed lists."""
 
 import contextlib
 import io

@@ -52,6 +52,9 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: check.py [SF_DIR] [QUERY…] [--json PATH]")
+            return 2
         json_path = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
