@@ -449,3 +449,141 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    sweeps: int = 4,
+) -> DataFrame:
+    """Fixed-sweep k-core peeling summary: repeatedly drop nodes of
+    degree < k and the edges touching them, reporting nodes/edges
+    remaining after each sweep — the degeneracy-ordering workhorse
+    (Matula & Beck 1983) that bounds community cores and feeds
+    graph-sampling curricula. A FIXED sweep count (like the pagerank /
+    HITS / LPA rows) keeps the operator replayable: run-to-convergence
+    is data-dependent, per-sweep state is not.
+
+    Plan per sweep: one degree aggregate over the current edge table
+    (map-side combined), a broadcast-or-shuffle semi-join of survivors
+    back onto both endpoints, and an eager localCheckpoint to cut the
+    iterative lineage (the pagerank convention). All counts are
+    integers — nothing to round.
+
+    Output: ``sweeps`` rows (sweep, n_nodes, n_edges) where sweep i
+    describes the graph AFTER i peels; a sweep that removes nothing is
+    the fixed point (k-core reached).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for sweep in range(1, sweeps + 1):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        stats = (
+            e.select(F.explode(F.array("a", "b")).alias("n"))
+            .agg(
+                F.lit(sweep).alias("sweep"),
+                F.count_distinct("n").cast("long").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_degree: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Common-neighbor link prediction: for every NON-adjacent node
+    pair sharing at least one neighbor, score by neighbor-set Jaccard
+    cn/(d_a + d_b − cn) and return the top ``k`` — the classic
+    missing-edge recommender (Liben-Nowell & Kleinberg 2003).
+
+    Skew safety: wedges are generated only through CENTER nodes of
+    degree ≤ ``max_center_degree`` (the PPJoin-style hot-node cap used
+    across the dedup family, replayed identically by the oracle) — a
+    hub with 10⁶ neighbors would otherwise fan out 10¹² candidate
+    pairs. Degrees in the Jaccard denominator stay the TRUE degrees;
+    the cap only bounds which wedges generate candidates.
+
+    Determinism: counts/degrees are integers; jaccard = cn/(da+db−cn)
+    is one exact-input division rounded to 6dp; top-k orders by
+    (jaccard desc, cn desc, a, b) — total.
+
+    Plan: one distinct + degree aggregate, one capped wedge self-join,
+    one count aggregate, an anti-join against the edge set (existing
+    edges are not "predictions"), two broadcast degree joins, TakeOrdered.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("a").alias("n"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("n"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter(F.col("d") <= max_center_degree).select("n")
+    adjc = adj.join(centers, "n", "left_semi")
+    wedges = (
+        adjc.alias("x")
+        .join(adjc.alias("y"), "n")
+        .filter(F.col("x.nbr") < F.col("y.nbr"))
+        .select(F.col("x.nbr").alias("a"), F.col("y.nbr").alias("b"))
+    )
+    cn = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cn"))
+    fresh = cn.join(e, ["a", "b"], "left_anti")
+    scored = (
+        fresh.join(
+            F.broadcast(deg.select(F.col("n").alias("a"), F.col("d").alias("da"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("n").alias("b"), F.col("d").alias("db"))),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.col("cn").cast("long").alias("cn"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(),
+        F.col("cn").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+    ).limit(k)

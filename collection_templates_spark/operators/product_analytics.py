@@ -1,0 +1,221 @@
+"""Product/clickstream analytics over keyed event streams: conversion
+attribution, RFM segmentation, and top session paths.
+
+The engine-surface rows a warehouse team runs daily on the events
+table — none exist in the reference (a single-threaded wiki ETL;
+SURVEY §2 scopes these as the at-scale extension surface alongside the
+funnel/retention/markov rows already in the bank).
+
+Determinism conventions shared with the events family:
+``(ts, event_id)`` is the total order everywhere (lineitem-style ts
+ties are real), timestamps compare via ``unix_micros`` ≡ DuckDB
+``epoch_us``, and "strictly before" means tuple-order
+``(ts_a, id_a) < (ts_b, id_b)`` (the events_conversion_lag anchored
+convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def attribution_summary(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: every
+    ``convert_type`` event is attributed to the earliest and the latest
+    OTHER event strictly before it in its user's stream; per channel
+    (event type) report both attribution counts and their shares.
+
+    Tie-breaks: "strictly before" is tuple order on (ts, event_id);
+    first/last touch are min_by/max_by over the same tuple — totally
+    ordered, so both engines pick identical touches. Conversions with
+    no prior touch are excluded (and countable as the difference from
+    the conversion total, reported in the ``n_conversions`` column).
+
+    Scale shape: ONE user-keyed join between the (small) conversion
+    side and the touch side — per-user fanout is bounded by session
+    activity, and the join key is the natural bucketing key at 100 TB
+    (pre-bucket events by user_id and both sides co-locate). The
+    argmin/argmax collapse happens in the same aggregate, no window
+    over raw events. Output: one row per channel
+    (channel, first_touch, last_touch, first_share, last_share).
+    """
+    us = F.unix_micros("ts")
+    conv = events.filter(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("u"),
+        us.alias("c_us"),
+        F.col("event_id").alias("c_id"),
+    )
+    touch = events.filter(F.col(type_col) != convert_type).select(
+        F.col(user_col).alias("u"),
+        us.alias("t_us"),
+        F.col("event_id").alias("t_id"),
+        F.col(type_col).alias("channel"),
+    )
+    before = (F.col("t_us") < F.col("c_us")) | (
+        (F.col("t_us") == F.col("c_us")) & (F.col("t_id") < F.col("c_id"))
+    )
+    order_key = F.struct(F.col("t_us").alias("us"), F.col("t_id").alias("id"))
+    per_conv = (
+        conv.join(touch, "u")
+        .filter(before)
+        .groupBy("u", "c_id")
+        .agg(
+            F.min_by(F.col("channel"), order_key).alias("first_channel"),
+            F.max_by(F.col("channel"), order_key).alias("last_channel"),
+        )
+    )
+    first = per_conv.groupBy(
+        F.col("first_channel").alias("channel")
+    ).agg(F.count(F.lit(1)).alias("first_touch"))
+    last = per_conv.groupBy(F.col("last_channel").alias("channel")).agg(
+        F.count(F.lit(1)).alias("last_touch")
+    )
+    tot = per_conv.groupBy().agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+    return (
+        first.join(last, "channel", "full_outer")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot.withColumn("_k", F.lit(1))), "_k")
+        .select(
+            "channel",
+            F.coalesce("first_touch", F.lit(0)).alias("first_touch"),
+            F.coalesce("last_touch", F.lit(0)).alias("last_touch"),
+            "n_conversions",
+            F.round(
+                F.coalesce("first_touch", F.lit(0)).cast("double")
+                / F.col("n_conversions").cast("double"),
+                6,
+            ).alias("first_share"),
+            F.round(
+                F.coalesce("last_touch", F.lit(0)).cast("double")
+                / F.col("n_conversions").cast("double"),
+                6,
+            ).alias("last_share"),
+        )
+    )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    customers from their order history, rolled up to segment cells —
+    the classic CRM cube.
+
+    Per customer: recency = days from last order to the corpus max
+    date, frequency = order count, monetary = exact DECIMAL total.
+    Quartiles via ``ntile(4)`` with the SQL-standard earlier-buckets-
+    larger fill, totally ordered by (metric, custkey) so both engines
+    cut identically; recency is ranked ascending (fresh = quartile 1),
+    frequency/monetary descending (big = quartile 1).
+
+    Scale shape: one groupBy(custkey) aggregate, three ntile windows
+    over the *customer* table (1000× smaller than orders), one cell
+    rollup. Output ≤ 64 rows: (r_q, f_q, m_q, n_customers,
+    avg_monetary, avg_recency_days).
+    """
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    wall = Window.partitionBy()
+    with_rec = per_cust.withColumn(
+        "recency_days",
+        F.datediff(F.max("last_order").over(wall), F.col("last_order")),
+    )
+    seg = (
+        with_rec.withColumn(
+            "r_q",
+            F.ntile(4).over(
+                Window.orderBy(F.col("recency_days").asc(), F.col("custkey"))
+            ),
+        )
+        .withColumn(
+            "f_q",
+            F.ntile(4).over(
+                Window.orderBy(F.col("frequency").desc(), F.col("custkey"))
+            ),
+        )
+        .withColumn(
+            "m_q",
+            F.ntile(4).over(
+                Window.orderBy(F.col("monetary").desc(), F.col("custkey"))
+            ),
+        )
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.avg(F.col("monetary").cast("double")), 4
+        ).alias("avg_monetary"),
+        F.round(F.avg(F.col("recency_days").cast("double")), 4).alias(
+            "avg_recency_days"
+        ),
+    )
+
+
+def top_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    path_len: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top session paths: sessionize each user's stream (inactivity gap,
+    the window_sessionize convention), take the first ``path_len`` event
+    types of every session in (ts, event_id) order, join them with
+    ``>``, and return the ``k`` most frequent paths — the navigation-
+    pattern miner (ClickHouse's sequence analysis / GA "top paths").
+
+    Determinism: session boundaries from unix_micros gaps (exact
+    integers); path assembly sorts (rn, type) structs — no
+    collect_list order dependence; top-k breaks ties by path string.
+
+    Scale shape: ONE user-keyed window shuffle (sessionize + row_number
+    share it), one path aggregate whose key space is bounded by
+    |types|^path_len, and a TakeOrdered top-k — no global sort.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros("ts")
+    prev_us = F.lag(us).over(w)
+    new_sess = (
+        F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
+    )
+    sess = events.withColumn(
+        "sess_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess_idx").orderBy("ts", "event_id")
+    steps = sess.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= path_len
+    )
+    paths = steps.groupBy("user_id", "sess_idx").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rn").alias("rn"),
+                            F.col("event_type").alias("et"),
+                        )
+                    )
+                ),
+                lambda s: s.et,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    return counted.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(k)

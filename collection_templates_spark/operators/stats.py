@@ -121,3 +121,221 @@ def weighted_median(
         F.min("___tw").alias("w_total"),
         F.min("v").alias("w_median"),
     )
+
+
+def ks_test_2sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: D = max over observed values
+    of |F_a(x) − F_b(x)| with the step empirical CDFs evaluated at the
+    pooled distinct values, plus the α=0.05 critical value
+    1.358·sqrt((n_a+n_b)/(n_a·n_b)) and the reject flag — the
+    distribution-drift gate a corpus refresh runs before accepting a new
+    snapshot (does the new crawl's length/score distribution match?).
+
+    Determinism: CDF numerators/denominators are integer counts, so
+    F = c/n is one exact-input IEEE division and |F_a − F_b| is
+    identical in any engine; D and the critical value are rounded to
+    6dp. No interpolation anywhere (step CDFs).
+
+    Scale shape: one groupBy(value) count + ONE ordered cumulative
+    window over the *distinct-value* table (skinny, bounded by
+    cardinality not rows) + a single-row aggregate. The global order is
+    inherent to an exact KS; for 100 TB swap the distinct-value table
+    for binned CDFs (drift.binned_counts) with the same downstream
+    algebra.
+
+    Output single row: (n_a, n_b, ks_d, crit_05, reject_05).
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.filter(v.isNotNull() & g.isin([group_a, group_b])).select(
+        g.alias("g"), v.alias("v")
+    )
+    at_v = base.groupBy("v").agg(
+        F.sum((F.col("g") == group_a).cast("long")).alias("ca"),
+        F.sum((F.col("g") == group_b).cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = at_v.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = cum.withColumn("ta", F.max("cum_a").over(wall)).withColumn(
+        "tb", F.max("cum_b").over(wall)
+    )
+    return (
+        tot.groupBy()
+        .agg(
+            F.max("ta").alias("n_a"),
+            F.max("tb").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double")
+                    / F.col("ta").cast("double")
+                    - F.col("cum_b").cast("double")
+                    / F.col("tb").cast("double")
+                )
+            ).alias("_d"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.round(F.col("_d"), 6).alias("ks_d"),
+            F.round(
+                F.lit(1.358)
+                * F.sqrt(
+                    (F.col("n_a") + F.col("n_b")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                ),
+                6,
+            ).alias("crit_05"),
+        )
+        .withColumn("reject_05", F.col("ks_d") > F.col("crit_05"))
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence over the (row_col ×
+    col_col) contingency table, plus Cramér's V effect size — the
+    categorical-drift companion of :func:`ks_test_2sample` (is event
+    mix independent of month? is language mix independent of source?).
+
+    Determinism: observed counts and marginals are integers; each
+    cell's expected value e = (row_tot·col_tot)/n and contribution
+    (o−e)²/e are exact-input IEEE ops, rounded to 9dp per cell BEFORE
+    the final sum (the drift_js per-bin convention) so the bounded
+    cell-order-dependent summation noise dies at the 6dp output round.
+
+    Scale shape: one (r,c) count aggregate, two marginal re-aggregates
+    of the *cell table* (bounded by category cardinalities, not rows),
+    broadcast joins back, one single-row sum. Output:
+    (n, dof, chi2, cramers_v).
+    """
+    base = df.filter(
+        F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+    ).select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+    cells = base.groupBy("r", "c").agg(F.count(F.lit(1)).alias("o"))
+    row_tot = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    col_tot = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    n_tot = cells.groupBy().agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("r").alias("nr"),
+        F.count_distinct("c").alias("nc"),
+    )
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e,
+        9,
+    )
+    joined = (
+        cells.join(F.broadcast(row_tot), "r")
+        .join(F.broadcast(col_tot), "c")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_tot.withColumn("_k", F.lit(1))), "_k")
+        .select(
+            F.col("n"),
+            F.col("nr"),
+            F.col("nc"),
+            contrib.alias("cell_chi2"),
+        )
+    )
+    return (
+        joined.groupBy()
+        .agg(
+            F.max("n").alias("n"),
+            ((F.max("nr") - 1) * (F.max("nc") - 1)).alias("dof"),
+            F.round(F.sum("cell_chi2"), 6).alias("chi2"),
+            F.round(
+                F.when(
+                    F.least(F.max("nr"), F.max("nc")) > 1,
+                    F.sqrt(
+                        F.sum("cell_chi2")
+                        / (
+                            F.max("n").cast("double")
+                            * F.least(F.max("nr") - 1, F.max("nc") - 1).cast(
+                                "double"
+                            )
+                        )
+                    ),
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: tuple[str, ...], scale: int = 2
+) -> DataFrame:
+    """Exact Pearson correlation + sample covariance for every column
+    pair, computed from DECIMAL moment sums so the result is
+    bit-identical in any engine — the feature-redundancy audit a
+    training pipeline runs before picking quality-signal columns.
+
+    Determinism: inputs are fixed-point (``scale`` decimal digits —
+    prices/ratios in this corpus are 2dp), so Σx, Σx², Σxy accumulate
+    as DECIMAL with NO floating-point order dependence; the closed
+    forms r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) and
+    cov = (Σxy − ΣxΣy/n)/(n−1) then run on exact inputs and round to
+    4dp. This sidesteps the cross-engine FP-summation trap entirely
+    (naive vs pairwise summation differs in ulps; DECIMAL doesn't).
+
+    Scale shape: ONE map-side-combined pass computes every moment for
+    all pairs (no per-pair scans, no shuffle beyond the single-row
+    aggregate); output is |cols|·(|cols|−1)/2 rows.
+    """
+    dec = f"decimal(18,{scale})"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c).cast(dec) * F.col(c).cast(dec)).alias(f"ss_{c}")
+        )
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        aggs.append(
+            F.sum(F.col(x).cast(dec) * F.col(y).cast(dec)).alias(
+                f"sxy_{x}_{y}"
+            )
+        )
+    m = df.groupBy().agg(*aggs)
+    n = F.col("n").cast("double")
+    rows = []
+    for x, y in pairs:
+        sx = F.col(f"s_{x}").cast("double")
+        sy = F.col(f"s_{y}").cast("double")
+        sxx = F.col(f"ss_{x}").cast("double")
+        syy = F.col(f"ss_{y}").cast("double")
+        sxy = F.col(f"sxy_{x}_{y}").cast("double")
+        corr = (n * sxy - sx * sy) / F.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
+        rows.append(
+            F.struct(
+                F.lit(x).alias("x"),
+                F.lit(y).alias("y"),
+                F.col("n").alias("n"),
+                F.round(corr, 4).alias("corr"),
+                F.round(cov, 4).alias("cov"),
+            )
+        )
+    return m.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.x", "p.y", "p.n", "p.corr", "p.cov")

@@ -374,3 +374,128 @@ def window_funnel(
         "conversion",
         F.round(F.col("n_users").cast("double") / denom, 6),
     )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Median-absolute-deviation anomaly detection over a keyed series:
+    a point is anomalous when |x − median| > threshold · 1.4826 · MAD —
+    the robust control chart (unlike :func:`trailing_zscore`'s
+    mean/stddev, a single extreme day cannot inflate its own baseline,
+    and breakdown needs >50 % contamination).
+
+    Determinism: median and MAD are exact interpolated percentiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``), each rounded to
+    6dp BEFORE the deviation compare; the robust score
+    (x − med)/(1.4826·MAD) is rounded to 4dp. Groups with MAD = 0
+    (constant series) flag nothing — documented, not an error.
+
+    Scale shape: two per-group percentile aggregates over the (group,
+    order) series table (bounded by group × order cardinality, not raw
+    rows — callers pre-aggregate raw events to the series first) with
+    the tiny (group, med, mad) table broadcast back. Output: the full
+    series with (med, mad, score, is_anomaly).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(part_col).alias("grp"),
+        F.col(order_col).alias("t"),
+        v.alias("v"),
+    )
+    med = base.groupBy("grp").agg(
+        F.round(F.percentile(F.col("v"), F.lit(0.5)), 6).alias("med")
+    )
+    mad = (
+        base.join(F.broadcast(med), "grp")
+        .groupBy("grp")
+        .agg(
+            F.min("med").alias("med"),
+            F.round(
+                F.percentile(F.abs(F.col("v") - F.col("med")), F.lit(0.5)),
+                6,
+            ).alias("mad"),
+        )
+    )
+    scaled = F.col("mad") * F.lit(1.4826)
+    score = F.when(
+        F.col("mad") > 0,
+        F.round((F.col("v") - F.col("med")) / scaled, 4),
+    )
+    return (
+        base.join(F.broadcast(mad), "grp")
+        .withColumn("score", score)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(
+                (F.abs(F.col("score")) > F.lit(float(threshold))).cast(
+                    "int"
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("grp", "t", "v", "med", "mad", "score", "is_anomaly")
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM change-point summary per series: S_t = Σ_{i≤t} (x_i − x̄)
+    (the cumulative sum of deviations from the series mean); the
+    change-point estimate is the position maximizing |S_t| — the
+    classic single-shift detector (Page 1954; Taylor's cumulative-sum
+    change detection), the level-shift companion of the MAD outlier
+    row.
+
+    Determinism: the caller supplies a series table whose values are
+    already rounded/exact (e.g. DECIMAL daily sums); the mean is
+    rounded to 9dp, each S_t is a cumulative sum IN ORDER (identical
+    association in any engine) rounded to 6dp, and the argmax takes
+    the EARLIEST position on ties. One row per group:
+    (grp, n, mean_v, cp_t, cp_s_abs).
+
+    Scale shape: one per-group mean aggregate broadcast back + ONE
+    ordered cumulative window per group + a min_by argmax aggregate.
+    The series table is bounded (group × time-bucket), not raw rows.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(part_col).alias("grp"),
+        F.col(order_col).alias("t"),
+        v.alias("v"),
+    )
+    mean_t = base.groupBy("grp").agg(
+        F.round(F.avg("v"), 9).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        base.join(F.broadcast(mean_t), "grp")
+        .withColumn(
+            "s", F.round(F.sum(F.col("v") - F.col("mean_v")).over(w), 6)
+        )
+        .withColumn("s_abs", F.abs(F.col("s")))
+    )
+    return cum.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("mean_v").alias("mean_v"),
+        F.min_by(
+            F.col("t"),
+            F.struct(
+                (-F.col("s_abs")).alias("neg_s"), F.col("t").alias("t")
+            ),
+        ).alias("cp_t"),
+        F.round(F.max("s_abs"), 6).alias("cp_s_abs"),
+    )

@@ -536,3 +536,94 @@ def zipf_fit(
             "intercept"
         ),
     )
+
+
+def readability_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document readability: Flesch reading ease and Flesch–Kincaid
+    grade from word / sentence / syllable counts — the lightweight
+    quality signal reading-level filters (and school-grade corpus
+    splits) are built on.
+
+    Proxies are the standard cheap ones: words are TOKEN_SPLIT_RE
+    tokens, sentences are ``[.!?]+`` runs (min 1), a word's syllables
+    are its ``[aeiouy]+`` vowel groups (min 1 — "rhythm" counts 1, not
+    0). Counts are integers, the two formulas are exact-input double
+    arithmetic rounded to 4dp — engine-identical with no summation-
+    order exposure (everything is per-row).
+
+    Scale: pure column expressions (one higher-order aggregate over the
+    in-row token array — nothing explodes to a token table, nothing
+    shuffles); output is one row per document.
+    """
+    from collection_templates_spark.functions.langmodel import (
+        TOKEN_SPLIT_RE,
+    )
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+    n_words = F.size(words)
+    n_sentences = F.greatest(
+        F.lit(1), F.regexp_count(F.col(text_col), F.lit("[.!?]+"))
+    )
+    n_syllables = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, x: acc
+        + F.greatest(F.lit(1), F.regexp_count(x, F.lit("[aeiouy]+"))),
+    )
+    wps = n_words.cast("double") / n_sentences.cast("double")
+    spw = n_syllables.cast("double") / n_words.cast("double")
+    return docs.filter(n_words > 0).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syllables.cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    gibberish/compression-proxy filter: near-zero entropy is repeated
+    filler, unusually high is base64/binary junk; both get cut before
+    training.
+
+    Determinism: per-char probabilities are exact integer divisions;
+    each −p·ln(p)/ln(2) term is rounded to 9dp BEFORE the per-doc sum
+    and the sum to 6dp (the drift_js / perplexity convention — ln-based
+    with an explicit ln 2 literal, never an engine's log2 builtin).
+
+    Scale: one explode + two map-side-combined aggregates keyed by
+    doc_id — the same shape as script_mix; per-doc char alphabets are
+    bounded, so the (doc, char) intermediate is O(docs · alphabet).
+    """
+    ln2 = F.lit(0.6931471805599453)
+    per_char = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col(text_col), "")).alias("c")
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = per_char.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n_chars").cast("double")
+    term = F.round(-(p * F.log(p) / ln2), 9)
+    return (
+        per_char.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chars").cast("long").alias("n_chars"),
+            F.max("n_distinct").cast("long").alias("n_distinct"),
+            F.round(F.sum(term), 6).alias("entropy_bits"),
+        )
+    )

@@ -801,3 +801,147 @@ def cross_source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, table A1
+    — the heuristics Gopher/MassiveText filter web text with), rolled
+    up per group: document counts, per-rule failure counts, and the
+    all-rules pass fraction.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min, max]; '#'/'…' symbol-to-word ratio below max; fraction of
+    words containing a letter above min; at least ``min_stopword_hits``
+    hits from the 8-word English stopword probe.
+
+    Determinism: counts are integers; the three ratios are exact-input
+    divisions rounded to 6dp BEFORE each threshold compare, so a
+    boundary document classifies identically in both engines. Scale:
+    pure per-row column expressions over the in-row token array + one
+    group rollup — scan-speed, one shuffle of the tiny rule table.
+    """
+    from collection_templates_spark.functions.langmodel import (
+        TOKEN_SPLIT_RE,
+    )
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+    n_words = F.size(words)
+    mean_wl = F.round(
+        F.aggregate(
+            words, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n_words.cast("double"),
+        6,
+    )
+    n_symbols = F.regexp_count(F.col(text_col), F.lit("[#…]"))
+    symbol_ratio = F.round(
+        n_symbols.cast("double") / n_words.cast("double"), 6
+    )
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.round(
+        n_alpha.cast("double") / n_words.cast("double"), 6
+    )
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(words, lambda x: F.array_contains(sw, x))
+    )
+    flagged = docs.filter(n_words > 0).select(
+        F.col(group_col).alias("grp"),
+        (~n_words.between(min_words, max_words)).cast("int").alias(
+            "f_word_count"
+        ),
+        (~mean_wl.between(min_mean_word_len, max_mean_word_len))
+        .cast("int")
+        .alias("f_word_len"),
+        (symbol_ratio > max_symbol_ratio).cast("int").alias("f_symbol"),
+        (alpha_frac < min_alpha_word_frac).cast("int").alias("f_alpha"),
+        (stop_hits < min_stopword_hits).cast("int").alias("f_stopword"),
+    )
+    fails = (
+        F.col("f_word_count")
+        + F.col("f_word_len")
+        + F.col("f_symbol")
+        + F.col("f_alpha")
+        + F.col("f_stopword")
+    )
+    return (
+        flagged.withColumn("passes", (fails == 0).cast("int"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_word_count").cast("long").alias("fail_word_count"),
+            F.sum("f_word_len").cast("long").alias("fail_word_len"),
+            F.sum("f_symbol").cast("long").alias("fail_symbol"),
+            F.sum("f_alpha").cast("long").alias("fail_alpha"),
+            F.sum("f_stopword").cast("long").alias("fail_stopword"),
+            F.round(
+                F.sum("passes").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("pass_frac"),
+        )
+    )
+
+
+def sample_reservoir(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 5,
+    salt: str = "reservoir",
+) -> DataFrame:
+    """Deterministic per-group k-sample: the classic reservoir sample
+    re-expressed as minwise hashing — keep each group's ``k`` rows with
+    the smallest portable hash of ``salt + ':' + id``. Statistically a
+    uniform without-replacement sample (every row's hash rank is
+    exchangeable), but stable across runs, engines, partitionings AND
+    insertions (a new row evicts at most one survivor — the property
+    that makes samples diffable across corpus refreshes; a true
+    sequential reservoir has neither stability nor an oracle).
+
+    The rank key is the portable hash REDUCED MOD A LARGE PRIME: the
+    two-fold polynomial hash is near-monotone over sequential ids
+    (constant stride between neighbors), so ranking by the raw hash
+    would just pick the smallest ids — the mod-prime fold turns the
+    stride into a full-period jump and the rank order into the
+    advertised pseudo-random one (measured: raw-hash picks are the 5
+    lowest ids per group; folded picks are spread across the id range).
+
+    One window shuffle over (group, folded hash, id); change ``salt``
+    for an independent draw. Output: (group, id, rank 1..k).
+    """
+    from collection_templates_spark.operators.dedup import (
+        portable_shingle_hash,
+    )
+
+    key = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        (portable_shingle_hash(key) % F.lit(999983)).alias("h"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("h").asc(), F.col("id").asc()
+    )
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("grp", "id", F.col("rk").cast("int").alias("rk"))
+    )
