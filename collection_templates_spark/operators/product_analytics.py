@@ -149,14 +149,20 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
             ),
         )
     )
+    # Averages from exact sums (DECIMAL monetary; integer recency):
+    # avg() over doubles is summation-order-dependent across engines.
     return seg.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(
-            F.avg(F.col("monetary").cast("double")), 4
+            F.sum("monetary").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
         ).alias("avg_monetary"),
-        F.round(F.avg(F.col("recency_days").cast("double")), 4).alias(
-            "avg_recency_days"
-        ),
+        F.round(
+            F.sum("recency_days").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("avg_recency_days"),
     )
 
 

@@ -1130,3 +1130,82 @@ def residual_ivfpq_topk(
             vec_col,
         )
     return adc.select("query_id", "neighbor_id", "rank", "sim")
+
+
+def sq8_dequantized(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Scalar (int8) quantization round-trip: per-dimension global
+    min/max → uniform ``levels``-bucket code → bucket-CENTER
+    dequantization mn + (code+0.5)·(mx−mn)/levels — the 4× compression
+    (float32 → uint8) every large vector store ships before PQ, here
+    surfaced as the dequantized corpus so recall-vs-brute is directly
+    measurable (FAISS's ScalarQuantizer / Milvus SQ8).
+
+    Determinism: min/max are exact (float inputs cast to double);
+    code = least(levels−1, floor((v−mn)/(mx−mn)·levels)) and the
+    dequantized center are exact-input IEEE expressions — identical in
+    any engine, no rounding needed until a similarity is taken.
+    Constant dimensions (mx = mn) code to 0 and dequantize to mn.
+
+    Scale shape: one posexplode (dim × rows — the honest cost of a
+    per-dimension aggregate), a 64-row stats broadcast back, and ONE
+    groupBy(id) rebuild that sorts (dim, value) structs so array order
+    never depends on shuffle arrival. At 100 TB the stats pass runs on
+    a sample and the rebuild rides the same explode as any per-dim
+    transform.
+    """
+    dims = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+    )
+    stats = dims.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    width = F.col("mx") - F.col("mn")
+    code = F.when(
+        width > 0,
+        F.least(
+            F.lit(levels - 1),
+            F.floor((F.col("v") - F.col("mn")) / width * F.lit(levels)),
+        ),
+    ).otherwise(F.lit(0))
+    deq = F.col("mn") + (
+        (code.cast("double") + F.lit(0.5)) * width / F.lit(float(levels))
+    )
+    rebuilt = (
+        dims.join(F.broadcast(stats), "dim")
+        .select("vid", F.struct(F.col("dim"), deq.alias("dv")).alias("s"))
+        .groupBy("vid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("s")), lambda s: s.dv
+            ).alias(vec_col)
+        )
+        .withColumnRenamed("vid", id_col)
+    )
+    return rebuilt
+
+
+def sq8_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Asymmetric SQ8 search: FULL-precision queries scored against the
+    dequantized corpus (the ADC convention — quantize the big side,
+    keep the query exact), ranked by the shared topk_per_query
+    finisher."""
+    return cosine_topk(
+        sq8_dequantized(corpus, id_col, vec_col, levels),
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

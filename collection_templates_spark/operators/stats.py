@@ -332,8 +332,8 @@ def correlation_matrix(
                 F.lit(x).alias("x"),
                 F.lit(y).alias("y"),
                 F.col("n").alias("n"),
-                F.round(corr, 4).alias("corr"),
-                F.round(cov, 4).alias("cov"),
+                (F.round(corr, 4) + F.lit(0.0)).alias("corr"),
+                (F.round(cov, 4) + F.lit(0.0)).alias("cov"),
             )
         )
     return m.select(

@@ -424,7 +424,7 @@ def mad_anomalies(
     scaled = F.col("mad") * F.lit(1.4826)
     score = F.when(
         F.col("mad") > 0,
-        F.round((F.col("v") - F.col("med")) / scaled, 4),
+        F.round((F.col("v") - F.col("med")) / scaled, 4) + F.lit(0.0),
     )
     return (
         base.join(F.broadcast(mad), "grp")
@@ -455,11 +455,12 @@ def cusum_changepoint(
     change detection), the level-shift companion of the MAD outlier
     row.
 
-    Determinism: the caller supplies a series table whose values are
-    already rounded/exact (e.g. DECIMAL daily sums); the mean is
-    rounded to 9dp, each S_t is a cumulative sum IN ORDER (identical
-    association in any engine) rounded to 6dp, and the argmax takes
-    the EARLIEST position on ties. One row per group:
+    Determinism: values fold through DECIMAL(18,6), so BOTH the series
+    total (for the mean) and every cumulative prefix sum are EXACT —
+    no engine's summation association (left fold vs segment tree) can
+    move them. S_t is then cum_t − t·x̄ with the mean rounded to 9dp
+    (one exact-input product per row), S_t rounded to 6dp, and the
+    argmax takes the EARLIEST position on ties. One row per group:
     (grp, n, mean_v, cp_t, cp_s_abs).
 
     Scale shape: one per-group mean aggregate broadcast back + ONE
@@ -470,10 +471,14 @@ def cusum_changepoint(
     base = df.filter(v.isNotNull()).select(
         F.col(part_col).alias("grp"),
         F.col(order_col).alias("t"),
-        v.alias("v"),
+        v.cast("decimal(18,6)").alias("vd"),
     )
     mean_t = base.groupBy("grp").agg(
-        F.round(F.avg("v"), 9).alias("mean_v"),
+        F.round(
+            F.sum("vd").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("mean_v"),
         F.count(F.lit(1)).alias("n"),
     )
     w = (
@@ -484,7 +489,15 @@ def cusum_changepoint(
     cum = (
         base.join(F.broadcast(mean_t), "grp")
         .withColumn(
-            "s", F.round(F.sum(F.col("v") - F.col("mean_v")).over(w), 6)
+            "s",
+            F.round(
+                F.sum("vd").over(w).cast("double")
+                - F.row_number()
+                .over(Window.partitionBy("grp").orderBy("t"))
+                .cast("double")
+                * F.col("mean_v"),
+                6,
+            ),
         )
         .withColumn("s_abs", F.abs(F.col("s")))
     )

@@ -580,11 +580,17 @@ def readability_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_words.cast("long").alias("n_words"),
         n_sentences.cast("long").alias("n_sentences"),
         n_syllables.cast("long").alias("n_syllables"),
-        F.round(
-            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        (
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+            )
+            + F.lit(0.0)  # kill the -0.0/+0.0 cross-engine zero-sign split
         ).alias("flesch"),
-        F.round(
-            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        (
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+            )
+            + F.lit(0.0)
         ).alias("fk_grade"),
     )
 
@@ -609,6 +615,7 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         docs.select(
             "doc_id", F.explode(F.split(F.col(text_col), "")).alias("c")
         )
+        .filter(F.col("c") != "")  # script_mix's defensive empty-char cut
         .groupBy("doc_id", "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

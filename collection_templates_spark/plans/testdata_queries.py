@@ -3395,6 +3395,256 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: statistical tests, anomaly/change-point, product
+# analytics, graph core/link-prediction, readability/entropy/Gopher
+# quality, SQ8 quantization, reservoir sampling
+# ---------------------------------------------------------------------------
+
+
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (stats.ks_test_2sample):
+    do BUILDING and MACHINERY customers draw order totals from the same
+    distribution? Exact step-CDF D over pooled distinct values, integer
+    CDF arithmetic, alpha=0.05 critical value."""
+    from collection_templates_spark.operators.stats import ks_test_2sample
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_totalprice", "c_mktsegment"
+    )
+    return ks_test_2sample(
+        oc, "c_mktsegment", "o_totalprice", "BUILDING", "MACHINERY"
+    )
+
+
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event type vs weekday
+    (stats.chi_square_independence): integer contingency marginals,
+    9dp-per-cell contributions, Cramer's V effect size. Weekday is
+    (dayofmonth-1) % 7 — engine-portable (no locale-dependent dow
+    builtin) and the true weekday for this corpus's epoch."""
+    from collection_templates_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    wd = ((F.dayofmonth("ts") - 1) % 7).alias("wd")
+    return chi_square_independence(
+        ev.select("event_type", wd), "event_type", "wd"
+    )
+
+
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + covariance over lineitem's four
+    numeric columns (stats.correlation_matrix): every moment accumulates
+    as DECIMAL (exact — no FP summation-order exposure), the closed
+    forms run on exact inputs, ONE map-side-combined pass for all six
+    pairs."""
+    from collection_templates_spark.operators.stats import (
+        correlation_matrix,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+
+
+def _daily_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (event_type, day, v) daily-total series: v is the exact
+    DECIMAL(18,2) day total cast to double — identical in both engines
+    regardless of row order, the determinism anchor for the MAD and
+    CUSUM rows."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("v")
+    )
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation anomaly flags over per-type daily
+    revenue (temporal.mad_anomalies): the robust control chart — exact
+    interpolated median/MAD rounded 6dp before the 3-sigma-equivalent
+    (1.4826 scale) compare."""
+    from collection_templates_spark.operators.temporal import mad_anomalies
+
+    return mad_anomalies(
+        _daily_event_series(spark, sf_dir), "event_type", "day", "v"
+    ).withColumnRenamed("grp", "event_type")
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimate per event type
+    (temporal.cusum_changepoint): cumulative deviation from the series
+    mean with DECIMAL-exact prefix sums, earliest-argmax tie rule —
+    Page's classic single-shift detector over the daily series."""
+    from collection_templates_spark.operators.temporal import (
+        cusum_changepoint,
+    )
+
+    return cusum_changepoint(
+        _daily_event_series(spark, sf_dir), "event_type", "day", "v"
+    ).withColumnRenamed("grp", "event_type")
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution
+    (product_analytics.attribution_summary): every purchase credits the
+    earliest and latest strictly-before event of its user (tuple order
+    on (ts, event_id) — the conversion_lag anchoring), rolled up per
+    channel with shares."""
+    from collection_templates_spark.operators.product_analytics import (
+        attribution_summary,
+    )
+
+    return attribution_summary(_t(spark, sf_dir, "events"))
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of customers from orders
+    (product_analytics.rfm_segments): ntile(4) cuts with (metric,
+    custkey) total order, DECIMAL-exact monetary, <=64 segment cells."""
+    from collection_templates_spark.operators.product_analytics import (
+        rfm_segments,
+    )
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths (product_analytics.top_paths): sessionize
+    (6h gap — wide enough that this sparse stream forms multi-event
+    sessions), join the first 3 event types per session with '>', count,
+    top-20 with path tie-break."""
+    from collection_templates_spark.operators.product_analytics import (
+        top_paths,
+    )
+
+    return top_paths(
+        _t(spark, sf_dir, "events"), gap_minutes=360, path_len=3, k=20
+    )
+
+
+def _copurchase_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-part bipartite edges via orders: the sparse graph the
+    k-core and link-prediction rows peel (node ids prefixed 'c'/'p' so
+    the two sides can't collide)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-sweep k-core peeling (graph.kcore_stats, k=20, 4 sweeps)
+    on the customer-part bipartite graph: nodes/edges surviving each
+    peel — integer-exact, oracle replays the sweeps as unrolled CTEs."""
+    from collection_templates_spark.operators.graph import kcore_stats
+
+    return kcore_stats(
+        _copurchase_bipartite(spark, sf_dir), k=20, sweeps=4
+    )
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction
+    (graph.link_prediction_jaccard) over the customer-part graph:
+    capped wedge generation (center degree <= 64), true-degree Jaccard,
+    top-20 with total tie order."""
+    from collection_templates_spark.operators.graph import (
+        link_prediction_jaccard,
+    )
+
+    return link_prediction_jaccard(
+        _copurchase_bipartite(spark, sf_dir), max_center_degree=64, k=20
+    )
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch / Flesch-Kincaid readability
+    (text_analysis.readability_stats): vowel-group syllable proxy,
+    sentence-run proxy, per-row exact arithmetic — no summation-order
+    exposure anywhere."""
+    from collection_templates_spark.operators.text_analysis import (
+        readability_stats,
+    )
+
+    return readability_stats(_t(spark, sf_dir, "documents"))
+
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character Shannon entropy
+    (text_analysis.char_entropy): 9dp-per-term ln-based bits (explicit
+    ln2 literal — never an engine's log2), 6dp sums — the
+    gibberish/compression proxy filter."""
+    from collection_templates_spark.operators.text_analysis import (
+        char_entropy,
+    )
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate per source
+    (training_prep.gopher_quality_rules): word-count bounds, mean word
+    length, symbol ratio, alpha-word fraction, stopword probe — per-rule
+    failure counts and the all-rules pass fraction, 6dp-rounded ratios
+    before every threshold compare."""
+    from collection_templates_spark.operators.training_prep import (
+        gopher_quality_rules,
+    )
+
+    return gopher_quality_rules(_t(spark, sf_dir, "documents"))
+
+
+def sample_reservoir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source k-sample (training_prep.sample_reservoir):
+    minwise portable hash folded mod a large prime (the raw two-fold
+    hash is near-monotone over sequential ids), k=5 per source —
+    stable across engines, runs, partitionings and appends."""
+    from collection_templates_spark.operators.training_prep import (
+        sample_reservoir,
+    )
+
+    return sample_reservoir(_t(spark, sf_dir, "documents"), k=5)
+
+
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of SQ8 scalar quantization against brute
+    cosine (similarity.sq8_cosine_topk): 8-bit/dim keeps recall at 1.0
+    on this corpus where 96-bit PQ codes drop to ~0.5 — the measured
+    compression-vs-recall contrast, riding the memoized brute ranking."""
+    from collection_templates_spark.operators.similarity import (
+        sq8_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sq8 = (
+        sq8_cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("___hit", F.lit(1))
+    )
+    brute = _brute_topk_for(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        brute.join(sq8, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("___hit"), F.lit(0))) / F.lit(5.0), 6
+            ).alias("recall_at_5")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3402,62 +3652,27 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Final round-10 state: 24 new r10 rows led
-    # the 131-query bank and were all sampled green in
-    # CORRECTNESS_r10.json along with the r6-stale heavy-dedup family;
-    # the 50 rows re-verified in round 9 sat at the back. All 131 pass
-    # the identical local oracle (tools/check.py) every round
-    # (CHECKLOCAL_r10.json).
-    "ann_incremental_topk": ann_incremental_topk,
-    "sketch_hll_union": sketch_hll_union,
-    "events_markov_transitions": events_markov_transitions,
-    "text_script_mix": text_script_mix,
-    "agg_weighted_median": agg_weighted_median,
-    "graph_label_propagation": graph_label_propagation,
-    "snapshot_merge_upsert": snapshot_merge_upsert,
-    "basket_item_pairs": basket_item_pairs,
-    "text_tfidf_top_terms": text_tfidf_top_terms,
-    "drift_welch_ttest": drift_welch_ttest,
-    "text_zipf_fit": text_zipf_fit,
-    "dedup_cluster_report": dedup_cluster_report,
-    "events_conversion_lag": events_conversion_lag,
-    "drift_js_events": drift_js_events,
-    "stats_winsorize": stats_winsorize,
-    "text_token_pmi": text_token_pmi,
-    "events_state_islands": events_state_islands,
-    "events_window_funnel": events_window_funnel,
-    "join_salted_skew": join_salted_skew,
-    "layout_zorder_stats": layout_zorder_stats,
-    "temporal_gap_fill": temporal_gap_fill,
-    "events_trailing_zscore": events_trailing_zscore,
-    "quality_dynamic_threshold": quality_dynamic_threshold,
-    "corpus_cross_source_overlap": corpus_cross_source_overlap,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
-    "dedup_clusters": dedup_clusters,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
-    "agg_pricing_summary": agg_pricing_summary,
-    "filter_pushdown_revenue": filter_pushdown_revenue,
-    "text_stats": text_stats,
-    "text_language_id": text_language_id,
-    "text_fingerprint": text_fingerprint,
-    "text_token_frequencies": text_token_frequencies,
-    "text_chunking": text_chunking,
-    "ann_label_centroids": ann_label_centroids,
-    "window_running_total": window_running_total,
-    "search_bm25ish": search_bm25ish,
-    "search_stemmed_ltr": search_stemmed_ltr,
-    "quality_report": quality_report,
-    "multimodal_features": multimodal_features,
-    "text_word_model": text_word_model,
-    "scalar_log_probability": scalar_log_probability,
-    "wiki_pipeline_funnel": wiki_pipeline_funnel,
-    "related_collections": related_collections_q,
-    "graph_pagerank_dangling": graph_pagerank_dangling,
-    "rollup_refresh": rollup_refresh,
-    "sketch_theta_intersection": sketch_theta_intersection,
-    "sketch_bloom_fpr": sketch_bloom_fpr,
+    # the sampling lever). Rotated for round 11: the 15 new r11 rows
+    # lead (never externally sampled), then the 81 rows the r10 driver
+    # did NOT sample (stalest external signal, r8/r9-checked), then the
+    # 50 rows CORRECTNESS_r10.json re-verified (freshest) at the back.
+    # All 146 pass the identical local oracle (tools/check.py) every
+    # round; the full-bank artifact is CHECKLOCAL_r{N}.json.
+    "stats_ks_test": stats_ks_test,
+    "stats_chi_square": stats_chi_square,
+    "stats_correlation": stats_correlation,
+    "events_anomaly_mad": events_anomaly_mad,
+    "events_cusum_changepoint": events_cusum_changepoint,
+    "events_attribution": events_attribution,
+    "customer_rfm_segments": customer_rfm_segments,
+    "events_top_paths": events_top_paths,
+    "graph_kcore": graph_kcore,
+    "graph_link_prediction": graph_link_prediction,
+    "text_readability": text_readability,
+    "text_entropy": text_entropy,
+    "quality_gopher_rules": quality_gopher_rules,
+    "sample_reservoir": sample_reservoir_q,
+    "ann_sq8_recall": ann_sq8_recall,
     "text_perplexity_kn": text_perplexity_kn,
     "ann_knn_accuracy": ann_knn_accuracy,
     "graph_hits": graph_hits,
@@ -3489,7 +3704,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": graph_pagerank,
     "sample_weighted": sample_weighted_q,
     "text_top_terms": text_top_terms,
-    # --- the 50 rows the driver re-verified in round 9 (freshest) ---
     "dedup_paragraph": dedup_paragraph,
     "dedup_keep_best": dedup_keep_best,
     "events_cohort_retention": events_cohort_retention,
@@ -3540,6 +3754,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_curate_name": scalar_curate_name,
     "graph_transitive_closure": graph_transitive_closure,
     "dedup_exact": dedup_exact,
+    "ann_incremental_topk": ann_incremental_topk,
+    "sketch_hll_union": sketch_hll_union,
+    "events_markov_transitions": events_markov_transitions,
+    "text_script_mix": text_script_mix,
+    "agg_weighted_median": agg_weighted_median,
+    "graph_label_propagation": graph_label_propagation,
+    "snapshot_merge_upsert": snapshot_merge_upsert,
+    "basket_item_pairs": basket_item_pairs,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "drift_welch_ttest": drift_welch_ttest,
+    "text_zipf_fit": text_zipf_fit,
+    "dedup_cluster_report": dedup_cluster_report,
+    "events_conversion_lag": events_conversion_lag,
+    "drift_js_events": drift_js_events,
+    "stats_winsorize": stats_winsorize,
+    "text_token_pmi": text_token_pmi,
+    "events_state_islands": events_state_islands,
+    "events_window_funnel": events_window_funnel,
+    "join_salted_skew": join_salted_skew,
+    "layout_zorder_stats": layout_zorder_stats,
+    "temporal_gap_fill": temporal_gap_fill,
+    "events_trailing_zscore": events_trailing_zscore,
+    "quality_dynamic_threshold": quality_dynamic_threshold,
+    "corpus_cross_source_overlap": corpus_cross_source_overlap,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "agg_pricing_summary": agg_pricing_summary,
+    "filter_pushdown_revenue": filter_pushdown_revenue,
+    "text_stats": text_stats,
+    "text_language_id": text_language_id,
+    "text_fingerprint": text_fingerprint,
+    "text_token_frequencies": text_token_frequencies,
+    "text_chunking": text_chunking,
+    "ann_label_centroids": ann_label_centroids,
+    "window_running_total": window_running_total,
+    "search_bm25ish": search_bm25ish,
+    "search_stemmed_ltr": search_stemmed_ltr,
+    "quality_report": quality_report,
+    "multimodal_features": multimodal_features,
+    "text_word_model": text_word_model,
+    "scalar_log_probability": scalar_log_probability,
+    "wiki_pipeline_funnel": wiki_pipeline_funnel,
+    "related_collections": related_collections_q,
+    "graph_pagerank_dangling": graph_pagerank_dangling,
+    "rollup_refresh": rollup_refresh,
+    "sketch_theta_intersection": sketch_theta_intersection,
+    "sketch_bloom_fpr": sketch_bloom_fpr,
 }
 
 
@@ -7710,4 +7974,544 @@ ORACLE_SQL["events_conversion_lag"] = """
            round(quantile_cont(sec, CAST(0.5 AS DOUBLE)), 4)
                AS median_lag_sec
     FROM lagt
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-11 oracles
+# ---------------------------------------------------------------------------
+
+# stats_ks_test: step-CDF replay over pooled distinct values — integer
+# cumulative counts, exact divisions, 6dp rounds on D and the critical
+# value (every fractional literal CAST to DOUBLE — the DuckDB DECIMAL
+# trap).
+ORACLE_SQL["stats_ks_test"] = """
+    WITH oc AS (
+        SELECT CAST(o.o_totalprice AS DOUBLE) AS v, c.c_mktsegment AS g
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+          AND o.o_totalprice IS NOT NULL
+    ), at_v AS (
+        SELECT v,
+               sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS cb
+        FROM oc GROUP BY v
+    ), cum AS (
+        SELECT sum(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+               sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+        FROM at_v
+    ), tot AS (
+        SELECT cum_a, cum_b,
+               max(cum_a) OVER () AS ta, max(cum_b) OVER () AS tb
+        FROM cum
+    ), d AS (
+        SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+               max(abs(CAST(cum_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                       - CAST(cum_b AS DOUBLE) / CAST(tb AS DOUBLE))) AS dd
+        FROM tot
+    )
+    SELECT n_a, n_b, round(dd, 6) AS ks_d,
+           round(CAST(1.358 AS DOUBLE)
+                 * sqrt(CAST(n_a + n_b AS DOUBLE)
+                        / CAST(n_a * n_b AS DOUBLE)), 6) AS crit_05,
+           round(dd, 6) > round(CAST(1.358 AS DOUBLE)
+                 * sqrt(CAST(n_a + n_b AS DOUBLE)
+                        / CAST(n_a * n_b AS DOUBLE)), 6) AS reject_05
+    FROM d
+"""
+
+# stats_chi_square: integer contingency marginals; expected values and
+# per-cell contributions as exact-input doubles, 9dp per cell before the
+# bounded sum (drift_js convention), 6dp outputs.
+ORACLE_SQL["stats_chi_square"] = """
+    WITH base AS (
+        SELECT event_type AS r, (day(ts) - 1) % 7 AS c FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), cells AS (
+        SELECT r, c, count(*) AS o FROM base GROUP BY r, c
+    ), rt AS (SELECT r, sum(o) AS rt FROM cells GROUP BY r
+    ), ct AS (SELECT c, sum(o) AS ct FROM cells GROUP BY c
+    ), nt AS (
+        SELECT sum(o) AS n, count(DISTINCT r) AS nr,
+               count(DISTINCT c) AS nc
+        FROM cells
+    ), j AS (
+        SELECT nt.n, nt.nr, nt.nc,
+               round((CAST(cells.o AS DOUBLE)
+                      - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                        / CAST(nt.n AS DOUBLE))
+                     * (CAST(cells.o AS DOUBLE)
+                        - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                          / CAST(nt.n AS DOUBLE))
+                     / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                        / CAST(nt.n AS DOUBLE)), 9) AS cell_chi2
+        FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN nt
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+           round(sum(cell_chi2), 6) AS chi2,
+           round(CASE WHEN least(max(nr), max(nc)) > 1 THEN
+               sqrt(sum(cell_chi2)
+                    / (CAST(max(n) AS DOUBLE)
+                       * CAST(least(max(nr) - 1, max(nc) - 1) AS DOUBLE)))
+               END, 6) AS cramers_v
+    FROM j
+"""
+
+
+# stats_correlation: DECIMAL moment sums (exact — no FP summation-order
+# exposure), closed-form r and cov on exact inputs, one UNION branch per
+# pair mirroring the Spark explode of the single moments row.
+def _corr_oracle_sql(
+    cols: tuple[str, ...] = (
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ),
+) -> str:
+    dec = "DECIMAL(18,2)"
+    moments = ["count(*) AS n"]
+    for c in cols:
+        moments.append(f"sum(CAST({c} AS {dec})) AS s_{c}")
+        moments.append(
+            f"sum(CAST({c} AS {dec}) * CAST({c} AS {dec})) AS ss_{c}"
+        )
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        moments.append(
+            f"sum(CAST({x} AS {dec}) * CAST({y} AS {dec})) AS sxy_{x}_{y}"
+        )
+    branches = []
+    for x, y in pairs:
+        nd = "CAST(n AS DOUBLE)"
+        sx, sy = f"CAST(s_{x} AS DOUBLE)", f"CAST(s_{y} AS DOUBLE)"
+        sxx, syy = f"CAST(ss_{x} AS DOUBLE)", f"CAST(ss_{y} AS DOUBLE)"
+        sxy = f"CAST(sxy_{x}_{y} AS DOUBLE)"
+        branches.append(f"""
+        SELECT '{x}' AS x, '{y}' AS y, CAST(n AS BIGINT) AS n,
+               round(({nd} * {sxy} - {sx} * {sy})
+                     / sqrt(({nd} * {sxx} - {sx} * {sx})
+                            * ({nd} * {syy} - {sy} * {sy})), 4)
+               + CAST(0 AS DOUBLE) AS corr,
+               round(({sxy} - {sx} * {sy} / {nd})
+                     / ({nd} - CAST(1.0 AS DOUBLE)), 4)
+               + CAST(0 AS DOUBLE) AS cov
+        FROM m""")
+    return (
+        "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem)"
+        + " UNION ALL ".join(branches)
+    )
+
+
+ORACLE_SQL["stats_correlation"] = _corr_oracle_sql()
+
+# Shared daily series for the MAD / CUSUM rows: DECIMAL(18,2) day totals
+# cast to double — exact in both engines regardless of row order.
+_DAILY_SERIES_CTE = """daily AS (
+        SELECT event_type AS grp, CAST(ts AS DATE) AS t,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    )"""
+
+ORACLE_SQL["events_anomaly_mad"] = f"""
+    WITH {_DAILY_SERIES_CTE}, med AS (
+        SELECT grp, round(quantile_cont(v, 0.5), 6) AS med
+        FROM daily GROUP BY grp
+    ), madt AS (
+        SELECT d.grp, min(m.med) AS med,
+               round(quantile_cont(abs(d.v - m.med), 0.5), 6) AS mad
+        FROM daily d JOIN med m USING (grp) GROUP BY d.grp
+    )
+    SELECT d.grp AS event_type, d.t, d.v, m.med, m.mad,
+           CASE WHEN m.mad > 0 THEN
+               round((d.v - m.med)
+                     / (m.mad * CAST(1.4826 AS DOUBLE)), 4)
+               + CAST(0 AS DOUBLE) END AS score,
+           CASE WHEN m.mad > 0 AND abs(round((d.v - m.med)
+                    / (m.mad * CAST(1.4826 AS DOUBLE)), 4))
+                    > CAST(3.0 AS DOUBLE)
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM daily d JOIN madt m USING (grp)
+"""
+
+# events_cusum_changepoint: DECIMAL(18,6)-exact prefix sums, 9dp mean,
+# S_t = cum − t·mean rounded 6dp, earliest argmax.
+ORACLE_SQL["events_cusum_changepoint"] = f"""
+    WITH {_DAILY_SERIES_CTE}, base AS (
+        SELECT grp, t, CAST(v AS DECIMAL(18,6)) AS vd FROM daily
+        WHERE v IS NOT NULL
+    ), mean_t AS (
+        SELECT grp,
+               round(CAST(sum(vd) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+                   AS mean_v,
+               count(*) AS n
+        FROM base GROUP BY grp
+    ), cum AS (
+        SELECT b.grp, b.t, m.mean_v, m.n,
+               round(CAST(sum(b.vd) OVER (PARTITION BY b.grp ORDER BY b.t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE)
+                     - CAST(row_number() OVER (PARTITION BY b.grp
+                       ORDER BY b.t) AS DOUBLE) * m.mean_v, 6) AS s
+        FROM base b JOIN mean_t m USING (grp)
+    ), ranked AS (
+        SELECT grp, t, s, n, mean_v,
+               row_number() OVER (PARTITION BY grp
+                   ORDER BY abs(s) DESC, t ASC) AS rk
+        FROM cum
+    )
+    SELECT grp AS event_type, CAST(n AS BIGINT) AS n, mean_v,
+           t AS cp_t, round(abs(s), 6) AS cp_s_abs
+    FROM ranked WHERE rk = 1
+"""
+
+# events_attribution: strictly-before tuple join + ordered first/last
+# aggregates; counts are integers, shares exact divisions rounded 6dp.
+ORACLE_SQL["events_attribution"] = """
+    WITH conv AS (
+        SELECT user_id AS u, epoch_us(ts) AS c_us, event_id AS c_id
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id AS u, epoch_us(ts) AS t_us, event_id AS t_id,
+               event_type AS channel
+        FROM events WHERE event_type <> 'purchase'
+    ), j AS (
+        SELECT c.u, c.c_id, t.channel, t.t_us, t.t_id
+        FROM conv c JOIN touch t ON c.u = t.u
+         AND (t.t_us < c.c_us OR (t.t_us = c.c_us AND t.t_id < c.c_id))
+    ), pc AS (
+        SELECT u, c_id,
+               first(channel ORDER BY t_us, t_id) AS first_channel,
+               last(channel ORDER BY t_us, t_id) AS last_channel
+        FROM j GROUP BY u, c_id
+    ), f AS (
+        SELECT first_channel AS channel, count(*) AS first_touch
+        FROM pc GROUP BY 1
+    ), l AS (
+        SELECT last_channel AS channel, count(*) AS last_touch
+        FROM pc GROUP BY 1
+    ), tot AS (SELECT count(*) AS n_conversions FROM pc)
+    SELECT channel,
+           CAST(coalesce(first_touch, 0) AS BIGINT) AS first_touch,
+           CAST(coalesce(last_touch, 0) AS BIGINT) AS last_touch,
+           CAST(tot.n_conversions AS BIGINT) AS n_conversions,
+           round(CAST(coalesce(first_touch, 0) AS DOUBLE)
+                 / CAST(tot.n_conversions AS DOUBLE), 6) AS first_share,
+           round(CAST(coalesce(last_touch, 0) AS DOUBLE)
+                 / CAST(tot.n_conversions AS DOUBLE), 6) AS last_share
+    FROM f FULL OUTER JOIN l USING (channel) CROSS JOIN tot
+"""
+
+# customer_rfm_segments: ntile(4) with (metric, custkey) total order,
+# DECIMAL-exact monetary, averages from exact sums.
+ORACLE_SQL["customer_rfm_segments"] = """
+    WITH pc AS (
+        SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY 1
+    ), wr AS (
+        SELECT *, date_diff('day', last_order,
+                            (SELECT max(last_order) FROM pc))
+                   AS recency_days
+        FROM pc
+    ), seg AS (
+        SELECT *,
+            ntile(4) OVER (ORDER BY recency_days ASC, custkey) AS r_q,
+            ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_q,
+            ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_q
+        FROM wr
+    )
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(monetary) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 4) AS avg_monetary,
+           round(CAST(sum(recency_days) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 4) AS avg_recency_days
+    FROM seg GROUP BY 1, 2, 3
+"""
+
+# events_top_paths: sessionize (6h epoch_us gap), first-3 path assembly
+# via ordered string_agg, top-20 with path tie-break.
+ORACLE_SQL["events_top_paths"] = """
+    WITH lagd AS (
+        SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS p_us
+        FROM events
+    ), flag AS (
+        SELECT *, CASE WHEN p_us IS NULL OR us - p_us > 21600000000
+                       THEN 1 ELSE 0 END AS ns
+        FROM lagd
+    ), sess AS (
+        SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_idx
+        FROM flag
+    ), steps AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, sess_idx
+                   ORDER BY ts, event_id) AS rn
+        FROM sess
+    ), paths AS (
+        SELECT user_id, sess_idx,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM steps WHERE rn <= 3 GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+"""
+
+
+# graph_kcore: the customer-part bipartite projection + the fixed peeling
+# sweeps unrolled as CTE pairs (degree filter, induced edges), exactly
+# the LPA-oracle unrolling pattern.
+def _kcore_oracle_sql(k: int = 20, sweeps: int = 4) -> str:
+    ctes = ["""e0 AS (
+        SELECT DISTINCT least('c' || o.o_custkey, 'p' || l.l_partkey) AS a,
+               greatest('c' || o.o_custkey, 'p' || l.l_partkey) AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )"""]
+    selects = []
+    for i in range(1, sweeps + 1):
+        ctes.append(f"""d{i} AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM e{i - 1}
+            UNION ALL SELECT b FROM e{i - 1})
+        GROUP BY n
+    )""")
+        ctes.append(f"""k{i} AS (SELECT n FROM d{i} WHERE d >= {k})""")
+        ctes.append(f"""e{i} AS (
+        SELECT e.a, e.b FROM e{i - 1} e
+        JOIN k{i} x ON e.a = x.n JOIN k{i} y ON e.b = y.n
+    )""")
+        selects.append(
+            f"""SELECT {i} AS sweep,
+               CAST(count(DISTINCT n) AS BIGINT) AS n_nodes,
+               CAST(count(*) / 2 AS BIGINT) AS n_edges
+            FROM (SELECT a AS n FROM e{i} UNION ALL SELECT b FROM e{i})"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(
+        selects
+    )
+
+
+ORACLE_SQL["graph_kcore"] = _kcore_oracle_sql()
+
+# graph_link_prediction: capped wedge join (center degree <= 64),
+# true-degree Jaccard, anti-join against existing edges, top-20.
+ORACLE_SQL["graph_link_prediction"] = """
+    WITH e AS (
+        SELECT DISTINCT least('c' || o.o_custkey, 'p' || l.l_partkey) AS a,
+               greatest('c' || o.o_custkey, 'p' || l.l_partkey) AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), adj AS (
+        SELECT a AS n, b AS nbr FROM e UNION ALL SELECT b, a FROM e
+    ), deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n
+    ), centers AS (SELECT n FROM deg WHERE d <= 64
+    ), adjc AS (
+        SELECT adj.n, adj.nbr FROM adj JOIN centers USING (n)
+    ), wed AS (
+        SELECT x.nbr AS a, y.nbr AS b
+        FROM adjc x JOIN adjc y ON x.n = y.n AND x.nbr < y.nbr
+    ), cn AS (SELECT a, b, count(*) AS cn FROM wed GROUP BY a, b
+    ), fresh AS (
+        SELECT cn.a, cn.b, cn.cn FROM cn
+        LEFT JOIN e ON cn.a = e.a AND cn.b = e.b
+        WHERE e.a IS NULL
+    )
+    SELECT f.a, f.b, CAST(f.cn AS BIGINT) AS cn,
+           round(CAST(f.cn AS DOUBLE)
+                 / CAST(da.d + db.d - f.cn AS DOUBLE), 6) AS jaccard
+    FROM fresh f JOIN deg da ON da.n = f.a JOIN deg db ON db.n = f.b
+    ORDER BY jaccard DESC, cn DESC, a ASC, b ASC LIMIT 20
+"""
+
+# text_readability: TOKEN_SPLIT_RE tokens, [.!?]+ sentence runs,
+# [aeiouy]+ vowel-group syllables (min 1 each) — per-row exact formulas.
+ORACLE_SQL["text_readability"] = """
+    WITH w AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9'']+'), x -> x <> '') AS words
+        FROM documents
+    ), calc AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                   AS n_sentences,
+               list_sum([greatest(1, len(regexp_extract_all(x,
+                   '[aeiouy]+'))) for x in words]) AS n_syllables
+        FROM w WHERE len(words) > 0
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE)
+                   * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - CAST(84.6 AS DOUBLE)
+                   * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                 4) + CAST(0 AS DOUBLE) AS flesch,
+           round(CAST(0.39 AS DOUBLE)
+                 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + CAST(11.8 AS DOUBLE)
+                   * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                 - CAST(15.59 AS DOUBLE), 4) + CAST(0 AS DOUBLE)
+               AS fk_grade
+    FROM calc
+"""
+
+# text_entropy: per-char probability terms −(p·ln p)/ln2 rounded 9dp
+# before the per-doc sum (drift_js convention), 6dp sums.
+ORACLE_SQL["text_entropy"] = """
+    WITH pc AS (
+        SELECT doc_id, t.c AS c, count(*) AS cnt
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(text, '')) AS c) t
+        WHERE t.c <> ''
+        GROUP BY doc_id, t.c
+    ), tot AS (
+        SELECT doc_id, sum(cnt) AS n_chars, count(*) AS n_distinct
+        FROM pc GROUP BY doc_id
+    )
+    SELECT pc.doc_id, CAST(max(t.n_chars) AS BIGINT) AS n_chars,
+           CAST(max(t.n_distinct) AS BIGINT) AS n_distinct,
+           round(sum(round(-((CAST(pc.cnt AS DOUBLE)
+                              / CAST(t.n_chars AS DOUBLE))
+                             * ln(CAST(pc.cnt AS DOUBLE)
+                                  / CAST(t.n_chars AS DOUBLE))
+                             / CAST(0.6931471805599453 AS DOUBLE)), 9)), 6)
+               AS entropy_bits
+    FROM pc JOIN tot t USING (doc_id) GROUP BY pc.doc_id
+"""
+
+# quality_gopher_rules: in-row token-array rules, 6dp ratio rounds
+# before every threshold compare, integer failure counts per source.
+ORACLE_SQL["quality_gopher_rules"] = """
+    WITH w AS (
+        SELECT source AS grp, text,
+               list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9'']+'), x -> x <> '') AS words
+        FROM documents
+    ), c AS (
+        SELECT grp,
+               len(words) AS n_words,
+               round(CAST(list_sum([len(x) for x in words]) AS DOUBLE)
+                     / CAST(len(words) AS DOUBLE), 6) AS mean_wl,
+               round(CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+                     / CAST(len(words) AS DOUBLE), 6) AS symbol_ratio,
+               round(CAST(len(list_filter(words,
+                         x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                     / CAST(len(words) AS DOUBLE), 6) AS alpha_frac,
+               len(list_filter(words, x -> list_contains(
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                    'with'], x))) AS stop_hits
+        FROM w WHERE len(words) > 0
+    ), f AS (
+        SELECT grp,
+               CASE WHEN n_words BETWEEN 50 AND 100000
+                    THEN 0 ELSE 1 END AS f_word_count,
+               CASE WHEN mean_wl BETWEEN CAST(3.0 AS DOUBLE)
+                         AND CAST(10.0 AS DOUBLE)
+                    THEN 0 ELSE 1 END AS f_word_len,
+               CASE WHEN symbol_ratio > CAST(0.1 AS DOUBLE)
+                    THEN 1 ELSE 0 END AS f_symbol,
+               CASE WHEN alpha_frac < CAST(0.8 AS DOUBLE)
+                    THEN 1 ELSE 0 END AS f_alpha,
+               CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS f_stopword
+        FROM c
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_word_count) AS BIGINT) AS fail_word_count,
+           CAST(sum(f_word_len) AS BIGINT) AS fail_word_len,
+           CAST(sum(f_symbol) AS BIGINT) AS fail_symbol,
+           CAST(sum(f_alpha) AS BIGINT) AS fail_alpha,
+           CAST(sum(f_stopword) AS BIGINT) AS fail_stopword,
+           round(CAST(sum(CASE WHEN f_word_count + f_word_len + f_symbol
+                               + f_alpha + f_stopword = 0
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS pass_frac
+    FROM f GROUP BY grp
+"""
+
+# sample_reservoir: the split_assignment two-fold portable hash over
+# 'reservoir:'||id, folded mod the 999983 prime, rank per source.
+ORACLE_SQL["sample_reservoir"] = """
+    WITH chars AS (
+        SELECT doc_id, source,
+               list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in
+                   string_split('reservoir:' || CAST(doc_id AS VARCHAR),
+                                '')]) AS cs
+        FROM documents
+    ), h AS (
+        SELECT doc_id, source,
+               (list_reduce(cs, (acc, x) -> (acc * 31 + x) % 2147483647)
+                    * 2147483648
+                + list_reduce(cs, (acc, x) -> (acc * 37 + x) % 2147483647))
+               % 999983 AS hh
+        FROM chars
+    ), r AS (
+        SELECT source AS grp, doc_id AS id,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY hh, doc_id) AS rk
+        FROM h
+    )
+    SELECT grp, id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+"""
+
+# ann_sq8_recall: per-dim min/max stats, bucket-center dequantization
+# replayed with the exact Spark expression shapes, list_cosine_similarity
+# ranking (the ANN-family convention), recall@5 vs brute.
+ORACLE_SQL["ann_sq8_recall"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    dims AS (
+        SELECT vec_id, ii.i0 AS dim, emb[ii.i0 + 1] AS v
+        FROM e CROSS JOIN (SELECT unnest(range(64)) AS i0) ii
+    ), stats AS (
+        SELECT dim, min(v) AS mn, max(v) AS mx FROM dims GROUP BY dim
+    ), deq AS (
+        SELECT d.vec_id, d.dim,
+               CASE WHEN s.mx > s.mn THEN
+                   s.mn + (least(CAST(255 AS DOUBLE),
+                               floor((d.v - s.mn) / (s.mx - s.mn) * 256))
+                           + CAST(0.5 AS DOUBLE))
+                          * (s.mx - s.mn) / CAST(256 AS DOUBLE)
+                   ELSE s.mn + CAST(0.5 AS DOUBLE) * (s.mx - s.mn)
+                        / CAST(256 AS DOUBLE)
+               END AS dv
+        FROM dims d JOIN stats s USING (dim)
+    ), dvec AS (
+        SELECT vec_id, list(dv ORDER BY dim) AS emb FROM deq
+        GROUP BY vec_id
+    ), sq AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               round(list_cosine_similarity(q.emb, c.emb), 6) AS sim
+        FROM (SELECT * FROM e WHERE vec_id < 8) q, dvec c
+        WHERE c.vec_id <> q.vec_id
+    ), sqt AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+            FROM sq) WHERE rnk <= 5
+    ), sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               round(list_cosine_similarity(q.emb, c.emb), 6) AS sim
+        FROM e q, e c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+    ), brute AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+            FROM sims) WHERE rnk <= 5
+    )
+    SELECT b.qid AS query_id,
+           round(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(5.0 AS DOUBLE), 6) AS recall_at_5
+    FROM brute b LEFT JOIN sqt i ON b.qid = i.qid AND b.nid = i.nid
+    GROUP BY b.qid
 """

@@ -1,0 +1,389 @@
+"""Round-11 operators, each pinned by a hand-computed fixture here AND
+an oracled bank row in plans/testdata_queries.py: KS test, chi-square,
+correlation matrix, MAD anomalies, CUSUM change-point, attribution,
+RFM segmentation, top paths, k-core peeling, Jaccard link prediction,
+readability, char entropy, Gopher rules, reservoir sampling, SQ8."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from collection_templates_spark.operators.graph import (
+    kcore_stats,
+    link_prediction_jaccard,
+)
+from collection_templates_spark.operators.product_analytics import (
+    attribution_summary,
+    rfm_segments,
+    top_paths,
+)
+from collection_templates_spark.operators.similarity import (
+    sq8_cosine_topk,
+    sq8_dequantized,
+)
+from collection_templates_spark.operators.stats import (
+    chi_square_independence,
+    correlation_matrix,
+    ks_test_2sample,
+)
+from collection_templates_spark.operators.temporal import (
+    cusum_changepoint,
+    mad_anomalies,
+)
+from collection_templates_spark.operators.text_analysis import (
+    char_entropy,
+    readability_stats,
+)
+from collection_templates_spark.operators.training_prep import (
+    gopher_quality_rules,
+    sample_reservoir,
+)
+
+
+def _ts(day, hour=0, minute=0):
+    return datetime.datetime(2024, 1, day, hour, minute)
+
+
+# ---------------------------------------------------------------------------
+# statistical tests
+# ---------------------------------------------------------------------------
+
+
+def test_ks_2sample_hand_computed(spark):
+    # a = {1,2,3}, b = {2,3,4}: step CDFs at pooled values 1,2,3,4 are
+    # a: 1/3, 2/3, 1, 1 and b: 0, 1/3, 2/3, 1 -> D = 1/3.
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ks_test_2sample(df, "g", "v", "a", "b").collect()[0]
+    assert (out.n_a, out.n_b) == (3, 3)
+    assert out.ks_d == round(1 / 3, 6)
+    assert out.crit_05 == round(1.358 * (6 / 9) ** 0.5, 6)
+    assert not out.reject_05
+
+
+def test_ks_identical_samples_zero(spark):
+    rows = [("a", float(i)) for i in range(10)] + [
+        ("b", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert ks_test_2sample(df, "g", "v", "a", "b").collect()[0].ks_d == 0.0
+
+
+def test_chi_square_2x2_hand_computed(spark):
+    # contingency 10/20 | 20/10: all expected 15, chi2 = 4*(25/15) = 20/3.
+    rows = (
+        [("r1", "c1")] * 10 + [("r1", "c2")] * 20
+        + [("r2", "c1")] * 20 + [("r2", "c2")] * 10
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square_independence(df, "r", "c").collect()[0]
+    assert (out.n, out.dof) == (60, 1)
+    assert out.chi2 == round(20 / 3, 6)
+    assert out.cramers_v == round((20 / 3 / 60) ** 0.5, 6)
+
+
+def test_chi_square_single_column_null_cramers(spark):
+    df = spark.createDataFrame([("r1", "c1"), ("r2", "c1")], "r string, c string")
+    out = chi_square_independence(df, "r", "c").collect()[0]
+    assert out.dof == 0 and out.cramers_v is None
+
+
+def test_correlation_matrix_exact(spark):
+    # y = 2x -> corr 1, cov 2; z = 4-x -> corr(x,z) = -1, cov -1.
+    rows = [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r.x, r.y): r for r in correlation_matrix(df, ("x", "y", "z")).collect()}
+    assert out[("x", "y")].corr == 1.0 and out[("x", "y")].cov == 2.0
+    assert out[("x", "z")].corr == -1.0 and out[("x", "z")].cov == -1.0
+    assert out[("y", "z")].corr == -1.0 and out[("y", "z")].cov == -2.0
+    assert all(r.n == 3 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# anomaly / change-point
+# ---------------------------------------------------------------------------
+
+
+def test_mad_flags_outlier_and_scores(spark):
+    rows = [("g", i, v) for i, v in enumerate([10.0, 12.0, 14.0, 16.0, 100.0])]
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    out = {r.t: r for r in mad_anomalies(df, "grp", "t", "v").collect()}
+    # med = 14, |dev| = 4,2,0,2,86 -> mad = 2, scale = 2.9652
+    assert out[0].med == 14.0 and out[0].mad == 2.0
+    assert out[4].is_anomaly == 1
+    assert out[4].score == round(86 / (2 * 1.4826), 4)
+    assert out[0].is_anomaly == 0
+    assert out[0].score == round(-4 / (2 * 1.4826), 4)
+
+
+def test_mad_zero_flags_nothing(spark):
+    rows = [("g", i, 5.0) for i in range(4)] + [("g", 9, 500.0)]
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    out = mad_anomalies(df, "grp", "t", "v").collect()
+    # median 5, deviations 0,0,0,0,495 -> MAD 0: constant-series guard
+    assert all(r.is_anomaly == 0 and r.score is None for r in out)
+
+
+def test_cusum_finds_level_shift(spark):
+    rows = [("g", i, v) for i, v in enumerate([0.0, 0.0, 0.0, 10.0, 10.0])]
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    out = cusum_changepoint(df, "grp", "t", "v").collect()[0]
+    # mean 4: S = -4,-8,-12,-6,0 -> argmax |S| at t=2 (0-based), |S|=12
+    assert out.n == 5 and out.mean_v == 4.0
+    assert out.cp_t == 2 and out.cp_s_abs == 12.0
+
+
+def test_cusum_earliest_tie(spark):
+    # symmetric series: |S| peaks twice with equal magnitude; earliest wins
+    rows = [("g", i, v) for i, v in enumerate([0.0, 10.0, 0.0, 10.0])]
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    out = cusum_changepoint(df, "grp", "t", "v").collect()[0]
+    # mean 5: S = -5, 0, -5, 0 -> ties at t=0 and t=2, earliest = 0
+    assert out.cp_t == 0 and out.cp_s_abs == 5.0
+
+
+# ---------------------------------------------------------------------------
+# product analytics
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_first_last(spark):
+    rows = [
+        (1, 1, _ts(1, 9), "view"),
+        (2, 1, _ts(1, 10), "click"),
+        (3, 1, _ts(1, 11), "purchase"),
+        (4, 2, _ts(2, 9), "signup"),
+        (5, 2, _ts(2, 10), "purchase"),
+        (6, 2, _ts(2, 11), "error"),
+        (7, 2, _ts(2, 12), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r.channel: r for r in attribution_summary(df).collect()}
+    # u1 purchase: first=view last=click; u2 p1: first=last=signup;
+    # u2 p2: first=signup last=error
+    assert out["view"].first_touch == 1 and out["view"].last_touch == 0
+    assert out["click"].first_touch == 0 and out["click"].last_touch == 1
+    assert out["signup"].first_touch == 2 and out["signup"].last_touch == 1
+    assert out["error"].first_touch == 0 and out["error"].last_touch == 1
+    assert all(r.n_conversions == 3 for r in out.values())
+    assert out["signup"].first_share == round(2 / 3, 6)
+
+
+def test_rfm_quartiles_diagonal(spark):
+    # 4 customers, strictly ordered on all three metrics the same way:
+    # each lands on the (i,i,i) diagonal cell alone.
+    rows = []
+    oid = 0
+    for cust, (n_orders, price, last_day) in enumerate(
+        [(8, 1000.0, 28), (6, 500.0, 21), (4, 100.0, 14), (2, 50.0, 7)], start=1
+    ):
+        for _ in range(n_orders):
+            oid += 1
+            rows.append((oid, cust, datetime.date(2024, 1, last_day), price))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {(r.r_q, r.f_q, r.m_q): r for r in rfm_segments(df).collect()}
+    assert set(out) == {(1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)}
+    assert out[(1, 1, 1)].n_customers == 1
+    assert out[(1, 1, 1)].avg_monetary == 8000.0
+    assert out[(1, 1, 1)].avg_recency_days == 0.0
+    assert out[(4, 4, 4)].avg_recency_days == 21.0
+
+
+def test_top_paths_sessionized(spark):
+    rows = [
+        (1, 1, _ts(1, 9, 0), "a"),
+        (2, 1, _ts(1, 9, 5), "b"),
+        (3, 1, _ts(1, 9, 10), "c"),
+        (4, 1, _ts(1, 9, 12), "d"),  # 4th event: not in the 3-step path
+        (5, 1, _ts(1, 15, 0), "d"),  # >30min gap: new session
+        (6, 2, _ts(1, 9, 0), "a"),
+        (7, 2, _ts(1, 9, 1), "b"),
+        (8, 2, _ts(1, 9, 2), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r.path: r.n_sessions for r in top_paths(df, gap_minutes=30).collect()}
+    assert out == {"a>b>c": 2, "d": 1}
+
+
+# ---------------------------------------------------------------------------
+# graph
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_pendant(spark):
+    # triangle a-b-c + pendant d-a; k=2 removes d in sweep 1, then stable.
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.sweep: r for r in kcore_stats(df, k=2, sweeps=3).collect()}
+    assert (out[1].n_nodes, out[1].n_edges) == (3, 3)
+    assert (out[2].n_nodes, out[2].n_edges) == (3, 3)
+    assert (out[3].n_nodes, out[3].n_edges) == (3, 3)
+
+
+def test_kcore_cascade(spark):
+    # path a-b-c-d, k=2: sweep1 drops a,d -> b-c both deg 1 -> sweep2 empty
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.sweep: r for r in kcore_stats(df, k=2, sweeps=2).collect()}
+    assert (out[1].n_nodes, out[1].n_edges) == (2, 1)
+    assert (out[2].n_nodes, out[2].n_edges) == (0, 0)
+
+
+def test_link_prediction_path_graph(spark):
+    # a-b-c: only candidate is (a,c) through b -> cn 1, jaccard 1/(1+1-1)=1
+    edges = [("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = link_prediction_jaccard(df, k=5).collect()
+    assert len(out) == 1
+    assert (out[0].a, out[0].b, out[0].cn, out[0].jaccard) == ("a", "c", 1, 1.0)
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    # triangle: every 2-path closes an EXISTING edge -> no predictions
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert link_prediction_jaccard(df, k=5).count() == 0
+
+
+def test_link_prediction_center_cap(spark):
+    # star center s with 3 leaves: cap 2 silences all wedges through s
+    edges = [("s", "l1"), ("s", "l2"), ("s", "l3")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert link_prediction_jaccard(df, max_center_degree=2, k=9).count() == 0
+    assert link_prediction_jaccard(df, max_center_degree=3, k=9).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_readability_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran!")], "doc_id long, text string"
+    )
+    r = readability_stats(df).collect()[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
+    assert r.flesch == round(206.835 - 1.015 * 3 - 84.6 * 1, 4)
+    assert r.fk_grade == round(0.39 * 3 + 11.8 * 1 - 15.59, 4)
+
+
+def test_readability_syllable_floor(spark):
+    # 'rhythm' has no aeiouy-group? y counts: 'rhythm' -> 'y' group = 1;
+    # 'xvz' has none -> floored to 1.
+    df = spark.createDataFrame([(1, "xvz")], "doc_id long, text string")
+    r = readability_stats(df).collect()[0]
+    assert r.n_syllables == 1
+
+
+def test_char_entropy_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "abcd"), (3, "aaaa")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert out[1].entropy_bits == 1.0 and out[1].n_distinct == 2
+    assert out[2].entropy_bits == 2.0
+    assert out[3].entropy_bits == 0.0 and out[3].n_chars == 4
+
+
+# ---------------------------------------------------------------------------
+# quality / sampling
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_fixture(spark):
+    good = "the of " + " ".join(["word"] * 58)  # 60 words, 2 stopword hits
+    short = "tiny doc no stop"  # fails word count AND stopword probe
+    df = spark.createDataFrame(
+        [(1, good, "s1"), (2, short, "s1")],
+        "doc_id long, text string, source string",
+    )
+    r = gopher_quality_rules(df).collect()[0]
+    assert r.n_docs == 2
+    assert r.fail_word_count == 1 and r.fail_stopword == 1
+    assert r.fail_word_len == 0 and r.fail_symbol == 0 and r.fail_alpha == 0
+    assert r.pass_frac == 0.5
+
+
+def test_gopher_symbol_and_alpha_rules(spark):
+    symbolic = " ".join(["the", "of"] + ["x#"] * 58)  # 60 words, 58 '#'
+    numeric = "the of " + " ".join(["123"] * 58)  # alpha frac 2/60
+    df = spark.createDataFrame(
+        [(1, symbolic, "s"), (2, numeric, "s")],
+        "doc_id long, text string, source string",
+    )
+    r = gopher_quality_rules(df).collect()[0]
+    assert r.fail_symbol == 1 and r.fail_alpha == 1
+
+
+def test_reservoir_deterministic_and_sized(spark):
+    rows = [(i, f"g{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(map(tuple, sample_reservoir(df, k=4).collect()))
+    b = sorted(map(tuple, sample_reservoir(df, k=4).collect()))
+    assert a == b and len(a) == 12
+    per_grp = {}
+    for grp, _id, rk in a:
+        per_grp.setdefault(grp, []).append(rk)
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per_grp.values())
+    # independent draw under a different salt
+    c = sorted(map(tuple, sample_reservoir(df, k=4, salt="other").collect()))
+    assert c != a
+
+
+def test_reservoir_insertion_stable(spark):
+    # appending rows evicts at most (changes) survivors - never reshuffles
+    base = [(i, "g") for i in range(50)]
+    df1 = spark.createDataFrame(base, "doc_id long, source string")
+    df2 = spark.createDataFrame(base + [(99, "g")], "doc_id long, source string")
+    s1 = {r.id for r in sample_reservoir(df1, k=5).collect()}
+    s2 = {r.id for r in sample_reservoir(df2, k=5).collect()}
+    assert len(s1 & s2) >= 4
+
+
+# ---------------------------------------------------------------------------
+# SQ8
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_reconstruction_bound(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    deq = {r.vec_id: r.embedding for r in sq8_dequantized(df).collect()}
+    dims = list(zip(*[v for _, v in rows]))
+    for vid, vec in rows:
+        for d, v in enumerate(vec):
+            width = max(dims[d]) - min(dims[d])
+            assert abs(deq[vid][d] - v) <= width / 512 + 1e-12
+
+
+def test_sq8_topk_matches_brute_when_separated(spark):
+    from collection_templates_spark.operators.similarity import cosine_topk
+
+    # well-separated clusters: quantization can't flip the ranking
+    rows = []
+    for i in range(12):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        rows.append((i, [b + 0.01 * (i // 4) for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2)
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(df, q, k=3).collect()
+    }
+    sq8 = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sq8_cosine_topk(df, q, k=3).collect()
+    }
+    assert brute == sq8
