@@ -1,0 +1,123 @@
+"""Streaming delta pipeline (streaming/delta_stream.py): per-file
+micro-batches probe/accept against the persisted minhash index, and the
+result is IDENTICAL to replaying the same files sequentially through the
+batch operators — the per-batch batch-oracle check r9 verdict #8 asked
+for. Plus the epoch-marker idempotency guard (re-running the drained
+stream changes nothing)."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from collection_templates_spark.operators.incremental_dedup import (
+    append_to_index,
+    build_minhash_index,
+    dedup_batch_against_index,
+)
+from collection_templates_spark.streaming.delta_stream import (
+    stream_delta_pipeline,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+HISTORY = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "pack my box with five dozen liquor jugs right now"),
+    (3, "sphinx of black quartz judge my vow completely today"),
+]
+# batch 1: doc 11 near-dups history doc 1; doc 12 is fresh
+BATCH1 = [
+    (11, "the quick brown fox jumps over the lazy dog tonight"),
+    (12, "a completely novel document about spark structured streaming"),
+]
+# batch 2: doc 21 near-dups doc 12 (ACCEPTED from batch 1 — catches
+# streams that forget to append survivors); doc 22 fresh
+BATCH2 = [
+    (21, "a completely novel document about spark structured streaming"),
+    (22, "another entirely different text with no overlap whatsoever"),
+]
+
+
+def _run_stream(spark, tmp, batches):
+    drop = f"{tmp}/drop"
+    idx = f"{tmp}/index"
+    accepted = f"{tmp}/accepted"
+    ckpt = f"{tmp}/ckpt"
+    build_minhash_index(_docs(spark, HISTORY), idx)
+    schema = _docs(spark, HISTORY).schema
+    for i, rows in enumerate(batches):
+        _docs(spark, rows).coalesce(1).write.mode("append").parquet(drop)
+        time.sleep(1.1)  # distinct mtimes: file-source picks up in order
+    q = stream_delta_pipeline(spark, drop, idx, accepted, ckpt, schema)
+    q.awaitTermination(120)
+    return drop, idx, accepted, ckpt
+
+
+def _batch_replay(spark, tmp, batches):
+    idx = f"{tmp}/index_oracle"
+    build_minhash_index(_docs(spark, HISTORY), idx)
+    accepted = []
+    for rows in batches:
+        batch = _docs(spark, rows)
+        pairs = dedup_batch_against_index(spark, idx, batch)
+        matched = {r.doc_new for r in pairs.collect()}
+        kept = [r for r in rows if r[0] not in matched]
+        accepted.extend(kept)
+        if kept:
+            append_to_index(_docs(spark, kept), idx)
+    return accepted, idx
+
+
+def test_stream_matches_sequential_batch_replay(spark, tmp_path):
+    tmp = str(tmp_path)
+    batches = [BATCH1, BATCH2]
+    _, idx, accepted_dir, _ = _run_stream(spark, tmp, batches)
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(accepted_dir).collect()
+    )
+    expected, idx_oracle = _batch_replay(spark, tmp, batches)
+    assert got == sorted(d for d, _ in expected)
+    # 11 is a history dup, 21 duplicates the batch-1 survivor 12
+    assert got == [12, 22]
+    # index state converged too: both indexes give identical pair sets
+    # for a fresh probing batch
+    probe = _docs(
+        spark,
+        [(91, BATCH1[1][1]), (92, "the quick brown fox jumps over "
+                                  "the lazy dog tonight")],
+    )
+    p_stream = sorted(
+        (r.doc_new, r.doc_old)
+        for r in dedup_batch_against_index(spark, idx, probe).collect()
+    )
+    p_oracle = sorted(
+        (r.doc_new, r.doc_old)
+        for r in dedup_batch_against_index(
+            spark, idx_oracle, probe
+        ).collect()
+    )
+    assert p_stream == p_oracle
+    assert (91, 12) in p_stream and (92, 1) in p_stream
+
+
+def test_stream_rerun_is_idempotent(spark, tmp_path):
+    tmp = str(tmp_path)
+    drop, idx, accepted_dir, ckpt = _run_stream(spark, tmp, [BATCH1])
+    before = sorted(
+        r.doc_id for r in spark.read.parquet(accepted_dir).collect()
+    )
+    schema = _docs(spark, HISTORY).schema
+    # drain again with the same checkpoint: no new files -> no change
+    q = stream_delta_pipeline(spark, drop, idx, accepted_dir, ckpt, schema)
+    q.awaitTermination(120)
+    after = sorted(
+        r.doc_id for r in spark.read.parquet(accepted_dir).collect()
+    )
+    assert before == after == [12]
+    # epoch markers exist (the foreachBatch idempotency guard)
+    assert os.listdir(os.path.join(idx, "_epochs"))
