@@ -339,3 +339,67 @@ def correlation_matrix(
     return m.select(
         F.explode(F.array(*rows)).alias("p")
     ).select("p.x", "p.y", "p.n", "p.corr", "p.cov")
+
+
+def ols_regression_2var(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Closed-form two-feature OLS y = b0 + b1·x1 + b2·x2 via the normal
+    equations solved with Cramer's rule on DECIMAL moment sums — exact
+    accumulators (the :func:`correlation_matrix` convention), so both
+    engines compute bit-identical determinants; never an engine's
+    ``regr_*`` internals (the zipf_fit rule). Output one row:
+    (n, b0, b1, b2, r2) with coefficients rounded 6dp.
+
+    Scale shape: ONE map-side-combined pass for all nine moments, then
+    scalar arithmetic on the single-row aggregate.
+    """
+    dec = f"decimal(18,{scale})"
+
+    def d(c: str) -> F.Column:
+        return F.col(c).cast(dec)
+
+    m = df.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(x1_col)).alias("s1"),
+        F.sum(d(x2_col)).alias("s2"),
+        F.sum(d(y_col)).alias("sy"),
+        F.sum(d(x1_col) * d(x1_col)).alias("s11"),
+        F.sum(d(x2_col) * d(x2_col)).alias("s22"),
+        F.sum(d(x1_col) * d(x2_col)).alias("s12"),
+        F.sum(d(x1_col) * d(y_col)).alias("s1y"),
+        F.sum(d(x2_col) * d(y_col)).alias("s2y"),
+        F.sum(d(y_col) * d(y_col)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = [F.col(c).cast("double") for c in ("s1", "s2", "sy")]
+    s11, s22, s12 = [
+        F.col(c).cast("double") for c in ("s11", "s22", "s12")
+    ]
+    s1y, s2y, syy = [
+        F.col(c).cast("double") for c in ("s1y", "s2y", "syy")
+    ]
+    # centered second moments (exact-input arithmetic, shared with the
+    # SQL oracle verbatim)
+    a11 = s11 - s1 * s1 / n
+    a22 = s22 - s2 * s2 / n
+    a12 = s12 - s1 * s2 / n
+    c1 = s1y - s1 * sy / n
+    c2 = s2y - s2 * sy / n
+    det = a11 * a22 - a12 * a12
+    b1 = (c1 * a22 - c2 * a12) / det
+    b2 = (c2 * a11 - c1 * a12) / det
+    b0 = (sy - b1 * s1 - b2 * s2) / n
+    sst = syy - sy * sy / n
+    r2 = (b1 * c1 + b2 * c2) / sst
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+    )

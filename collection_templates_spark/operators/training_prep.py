@@ -945,3 +945,119 @@ def sample_reservoir(
         .filter(F.col("rk") <= k)
         .select("grp", "id", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def feature_hashing_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "fh",
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit: every token maps
+    to ``portable_hash(salt + ':' + token) % n_buckets``; report how the
+    vocabulary collides at that width — the check run before fixing a
+    feature dimension for a hashed bag-of-words model (Weinberger et al.
+    2009). Tokens here are ASCII by construction (TOKEN_SPLIT_RE keeps
+    [a-z0-9']), so the ascii-fold portable hash is well-defined in both
+    engines.
+
+    Output one row: total/distinct token counts, buckets used, buckets
+    holding >1 distinct token, the max distinct-per-bucket, and the
+    fraction of distinct tokens sharing a bucket (exact divisions, 6dp).
+
+    Scale shape: one explode + one vocab-bounded distinct aggregate +
+    one bucket rollup — all map-side combined.
+    """
+    from collection_templates_spark.functions.langmodel import (
+        TOKEN_SPLIT_RE,
+    )
+    from collection_templates_spark.operators.dedup import (
+        portable_shingle_hash,
+    )
+
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    bucketed = per_tok.withColumn(
+        "bucket",
+        portable_shingle_hash(
+            F.concat(F.lit(salt + ":"), F.col("tok"))
+        )
+        % n_buckets,
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("n").alias("n_tokens"),
+    )
+    return per_bucket.groupBy().agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+        F.sum("n_distinct").cast("long").alias("n_distinct_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.sum((F.col("n_distinct") > 1).cast("long"))
+        .cast("long")
+        .alias("n_colliding_buckets"),
+        F.max("n_distinct").cast("long").alias("max_bucket_distinct"),
+        F.round(
+            F.sum(
+                F.when(F.col("n_distinct") > 1, F.col("n_distinct"))
+                .otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("n_distinct").cast("double"),
+            6,
+        ).alias("colliding_token_frac"),
+    )
+
+
+def fuzzy_decontaminate(
+    spark,
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: corpus documents NEAR-duplicating
+    any benchmark document (trigram-shingle Jaccard ≥ ``threshold`` via
+    the persisted-minhash-index probe — the dedup_incremental machinery
+    pointed at a benchmark instead of history) are flagged; report per
+    group (n_docs, n_contaminated, contaminated_frac). The fuzzy
+    complement of ``ngram_contamination``'s exact-overlap gate — the
+    paraphrased-eval-set leak exact n-grams miss (the GPT-3/Llama report
+    methodology).
+
+    Scale shape: the benchmark index is tiny and built once per call
+    (bounded: |benchmark|); the corpus probes it with the equi-keyed
+    band join — O(corpus), never all-pairs. ``max_bucket_size=None``
+    keeps candidacy exhaustive so the exact-Jaccard oracle replays the
+    output 1:1 (the dedup_incremental pin).
+    """
+    from collection_templates_spark.operators.incremental_dedup import (
+        build_minhash_index,
+        dedup_batch_against_index,
+        scratch_index_path,
+    )
+
+    path = scratch_index_path()
+    build_minhash_index(benchmark, path, id_col=id_col)
+    pairs = dedup_batch_against_index(
+        spark, path, corpus, id_col=id_col, threshold=threshold,
+        max_bucket_size=None,
+    )
+    hits = pairs.select(F.col("doc_new").alias(id_col)).distinct()
+    flagged = corpus.join(
+        hits.withColumn("___hit", F.lit(1)), id_col, "left"
+    )
+    return flagged.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("___hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.round(
+            F.sum(F.coalesce(F.col("___hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("contaminated_frac"),
+    )

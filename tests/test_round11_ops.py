@@ -387,3 +387,110 @@ def test_sq8_topk_matches_brute_when_separated(spark):
         for r in sq8_cosine_topk(df, q, k=3).collect()
     }
     assert brute == sq8
+
+
+# ---------------------------------------------------------------------------
+# wave 2: RAKE, OLS, feature hashing, fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_rake_hand_computed(spark):
+    from collection_templates_spark.operators.text_analysis import (
+        rake_keywords,
+    )
+
+    # doc: "red apple and green apple of red fruit" — stopwords {and, of}
+    # phrases: [red apple], [green apple], [red fruit]
+    # freq: red 2, apple 2, green 1, fruit 1; deg: red 4, apple 4,
+    # green 2, fruit 2 -> every word scores 2.0; every phrase 4.0
+    df = spark.createDataFrame(
+        [(1, "red apple and green apple of red fruit")],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: r for r in rake_keywords(df, k=10).collect()}
+    assert set(out) == {"red apple", "green apple", "red fruit"}
+    assert all(r.score == 4.0 and r.n == 1 for r in out.values())
+
+
+def test_rake_degree_favors_long_phrases(spark):
+    from collection_templates_spark.operators.text_analysis import (
+        rake_keywords,
+    )
+
+    # "deep neural network" (len 3) outranks the lone "network":
+    # deg(deep)=deg(neural)=3, freq 1 -> 3.0 each; network appears in
+    # both phrases: freq 2, deg 3+1 -> 2.0; phrase scores 8.0 vs 2.0
+    df = spark.createDataFrame(
+        [(1, "deep neural network and network")], "doc_id long, text string"
+    )
+    out = rake_keywords(df, k=10).collect()
+    assert out[0].phrase == "deep neural network" and out[0].score == 8.0
+    assert out[1].phrase == "network" and out[1].score == 2.0
+
+
+def test_rake_max_phrase_len_cut(spark):
+    from collection_templates_spark.operators.text_analysis import (
+        rake_keywords,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five and six")], "doc_id long, text string"
+    )
+    out = {r.phrase for r in rake_keywords(df, k=10, max_phrase_len=4).collect()}
+    assert out == {"six"}  # the 5-token run is dropped as boilerplate
+
+
+def test_ols_recovers_exact_plane(spark):
+    from collection_templates_spark.operators.stats import (
+        ols_regression_2var,
+    )
+
+    # y = 5 + 2*x1 - 3*x2, exact: coefficients recovered, r2 = 1
+    rows = []
+    for x1 in range(6):
+        for x2 in range(4):
+            rows.append((float(5 + 2 * x1 - 3 * x2), float(x1), float(x2)))
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    out = ols_regression_2var(df, "y", "x1", "x2").collect()[0]
+    assert (out.b0, out.b1, out.b2) == (5.0, 2.0, -3.0)
+    assert out.r2 == 1.0 and out.n == 24
+
+
+def test_feature_hashing_bounds(spark):
+    from collection_templates_spark.operators.training_prep import (
+        feature_hashing_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    out = feature_hashing_stats(df, n_buckets=1024).collect()[0]
+    assert out.n_tokens_total == 6 and out.n_distinct_tokens == 5
+    # 5 tokens in 1024 buckets: collisions possible but buckets used +
+    # colliding counts must be consistent
+    assert out.n_buckets_used <= 5
+    assert out.n_buckets_used + out.n_colliding_buckets >= 5 - out.n_colliding_buckets
+
+
+def test_fuzzy_decontaminate_flags_near_dup(spark):
+    from collection_templates_spark.operators.training_prep import (
+        fuzzy_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today", "b")],
+        "doc_id long, text string, source string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "s1"),
+            (2, "an entirely unrelated document about database engines", "s1"),
+            (3, "another unrelated piece of text mentioning nothing", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.grp: r for r in fuzzy_decontaminate(spark, corpus, bench).collect()}
+    assert out["s1"].n_contaminated == 1 and out["s1"].n_docs == 2
+    assert out["s1"].contaminated_frac == 0.5
+    assert out["s2"].n_contaminated == 0
