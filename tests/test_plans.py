@@ -307,3 +307,48 @@ def test_round10_late_extension_plans(spark):
     assert "CartesianProduct" not in p, p
     assert p.count("SortMergeJoin FullOuter") == 1, p  # tree node once
     assert "SortMergeJoin Inner" not in p, p
+
+
+def test_round11_extension_plans(spark):
+    """Plan shapes for the round-11 operators."""
+    # KS: the cumulative window runs over the DISTINCT-VALUE table
+    # (one aggregate below the window), never a join
+    p = _plan(spark, "stats_ks_test")
+    assert "CartesianProduct" not in p, p
+    # correlation/OLS: ONE aggregate pass computes every moment —
+    # no join, no window, single final exchange
+    for name in ("stats_correlation", "stats_ols_regression"):
+        p = _plan(spark, name)
+        assert "Join" not in p and "Window" not in p, (name, p)
+    # chi-square: the three marginal tables broadcast back onto the
+    # bounded cell table — never an SMJ
+    p = _plan(spark, "stats_chi_square")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    # MAD: per-group cut tables broadcast back (winsorize convention)
+    p = _plan(spark, "events_anomaly_mad")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    # attribution: user-keyed equi-join, never cartesian
+    p = _plan(spark, "events_attribution")
+    assert "CartesianProduct" not in p, p
+    # top paths: sessionize + row_number share ONE user-keyed sort;
+    # the path rollup is hash-aggregated; final is a TakeOrdered,
+    # not a global sort
+    p = _plan(spark, "events_top_paths")
+    assert "TakeOrderedAndProject" in p, p
+    # link prediction: degree lookups broadcast; top-k via TakeOrdered
+    p = _plan(spark, "graph_link_prediction")
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
+    # readability / gopher: pure per-row expressions — no explode of
+    # the token array into a row table, no window, no join
+    for name in ("text_readability", "quality_gopher_rules"):
+        p = _plan(spark, name)
+        assert "Window" not in p and "Join" not in p, (name, p)
+        assert "Generate" not in p, (name, p)  # in-row HOFs, no explode
+    # reservoir: one window over (grp, folded hash) — no join
+    p = _plan(spark, "sample_reservoir")
+    assert "Join" not in p, p
+    # RAKE: word-score table broadcasts back onto members
+    p = _plan(spark, "text_rake_keywords")
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
