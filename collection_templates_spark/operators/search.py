@@ -298,3 +298,50 @@ def token_frequencies(
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact multi-token phrase search via positional adjacency — the
+    batch analogue of a positional inverted index lookup (Lucene's
+    PhraseQuery with slop 0): tokens keep their stream position, a
+    lead-window checks the next len(phrase)−1 tokens, and matching
+    anchors roll up per document. Unlike substring LIKE/regex, this
+    respects token boundaries and is the shape a real index serves
+    ("new york" must not match "renew yorkshire").
+
+    Output: (doc, n_matches, first_pos) for documents with ≥1 match
+    (first_pos is the 0-based token position of the earliest anchor).
+    All counts/positions integers — nothing to round.
+
+    Scale shape: tokenization (the dedup normalize convention:
+    whitespace split of the trimmed, space-collapsed lowercase text) +
+    ONE per-doc window shuffle + a map-side-combined doc rollup. On an
+    indexed system the anchor scan is served by postings; this operator
+    IS the semantics the index must reproduce.
+    """
+    from pyspark.sql import Window
+
+    from collection_templates_spark.operators.dedup import normalize_text
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    cond = F.col("tok") == phrase[0]
+    cur = toks
+    for k, word in enumerate(phrase[1:], start=1):
+        cur = cur.withColumn(f"___n{k}", F.lead("tok", k).over(w))
+        cond = cond & (F.col(f"___n{k}") == word)
+    anchors = cur.filter(cond)
+    return anchors.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )

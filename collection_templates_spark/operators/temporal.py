@@ -512,3 +512,54 @@ def cusum_changepoint(
         ).alias("cp_t"),
         F.round(F.max("s_abs"), 6).alias("cp_s_abs"),
     )
+
+
+def ewma_smoothing(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exponentially-weighted moving average with α = 1/2 (s_1 = x_1,
+    s_t = x_t/2 + s_{t−1}/2) — the recursive smoother re-expressed as a
+    single cumulative-sum window via the scan reparameterization
+    s_t = 2^{−t} · Σ_{i≤t} u_i with u_1 = 2x_1, u_i = x_i·2^{i−1}.
+
+    α is FIXED at the dyadic 1/2 deliberately: every weight is an exact
+    power of two, so the reparameterized terms are exact double
+    products, both engines' pow(2, n) is exact, and the only
+    cross-engine exposure is last-ulp summation noise — killed by the
+    4dp output round. (An arbitrary α puts irrational pow() values into
+    every term — the exactness argument evaporates.) For other decay
+    rates compose: applying the operator k times halves the effective
+    half-life each pass.
+
+    Scale shape: ONE per-key window shuffle (row_number + cumulative
+    sum share it); pure column arithmetic otherwise. Output: the series
+    plus (rn, ewma).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(part_col).alias("grp"),
+        F.col(order_col).alias("t"),
+        v.alias("v"),
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(w)
+    u = F.when(rn == 1, F.lit(2.0) * F.col("v")).otherwise(
+        F.col("v") * F.pow(F.lit(2.0), rn.cast("double") - F.lit(1.0))
+    )
+    return (
+        base.withColumn("rn", rn)
+        .withColumn("___u", u)
+        .withColumn(
+            "ewma",
+            F.round(
+                F.sum("___u").over(wc)
+                / F.pow(F.lit(2.0), F.col("rn").cast("double")),
+                4,
+            ),
+        )
+        .select("grp", "t", "v", F.col("rn").cast("int").alias("rn"), "ewma")
+    )

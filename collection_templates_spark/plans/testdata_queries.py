@@ -3714,6 +3714,33 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed daily revenue per event type
+    (temporal.ewma_smoothing): the recursive alpha=1/2 smoother as ONE
+    cumulative window via the exact dyadic reparameterization — every
+    weight a power of two, so both engines compute identical terms."""
+    from collection_templates_spark.operators.temporal import (
+        ewma_smoothing,
+    )
+
+    return ewma_smoothing(
+        _daily_event_series(spark, sf_dir), "event_type", "day", "v"
+    ).withColumnRenamed("grp", "event_type")
+
+
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via positional adjacency (search.phrase_match,
+    Lucene PhraseQuery slop-0 semantics): per-doc match counts and first
+    anchor position for the corpus bigram 'batch batch' — token-boundary
+    aware, unlike substring LIKE."""
+    from collection_templates_spark.operators.search import phrase_match
+
+    return phrase_match(
+        _t(spark, sf_dir, "documents"), ("batch", "batch")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3721,11 +3748,11 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 11: the 19 new r11 rows
+    # the sampling lever). Rotated for round 11: the 21 new r11 rows
     # lead (never externally sampled), then the 81 rows the r10 driver
     # did NOT sample (stalest external signal, r8/r9-checked), then the
     # 50 rows CORRECTNESS_r10.json re-verified (freshest) at the back.
-    # All 150 pass the identical local oracle (tools/check.py) every
+    # All 152 pass the identical local oracle (tools/check.py) every
     # round; the full-bank artifact is CHECKLOCAL_r{N}.json.
     "stats_ks_test": stats_ks_test,
     "stats_chi_square": stats_chi_square,
@@ -3746,6 +3773,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_ols_regression": stats_ols_regression,
     "text_feature_hashing": text_feature_hashing,
     "decontaminate_fuzzy": decontaminate_fuzzy,
+    "events_ewma": events_ewma,
+    "search_phrase_match": search_phrase_match,
     "text_perplexity_kn": text_perplexity_kn,
     "ann_knn_accuracy": ann_knn_accuracy,
     "graph_hits": graph_hits,
@@ -8770,4 +8799,51 @@ ORACLE_SQL["decontaminate_fuzzy"] = """
     FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
     WHERE d.doc_id % 11 <> 0
     GROUP BY d.source
+"""
+
+
+# events_ewma: the dyadic reparameterization replayed — u_1 = 2v,
+# u_i = v·2^(i−1), s = cumsum(u)/2^i; power(2, n) is exact in any IEEE
+# engine, so the only exposure is last-ulp summation noise under the
+# 4dp round.
+ORACLE_SQL["events_ewma"] = f"""
+    WITH {_DAILY_SERIES_CTE}, rn AS (
+        SELECT grp, t, v,
+               row_number() OVER (PARTITION BY grp ORDER BY t) AS rn
+        FROM daily WHERE v IS NOT NULL
+    ), u AS (
+        SELECT grp, t, v, rn,
+               CASE WHEN rn = 1 THEN CAST(2 AS DOUBLE) * v
+                    ELSE v * power(CAST(2 AS DOUBLE),
+                                   CAST(rn - 1 AS DOUBLE))
+               END AS uu
+        FROM rn
+    )
+    SELECT grp AS event_type, t, v, CAST(rn AS INT) AS rn,
+           round(sum(uu) OVER (PARTITION BY grp ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / power(CAST(2 AS DOUBLE), CAST(rn AS DOUBLE)), 4)
+               AS ewma
+    FROM u
+"""
+
+# search_phrase_match: positional adjacency replay with the dedup
+# normalize convention (trim + whitespace-collapse + lower, space split).
+ORACLE_SQL["search_phrase_match"] = """
+    WITH toks AS (
+        SELECT doc_id AS doc, i.i - 1 AS pos, t[i.i] AS tok
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                         '\\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+             LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i
+    ), led AS (
+        SELECT doc, pos, tok,
+               lead(tok, 1) OVER (PARTITION BY doc ORDER BY pos) AS n1
+        FROM toks
+    )
+    SELECT doc, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM led WHERE tok = 'batch' AND n1 = 'batch'
+    GROUP BY doc
 """

@@ -494,3 +494,36 @@ def test_fuzzy_decontaminate_flags_near_dup(spark):
     assert out["s1"].n_contaminated == 1 and out["s1"].n_docs == 2
     assert out["s1"].contaminated_frac == 0.5
     assert out["s2"].n_contaminated == 0
+
+
+def test_ewma_recursion_exact(spark):
+    from collection_templates_spark.operators.temporal import ewma_smoothing
+
+    vals = [8.0, 4.0, 2.0, 10.0]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    out = {r.rn: r.ewma for r in ewma_smoothing(df, "grp", "t", "v").collect()}
+    # recursive reference: s1=8, s2=6, s3=4, s4=7
+    s, expect = vals[0], {1: 8.0}
+    for i, v in enumerate(vals[1:], start=2):
+        s = 0.5 * v + 0.5 * s
+        expect[i] = round(s, 4)
+    assert out == expect
+
+
+def test_phrase_match_token_boundaries(spark):
+    from collection_templates_spark.operators.search import phrase_match
+
+    df = spark.createDataFrame(
+        [
+            (1, "new york is a city"),
+            (2, "renew yorkshire is not"),       # substring, NOT a match
+            (3, "new new york and new york"),    # two matches, first at 1
+            (4, "york new"),                      # wrong order
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in phrase_match(df, ("new", "york")).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_matches == 1 and out[1].first_pos == 0
+    assert out[3].n_matches == 2 and out[3].first_pos == 1
