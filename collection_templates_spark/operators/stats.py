@@ -174,12 +174,18 @@ def ks_test_2sample(
         .agg(
             F.max("ta").alias("n_a"),
             F.max("tb").alias("n_b"),
+            # try_divide: an absent sample (n = 0) yields NULL D and a
+            # NULL reject flag instead of an ANSI divide-by-zero crash
             F.max(
                 F.abs(
-                    F.col("cum_a").cast("double")
-                    / F.col("ta").cast("double")
-                    - F.col("cum_b").cast("double")
-                    / F.col("tb").cast("double")
+                    F.try_divide(
+                        F.col("cum_a").cast("double"),
+                        F.col("ta").cast("double"),
+                    )
+                    - F.try_divide(
+                        F.col("cum_b").cast("double"),
+                        F.col("tb").cast("double"),
+                    )
                 )
             ).alias("_d"),
         )
@@ -190,8 +196,10 @@ def ks_test_2sample(
             F.round(
                 F.lit(1.358)
                 * F.sqrt(
-                    (F.col("n_a") + F.col("n_b")).cast("double")
-                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                    F.try_divide(
+                        (F.col("n_a") + F.col("n_b")).cast("double"),
+                        (F.col("n_a") * F.col("n_b")).cast("double"),
+                    )
                 ),
                 6,
             ).alias("crit_05"),

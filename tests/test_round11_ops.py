@@ -527,3 +527,12 @@ def test_phrase_match_token_boundaries(spark):
     assert set(out) == {1, 3}
     assert out[1].n_matches == 1 and out[1].first_pos == 0
     assert out[3].n_matches == 2 and out[3].first_pos == 1
+
+
+def test_ks_missing_group_is_null_not_crash(spark):
+    # ANSI mode: an absent sample must yield NULL D, not DIVIDE_BY_ZERO
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    out = ks_test_2sample(df, "g", "v", "a", "b").collect()[0]
+    assert out.n_b == 0 and out.ks_d is None and out.reject_05 is None
