@@ -411,3 +411,135 @@ def ols_regression_2var(
         F.round(b2, 6).alias("b2"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test (the nonparametric two-sample
+    location test — the KS row's companion: KS sees any distribution
+    difference, U specifically a location shift), with average ranks
+    for ties and the tie-corrected normal approximation.
+
+    Determinism is total, not just rounded: tied values share the
+    average rank cum_before + (cnt+1)/2 — every rank is a multiple of
+    0.5, every product ca·rank and their sums stay exactly
+    representable (< 2^52), so R_a, U and the tie term are EXACT in
+    both engines; z is one exact-input formula rounded 6dp.
+
+    Scale shape: one groupBy(value) count, one cumulative window over
+    the distinct-value table (the ks_test shape — skinny), one
+    single-row reduce. Output: (n_a, n_b, u_a, mu_u, z, reject_05)
+    with reject at |z| > 1.96.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.filter(v.isNotNull() & g.isin([group_a, group_b])).select(
+        g.alias("g"), v.alias("v")
+    )
+    at_v = base.groupBy("v").agg(
+        F.sum((F.col("g") == group_a).cast("long")).alias("ca"),
+        F.sum((F.col("g") == group_b).cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cnt = F.col("ca") + F.col("cb")
+    ranked = at_v.withColumn(
+        "cum_before", F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w),
+                                 F.lit(0).cast("long"))
+    ).withColumn(
+        "avg_rank",
+        F.col("cum_before").cast("double")
+        + (cnt.cast("double") + F.lit(1.0)) / F.lit(2.0),
+    )
+    agg = ranked.groupBy().agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(F.col("ca").cast("double") * F.col("avg_rank")).alias("r_a"),
+        F.sum(cnt * cnt * cnt - cnt).alias("tie_term"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    u_a = F.col("r_a") - n_a * (n_a + F.lit(1.0)) / F.lit(2.0)
+    mu = n_a * n_b / F.lit(2.0)
+    sigma = F.sqrt(
+        n_a * n_b / F.lit(12.0)
+        * ((n + F.lit(1.0))
+           - F.col("tie_term").cast("double")
+           / (n * (n - F.lit(1.0))))
+    )
+    z = F.round(F.try_divide(u_a - mu, sigma), 6)
+    return agg.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        u_a.alias("u_a"),
+        mu.alias("mu_u"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_05"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Revenue-concentration summary: the exact Gini coefficient
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over values sorted ascending
+    (ties broken by key — a total order), plus the top-decile share —
+    the who-owns-the-corpus audit (applies equally to tokens per
+    source, bytes per shard, revenue per customer).
+
+    Determinism: Σx and Σ i·xᵢ accumulate as DECIMAL (rank is an
+    integer multiplier — the products stay exact), so both engines
+    reach identical doubles before the one rounded division. Output
+    single row: (n_keys, gini, top_decile_share).
+
+    Scale shape: one key aggregate, ONE global rank window over the
+    per-key table (n_keys rows, not raw rows; at extreme key counts
+    swap in a two-phase distributed rank), one single-row reduce.
+    """
+    dec = f"decimal(18,{scale})"
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(F.col(value_col).cast(dec)).alias("x")
+    )
+    w_asc = Window.orderBy(F.col("x").asc(), F.col("k").asc())
+    w_desc = Window.orderBy(F.col("x").desc(), F.col("k").asc())
+    wall = Window.partitionBy()
+    ranked = (
+        per_key.withColumn("i", F.row_number().over(w_asc))
+        .withColumn("i_desc", F.row_number().over(w_desc))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+    )
+    agg = ranked.groupBy().agg(
+        F.max("n").cast("long").alias("n_keys"),
+        F.sum(F.col("x") * F.col("i")).alias("s1"),
+        F.sum("x").alias("st"),
+        F.sum(
+            F.when(
+                F.col("i_desc")
+                <= F.greatest(
+                    F.lit(1), F.floor(F.col("n") / F.lit(10)).cast("int")
+                ),
+                F.col("x"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("top_x"),
+    )
+    n = F.col("n_keys").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("s1").cast("double")
+        / (n * F.col("st").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return agg.select(
+        "n_keys",
+        F.round(gini, 6).alias("gini"),
+        F.round(
+            F.col("top_x").cast("double") / F.col("st").cast("double"), 6
+        ).alias("top_decile_share"),
+    )

@@ -3741,6 +3741,57 @@ def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (stats.mann_whitney_u): BUILDING vs
+    MACHINERY order totals — average ranks on ties are multiples of 0.5
+    so the rank sums are EXACT in both engines; tie-corrected z."""
+    from collection_templates_spark.operators.stats import mann_whitney_u
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_totalprice", "c_mktsegment"
+    )
+    return mann_whitney_u(
+        oc, "c_mktsegment", "o_totalprice", "BUILDING", "MACHINERY"
+    )
+
+
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (stats.gini_concentration): exact Gini over
+    per-customer order totals (DECIMAL rank-weighted sums) + the
+    top-decile share — the who-owns-the-corpus audit."""
+    from collection_templates_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    return gini_concentration(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the marker-word
+    classifier (text_analysis.language_id) against the corpus's ground-
+    truth lang labels — the model-eval surface over an existing
+    operator; counts are integers, the tie rules are the oracled
+    text_language_id ones."""
+    from collection_templates_spark.operators.text_analysis import (
+        language_id,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual"),
+            language_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3748,11 +3799,11 @@ def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 11: the 21 new r11 rows
+    # the sampling lever). Rotated for round 11: the 24 new r11 rows
     # lead (never externally sampled), then the 81 rows the r10 driver
     # did NOT sample (stalest external signal, r8/r9-checked), then the
     # 50 rows CORRECTNESS_r10.json re-verified (freshest) at the back.
-    # All 152 pass the identical local oracle (tools/check.py) every
+    # All 155 pass the identical local oracle (tools/check.py) every
     # round; the full-bank artifact is CHECKLOCAL_r{N}.json.
     "stats_ks_test": stats_ks_test,
     "stats_chi_square": stats_chi_square,
@@ -3775,6 +3826,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_fuzzy": decontaminate_fuzzy,
     "events_ewma": events_ewma,
     "search_phrase_match": search_phrase_match,
+    "stats_mann_whitney": stats_mann_whitney,
+    "agg_gini_concentration": agg_gini_concentration,
+    "text_langid_confusion": text_langid_confusion,
     "text_perplexity_kn": text_perplexity_kn,
     "ann_knn_accuracy": ann_knn_accuracy,
     "graph_hits": graph_hits,
@@ -8846,4 +8900,127 @@ ORACLE_SQL["search_phrase_match"] = """
            CAST(min(pos) AS BIGINT) AS first_pos
     FROM led WHERE tok = 'batch' AND n1 = 'batch'
     GROUP BY doc
+"""
+
+
+# stats_mann_whitney: distinct-value average ranks (multiples of 0.5 —
+# exact sums), tie-corrected z; every fractional literal CAST to DOUBLE.
+ORACLE_SQL["stats_mann_whitney"] = """
+    WITH oc AS (
+        SELECT CAST(o.o_totalprice AS DOUBLE) AS v, c.c_mktsegment AS g
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+          AND o.o_totalprice IS NOT NULL
+    ), at_v AS (
+        SELECT v,
+               sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS cb
+        FROM oc GROUP BY v
+    ), ranked AS (
+        SELECT ca, cb, ca + cb AS cnt,
+               coalesce(sum(ca + cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM at_v
+    ), agg AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               sum(CAST(ca AS DOUBLE)
+                   * (CAST(cum_before AS DOUBLE)
+                      + (CAST(cnt AS DOUBLE) + CAST(1 AS DOUBLE))
+                        / CAST(2 AS DOUBLE))) AS r_a,
+               sum(cnt * cnt * cnt - cnt) AS tie_term
+        FROM ranked
+    )
+    SELECT n_a, n_b,
+           r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE)
+                 + CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE) AS u_a,
+           CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               / CAST(2 AS DOUBLE) AS mu_u,
+           round((r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE)
+                      + CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    / CAST(2 AS DOUBLE))
+                 / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        / CAST(12 AS DOUBLE)
+                        * ((CAST(n_a + n_b AS DOUBLE) + CAST(1 AS DOUBLE))
+                           - CAST(tie_term AS DOUBLE)
+                             / (CAST(n_a + n_b AS DOUBLE)
+                                * (CAST(n_a + n_b AS DOUBLE)
+                                   - CAST(1 AS DOUBLE))))), 6) AS z,
+           abs(round((r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE)
+                      + CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    / CAST(2 AS DOUBLE))
+                 / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        / CAST(12 AS DOUBLE)
+                        * ((CAST(n_a + n_b AS DOUBLE) + CAST(1 AS DOUBLE))
+                           - CAST(tie_term AS DOUBLE)
+                             / (CAST(n_a + n_b AS DOUBLE)
+                                * (CAST(n_a + n_b AS DOUBLE)
+                                   - CAST(1 AS DOUBLE))))), 6))
+               > CAST(1.96 AS DOUBLE) AS reject_05
+    FROM agg
+"""
+
+# agg_gini_concentration: rank-weighted DECIMAL sums (i·x stays exact),
+# top-decile cut by descending rank with the same tie order.
+ORACLE_SQL["agg_gini_concentration"] = """
+    WITH per_key AS (
+        SELECT o_custkey AS k,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT k, x,
+               row_number() OVER (ORDER BY x ASC, k ASC) AS i,
+               row_number() OVER (ORDER BY x DESC, k ASC) AS i_desc,
+               count(*) OVER () AS n
+        FROM per_key
+    ), agg AS (
+        SELECT CAST(max(n) AS BIGINT) AS n_keys,
+               sum(x * i) AS s1,
+               sum(x) AS st,
+               sum(CASE WHEN i_desc <= greatest(1, CAST(floor(n / 10)
+                        AS INT)) THEN x ELSE 0 END) AS top_x
+        FROM ranked
+    )
+    SELECT n_keys,
+           round(CAST(2 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / (CAST(n_keys AS DOUBLE) * CAST(st AS DOUBLE))
+                 - (CAST(n_keys AS DOUBLE) + CAST(1 AS DOUBLE))
+                   / CAST(n_keys AS DOUBLE), 6) AS gini,
+           round(CAST(top_x AS DOUBLE) / CAST(st AS DOUBLE), 6)
+               AS top_decile_share
+    FROM agg
+"""
+
+# text_langid_confusion: the text_language_id replay grouped against
+# the ground-truth label.
+ORACLE_SQL["text_langid_confusion"] = """
+    WITH s AS (
+        SELECT lang,
+               len(list_filter(string_split(lower(text),' '), t -> t IN
+                   ('der','die','das','und','ist','nicht','mit','ein'))) AS s_de,
+               len(list_filter(string_split(lower(text),' '), t -> t IN
+                   ('the','and','of','to','in','is','that','with'))) AS s_en,
+               len(list_filter(string_split(lower(text),' '), t -> t IN
+                   ('el','la','los','las','es','no','por','para'))) AS s_es,
+               len(list_filter(string_split(lower(text),' '), t -> t IN
+                   ('le','la','les','et','est','pas','pour','dans'))) AS s_fr,
+               len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+        FROM documents
+    ), pred AS (
+        SELECT lang AS actual,
+               CASE WHEN cjk > 0 THEN 'zh'
+                    WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0
+                        THEN 'und'
+                    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de
+                        THEN 'fr'
+                    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                    WHEN s_en >= s_de THEN 'en'
+                    ELSE 'de' END AS predicted
+        FROM s
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual, predicted
 """

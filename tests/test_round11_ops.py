@@ -536,3 +536,55 @@ def test_ks_missing_group_is_null_not_crash(spark):
     )
     out = ks_test_2sample(df, "g", "v", "a", "b").collect()[0]
     assert out.n_b == 0 and out.ks_d is None and out.reject_05 is None
+
+
+def test_mann_whitney_hand_computed(spark):
+    from collection_templates_spark.operators.stats import mann_whitney_u
+
+    # a = {1,2}, b = {2,3}: ranks 1, 2.5 (tie), 2.5, 4
+    # R_a = 1 + 2.5 = 3.5; U_a = 3.5 - 3 = 0.5; mu = 2
+    rows = [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert (out.n_a, out.n_b) == (2, 2)
+    assert out.u_a == 0.5 and out.mu_u == 2.0
+    # sigma^2 = (4/12)*((5) - 6/12) = 1.5 -> z = -1.5/sqrt(1.5)
+    assert out.z == round(-1.5 / (1.5 ** 0.5), 6)
+    assert not out.reject_05
+
+
+def test_gini_extremes(spark):
+    from collection_templates_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    # perfectly equal: gini 0; one key owns everything: gini -> (n-1)/n
+    eq = spark.createDataFrame(
+        [(k, 10.0) for k in range(10)], "k long, v double"
+    )
+    out = gini_concentration(eq, "k", "v").collect()[0]
+    assert out.gini == 0.0 and out.top_decile_share == 0.1
+    uneq = spark.createDataFrame(
+        [(0, 1000.0)] + [(k, 0.0) for k in range(1, 10)], "k long, v double"
+    )
+    out = gini_concentration(uneq, "k", "v").collect()[0]
+    assert out.gini == 0.9 and out.top_decile_share == 1.0
+
+
+def test_langid_confusion_diagonal_dominates(spark):
+    from collection_templates_spark.plans.testdata_queries import (
+        text_langid_confusion,
+    )
+
+    out = text_langid_confusion(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_total = sum(r.n for r in out)
+    assert n_total == 500
+    # the synthetic corpus text is English-ish word soup for EVERY lang
+    # label (no CJK chars, no es/fr/de markers) — the matrix honestly
+    # reports that: predictions stay in the classifier alphabet, and the
+    # en-labeled row is the one the marker heuristic actually gets right
+    assert {r.predicted for r in out} <= {"en", "de", "fr", "es", "zh", "und"}
+    en_row = {r.predicted: r.n for r in out if r.actual == "en"}
+    assert en_row.get("en", 0) > sum(en_row.values()) / 2
