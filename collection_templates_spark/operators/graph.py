@@ -587,3 +587,71 @@ def link_prediction_jaccard(
         F.col("a").asc(),
         F.col("b").asc(),
     ).limit(k)
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all edges (each undirected
+    edge contributing both orientations) — positive means hubs attach
+    to hubs (social nets), negative means hubs attach to leaves
+    (bipartite/technological nets; this corpus's customer-part graph is
+    strongly negative by construction).
+
+    Determinism is total: degrees are integers, so Σjk, Σ(j+k), Σ(j²+k²)
+    are exact integer sums; r = (S_jk/M − (S_sum/2M)²) / (S_sq/2M −
+    (S_sum/2M)²) is one exact-input formula rounded 6dp.
+
+    Scale shape: one distinct + degree aggregate, two broadcast degree
+    joins onto the edge table, one single-row reduce. Output:
+    (n_nodes, n_edges, assortativity).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = e.join(
+        F.broadcast(deg.select(F.col("n").alias("a"), F.col("d").alias("da"))),
+        "a",
+    ).join(
+        F.broadcast(deg.select(F.col("n").alias("b"), F.col("d").alias("db"))),
+        "b",
+    )
+    agg = keyed.groupBy().agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("da") * F.col("db")).alias("s_jk"),
+        F.sum(F.col("da") + F.col("db")).alias("s_sum"),
+        F.sum(
+            F.col("da") * F.col("da") + F.col("db") * F.col("db")
+        ).alias("s_sq"),
+        F.count_distinct("a").alias("_na"),
+    )
+    nodes = deg.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
+    m = F.col("m").cast("double")
+    mean_term = F.col("s_sum").cast("double") / (F.lit(2.0) * m)
+    r = F.try_divide(
+        F.col("s_jk").cast("double") / m - mean_term * mean_term,
+        F.col("s_sq").cast("double") / (F.lit(2.0) * m)
+        - mean_term * mean_term,
+    )
+    return (
+        agg.withColumn("_k", F.lit(1))
+        .join(F.broadcast(nodes.withColumn("_k", F.lit(1))), "_k")
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("m").cast("long").alias("n_edges"),
+            F.round(r, 6).alias("assortativity"),
+        )
+    )

@@ -543,3 +543,62 @@ def gini_concentration(
             F.col("top_x").cast("double") / F.col("st").cast("double"), 6
         ).alias("top_decile_share"),
     )
+
+
+BENFORD_EXPECTED = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_first_digit(
+    df: DataFrame, value_col: str, scale: int = 2
+) -> DataFrame:
+    """Benford's-law first-digit audit: the distribution of leading
+    digits of a naturally-occurring monetary column against
+    log10(1 + 1/d) — the classic fabricated-data detector. Per digit:
+    observed count/fraction, the expected fraction, and the chi-square
+    contribution n·(obs−exp)²/exp.
+
+    Determinism: the first digit comes from INTEGER-STRING arithmetic —
+    the value is cast to DECIMAL(18,scale), scaled to integer cents and
+    formatted as a BIGINT string (identical in any engine; never
+    float formatting, never log10 of the value); expected fractions are
+    9dp literals embedded in both engines. Fractions/contributions are
+    exact-input divisions rounded 6dp.
+
+    Scale shape: one map-side-combined 9-group aggregate. Output: 9
+    rows (digit, n, observed_frac, expected_frac, chi2_contrib).
+    """
+    dec = f"decimal(18,{scale})"
+    cents = (
+        (F.col(value_col).cast(dec) * F.lit(10**scale))
+        .cast("decimal(18,0)")
+        .cast("long")
+    )
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    base = df.filter(
+        F.col(value_col).isNotNull() & (F.col(value_col) > 0)
+    ).select(digit.alias("digit"))
+    counts = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy()
+    expected = F.create_map(
+        *[
+            x
+            for d, p in sorted(BENFORD_EXPECTED.items())
+            for x in (F.lit(d), F.lit(round(p, 9)))
+        ]
+    )
+    with_tot = counts.withColumn("n_total", F.sum("n").over(wall))
+    obs = F.col("n").cast("double") / F.col("n_total").cast("double")
+    exp_f = expected[F.col("digit")]
+    return with_tot.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(obs, 6).alias("observed_frac"),
+        exp_f.alias("expected_frac"),
+        F.round(
+            F.col("n_total").cast("double") * (obs - exp_f) * (obs - exp_f)
+            / exp_f,
+            6,
+        ).alias("chi2_contrib"),
+    )

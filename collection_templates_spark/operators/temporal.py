@@ -563,3 +563,113 @@ def ewma_smoothing(
         )
         .select("grp", "t", "v", F.col("rn").cast("int").alias("rn"), "ewma")
     )
+
+
+def ohlc_downsample(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Daily OHLC (open/high/low/close) downsampling of a keyed value
+    stream — the financial-candle reduction, equally the standard
+    compaction for any metric stream. Open/close are picked by the
+    (ts, id) TUPLE order (min_by/max_by on a struct — total, so ties at
+    identical timestamps resolve identically in any engine); high/low
+    are plain extrema; volume is the row count and the day total is a
+    DECIMAL-exact sum.
+
+    Scale shape: ONE map-side-combined aggregate keyed on (key, day) —
+    no window, no join, no sort. Output: (key, day, open, high, low,
+    close, n_events, v_total).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    order_key = F.struct(us.alias("us"), F.col(id_col).alias("id"))
+    v = F.col(value_col).cast("double")
+    return (
+        events.filter(v.isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).cast("date").alias("day"),
+        )
+        .agg(
+            F.min_by(v, order_key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order_key).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(v.cast("decimal(18,2)")).cast("double").alias("v_total"),
+        )
+    )
+
+
+def autocorrelation(
+    series: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lag-k autocorrelation of a keyed daily series for k = 1..max_lag
+    — the seasonality detector (a weekly cycle shows as an acf(7)
+    spike). Uses the standard ACF estimator: deviations from the SERIES
+    mean, lag-k cross products over the n−k overlapping pairs,
+    normalized by the full-series sum of squares.
+
+    Determinism: the mean comes from DECIMAL-exact sums rounded 9dp
+    (the cusum convention); each cross product and squared deviation is
+    rounded 9dp BEFORE its sum and the ratio to 6dp. The lag join is a
+    calendar-day equi-join (date_add), so gap days simply produce no
+    pair — stated semantics, identical in both engines.
+
+    Scale shape: the series table is bounded (key × day); one mean
+    aggregate broadcast back, one explode(lags) + self equi-join on
+    (key, day+lag), one (key, lag) aggregate. Output: (key, lag,
+    n_pairs, acf).
+    """
+    v = F.col(value_col).cast("double")
+    base = series.filter(v.isNotNull()).select(
+        F.col(part_col).alias("grp"),
+        F.col(order_col).alias("t"),
+        v.alias("v"),
+        v.cast("decimal(18,6)").alias("vd"),
+    )
+    mean_t = base.groupBy("grp").agg(
+        F.round(
+            F.sum("vd").cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("m")
+    )
+    dev = base.join(F.broadcast(mean_t), "grp").select(
+        "grp", "t", (F.col("v") - F.col("m")).alias("d")
+    )
+    denom = dev.groupBy("grp").agg(
+        F.sum(F.round(F.col("d") * F.col("d"), 9)).alias("ss")
+    )
+    lags = dev.select(
+        "grp", "t", "d",
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    )
+    lead = dev.select(
+        F.col("grp"), F.col("t").alias("t2"), F.col("d").alias("d2")
+    )
+    pairs = lags.join(
+        lead,
+        (lags["grp"] == lead["grp"])
+        & (F.expr("date_add(t, lag)") == F.col("t2")),
+    ).select(lags["grp"].alias("grp"), "lag", "d", "d2")
+    num = pairs.groupBy("grp", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.round(F.col("d") * F.col("d2"), 9)).alias("cross"),
+    )
+    return (
+        num.join(F.broadcast(denom), "grp")
+        .select(
+            "grp",
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(F.try_divide(F.col("cross"), F.col("ss")), 6).alias(
+                "acf"
+            ),
+        )
+    )

@@ -1061,3 +1061,69 @@ def fuzzy_decontaminate(
             6,
         ).alias("contaminated_frac"),
     )
+
+
+def dsir_importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id", "source"),
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", simplified to the
+    unigram feature space): every corpus document is weighted by
+    log p_target(doc) − log p_raw(doc) under two Laplace-smoothed
+    unigram models — positive weight means the document looks more like
+    the target domain than the raw pool, the signal DSIR resamples on.
+
+    Reuses the oracled langmodel machinery verbatim
+    (word_frequency_model + score_names: per-token 9dp-rounded lps,
+    broadcast vocab-sized models), so the determinism story is the
+    text_word_model / scalar_log_probability one. Output: the id
+    columns + (n_tokens, lp_target, lp_raw, weight, prefers_target)
+    with sums rounded 4dp and weight = round(lp_t − lp_r, 4).
+
+    Scale shape: two vocab-bounded model aggregates (target and raw
+    pools — each ONE shuffle), both broadcast; the corpus is exploded
+    once per scoring pass with a doc-keyed partial-combined
+    re-aggregation. At 100 TB the models come from samples; the scoring
+    pass shape is unchanged.
+    """
+    from collection_templates_spark.functions.langmodel import (
+        TOKEN_SPLIT_RE,
+        score_names,
+        word_frequency_model,
+    )
+
+    model_t = word_frequency_model(target, text_col)
+    model_r = word_frequency_model(raw, text_col)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+    # n_tokens rides as a grouping key (score_names drops the token
+    # array itself and groups by every other column)
+    names = corpus.select(
+        *id_cols,
+        F.size(toks).cast("long").alias("n_tokens"),
+        toks.alias("tokens"),
+    )
+    st = score_names(names, model_t).select(
+        *id_cols,
+        "n_tokens",
+        F.round("log_probability", 4).alias("lp_target"),
+    )
+    sr = score_names(names, model_r).select(
+        *id_cols, F.round("log_probability", 4).alias("lp_raw")
+    )
+    out = st.join(sr, list(id_cols))
+    weight = F.round(F.col("lp_target") - F.col("lp_raw"), 4) + F.lit(0.0)
+    return out.select(
+        *id_cols,
+        "n_tokens",
+        "lp_target",
+        "lp_raw",
+        weight.alias("weight"),
+        (weight > 0).cast("int").alias("prefers_target"),
+    )

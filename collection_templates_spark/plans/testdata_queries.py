@@ -3792,6 +3792,72 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def temporal_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event type (temporal.ohlc_downsample):
+    open/close by (ts, event_id) tuple order, DECIMAL-exact day totals
+    — one map-side-combined aggregate."""
+    from collection_templates_spark.operators.temporal import (
+        ohlc_downsample,
+    )
+
+    return ohlc_downsample(_t(spark, sf_dir, "events"))
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag 1..7 autocorrelation of daily revenue per event type
+    (temporal.autocorrelation): DECIMAL-exact means, 9dp-per-term
+    cross products, calendar-day lag join — the seasonality detector."""
+    from collection_templates_spark.operators.temporal import (
+        autocorrelation,
+    )
+
+    return autocorrelation(
+        _daily_event_series(spark, sf_dir), "event_type", "day", "v"
+    ).withColumnRenamed("grp", "event_type")
+
+
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals
+    (stats.benford_first_digit): integer-string leading digits (never
+    float formatting or log10 of the value), 9dp expected-fraction
+    literals shared with the oracle, chi-square contributions."""
+    from collection_templates_spark.operators.stats import (
+        benford_first_digit,
+    )
+
+    return benford_first_digit(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (graph.degree_assortativity, Newman 2002)
+    of the customer-part graph — exact integer moment sums, one rounded
+    formula; strongly negative for a bipartite projection."""
+    from collection_templates_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    return degree_assortativity(_copurchase_bipartite(spark, sf_dir))
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (training_prep.dsir_importance_weights):
+    every document scored log p_target - log p_raw under two Laplace
+    unigram models (target = sources src0-src4) via the oracled
+    langmodel machinery — the importance-resampling selection signal."""
+    from collection_templates_spark.operators.training_prep import (
+        dsir_importance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt_sources = ("src0", "src1", "src2", "src3", "src4")
+    return dsir_importance_weights(
+        docs,
+        docs.filter(F.col("source").isin(*tgt_sources)),
+        docs.filter(~F.col("source").isin(*tgt_sources)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3799,11 +3865,11 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 11: the 24 new r11 rows
+    # the sampling lever). Rotated for round 11: the 29 new r11 rows
     # lead (never externally sampled), then the 81 rows the r10 driver
     # did NOT sample (stalest external signal, r8/r9-checked), then the
     # 50 rows CORRECTNESS_r10.json re-verified (freshest) at the back.
-    # All 155 pass the identical local oracle (tools/check.py) every
+    # All 160 pass the identical local oracle (tools/check.py) every
     # round; the full-bank artifact is CHECKLOCAL_r{N}.json.
     "stats_ks_test": stats_ks_test,
     "stats_chi_square": stats_chi_square,
@@ -3829,6 +3895,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_mann_whitney": stats_mann_whitney,
     "agg_gini_concentration": agg_gini_concentration,
     "text_langid_confusion": text_langid_confusion,
+    "temporal_ohlc": temporal_ohlc,
+    "events_autocorrelation": events_autocorrelation,
+    "stats_benford": stats_benford,
+    "graph_assortativity": graph_assortativity,
+    "corpus_dsir_weights": corpus_dsir_weights,
     "text_perplexity_kn": text_perplexity_kn,
     "ann_knn_accuracy": ann_knn_accuracy,
     "graph_hits": graph_hits,
@@ -9023,4 +9094,176 @@ ORACLE_SQL["text_langid_confusion"] = """
     )
     SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
     FROM pred GROUP BY actual, predicted
+"""
+
+
+
+# temporal_ohlc: ordered first/last aggregates over the (epoch_us,
+# event_id) tuple order, DECIMAL-exact day totals.
+ORACLE_SQL["temporal_ohlc"] = """
+    SELECT event_type AS key, CAST(ts AS DATE) AS day,
+           first(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id)
+               AS open,
+           max(CAST(value AS DOUBLE)) AS high,
+           min(CAST(value AS DOUBLE)) AS low,
+           last(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id)
+               AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_total
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+# events_autocorrelation: DECIMAL-exact mean, 9dp-per-term products,
+# calendar-day (t + lag) equi-join — 'cr' because CROSS is reserved.
+ORACLE_SQL["events_autocorrelation"] = f"""
+    WITH {_DAILY_SERIES_CTE}, base AS (
+        SELECT grp, t, v, CAST(v AS DECIMAL(18,6)) AS vd FROM daily
+        WHERE v IS NOT NULL
+    ), mean_t AS (
+        SELECT grp,
+               round(CAST(sum(vd) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+                   AS m
+        FROM base GROUP BY grp
+    ), dev AS (
+        SELECT b.grp, b.t, b.v - m.m AS d
+        FROM base b JOIN mean_t m USING (grp)
+    ), denom AS (
+        SELECT grp, sum(round(d * d, 9)) AS ss FROM dev GROUP BY grp
+    ), lagt AS (
+        SELECT grp, t, d, l.lag
+        FROM dev, (SELECT unnest(range(1, 8)) AS lag) l
+    ), pairs AS (
+        SELECT a.grp, a.lag, a.d, b.d AS d2
+        FROM lagt a JOIN dev b ON a.grp = b.grp
+          AND b.t = a.t + CAST(a.lag AS INT)
+    ), num AS (
+        SELECT grp, lag, count(*) AS n_pairs,
+               sum(round(d * d2, 9)) AS cr
+        FROM pairs GROUP BY grp, lag
+    )
+    SELECT n.grp AS event_type, CAST(n.lag AS INT) AS lag,
+           CAST(n.n_pairs AS BIGINT) AS n_pairs,
+           round(n.cr / de.ss, 6) AS acf
+    FROM num n JOIN denom de USING (grp)
+"""
+
+# stats_benford: integer-string first digit (decimal cents -> BIGINT ->
+# VARCHAR), 9dp expected literals identical to the Spark map.
+ORACLE_SQL["stats_benford"] = """
+    WITH base AS (
+        SELECT CAST(substr(CAST(CAST(CAST(CAST(o_totalprice
+                   AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    ), counts AS (
+        SELECT digit, count(*) AS n FROM base GROUP BY digit
+    ), tot AS (
+        SELECT digit, n, sum(n) OVER () AS n_total FROM counts
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+               AS observed_frac,
+           CASE digit WHEN 1 THEN CAST(0.301029996 AS DOUBLE) WHEN 2 THEN CAST(0.176091259 AS DOUBLE) WHEN 3 THEN CAST(0.124938737 AS DOUBLE) WHEN 4 THEN CAST(0.096910013 AS DOUBLE) WHEN 5 THEN CAST(0.079181246 AS DOUBLE) WHEN 6 THEN CAST(0.06694679 AS DOUBLE) WHEN 7 THEN CAST(0.057991947 AS DOUBLE) WHEN 8 THEN CAST(0.051152522 AS DOUBLE) WHEN 9 THEN CAST(0.045757491 AS DOUBLE) END AS expected_frac,
+           round(CAST(n_total AS DOUBLE)
+                 * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                    - CASE digit WHEN 1 THEN CAST(0.301029996 AS DOUBLE) WHEN 2 THEN CAST(0.176091259 AS DOUBLE) WHEN 3 THEN CAST(0.124938737 AS DOUBLE) WHEN 4 THEN CAST(0.096910013 AS DOUBLE) WHEN 5 THEN CAST(0.079181246 AS DOUBLE) WHEN 6 THEN CAST(0.06694679 AS DOUBLE) WHEN 7 THEN CAST(0.057991947 AS DOUBLE) WHEN 8 THEN CAST(0.051152522 AS DOUBLE) WHEN 9 THEN CAST(0.045757491 AS DOUBLE) END)
+                 * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                    - CASE digit WHEN 1 THEN CAST(0.301029996 AS DOUBLE) WHEN 2 THEN CAST(0.176091259 AS DOUBLE) WHEN 3 THEN CAST(0.124938737 AS DOUBLE) WHEN 4 THEN CAST(0.096910013 AS DOUBLE) WHEN 5 THEN CAST(0.079181246 AS DOUBLE) WHEN 6 THEN CAST(0.06694679 AS DOUBLE) WHEN 7 THEN CAST(0.057991947 AS DOUBLE) WHEN 8 THEN CAST(0.051152522 AS DOUBLE) WHEN 9 THEN CAST(0.045757491 AS DOUBLE) END)
+                 / CASE digit WHEN 1 THEN CAST(0.301029996 AS DOUBLE) WHEN 2 THEN CAST(0.176091259 AS DOUBLE) WHEN 3 THEN CAST(0.124938737 AS DOUBLE) WHEN 4 THEN CAST(0.096910013 AS DOUBLE) WHEN 5 THEN CAST(0.079181246 AS DOUBLE) WHEN 6 THEN CAST(0.06694679 AS DOUBLE) WHEN 7 THEN CAST(0.057991947 AS DOUBLE) WHEN 8 THEN CAST(0.051152522 AS DOUBLE) WHEN 9 THEN CAST(0.045757491 AS DOUBLE) END, 6)
+               AS chi2_contrib
+    FROM tot
+"""
+
+# graph_assortativity: exact integer moments over the undirected edge
+# list, identical closed form.
+ORACLE_SQL["graph_assortativity"] = """
+    WITH e AS (
+        SELECT DISTINCT least('c' || o.o_custkey, 'p' || l.l_partkey) AS a,
+               greatest('c' || o.o_custkey, 'p' || l.l_partkey) AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        GROUP BY n
+    ), keyed AS (
+        SELECT da.d AS da, db.d AS db
+        FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+    ), agg AS (
+        SELECT count(*) AS m, sum(da * db) AS s_jk,
+               sum(da + db) AS s_sum,
+               sum(da * da + db * db) AS s_sq
+        FROM keyed
+    ), nodes AS (SELECT count(*) AS n_nodes FROM deg)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(m AS BIGINT) AS n_edges,
+           round((CAST(s_jk AS DOUBLE) / CAST(m AS DOUBLE)
+                  - (CAST(s_sum AS DOUBLE)
+                     / (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE)))
+                    * (CAST(s_sum AS DOUBLE)
+                       / (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE))))
+                 / (CAST(s_sq AS DOUBLE)
+                    / (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE))
+                    - (CAST(s_sum AS DOUBLE)
+                       / (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE)))
+                      * (CAST(s_sum AS DOUBLE)
+                         / (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE)))),
+                 6) AS assortativity
+    FROM agg CROSS JOIN nodes
+"""
+
+# corpus_dsir_weights: two Laplace unigram models over the source split,
+# per-token 9dp lps (the scalar_log_probability replay, run twice).
+ORACLE_SQL["corpus_dsir_weights"] = """
+    WITH tok_t AS (
+        SELECT t.token
+        FROM documents,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                 AS t(token)
+        WHERE t.token <> ''
+          AND source IN ('src0','src1','src2','src3','src4')
+    ), model_t AS (SELECT token, count(*) AS n FROM tok_t GROUP BY token
+    ), tot_t AS (
+        SELECT CAST(sum(n) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS denom
+        FROM model_t
+    ), tok_r AS (
+        SELECT t.token
+        FROM documents,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                 AS t(token)
+        WHERE t.token <> ''
+          AND source NOT IN ('src0','src1','src2','src3','src4')
+    ), model_r AS (SELECT token, count(*) AS n FROM tok_r GROUP BY token
+    ), tot_r AS (
+        SELECT CAST(sum(n) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS denom
+        FROM model_r
+    ), names AS (
+        SELECT doc_id, source, t.token
+        FROM documents,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+'))
+                 AS t(token)
+        WHERE t.token <> ''
+    ), lp_t AS (
+        SELECT n.doc_id, n.source, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(round(ln((CAST(coalesce(m.n, 0) AS DOUBLE)
+                   + CAST(1 AS DOUBLE)) / tot.denom), 9)), 4) AS lp_target
+        FROM names n
+        LEFT JOIN model_t m ON n.token = m.token
+        CROSS JOIN tot_t tot
+        GROUP BY n.doc_id, n.source
+    ), lp_r AS (
+        SELECT n.doc_id, n.source,
+               round(sum(round(ln((CAST(coalesce(m.n, 0) AS DOUBLE)
+                   + CAST(1 AS DOUBLE)) / tot.denom), 9)), 4) AS lp_raw
+        FROM names n
+        LEFT JOIN model_r m ON n.token = m.token
+        CROSS JOIN tot_r tot
+        GROUP BY n.doc_id, n.source
+    )
+    SELECT t.doc_id, t.source, t.n_tokens, t.lp_target, r.lp_raw,
+           round(t.lp_target - r.lp_raw, 4) + CAST(0 AS DOUBLE) AS weight,
+           CAST(round(t.lp_target - r.lp_raw, 4) + CAST(0 AS DOUBLE)
+                > CAST(0 AS DOUBLE) AS INT) AS prefers_target
+    FROM lp_t t JOIN lp_r r ON t.doc_id = r.doc_id
+        AND t.source = r.source
 """

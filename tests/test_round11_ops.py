@@ -588,3 +588,100 @@ def test_langid_confusion_diagonal_dominates(spark):
     assert {r.predicted for r in out} <= {"en", "de", "fr", "es", "zh", "und"}
     en_row = {r.predicted: r.n for r in out if r.actual == "en"}
     assert en_row.get("en", 0) > sum(en_row.values()) / 2
+
+
+# ---------------------------------------------------------------------------
+# wave 5: OHLC, autocorrelation, Benford, assortativity, DSIR
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_tuple_order_and_extremes(spark):
+    from collection_templates_spark.operators.temporal import (
+        ohlc_downsample,
+    )
+
+    rows = [
+        (1, "a", _ts(1, 9), 5.0),
+        (2, "a", _ts(1, 10), 9.0),
+        (3, "a", _ts(1, 8), 3.0),     # earliest -> open
+        (4, "a", _ts(1, 11), 7.0),    # latest -> close
+        (5, "a", _ts(1, 8), 4.0),     # same ts as #3, higher id: NOT open
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    r = ohlc_downsample(df).collect()[0]
+    assert (r.open, r.high, r.low, r.close) == (3.0, 9.0, 3.0, 7.0)
+    assert r.n_events == 5 and r.v_total == 28.0
+
+
+def test_autocorrelation_alternating_series(spark):
+    import datetime
+
+    from collection_templates_spark.operators.temporal import (
+        autocorrelation,
+    )
+
+    # perfectly alternating +1/-1: acf(1) -> negative, acf(2) -> positive
+    rows = [
+        ("g", datetime.date(2024, 1, 1 + i), 1.0 if i % 2 == 0 else -1.0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, t date, v double")
+    out = {r.lag: r for r in autocorrelation(df, "grp", "t", "v", 2).collect()}
+    assert out[1].acf == -0.9 and out[1].n_pairs == 9  # (n-k)/n shrinkage
+    assert out[2].acf == 0.8 and out[2].n_pairs == 8
+
+
+def test_benford_uniform_digits(spark):
+    from collection_templates_spark.operators.stats import (
+        benford_first_digit,
+    )
+
+    # 100.00..199.99-style values all lead with 1
+    rows = [(float(100 + i),) for i in range(100)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.digit: r for r in benford_first_digit(df, "v").collect()}
+    assert set(out) == {1}
+    assert out[1].observed_frac == 1.0
+    assert out[1].expected_frac == round(__import__("math").log10(2), 9)
+
+
+def test_assortativity_star_is_negative_one(spark):
+    from collection_templates_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # star graph: every edge joins degree-3 hub to degree-1 leaf -> r = -1
+    edges = [("hub", f"l{i}") for i in range(3)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = degree_assortativity(df).collect()[0]
+    assert r.assortativity == -1.0
+    assert (r.n_nodes, r.n_edges) == (4, 3)
+
+
+def test_dsir_prefers_target_vocab(spark):
+    from collection_templates_spark.operators.training_prep import (
+        dsir_importance_weights,
+    )
+
+    tgt = spark.createDataFrame(
+        [(100, "physics quantum relativity physics", "t")],
+        "doc_id long, text string, source string",
+    )
+    raw = spark.createDataFrame(
+        [(200, "pizza recipe dough cheese pizza", "r")],
+        "doc_id long, text string, source string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quantum physics notes", "c"),
+            (2, "cheese pizza dough", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in
+           dsir_importance_weights(corpus, tgt, raw).collect()}
+    assert out[1].prefers_target == 1 and out[1].weight > 0
+    assert out[2].prefers_target == 0 and out[2].weight < 0
+    assert out[1].n_tokens == 3
