@@ -673,3 +673,81 @@ def autocorrelation(
             ),
         )
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union of (possibly overlapping) intervals per key — the classic
+    interval-merge: order by start, open a new island whenever a start
+    exceeds the running maximum of previous ends, aggregate each island
+    to its span (uptime/coverage computation, sessionized-availability,
+    calendar busy-time).
+
+    Determinism: caller supplies integer endpoints (microseconds — the
+    events-family convention); the island rule compares a start to the
+    EXCLUSIVE-prefix cummax of ends over (start, end) order — a total
+    order, integers only. Touching intervals (start == prev end) merge
+    (closed-interval semantics, stated).
+
+    Scale shape: ONE per-key window shuffle (the sort), then a
+    map-side-combinable island aggregate. Output: (key, island_start,
+    island_end, n_source_intervals).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+    )
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    ).cast("int")
+    islands = df.withColumn(
+        "___isl",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(F.col(key_col).alias("key"), "___isl").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).cast("long").alias("n_source_intervals"),
+    ).drop("___isl")
+
+
+def interval_coverage(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    half_width_minutes: int = 15,
+) -> DataFrame:
+    """Per-key activity coverage: each event claims a ±half_width
+    window, overlapping windows union via :func:`merge_intervals`, and
+    the key's coverage is the summed span of the merged islands — "how
+    much wall-clock was this user active", the uptime/SLA shape.
+
+    All arithmetic in integer microseconds. Output per key:
+    (key, n_events, n_islands, covered_us, longest_island_us).
+    """
+    hw_us = half_width_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    iv = events.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("k"),
+        (us - hw_us).alias("s"),
+        (us + hw_us).alias("e"),
+    )
+    merged = merge_intervals(iv, "k", "s", "e")
+    return merged.groupBy(F.col("key")).agg(
+        F.sum("n_source_intervals").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start"))
+        .cast("long")
+        .alias("covered_us"),
+        F.max(F.col("island_end") - F.col("island_start"))
+        .cast("long")
+        .alias("longest_island_us"),
+    )

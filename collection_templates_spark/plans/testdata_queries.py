@@ -3858,6 +3858,20 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage (temporal.interval_coverage): each
+    event claims a ±15-minute window, overlaps union via the classic
+    interval merge (exclusive-prefix cummax island rule, integer
+    microseconds), coverage is the merged span total — the uptime/SLA
+    shape."""
+    from collection_templates_spark.operators.temporal import (
+        interval_coverage,
+    )
+
+    return interval_coverage(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3865,11 +3879,11 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 11: the 29 new r11 rows
+    # the sampling lever). Rotated for round 11: the 30 new r11 rows
     # lead (never externally sampled), then the 81 rows the r10 driver
     # did NOT sample (stalest external signal, r8/r9-checked), then the
     # 50 rows CORRECTNESS_r10.json re-verified (freshest) at the back.
-    # All 160 pass the identical local oracle (tools/check.py) every
+    # All 161 pass the identical local oracle (tools/check.py) every
     # round; the full-bank artifact is CHECKLOCAL_r{N}.json.
     "stats_ks_test": stats_ks_test,
     "stats_chi_square": stats_chi_square,
@@ -3900,6 +3914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_benford": stats_benford,
     "graph_assortativity": graph_assortativity,
     "corpus_dsir_weights": corpus_dsir_weights,
+    "events_interval_coverage": events_interval_coverage,
     "text_perplexity_kn": text_perplexity_kn,
     "ann_knn_accuracy": ann_knn_accuracy,
     "graph_hits": graph_hits,
@@ -9266,4 +9281,40 @@ ORACLE_SQL["corpus_dsir_weights"] = """
                 > CAST(0 AS DOUBLE) AS INT) AS prefers_target
     FROM lp_t t JOIN lp_r r ON t.doc_id = r.doc_id
         AND t.source = r.source
+"""
+
+
+# events_interval_coverage: the interval-merge replay — same exclusive-
+# prefix cummax island rule over integer microseconds.
+ORACLE_SQL["events_interval_coverage"] = """
+    WITH iv AS (
+        SELECT user_id AS k,
+               epoch_us(ts) - 900000000 AS s,
+               epoch_us(ts) + 900000000 AS e
+        FROM events WHERE ts IS NOT NULL
+    ), flagged AS (
+        SELECT k, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR s > max(e) OVER (PARTITION BY k ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS ni
+        FROM iv
+    ), isl AS (
+        SELECT k, s, e,
+               sum(ni) OVER (PARTITION BY k ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM flagged
+    ), merged AS (
+        SELECT k, island, min(s) AS i_start, max(e) AS i_end,
+               count(*) AS n_src
+        FROM isl GROUP BY k, island
+    )
+    SELECT k AS key, CAST(sum(n_src) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+           CAST(max(i_end - i_start) AS BIGINT) AS longest_island_us
+    FROM merged GROUP BY k
 """

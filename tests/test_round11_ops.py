@@ -685,3 +685,44 @@ def test_dsir_prefers_target_vocab(spark):
     assert out[1].prefers_target == 1 and out[1].weight > 0
     assert out[2].prefers_target == 0 and out[2].weight < 0
     assert out[1].n_tokens == 3
+
+
+def test_merge_intervals_rules(spark):
+    from collection_templates_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    rows = [
+        ("u", 0, 10),
+        ("u", 5, 12),    # overlaps -> same island
+        ("u", 12, 20),   # touching (start == prev end) -> merges
+        ("u", 30, 40),   # gap -> new island
+        ("u", 32, 35),   # contained -> same island
+        ("v", 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = sorted(
+        (r.key, r.island_start, r.island_end, r.n_source_intervals)
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert out == [("u", 0, 20, 3), ("u", 30, 40, 2), ("v", 0, 1, 1)]
+
+
+def test_interval_coverage_counts(spark):
+    from collection_templates_spark.operators.temporal import (
+        interval_coverage,
+    )
+
+    rows = [
+        (1, 7, _ts(1, 9, 0)),
+        (2, 7, _ts(1, 9, 10)),   # within 30min union -> one island
+        (3, 7, _ts(1, 15, 0)),   # far away -> second island
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    r = interval_coverage(df, half_width_minutes=15).collect()[0]
+    assert r.n_events == 3 and r.n_islands == 2
+    # island1 spans 9:00-15 .. 9:25 = 40min; island2 = 30min
+    assert r.covered_us == (40 + 30) * 60 * 1_000_000
+    assert r.longest_island_us == 40 * 60 * 1_000_000
