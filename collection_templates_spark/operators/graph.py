@@ -655,3 +655,54 @@ def degree_assortativity(
             F.round(r, 6).alias("assortativity"),
         )
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient c_v = 2·T_v / (d_v·(d_v−1)) — how
+    close each node's neighborhood is to a clique (Watts–Strogatz 1998),
+    composed from :func:`triangle_count` (the hub-safe oriented wedge
+    join) and one degree aggregate. Nodes of degree < 2 report 0 (no
+    possible triangle — stated, not NULL).
+
+    Determinism: triangles and degrees are integers; the coefficient is
+    one exact-input division rounded 6dp. Scale shape: triangle_count's
+    O(m^1.5) wedge bound + a degree aggregate + a broadcast join.
+    Output: (node, degree, n_triangles, clustering_coeff).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tri = triangle_count(e, "a", "b")
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    joined = deg.join(tri, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
+    )
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            F.lit(2.0) * F.col("n_triangles").cast("double")
+            / (
+                F.col("degree").cast("double")
+                * (F.col("degree").cast("double") - F.lit(1.0))
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("clustering_coeff", cc)

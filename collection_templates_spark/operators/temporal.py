@@ -751,3 +751,90 @@ def interval_coverage(
         .cast("long")
         .alias("longest_island_us"),
     )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    anchor: str = "2024-01-01",
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a keyed daily
+    series: trend = centered ``period``-day moving average (only where
+    the window is complete), seasonal = the per-phase mean of the
+    detrended values, residual = the rest — the STL-lite every metrics
+    stack runs before alerting on "is Monday always like this".
+
+    Determinism: trend means come from DECIMAL window sums divided by
+    the exact window count, rounded 9dp; the phase index is
+    ((datediff(t, anchor) % period) + period) % period — the portable
+    weekday (both engines' % follows the dividend sign, hence the
+    double fold); seasonal/residual round 6dp. Rows without a complete
+    trend window are dropped (stated — the standard MA-decomposition
+    edge loss of period//2 days each side).
+
+    Scale shape: the series table is bounded (key × day); one per-key
+    ordered window (trend), one (key, phase) aggregate broadcast back.
+    Output: (grp, t, v, phase, trend, seasonal, residual).
+    """
+    half = period // 2
+    v = F.col(value_col).cast("double")
+    base = series.filter(v.isNotNull()).select(
+        F.col(part_col).alias("grp"),
+        F.col(order_col).alias("t"),
+        v.alias("v"),
+        v.cast("decimal(18,6)").alias("vd"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(-half, half)
+    )
+    trended = (
+        base.withColumn("___n", F.count("vd").over(w))
+        .withColumn(
+            "trend",
+            F.when(
+                F.col("___n") == period,
+                F.round(
+                    F.sum("vd").over(w).cast("double")
+                    / F.lit(float(period)),
+                    9,
+                ),
+            ),
+        )
+        .filter(F.col("trend").isNotNull())
+        .withColumn(
+            "phase",
+            (
+                (
+                    F.datediff(F.col("t"), F.lit(anchor).cast("date"))
+                    % period
+                )
+                + period
+            )
+            % period,
+        )
+        .withColumn("detr", F.col("v") - F.col("trend"))
+    )
+    seasonal = trended.groupBy("grp", "phase").agg(
+        F.round(
+            F.sum(F.col("detr").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("seasonal")
+    )
+    return (
+        trended.join(F.broadcast(seasonal), ["grp", "phase"])
+        .select(
+            "grp",
+            "t",
+            "v",
+            F.col("phase").cast("int").alias("phase"),
+            "trend",
+            "seasonal",
+            F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"),
+        )
+    )

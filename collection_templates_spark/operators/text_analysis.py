@@ -741,3 +741,52 @@ def rake_keywords(
     return agg.orderBy(
         F.col("score").desc(), F.col("n").desc(), F.col("phrase").asc()
     ).limit(k)
+
+
+def heaps_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps'-law fit: the log-log OLS of per-document vocabulary size
+    against token count (V ≈ K·N^β; natural prose sits near β ∈
+    [0.7, 0.9] — a flat β is templated text, β ≈ 1 is near-random
+    vocabulary) — the corpus-health scalar next to zipf_fit, over
+    PER-DOCUMENT points instead of the rank curve.
+
+    Determinism: N and V are integers per doc; ln points are exact-input;
+    the regression is the zipf_fit closed form over sums rounded 6dp
+    BEFORE the final division — never an engine's regr_slope. Docs with
+    fewer than 2 tokens are dropped (a 1-token doc pins V = N and adds
+    no slope information; stated). Output one row:
+    (n_docs, beta, ln_k).
+    """
+    from collection_templates_spark.functions.langmodel import (
+        TOKEN_SPLIT_RE,
+    )
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+    per_doc = docs.select(
+        F.size(words).alias("n_tok"),
+        F.size(F.array_distinct(words)).alias("n_typ"),
+    ).filter(F.col("n_tok") >= 2)
+    pts = per_doc.select(
+        F.log(F.col("n_tok").cast("double")).alias("x"),
+        F.log(F.col("n_typ").cast("double")).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+    )
+    slope = (
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return sums.select(
+        F.col("k").cast("long").alias("n_docs"),
+        F.round(slope, 4).alias("beta"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("k"), 4
+        ).alias("ln_k"),
+    )

@@ -726,3 +726,63 @@ def test_interval_coverage_counts(spark):
     # island1 spans 9:00-15 .. 9:25 = 40min; island2 = 30min
     assert r.covered_us == (40 + 30) * 60 * 1_000_000
     assert r.longest_island_us == 40 * 60 * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# wave 7: clustering coefficient, Heaps fit, seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_shapes(spark):
+    from collection_templates_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    # triangle + pendant: a,b,c all cc=1 except a (degree 3, 1 triangle:
+    # 2*1/(3*2) = 1/3); pendant d cc=0
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: r for r in clustering_coefficient(df).collect()}
+    assert out["a"].clustering_coeff == round(1 / 3, 6)
+    assert out["b"].clustering_coeff == 1.0
+    assert out["c"].clustering_coeff == 1.0
+    assert out["d"].clustering_coeff == 0.0 and out["d"].degree == 1
+
+
+def test_heaps_fit_pure_power_law(spark):
+    from collection_templates_spark.operators.text_analysis import heaps_fit
+
+    # construct docs where V = N exactly (all-distinct tokens):
+    # beta = 1, ln_k = 0
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate([4, 8, 16, 32])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heaps_fit(df).collect()[0]
+    assert out.n_docs == 4 and out.beta == 1.0 and out.ln_k == 0.0
+
+
+def test_seasonal_decompose_recovers_weekly_pattern(spark):
+    import datetime
+
+    from collection_templates_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    # constant 10 + a +7 spike every 7th day starting 2024-01-01:
+    # the spike phase is 0; trend = 11 everywhere (each full window has
+    # exactly one spike: 10*6+17 = 77 -> 11); seasonal(phase 0) = +6,
+    # all other phases -1; residuals 0
+    rows = [
+        ("g", datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+         17.0 if i % 7 == 0 else 10.0)
+        for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, "grp string, t date, v double")
+    out = seasonal_decompose(df, "grp", "t", "v").collect()
+    assert len(out) == 22  # 28 minus 3 lost each edge
+    assert all(r.trend == 11.0 for r in out)
+    for r in out:
+        assert r.seasonal == (6.0 if r.phase == 0 else -1.0)
+        assert r.residual == 0.0
