@@ -3930,6 +3930,85 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("grp", "event_type")
 
 
+
+def events_pattern_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone-run pattern mining over the daily series (the
+    MATCH_RECOGNIZE-lite shape: A B+ where B = strictly-rising day):
+    per event type, the number of rising runs of length >= 3, the
+    longest rising run, and total rising days — gaps-and-islands over
+    the sign of the day-over-day diff (exact DECIMAL-derived values, so
+    the > compare is engine-identical)."""
+    ev = _daily_event_series(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    rising = (F.col("v") > F.lag("v").over(w)).cast("int")
+    flagged = ev.withColumn("rising", F.coalesce(rising, F.lit(0)))
+    # island id: cumulative count of NON-rising days = constant within
+    # each maximal rising run
+    isl = flagged.withColumn(
+        "island",
+        F.sum(F.lit(1) - F.col("rising")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = (
+        isl.filter(F.col("rising") == 1)
+        .groupBy("event_type", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("event_type").agg(
+        F.sum((F.col("run_len") >= 3).cast("long"))
+        .cast("long")
+        .alias("n_runs_ge3"),
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.sum("run_len").cast("long").alias("rising_days"),
+    )
+
+
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: Simpson's repeat-rate
+    D = Σ n(n−1) / (N(N−1)) over the token distribution (the
+    probability two random tokens coincide — templated text scores
+    high) plus the type-token ratio — EXACT integer arithmetic until
+    the one rounded division each."""
+    from collection_templates_spark.functions.langmodel import (
+        TOKEN_SPLIT_RE,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_tok = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = per_tok.groupBy(F.col("source").alias("grp")).agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("coincide"),
+    )
+    return agg.select(
+        "grp",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(
+            F.col("coincide").cast("double")
+            / (
+                F.col("n_tokens").cast("double")
+                * (F.col("n_tokens").cast("double") - F.lit(1.0))
+            ),
+            6,
+        ).alias("simpson_d"),
+        F.round(
+            F.col("n_types").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("ttr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3937,11 +4016,11 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 11: the 33 new r11 rows
+    # the sampling lever). Rotated for round 11: the 35 new r11 rows
     # lead (never externally sampled), then the 81 rows the r10 driver
     # did NOT sample (stalest external signal, r8/r9-checked), then the
     # 50 rows CORRECTNESS_r10.json re-verified (freshest) at the back.
-    # All 164 pass the identical local oracle (tools/check.py) every
+    # All 166 pass the identical local oracle (tools/check.py) every
     # round; the full-bank artifact is CHECKLOCAL_r{N}.json.
     "stats_ks_test": stats_ks_test,
     "stats_chi_square": stats_chi_square,
@@ -3976,6 +4055,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_clustering_coeff": graph_clustering_coeff,
     "text_heaps_fit": text_heaps_fit,
     "events_seasonal_decompose": events_seasonal_decompose,
+    "events_pattern_runs": events_pattern_runs,
+    "text_lexical_diversity": text_lexical_diversity,
     "text_perplexity_kn": text_perplexity_kn,
     "ann_knn_accuracy": ann_knn_accuracy,
     "graph_hits": graph_hits,
@@ -9477,4 +9558,57 @@ ORACLE_SQL["events_seasonal_decompose"] = f"""
            CAST(f.phase AS INT) AS phase, f.trend, s.seasonal,
            round(f.detr - s.seasonal, 6) AS residual
     FROM full_rows f JOIN seas s ON f.grp = s.grp AND f.phase = s.phase
+"""
+
+
+# events_pattern_runs: strict-rise islands over the exact daily series.
+ORACLE_SQL["events_pattern_runs"] = f"""
+    WITH {_DAILY_SERIES_CTE}, flagged AS (
+        SELECT grp, t, v,
+               CASE WHEN v > lag(v) OVER (PARTITION BY grp ORDER BY t)
+                    THEN 1 ELSE 0 END AS rising
+        FROM daily
+    ), isl AS (
+        SELECT grp, t, rising,
+               sum(1 - rising) OVER (PARTITION BY grp ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM flagged
+    ), runs AS (
+        SELECT grp, island, count(*) AS run_len
+        FROM isl WHERE rising = 1 GROUP BY grp, island
+    )
+    SELECT grp AS event_type,
+           CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_runs_ge3,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(sum(run_len) AS BIGINT) AS rising_days
+    FROM runs GROUP BY grp
+"""
+
+# text_lexical_diversity: integer coincidence counts, one rounded
+# division each for Simpson's D and TTR.
+ORACLE_SQL["text_lexical_diversity"] = """
+    WITH toks AS (
+        SELECT source, t.tok FROM (
+            SELECT source, list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9'']+'), x -> x <> '') AS ws
+            FROM documents),
+            LATERAL (SELECT unnest(ws) AS tok) t
+    ), per_tok AS (
+        SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok
+    ), agg AS (
+        SELECT source AS grp, sum(n) AS n_tokens, count(*) AS n_types,
+               sum(n * (n - 1)) AS coincide
+        FROM per_tok GROUP BY source
+    )
+    SELECT grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           round(CAST(coincide AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE)
+                    * (CAST(n_tokens AS DOUBLE) - CAST(1 AS DOUBLE))),
+                 6) AS simpson_d,
+           round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS ttr
+    FROM agg
 """
