@@ -361,3 +361,95 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def _ahash_from_pixels(
+    w: int, h: int, n_channels: int, pixels: bytes, grid: int = 8
+) -> int:
+    """64-bit average hash: grayscale → ``grid``×``grid`` box-average →
+    threshold at the mean → row-major bit pack. Pure integer/py-float
+    arithmetic (no image libs), deterministic for a given decode."""
+    # grayscale via integer BT.601-ish weights on the first 3 channels
+    # (single-channel payloads pass through)
+    npx = w * h
+    gray = [0.0] * npx
+    if n_channels == 1:
+        for i in range(npx):
+            gray[i] = float(pixels[i])
+    else:
+        for i in range(npx):
+            o = i * n_channels
+            gray[i] = (
+                299 * pixels[o] + 587 * pixels[o + 1] + 114 * pixels[o + 2]
+            ) / 1000.0
+    cells = [0.0] * (grid * grid)
+    counts = [0] * (grid * grid)
+    for y in range(h):
+        cy = min(grid - 1, y * grid // h)
+        row = y * w
+        for x in range(w):
+            cx = min(grid - 1, x * grid // w)
+            c = cy * grid + cx
+            cells[c] += gray[row + x]
+            counts[c] += 1
+    means = [
+        cells[i] / counts[i] if counts[i] else 0.0
+        for i in range(grid * grid)
+    ]
+    overall = sum(means) / len(means)
+    bits = 0
+    for i, m in enumerate(means):
+        if m >= overall:
+            bits |= 1 << i
+    # two's-complement fold into a signed 64-bit slot (the xxhash64 /
+    # simhash storage convention — Hamming math is bit-level, sign-blind)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over decodable image payloads —
+    the near-duplicate-image key: two images within a few Hamming bits
+    are the same picture through resize/re-encode/brightness jitter.
+    Rides the REAL PNG decode; undecodable payloads yield NULL (the
+    extract_image_features convention). Pair generation downstream is
+    exact-hash groupBy or banded Hamming (the SimHash machinery —
+    dedup.simhash_pairs' chunk-banding applies verbatim to these 64-bit
+    keys).
+
+    Same Arrow-batched ``mapInPandas`` shape as the other decoders; at
+    100 TB the decode is the embarrassingly-parallel stage and the hash
+    is 64 bits per image — the shuffle after this operator is key-sized,
+    not pixel-sized.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    w, h, ctype, pixels = decode_image(bytes(b))
+                    ch = {0: 1, 2: 3, 6: 4}[ctype]
+                    hs.append(_ahash_from_pixels(w, h, ch, pixels, grid))
+                except (NotImplementedError, ValueError, KeyError):
+                    hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "ahash": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, AHASH_SCHEMA
+    )
