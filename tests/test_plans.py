@@ -352,3 +352,39 @@ def test_round11_extension_plans(spark):
     p = _plan(spark, "text_rake_keywords")
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_round11_late_extension_plans(spark):
+    """Plan shapes for the round-11 wave-5..8 operators."""
+    # OHLC: ONE map-side-combined aggregate — no window, no join
+    p = _plan(spark, "temporal_ohlc")
+    assert "Window" not in p and "Join" not in p, p
+    # Benford: digit derivation is pure projection; one count aggregate
+    # + the single-partition total window over <= 9 rows
+    p = _plan(spark, "stats_benford")
+    assert "Join" not in p, p
+    # assortativity: degree lookups broadcast onto the edge table
+    p = _plan(spark, "graph_assortativity")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    # EWMA: one per-key window, pure arithmetic otherwise
+    p = _plan(spark, "events_ewma")
+    assert "Join" not in p, p
+    # interval coverage: sort-based islands + aggregate, no join
+    p = _plan(spark, "events_interval_coverage")
+    assert "Join" not in p, p
+    # DSIR: both unigram models broadcast; no cartesian anywhere
+    p = _plan(spark, "corpus_dsir_weights")
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p, p
+    # seasonal decompose: the tiny per-phase table broadcasts back
+    p = _plan(spark, "events_seasonal_decompose")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    # Heaps fit: per-row array ops + one moments aggregate — no
+    # explode to a token table, no join
+    p = _plan(spark, "text_heaps_fit")
+    assert "Join" not in p and "Generate" not in p, p
+    # pattern runs: windows over the bounded daily series, no join
+    p = _plan(spark, "events_pattern_runs")
+    assert "Join" not in p, p
+    # lexical diversity: explode + two map-side-combined aggregates
+    p = _plan(spark, "text_lexical_diversity")
+    assert "Join" not in p and "CartesianProduct" not in p, p
