@@ -113,20 +113,31 @@ def range_join_binned(
     """
     if bin_seconds is None:
         bin_seconds = max(upper_seconds - lower_seconds, 1.0)
-    # all arithmetic in integer microseconds: no fp boundary ambiguity
+    # All arithmetic in integer microseconds: no fp boundary ambiguity.
+    # Floor-division is (a − pmod(a, d)) / d computed in DECIMAL — the
+    # numerator is an exact multiple of d and decimal division of a
+    # 38-digit integer by an int is exact, so bin assignment is genuine
+    # integer arithmetic for ANY |us| (Column `/` on longs is a double
+    # division whose precision erodes past 2^53; `div` truncates toward
+    # zero, wrong for pre-epoch timestamps).
     bin_us = int(bin_seconds * 1_000_000)
     lower_us = int(lower_seconds * 1_000_000)
     upper_us = int(upper_seconds * 1_000_000)
+
+    def _floordiv(col, d: int):
+        num = (col - F.pmod(col, F.lit(d))).cast("decimal(38,0)")
+        return (num / F.lit(d)).cast("long")
+
     lus = F.unix_micros(F.col(left_time))
     rus = F.unix_micros(F.col(right_time))
 
     r = right.select(
         F.col(on).alias("___k"),
-        F.floor(rus / bin_us).cast("long").alias("___bin"),
+        _floordiv(rus, bin_us).alias("___bin"),
         F.struct(*[F.col(c) for c in right.columns]).alias("r"),
     )
-    lo_bin = F.floor((lus + lower_us) / bin_us).cast("long")
-    hi_bin = F.floor((lus + upper_us) / bin_us).cast("long")
+    lo_bin = _floordiv(lus + lower_us, bin_us)
+    hi_bin = _floordiv(lus + upper_us, bin_us)
     l = left.select(
         F.col(on).alias("___k"),
         F.explode(F.sequence(lo_bin, hi_bin)).alias("___bin"),
@@ -514,6 +525,13 @@ def cusum_changepoint(
     )
 
 
+#: Block length for the EWMA scan re-anchoring. The naive dyadic
+#: reparameterization u_i = x_i·2^{i−1} overflows double at i ≥ 1024;
+#: restarting the exponent every EWMA_BLOCK rows keeps every term
+#: ≤ |x|·2^511 (finite for any sane |x|) for UNBOUNDED series length.
+EWMA_BLOCK = 512
+
+
 def ewma_smoothing(
     df: DataFrame,
     part_col: str,
@@ -521,9 +539,19 @@ def ewma_smoothing(
     value_col: str,
 ) -> DataFrame:
     """Exponentially-weighted moving average with α = 1/2 (s_1 = x_1,
-    s_t = x_t/2 + s_{t−1}/2) — the recursive smoother re-expressed as a
-    single cumulative-sum window via the scan reparameterization
-    s_t = 2^{−t} · Σ_{i≤t} u_i with u_1 = 2x_1, u_i = x_i·2^{i−1}.
+    s_t = x_t/2 + s_{t−1}/2) — the recursive smoother re-expressed as
+    BLOCK-ANCHORED cumulative-sum windows via the scan
+    reparameterization. Within a block of B = :data:`EWMA_BLOCK` rows
+    (local index e = (rn−1) mod B): u_i = x_i·2^{e_i} (the global first
+    row keeps the s_1 = x_1 anchor, u_1 = 2x_1), so
+    s_t = 2^{−(e_t+1)}·(Σ_{i≤t, same block} u_i + S_prev) where S_prev
+    is the smoother value at the previous block boundary. S_prev is
+    recovered WITHOUT a sequential carry: blocks decay by 2^{−B}, so
+    S_prev = T_prev·2^{−B} with T_prev = lag(block total of u, B) —
+    truncating contributions from two-or-more blocks back, an error
+    < max|x|·2^{−513} (≈1e−150 for bounded inputs), i.e. exactly zero
+    at the 4dp output round. Every non-final block has exactly B rows,
+    so the lag lands in the previous block by construction.
 
     α is FIXED at the dyadic 1/2 deliberately: every weight is an exact
     power of two, so the reparameterized terms are exact double
@@ -532,11 +560,15 @@ def ewma_smoothing(
     4dp output round. (An arbitrary α puts irrational pow() values into
     every term — the exactness argument evaporates.) For other decay
     rates compose: applying the operator k times halves the effective
-    half-life each pass.
+    half-life each pass. The block re-anchoring removes the former
+    1024-row partition-length ceiling (u overflowed double → NaN tails);
+    series of any length are now finite, and for series ≤ B rows the
+    output is bit-identical to the single-scan form.
 
-    Scale shape: ONE per-key window shuffle (row_number + cumulative
-    sum share it); pure column arithmetic otherwise. Output: the series
-    plus (rn, ewma).
+    Scale shape: ONE per-key window shuffle (row_number, both
+    cumulative sums and the lag all share it — same partition keys and
+    order); pure column arithmetic otherwise. Output: the series plus
+    (rn, ewma).
     """
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull()).select(
@@ -544,20 +576,41 @@ def ewma_smoothing(
         F.col(order_col).alias("t"),
         v.alias("v"),
     )
+    b = EWMA_BLOCK
     w = Window.partitionBy("grp").orderBy("t")
-    wc = w.rowsBetween(Window.unboundedPreceding, 0)
     rn = F.row_number().over(w)
-    u = F.when(rn == 1, F.lit(2.0) * F.col("v")).otherwise(
-        F.col("v") * F.pow(F.lit(2.0), rn.cast("double") - F.lit(1.0))
+    base = (
+        base.withColumn("rn", rn)
+        .withColumn("___e", (F.col("rn") - 1) % b)
+        .withColumn("___blk", F.floor((F.col("rn") - 1) / b))
+    )
+    u = F.when(F.col("rn") == 1, F.lit(2.0) * F.col("v")).otherwise(
+        F.col("v") * F.pow(F.lit(2.0), F.col("___e").cast("double"))
+    )
+    wb = Window.partitionBy("grp", "___blk").orderBy("t")
+    wc = wb.rowsBetween(Window.unboundedPreceding, 0)
+    wt = wb.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        base.withColumn("rn", rn)
-        .withColumn("___u", u)
+        base.withColumn("___u", u)
+        .withColumn("___c", F.sum("___u").over(wc))
+        .withColumn("___t", F.sum("___u").over(wt))
+        .withColumn(
+            "___tprev",
+            F.lag("___t", b).over(Window.partitionBy("grp").orderBy("t")),
+        )
         .withColumn(
             "ewma",
             F.round(
-                F.sum("___u").over(wc)
-                / F.pow(F.lit(2.0), F.col("rn").cast("double")),
+                (
+                    F.col("___c")
+                    + F.coalesce(F.col("___tprev"), F.lit(0.0))
+                    * F.pow(F.lit(2.0), F.lit(-float(b)))
+                )
+                / F.pow(
+                    F.lit(2.0), F.col("___e").cast("double") + F.lit(1.0)
+                ),
                 4,
             ),
         )
@@ -775,10 +828,22 @@ def seasonal_decompose(
     trend window are dropped (stated — the standard MA-decomposition
     edge loss of period//2 days each side).
 
+    ``period`` must be ODD: the centered rowsBetween(−half, half) frame
+    has 2·half+1 rows, which equals ``period`` only for odd periods (an
+    even period would need the textbook 2×period double-MA — not
+    implemented), so even values raise ValueError instead of silently
+    averaging an off-center (period+1)-row frame.
+
     Scale shape: the series table is bounded (key × day); one per-key
     ordered window (trend), one (key, phase) aggregate broadcast back.
     Output: (grp, t, v, phase, trend, seasonal, residual).
     """
+    if period % 2 != 1 or period < 1:
+        raise ValueError(
+            "seasonal_decompose requires an odd period >= 1 (a centered "
+            f"{period}-row MA frame is impossible for even periods); got "
+            f"period={period}"
+        )
     half = period // 2
     v = F.col(value_col).cast("double")
     base = series.filter(v.isNotNull()).select(

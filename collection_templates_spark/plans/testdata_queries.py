@@ -9084,10 +9084,12 @@ ORACLE_SQL["decontaminate_fuzzy"] = """
 """
 
 
-# events_ewma: the dyadic reparameterization replayed — u_1 = 2v,
-# u_i = v·2^(i−1), s = cumsum(u)/2^i; power(2, n) is exact in any IEEE
-# engine, so the only exposure is last-ulp summation noise under the
-# 4dp round.
+# events_ewma: the BLOCK-ANCHORED dyadic reparameterization replayed —
+# local exponent e = (rn−1) % 512, u = v·2^e (global first row keeps
+# the s_1 = x_1 anchor, u = 2v), s = (block cumsum + lag(block total,
+# 512)·2^−512) / 2^(e+1); power(2, n) is exact in any IEEE engine, so
+# the only exposure is last-ulp summation noise under the 4dp round.
+# Identical text-shape to temporal.ewma_smoothing (EWMA_BLOCK = 512).
 ORACLE_SQL["events_ewma"] = f"""
     WITH {_DAILY_SERIES_CTE}, rn AS (
         SELECT grp, t, v,
@@ -9095,18 +9097,31 @@ ORACLE_SQL["events_ewma"] = f"""
         FROM daily WHERE v IS NOT NULL
     ), u AS (
         SELECT grp, t, v, rn,
+               (rn - 1) % 512 AS e,
+               (rn - 1) // 512 AS blk,
                CASE WHEN rn = 1 THEN CAST(2 AS DOUBLE) * v
                     ELSE v * power(CAST(2 AS DOUBLE),
-                                   CAST(rn - 1 AS DOUBLE))
+                                   CAST((rn - 1) % 512 AS DOUBLE))
                END AS uu
         FROM rn
+    ), sums AS (
+        SELECT grp, t, v, rn, e,
+               sum(uu) OVER (PARTITION BY grp, blk ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c,
+               sum(uu) OVER (PARTITION BY grp, blk) AS bt
+        FROM u
+    ), scanned AS (
+        SELECT grp, t, v, rn, e, c,
+               lag(bt, 512) OVER (PARTITION BY grp ORDER BY t) AS tprev
+        FROM sums
     )
     SELECT grp AS event_type, t, v, CAST(rn AS INT) AS rn,
-           round(sum(uu) OVER (PARTITION BY grp ORDER BY t
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 / power(CAST(2 AS DOUBLE), CAST(rn AS DOUBLE)), 4)
+           round((c + coalesce(tprev, CAST(0 AS DOUBLE))
+                      * power(CAST(2 AS DOUBLE), CAST(-512 AS DOUBLE)))
+                 / power(CAST(2 AS DOUBLE), CAST(e + 1 AS DOUBLE)), 4)
                AS ewma
-    FROM u
+    FROM scanned
 """
 
 # search_phrase_match: positional adjacency replay with the dedup

@@ -511,6 +511,80 @@ def test_ewma_recursion_exact(spark):
     assert out == expect
 
 
+def test_ewma_long_series_no_overflow(spark):
+    # r11-advice regression: the single-scan form overflowed double at
+    # row_number >= 1024 (u = v*2^(rn-1) -> inf, ewma = NaN tails). The
+    # block-anchored scan must stay finite and match the recursion for
+    # series far past that ceiling.
+    import math
+    import random
+
+    from collection_templates_spark.operators.temporal import ewma_smoothing
+
+    rng = random.Random(12)
+    vals = [round(rng.uniform(0.01, 5000.0), 2) for _ in range(1300)]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    out = {r.rn: r.ewma for r in ewma_smoothing(df, "grp", "t", "v").collect()}
+    assert len(out) == 1300
+    assert all(math.isfinite(e) for e in out.values())
+    s = vals[0]
+    for i, v in enumerate(vals[1:], start=2):
+        s = 0.5 * v + 0.5 * s
+        # block-boundary truncation error < max|v|*2^-513; fp noise only
+        assert abs(out[i] - s) < 2e-4, (i, out[i], s)
+    # constant series is a fixed point: ewma == c exactly at every row,
+    # including across the 512-row block boundaries
+    cdf = spark.createDataFrame(
+        [("c", i, 7.25) for i in range(1200)], "grp string, t int, v double"
+    )
+    cout = ewma_smoothing(cdf, "grp", "t", "v").collect()
+    assert all(r.ewma == 7.25 for r in cout)
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    import pytest as _pytest
+
+    from collection_templates_spark.operators.temporal import seasonal_decompose
+
+    df = spark.createDataFrame(
+        [("g", "2024-01-0%d" % (i + 1), 1.0) for i in range(7)],
+        "grp string, t string, v double",
+    ).withColumn("t", F.col("t").cast("date"))
+    with _pytest.raises(ValueError):
+        seasonal_decompose(df, "grp", "t", "v", period=6)
+
+
+def test_range_join_binned_pre_epoch(spark):
+    # r11-advice regression: bin assignment must be genuinely integer —
+    # floor semantics (not truncate-toward-zero) for pre-1970 timestamps.
+    from collection_templates_spark.operators.temporal import range_join_binned
+
+    left = spark.createDataFrame(
+        [(1, "1969-12-31 23:59:00")], "user_id int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "1969-12-31 23:58:30"),
+            (1, "1969-12-31 23:59:30"),
+            (1, "1970-01-01 00:03:30"),
+            (1, "1969-12-31 23:50:00"),
+        ],
+        "user_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        str(r["r"]["ts"])
+        for r in range_join_binned(
+            left, right, "user_id", "ts", "ts", -120.0, 300.0
+        ).collect()
+    )
+    assert got == [
+        "1969-12-31 23:58:30",
+        "1969-12-31 23:59:30",
+        "1970-01-01 00:03:30",
+    ]
+
+
 def test_phrase_match_token_boundaries(spark):
     from collection_templates_spark.operators.search import phrase_match
 
