@@ -536,7 +536,10 @@ def link_prediction_jaccard(
 
     Plan: one distinct + degree aggregate, one capped wedge self-join,
     one count aggregate, an anti-join against the edge set (existing
-    edges are not "predictions"), two broadcast degree joins, TakeOrdered.
+    edges are not "predictions"), two degree joins, TakeOrdered. The
+    degree joins carry NO broadcast hint: the degree table is O(|nodes|),
+    so a forced hint would override Catalyst's size-based choice and OOM
+    on a billion-node graph — AQE still broadcasts it when it is small.
     """
     e = (
         edges.select(
@@ -563,12 +566,10 @@ def link_prediction_jaccard(
     fresh = cn.join(e, ["a", "b"], "left_anti")
     scored = (
         fresh.join(
-            F.broadcast(deg.select(F.col("n").alias("a"), F.col("d").alias("da"))),
-            "a",
+            deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
         )
         .join(
-            F.broadcast(deg.select(F.col("n").alias("b"), F.col("d").alias("db"))),
-            "b",
+            deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b"
         )
         .select(
             "a",
@@ -603,9 +604,10 @@ def degree_assortativity(
     are exact integer sums; r = (S_jk/M − (S_sum/2M)²) / (S_sq/2M −
     (S_sum/2M)²) is one exact-input formula rounded 6dp.
 
-    Scale shape: one distinct + degree aggregate, two broadcast degree
-    joins onto the edge table, one single-row reduce. Output:
-    (n_nodes, n_edges, assortativity).
+    Scale shape: one distinct + degree aggregate, two degree joins onto
+    the edge table (no broadcast hint — the degree table is O(|nodes|);
+    AQE broadcasts it when small, shuffles it when not), one single-row
+    reduce. Output: (n_nodes, n_edges, assortativity).
     """
     e = (
         edges.select(
@@ -623,11 +625,9 @@ def degree_assortativity(
         .agg(F.count(F.lit(1)).alias("d"))
     )
     keyed = e.join(
-        F.broadcast(deg.select(F.col("n").alias("a"), F.col("d").alias("da"))),
-        "a",
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
     ).join(
-        F.broadcast(deg.select(F.col("n").alias("b"), F.col("d").alias("db"))),
-        "b",
+        deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b"
     )
     agg = keyed.groupBy().agg(
         F.count(F.lit(1)).alias("m"),

@@ -335,7 +335,7 @@ def test_round11_extension_plans(spark):
     # not a global sort
     p = _plan(spark, "events_top_paths")
     assert "TakeOrderedAndProject" in p, p
-    # link prediction: degree lookups broadcast; top-k via TakeOrdered
+    # link prediction: top-k via TakeOrdered; degree joins never cartesian
     p = _plan(spark, "graph_link_prediction")
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p, p
@@ -363,9 +363,11 @@ def test_round11_late_extension_plans(spark):
     # + the single-partition total window over <= 9 rows
     p = _plan(spark, "stats_benford")
     assert "Join" not in p, p
-    # assortativity: degree lookups broadcast onto the edge table
+    # assortativity: degree joins are equi-joins with NO cartesian;
+    # broadcast is AQE's size-based call (see test_degree_tables_not_
+    # hint_broadcast), so the static plan may legitimately show SMJ
     p = _plan(spark, "graph_assortativity")
-    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
     # EWMA: one per-key window, pure arithmetic otherwise
     p = _plan(spark, "events_ewma")
     assert "Join" not in p, p
@@ -388,3 +390,18 @@ def test_round11_late_extension_plans(spark):
     # lexical diversity: explode + two map-side-combined aggregates
     p = _plan(spark, "text_lexical_diversity")
     assert "Join" not in p and "CartesianProduct" not in p, p
+
+
+def test_degree_tables_not_hint_broadcast(spark):
+    """r11-verdict regression: link_prediction_jaccard and
+    degree_assortativity must NOT force-broadcast their O(|nodes|)
+    degree tables — the hint would override Catalyst's size-based
+    choice and OOM on a billion-node graph. Size-based broadcast (AQE)
+    remains fine; only the HINT is forbidden. assortativity keeps ONE
+    hint: the single-row n_nodes scalar cross-joined at the end."""
+    lp = QUERIES["graph_link_prediction"](spark, SF)
+    analyzed = lp._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    asrt = QUERIES["graph_assortativity"](spark, SF)
+    analyzed = asrt._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") <= 1, analyzed
