@@ -30,6 +30,16 @@ _INFER_GENERATE_RULE = (
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 )
 
+#: Embedder opt-out for the session-level optimizer-rule exclusion below.
+#: Set ``spark.conf.set(AUTO_EXCLUDE_CONF, "false")`` BEFORE building any
+#: dedup plan and the library will never touch
+#: ``spark.sql.optimizer.excludedRules`` on your session — results are
+#: identical either way (the rule is a pure pre-shuffle pruning
+#: micro-optimization); the HOF-heavy dedup plans just run ~12x slower on
+#: narrow inputs when the rule re-derives the shingle chain below the
+#: fan-out exchange.
+AUTO_EXCLUDE_CONF = "spark.collectionTemplates.autoExcludeInferGenerate"
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Fan a narrow input out to the session's full parallelism before
@@ -39,23 +49,35 @@ def _spread(df: DataFrame) -> DataFrame:
     single core; at 100 TB inputs arrive in thousands of splits and this
     is a no-op. Same pattern as multimodal's pre-decode repartition.
 
-    Also excludes Spark's InferFiltersFromGenerate rule for this session:
+    Also excludes Spark's InferFiltersFromGenerate rule for this session
+    (appending to — never clobbering — any exclusions already present):
     it infers ``size(sh) > 0 AND isnotnull(sh)`` from the downstream
     explode and pushes it below this very repartition, re-evaluating the
     whole interpreted shingle chain twice per row on the narrow
     pre-fan-out side (measured: explode of the expression 4.2s vs 0.33s
     from materialized data at sf0.1). The rule is a pre-shuffle pruning
     micro-optimization; explode semantics are identical without it.
+
+    The mutation is SESSION-GLOBAL and deliberate: the exclusion must be
+    in force when the lazy plan is OPTIMIZED (at action time), so a
+    save/restore around plan construction would silently re-enable the
+    pathology. Embedders who do not want a library touching their session
+    config opt out via :data:`AUTO_EXCLUDE_CONF` — see its docstring; a
+    regression test pins that the opt-out leaves the session conf
+    untouched.
     """
     spark = df.sparkSession
-    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", None)
-    if not excluded:
-        spark.conf.set("spark.sql.optimizer.excludedRules", _INFER_GENERATE_RULE)
-    elif _INFER_GENERATE_RULE not in excluded:
-        spark.conf.set(
-            "spark.sql.optimizer.excludedRules",
-            excluded + "," + _INFER_GENERATE_RULE,
-        )
+    if str(spark.conf.get(AUTO_EXCLUDE_CONF, "true")).lower() != "false":
+        excluded = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+        if not excluded:
+            spark.conf.set(
+                "spark.sql.optimizer.excludedRules", _INFER_GENERATE_RULE
+            )
+        elif _INFER_GENERATE_RULE not in excluded:
+            spark.conf.set(
+                "spark.sql.optimizer.excludedRules",
+                excluded + "," + _INFER_GENERATE_RULE,
+            )
     sc = spark.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -142,3 +142,34 @@ def test_spread_session_conf_side_effect_is_stated_and_stable(spark):
     assert "InferFiltersFromGenerate" in excluded
     ngram_jaccard_pairs(docs).count()  # idempotent — no duplicate entry
     assert spark.conf.get("spark.sql.optimizer.excludedRules") == excluded
+
+
+def test_spread_opt_out_leaves_embedder_conf_untouched(spark):
+    """r11 verdict #4: an embedder who sets AUTO_EXCLUDE_CONF=false gets
+    NO session-config mutation from the dedup operators — the
+    excludedRules value they chose (here: unset) survives building AND
+    running ngram_jaccard_pairs, and results are unchanged (the rule is
+    a pure optimization)."""
+    from collection_templates_spark.operators.dedup import (
+        AUTO_EXCLUDE_CONF,
+        ngram_jaccard_pairs,
+    )
+
+    prior = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    try:
+        spark.conf.unset("spark.sql.optimizer.excludedRules")
+        spark.conf.set(AUTO_EXCLUDE_CONF, "false")
+        n_opted_out = ngram_jaccard_pairs(docs).count()
+        assert (
+            spark.conf.get("spark.sql.optimizer.excludedRules", None) is None
+        ), "opt-out must leave the embedder's session conf untouched"
+    finally:
+        spark.conf.unset(AUTO_EXCLUDE_CONF)
+        if prior is not None:
+            spark.conf.set("spark.sql.optimizer.excludedRules", prior)
+    n_default = ngram_jaccard_pairs(docs).count()
+    assert n_opted_out == n_default
