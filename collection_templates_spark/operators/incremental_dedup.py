@@ -63,6 +63,22 @@ def scratch_index_path() -> str:
     return scratch_dir("spark_dedup_index_")
 
 
+def _completed_epoch_dirs(index_path: str, sub: str) -> list[str]:
+    """Streaming epoch segment dirs under ``index_path/<sub>/epoch=N``
+    whose completion marker ``index_path/_epochs/N`` exists — the
+    marker-gated view that makes crashed half-epochs invisible to the
+    probe (see streaming/delta_stream.py for the write protocol)."""
+    import glob
+    import os
+
+    out = []
+    for d in sorted(glob.glob(os.path.join(index_path, sub, "epoch=*"))):
+        n = d.rsplit("=", 1)[-1]
+        if os.path.exists(os.path.join(index_path, "_epochs", n)):
+            out.append(d)
+    return out
+
+
 def _bands_table_name(index_path: str) -> str:
     """Stable catalog name for a bucketed band table (bucket metadata
     is catalog-keyed; the parquet files live under ``index_path``)."""
@@ -91,6 +107,15 @@ def build_minhash_index(
     writes (band table + verification sets). ``bucket_bands`` writes
     the band table bucketed on (band_idx, band_hash) so every later
     probe join shuffles only the batch side (see module docstring)."""
+    if _mode == "overwrite":
+        # a rebuild/compaction subsumes any streaming epoch segments:
+        # stale segments + markers must not outlive the base they
+        # were deltas OF (same catalog-vs-layout principle as below)
+        import os
+        import shutil
+
+        for sub in ("bands_epochs", "shingles_epochs", "_epochs"):
+            shutil.rmtree(os.path.join(index_path, sub), ignore_errors=True)
     # lineage cut: the interpreted shingle-hash chain is the plan's
     # most expensive stage (r4 perf notes) and feeds BOTH writes — a
     # lazy localCheckpoint makes it one corpus pass, not two
@@ -167,7 +192,17 @@ def dedup_batch_against_index(
     (they define the band hashes being probed). The default
     ``min_band_collisions=1`` makes the output the exact cross-pair set
     up to the standard banding miss (~(1-j^r)^b per pair); raise it for
-    stress-scale probes exactly like the full-corpus operator."""
+    stress-scale probes exactly like the full-corpus operator.
+
+    Streaming epoch segments: the streaming delta pipeline
+    (streaming/delta_stream.py) accepts batches as MARKER-GATED epoch
+    directories under ``index_path/{bands,shingles}_epochs/epoch=N``.
+    Segments whose completion marker (``_epochs/N``) exists are part of
+    the index; unmarked (crashed half-epoch) segments are ignored —
+    that invisibility is what makes a recovery replay of a crashed
+    epoch recompute the SAME accepted set instead of probing the batch
+    against itself. Each segment side is joined separately and unioned
+    AFTER the join, so a bucketed base keeps its shuffle-elision."""
     # bucketed index (same session as the build): read through the
     # catalog so the probe join inherits the bucket partitioning and
     # only the batch side shuffles; otherwise plain parquet
@@ -177,6 +212,12 @@ def dedup_batch_against_index(
     else:
         hist_bands = spark.read.parquet(f"{index_path}/bands")
     hist_sets = spark.read.parquet(f"{index_path}/shingles")
+    seg_band_dirs = _completed_epoch_dirs(index_path, "bands_epochs")
+    seg_set_dirs = _completed_epoch_dirs(index_path, "shingles_epochs")
+    if seg_set_dirs:
+        hist_sets = hist_sets.select("doc", "sh").unionByName(
+            spark.read.parquet(*seg_set_dirs).select("doc", "sh")
+        )
 
     # The batch's sets feed band build AND verification; batch-sized, so
     # a lazy lineage cut is cheap insurance against double scan work.
@@ -185,14 +226,21 @@ def dedup_batch_against_index(
     )
     bbands = lsh_band_table(bsets, num_hashes, rows_per_band)
 
-    joined = bbands.select(
-        F.col("doc").alias("doc_new"), "band_idx", "band_hash"
-    ).join(
-        hist_bands.select(
-            F.col("doc").alias("doc_old"), "band_idx", "band_hash"
-        ),
-        ["band_idx", "band_hash"],
-    )
+    def _probe(hb: DataFrame) -> DataFrame:
+        return bbands.select(
+            F.col("doc").alias("doc_new"), "band_idx", "band_hash"
+        ).join(
+            hb.select(
+                F.col("doc").alias("doc_old"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+
+    joined = _probe(hist_bands)
+    if seg_band_dirs:
+        joined = joined.unionByName(
+            _probe(spark.read.parquet(*seg_band_dirs))
+        )
     if max_bucket_size is not None:
         # cap the JOINED per-key candidate count — |batch bucket| ×
         # |history bucket| is the real quadratic term; counting the join

@@ -3,29 +3,54 @@ SURVEY §2.9's named extension): document batches LAND AS FILES, a
 file-source stream picks each one up, and ``foreachBatch`` runs the
 exact batch operators — probe the persisted minhash index
 (``dedup_batch_against_index``), write the accepted (no-history-match)
-docs to the accepted sink, append them to the index
-(``append_to_index``) — so every micro-batch is checkable against the
+docs to the accepted sink, and publish their LSH state as an epoch
+segment of the index — so every micro-batch is checkable against the
 batch path it reuses (tests/test_stream_delta.py replays the same files
 sequentially in batch mode and asserts identical accepted sets and
 identical index state).
 
-Exactly-once story: the streaming checkpoint makes file pickup
-exactly-once per SOURCE file, but ``foreachBatch`` bodies re-run on
-recovery, and ``append_to_index`` is an append-only log that must not
-double-accept — so the batch is guarded by an epoch-id marker under the
-index (the canonical foreachBatch idempotency pattern: Spark docs,
-"Using Foreach and ForeachBatch"). A replayed epoch sees its marker and
-no-ops; a genuinely new epoch appends once.
+Crash-consistency story (r11 advice: the marker alone did not make the
+three steps atomic). Every epoch's outputs are EPOCH-ADDRESSED and
+written with ``mode("overwrite")``:
+
+- accepted docs   → ``accepted_dir/epoch=N/``
+- index bands     → ``index_path/bands_epochs/epoch=N/``
+- index shingles  → ``index_path/shingles_epochs/epoch=N/``
+- completion mark → ``index_path/_epochs/N`` (written LAST)
+
+and the probe (``dedup_batch_against_index``) unions into the base
+index ONLY the segments whose completion marker exists. That closes
+both crash windows:
+
+- crash after the accepted write, before the marker → the recovery
+  replay recomputes the identical ``kept`` (its own unmarked segment is
+  invisible to the probe) and OVERWRITES ``epoch=N`` — no duplicate
+  rows ever accumulate;
+- crash after the segment write, before the marker → same: the
+  unmarked segment is not probed, so the replay's ``kept`` is NOT
+  empty, and the overwrite converges.
+
+So the guarantee is: after the recovery run completes, state equals
+exactly-once application. DURING a crashed half-epoch, a reader listing
+raw parquet under ``accepted_dir`` may observe the partial epoch;
+readers that need crash-consistent views use :func:`read_accepted`,
+which filters to marker-complete epochs. Epochs whose batch survives
+zero docs write only the marker (no empty parquet dirs).
 
 Scale shape: identical to the batch delta path — the probe join
 shuffles only the batch side against the (optionally bucketed) band
-table, the accept is an O(batch) append; driver state per epoch is one
-marker file. Backpressure via ``maxFilesPerTrigger`` keeps each
-micro-batch index-probe-sized.
+table plus the batch-sized epoch segments (the bucketed base keeps its
+shuffle-elision: segments are joined separately and unioned AFTER the
+join, see incremental_dedup); the accept is an O(batch) overwrite into
+a fresh epoch directory; driver state per epoch is one marker file.
+Backpressure via ``maxFilesPerTrigger`` keeps each micro-batch
+index-probe-sized. Periodic compaction = ``build_minhash_index`` over
+(history + accepted), which clears all epoch segments and markers.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +63,22 @@ def _epoch_marker(index_path: str, epoch_id: int) -> str:
     return os.path.join(index_path, "_epochs", str(epoch_id))
 
 
+def read_accepted(spark: SparkSession, accepted_dir: str, index_path: str):
+    """Crash-consistent view of the accepted sink: only epochs whose
+    completion marker exists under ``index_path/_epochs`` are read (a
+    crashed half-epoch's partial files are invisible until its recovery
+    replay completes and marks it). Returns None when no marked epoch
+    has accepted any docs yet."""
+    dirs = []
+    for d in sorted(glob.glob(os.path.join(accepted_dir, "epoch=*"))):
+        n = d.rsplit("=", 1)[-1]
+        if os.path.exists(_epoch_marker(index_path, int(n))):
+            dirs.append(d)
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
 def stream_delta_pipeline(
     spark: SparkSession,
     drop_dir: str,
@@ -45,16 +86,20 @@ def stream_delta_pipeline(
     accepted_dir: str,
     checkpoint_dir: str,
     schema: StructType,
-    bucket_bands: int | None = None,
     max_files_per_trigger: int = 1,
     threshold: float = 0.5,
 ) -> StreamingQuery:
     """Watch ``drop_dir`` for parquet document batches; per micro-batch:
-    probe → accept survivors into ``accepted_dir`` AND the index.
-    Returns the started query (``availableNow`` trigger — drains what
-    exists, then stops; rerun to drain new drops)."""
+    probe → accept survivors into ``accepted_dir`` AND the index (as a
+    marker-gated epoch segment — see module docstring for the
+    crash-consistency protocol). Returns the started query
+    (``availableNow`` trigger — drains what exists, then stops; rerun
+    to drain new drops)."""
+    from collection_templates_spark.operators.dedup import (
+        hashed_shingle_sets,
+        lsh_band_table,
+    )
     from collection_templates_spark.operators.incremental_dedup import (
-        append_to_index,
         dedup_batch_against_index,
     )
 
@@ -72,6 +117,9 @@ def stream_delta_pipeline(
             return
         # pin the batch: the probe and the accept must see ONE snapshot
         batch = batch_df.localCheckpoint(eager=True)
+        # the probe sees base index + MARKED epoch segments only — a
+        # prior crashed attempt at THIS epoch left an unmarked segment
+        # that must not shadow the batch against itself
         pairs = dedup_batch_against_index(
             spark, index_path, batch, threshold=threshold
         )
@@ -81,8 +129,23 @@ def stream_delta_pipeline(
         kept = batch.join(matched, "doc_id", "left_anti").localCheckpoint(
             eager=True
         )
-        kept.write.mode("append").parquet(accepted_dir)
-        append_to_index(kept, index_path, bucket_bands=bucket_bands)
+        if not kept.isEmpty():
+            # epoch-addressed overwrites: a recovery replay of this
+            # epoch converges instead of appending twice
+            kept.write.mode("overwrite").parquet(
+                os.path.join(accepted_dir, f"epoch={epoch_id}")
+            )
+            sets = hashed_shingle_sets(
+                kept, "doc_id", "text", 3
+            ).localCheckpoint(eager=False)
+            lsh_band_table(sets, 64, 2).write.mode("overwrite").parquet(
+                os.path.join(index_path, "bands_epochs", f"epoch={epoch_id}")
+            )
+            sets.write.mode("overwrite").parquet(
+                os.path.join(
+                    index_path, "shingles_epochs", f"epoch={epoch_id}"
+                )
+            )
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as fh:
             fh.write("applied")

@@ -121,3 +121,83 @@ def test_stream_rerun_is_idempotent(spark, tmp_path):
     assert before == after == [12]
     # epoch markers exist (the foreachBatch idempotency guard)
     assert os.listdir(os.path.join(idx, "_epochs"))
+
+
+def test_unmarked_epoch_segment_is_invisible_to_probe(spark, tmp_path):
+    """r11-advice crash window #2: a crash AFTER the epoch's index
+    segment write but BEFORE the marker must not make the recovery
+    replay probe the batch against itself. Unmarked segments are
+    ignored; marking flips them into the index."""
+    from collection_templates_spark.operators.dedup import (
+        hashed_shingle_sets,
+        lsh_band_table,
+    )
+    from collection_templates_spark.streaming.delta_stream import (
+        _epoch_marker,
+    )
+
+    tmp = str(tmp_path)
+    idx = f"{tmp}/index"
+    build_minhash_index(_docs(spark, HISTORY), idx)
+    batch = _docs(spark, BATCH1)
+    # simulate the crashed attempt: segment written, marker NOT written
+    sets = hashed_shingle_sets(batch, "doc_id", "text", 3)
+    lsh_band_table(sets, 64, 2).write.mode("overwrite").parquet(
+        f"{idx}/bands_epochs/epoch=5"
+    )
+    sets.write.mode("overwrite").parquet(f"{idx}/shingles_epochs/epoch=5")
+    pairs = {
+        (r.doc_new, r.doc_old)
+        for r in dedup_batch_against_index(spark, idx, batch).collect()
+    }
+    # doc 11 matches HISTORY doc 1 — and nothing matches the unmarked
+    # segment (11↔11 / 12↔12 self-pairs would appear if it leaked)
+    assert pairs == {(11, 1)}
+    # recovery completes: marker written -> the segment IS the index now
+    os.makedirs(os.path.dirname(_epoch_marker(idx, 5)), exist_ok=True)
+    with open(_epoch_marker(idx, 5), "w") as fh:
+        fh.write("applied")
+    probe = _docs(spark, [(91, BATCH1[1][1])])
+    pairs2 = {
+        (r.doc_new, r.doc_old)
+        for r in dedup_batch_against_index(spark, idx, probe).collect()
+    }
+    assert (91, 12) in pairs2
+
+
+def test_epoch_replay_overwrites_instead_of_duplicating(spark, tmp_path):
+    """r11-advice crash window #1: a crash AFTER the accepted write but
+    BEFORE the marker means the recovery replay re-writes the epoch.
+    Epoch-addressed overwrite converges — no duplicate doc_ids."""
+    from collection_templates_spark.streaming.delta_stream import (
+        _epoch_marker,
+        read_accepted,
+    )
+
+    tmp = str(tmp_path)
+    idx = f"{tmp}/index"
+    accepted = f"{tmp}/accepted"
+    build_minhash_index(_docs(spark, HISTORY), idx)
+    kept = _docs(spark, [BATCH1[1]])
+    # first (crashed) attempt + replay: two writes of the same epoch
+    kept.write.mode("overwrite").parquet(f"{accepted}/epoch=3")
+    assert read_accepted(spark, accepted, idx) is None  # unmarked: hidden
+    kept.write.mode("overwrite").parquet(f"{accepted}/epoch=3")
+    os.makedirs(os.path.dirname(_epoch_marker(idx, 3)), exist_ok=True)
+    with open(_epoch_marker(idx, 3), "w") as fh:
+        fh.write("applied")
+    rows = read_accepted(spark, accepted, idx).collect()
+    assert sorted(r.doc_id for r in rows) == [12]  # exactly once
+    raw = spark.read.parquet(accepted)
+    assert raw.count() == 1
+
+
+def test_index_rebuild_clears_epoch_segments(spark, tmp_path):
+    """Compaction contract: build_minhash_index(overwrite) subsumes and
+    removes any streaming epoch segments + markers."""
+    tmp = str(tmp_path)
+    _, idx, accepted_dir, _ = _run_stream(spark, tmp, [BATCH1])
+    assert os.path.isdir(f"{idx}/bands_epochs")
+    build_minhash_index(_docs(spark, HISTORY), idx)
+    assert not os.path.isdir(f"{idx}/bands_epochs")
+    assert not os.path.isdir(f"{idx}/_epochs")
