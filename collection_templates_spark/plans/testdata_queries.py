@@ -2526,6 +2526,32 @@ def search_stemmed_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ltr_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise LTR training (operators/ltr.ltr_train_weights): fit
+    rel ~ ov + sat on the deterministic judgment table via exact
+    DECIMAL normal equations — the batch analogue of training the
+    RankLib model configure-ltr.py uploads (reference
+    research/learning-to-rank/configure-ltr.py:128-156)."""
+    from collection_templates_spark.operators.ltr import (
+        ltr_train_weights as _train,
+    )
+
+    return _train(_t(spark, sf_dir, "documents"))
+
+
+def ltr_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 A/B of the trained pointwise ranker vs the no-LTR
+    baseline (operators/ltr.ltr_ndcg_eval), per query — the reference's
+    compare_window_sizes.py:191-211 NDCG formula and
+    evaluate_endpoints.py endpoint comparison, re-expressed as windows
+    over the judged table."""
+    from collection_templates_spark.operators.ltr import (
+        ltr_ndcg_eval as _eval,
+    )
+
+    return _eval(_t(spark, sf_dir, "documents"))
+
+
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: 32-token windows with stride 24 (8-token
     overlap), last partial window kept — all native array ops."""
@@ -4016,10 +4042,10 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 11: the 35 new r11 rows
-    # lead (never externally sampled), then the 81 rows the r10 driver
-    # did NOT sample (stalest external signal, r8/r9-checked), then the
-    # 50 rows CORRECTNESS_r10.json re-verified (freshest) at the back.
+    # the sampling lever). Rotated for round 12 below (new r12 rows
+    # lead; see the rotation marker comments).
+    "ltr_train_weights": ltr_train_weights,
+    "ltr_ndcg_eval": ltr_ndcg_eval,
     # All 166 pass the identical local oracle (tools/check.py) every
     # round; the full-bank artifact is CHECKLOCAL_r{N}.json.
     "stats_ks_test": stats_ks_test,
@@ -9625,5 +9651,173 @@ ORACLE_SQL["text_lexical_diversity"] = """
                  6) AS simpson_d,
            round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
                AS ttr
+    FROM agg
+"""
+
+
+# ltr_train_weights / ltr_ndcg_eval: the judged-candidate CTE is
+# GENERATED from the same query/pivot/stub constants the Spark
+# operator uses (operators/ltr.py); moments replay the stats_ols
+# DECIMAL(18,6) convention; the eval replays the reference's NDCG
+# formula (compare_window_sizes.py:191-211) with the UNROUNDED
+# closed-form weights — bit-identical across engines because every
+# feature is an exact rational and every moment sum is DECIMAL-exact.
+def _ltr_judged_cte() -> str:
+    from collection_templates_spark.operators.ltr import (
+        DEFAULT_LTR_QUERIES,
+        NOISE_MOD,
+        SAT_PIVOT,
+    )
+
+    branches = []
+    for q in DEFAULT_LTR_QUERIES:
+        terms = q.split()
+        bigrams = [f" {a} {b} " for a, b in zip(terms, terms[1:])]
+        mt = " + ".join(
+            f"CAST(contains(padded, ' {t} ') AS INT)" for t in terms
+        )
+        mb = " + ".join(
+            f"CAST(contains(padded, '{bg}') AS INT)" for bg in bigrams
+        )
+        branches.append(
+            f"""SELECT * FROM (
+                SELECT '{q}' AS query, doc_id, ({mt}) AS mt,
+                       ({mb}) AS mb, nc, {len(terms)} AS ntt,
+                       {len(bigrams)} AS ntb FROM ltr_base
+            ) WHERE mt >= 1"""
+        )
+    unioned = "\n            UNION ALL\n            ".join(branches)
+    return f"""ltr_base AS (
+        SELECT doc_id, n_chars AS nc,
+               ' ' || trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')) || ' ' AS padded
+        FROM documents
+    ), feats AS (
+        SELECT query, doc_id,
+               round((CAST(mt AS DOUBLE) / CAST(ntt AS DOUBLE)
+                      + CAST(mb AS DOUBLE) / CAST(ntb AS DOUBLE))
+                     / CAST(2 AS DOUBLE), 6) AS ov,
+               round(CAST(nc AS DOUBLE)
+                     / CAST(nc + {SAT_PIVOT} AS DOUBLE), 6) AS sat
+        FROM ({unioned})
+    ), jchars AS (
+        SELECT query, doc_id, ov, sat,
+               list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in
+                   string_split('ltrj:' || query || ':'
+                                || CAST(doc_id AS VARCHAR), '')]) AS cs
+        FROM feats
+    ), judged AS (
+        SELECT query, doc_id,
+               CAST(floor(CAST(2 AS DOUBLE) * ov
+                          + CAST(4 AS DOUBLE) * sat
+                          + CAST((list_reduce(cs, (acc, x) ->
+                                      (acc * 31 + x) % 2147483647)
+                                  * 2147483648
+                                  + list_reduce(cs, (acc, x) ->
+                                      (acc * 37 + x) % 2147483647))
+                                 % {NOISE_MOD} AS DOUBLE)
+                            / CAST({NOISE_MOD} AS DOUBLE)) AS INT)
+                   AS rel,
+               ov, sat
+        FROM jchars
+    )"""
+
+
+_LTR_MOMENTS_CTE = """m AS (
+        SELECT count(*) AS n,
+               sum(CAST(ov AS DECIMAL(18,6))) AS s1,
+               sum(CAST(sat AS DECIMAL(18,6))) AS s2,
+               sum(CAST(rel AS DECIMAL(18,6))) AS sy,
+               sum(CAST(ov AS DECIMAL(18,6))
+                   * CAST(ov AS DECIMAL(18,6))) AS s11,
+               sum(CAST(sat AS DECIMAL(18,6))
+                   * CAST(sat AS DECIMAL(18,6))) AS s22,
+               sum(CAST(ov AS DECIMAL(18,6))
+                   * CAST(sat AS DECIMAL(18,6))) AS s12,
+               sum(CAST(ov AS DECIMAL(18,6))
+                   * CAST(rel AS DECIMAL(18,6))) AS s1y,
+               sum(CAST(sat AS DECIMAL(18,6))
+                   * CAST(rel AS DECIMAL(18,6))) AS s2y,
+               sum(CAST(rel AS DECIMAL(18,6))
+                   * CAST(rel AS DECIMAL(18,6))) AS syy
+        FROM judged
+    ), d AS (
+        SELECT CAST(n AS DOUBLE) AS n,
+               CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+               CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
+               CAST(s22 AS DOUBLE) AS s22, CAST(s12 AS DOUBLE) AS s12,
+               CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+               CAST(syy AS DOUBLE) AS syy
+        FROM m
+    ), c AS (
+        SELECT n, s1, s2, sy,
+               s11 - s1 * s1 / n AS a11,
+               s22 - s2 * s2 / n AS a22,
+               s12 - s1 * s2 / n AS a12,
+               s1y - s1 * sy / n AS c1,
+               s2y - s2 * sy / n AS c2,
+               syy - sy * sy / n AS sst
+        FROM d
+    ), b AS (
+        SELECT n, s1, s2, sy, c1, c2, sst,
+               (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS b1,
+               (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) AS b2
+        FROM c
+    ), wts AS (
+        SELECT n, c1, c2, sst, b1, b2,
+               (sy - b1 * s1 - b2 * s2) / n AS b0
+        FROM b
+    )"""
+
+
+ORACLE_SQL["ltr_train_weights"] = f"""
+    WITH {_ltr_judged_cte()}, {_LTR_MOMENTS_CTE}
+    SELECT CAST(n AS BIGINT) AS n,
+           round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+           round((b1 * c1 + b2 * c2) / sst, 6) AS r2
+    FROM wts
+"""
+
+ORACLE_SQL["ltr_ndcg_eval"] = f"""
+    WITH {_ltr_judged_cte()}, {_LTR_MOMENTS_CTE}, scored AS (
+        SELECT j.query, j.doc_id, j.rel,
+               round(j.ov, 6) AS score_base,
+               round(w.b0 + w.b1 * j.ov + w.b2 * j.sat, 6) AS score_ltr
+        FROM judged j CROSS JOIN wts w
+    ), ranked AS (
+        SELECT query, rel,
+               row_number() OVER (PARTITION BY query
+                   ORDER BY score_base DESC, doc_id) AS rb,
+               row_number() OVER (PARTITION BY query
+                   ORDER BY score_ltr DESC, doc_id) AS rl,
+               row_number() OVER (PARTITION BY query
+                   ORDER BY rel DESC, doc_id) AS ri
+        FROM scored
+    ), agg AS (
+        SELECT query, CAST(count(*) AS BIGINT) AS n_judged,
+               sum(CASE WHEN rb <= 10 THEN
+                       round(CAST(rel AS DOUBLE)
+                             / log2(CAST(rb AS DOUBLE)
+                                    + CAST(1 AS DOUBLE)), 9)
+                   ELSE CAST(0 AS DOUBLE) END) AS dcg_base,
+               sum(CASE WHEN rl <= 10 THEN
+                       round(CAST(rel AS DOUBLE)
+                             / log2(CAST(rl AS DOUBLE)
+                                    + CAST(1 AS DOUBLE)), 9)
+                   ELSE CAST(0 AS DOUBLE) END) AS dcg_ltr,
+               sum(CASE WHEN ri <= 10 THEN
+                       round(CAST(rel AS DOUBLE)
+                             / log2(CAST(ri AS DOUBLE)
+                                    + CAST(1 AS DOUBLE)), 9)
+                   ELSE CAST(0 AS DOUBLE) END) AS idcg
+        FROM ranked GROUP BY query
+    )
+    SELECT query, n_judged,
+           round(CASE WHEN idcg > CAST(0 AS DOUBLE)
+                      THEN dcg_base / idcg
+                      ELSE CAST(0 AS DOUBLE) END, 6) AS ndcg_base,
+           round(CASE WHEN idcg > CAST(0 AS DOUBLE)
+                      THEN dcg_ltr / idcg
+                      ELSE CAST(0 AS DOUBLE) END, 6) AS ndcg_ltr
     FROM agg
 """

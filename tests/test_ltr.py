@@ -1,0 +1,103 @@
+"""Batch LTR (operators/ltr.py): judgment determinism, closed-form
+pointwise training recovering the planted weighting, and the NDCG@k A/B
+implementing the reference's formula
+(research/learning-to-rank/compare_window_sizes.py:191-211)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from collection_templates_spark.operators.ltr import (
+    ltr_judgments,
+    ltr_ndcg_eval,
+    ltr_train_weights,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows],
+        "doc_id long, text string, n_chars long",
+    )
+
+
+def test_judgments_features_and_grades(spark):
+    rows = [
+        (1, "spark window agg " + "x " * 100),   # all terms + both bigrams
+        (2, "agg spark then window maybe"),       # all terms, no bigram
+        (3, "spark only here"),                   # one term
+        (4, "nothing relevant at all"),           # no term -> excluded
+    ]
+    out = {
+        r.doc_id: r
+        for r in ltr_judgments(
+            _docs(spark, rows), queries=("spark window agg",)
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].ov == 1.0                      # (3/3 + 2/2)/2
+    assert out[2].ov == 0.5                      # (3/3 + 0/2)/2
+    assert out[3].ov == round((1 / 3) / 2, 6)
+    nc = len(rows[0][1])
+    assert out[1].sat == round(nc / (nc + 256), 6)
+    # grade = floor(2 ov + 4 sat + u), u in [0,1): bounds hold
+    for r in out.values():
+        lo = math.floor(2 * r.ov + 4 * r.sat)
+        assert r.rel in (lo, lo + 1)
+
+
+def test_train_recovers_planted_weighting(spark):
+    # many docs with varying length and term coverage: the pointwise
+    # OLS must land near the planted (2, 4) annotator weighting
+    rows = []
+    i = 0
+    for n_extra in range(0, 200, 7):
+        for text in ("spark window agg", "window agg spark", "spark here"):
+            rows.append((i, text + " pad" + " x" * n_extra))
+            i += 1
+    w = ltr_train_weights(
+        _docs(spark, rows), queries=("spark window agg",)
+    ).collect()[0]
+    assert abs(w.b1 - 2.0) < 0.6 and abs(w.b2 - 4.0) < 0.8, w
+    assert w.r2 > 0.5
+
+
+def test_ndcg_formula_and_ab(spark):
+    rows = []
+    i = 0
+    for n_extra in range(0, 300, 3):
+        for text in ("spark window agg", "window agg spark", "spark x agg"):
+            rows.append((i, text + " pad" + " y" * n_extra))
+            i += 1
+    out = ltr_ndcg_eval(
+        _docs(spark, rows), queries=("spark window agg",), k=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert 0.0 < r.ndcg_base <= 1.0 and 0.0 < r.ndcg_ltr <= 1.0
+    # the trained ranker sees the comprehensiveness feature the
+    # text-match baseline is blind to
+    assert r.ndcg_ltr >= r.ndcg_base
+    # sanity: a hand NDCG on the same judged table reproduces ndcg_ltr's
+    # bound structure (idcg uses the grades themselves, so ndcg <= 1)
+    judged = ltr_judgments(
+        _docs(spark, rows), queries=("spark window agg",)
+    ).collect()
+    grades = sorted((j.rel for j in judged), reverse=True)[:10]
+    idcg = sum(g / math.log2(i + 2) for i, g in enumerate(grades))
+    assert idcg > 0
+
+
+def test_eval_plan_is_bounded(spark):
+    import contextlib
+    import io
+
+    rows = [(i, "spark window agg" + " z" * i) for i in range(30)]
+    df = ltr_ndcg_eval(_docs(spark, rows), queries=("spark window agg",))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # the only product is the 1-row weights broadcast; never a
+    # shuffled cartesian
+    assert "CartesianProduct" not in p, p
