@@ -63,6 +63,28 @@ def _epoch_marker(index_path: str, epoch_id: int) -> str:
     return os.path.join(index_path, "_epochs", str(epoch_id))
 
 
+def _marked_max_event_us(index_path: str) -> int | None:
+    """Highest event-time (unix micros) recorded by any COMPLETED
+    epoch's marker — the crash-consistent watermark state. Markers from
+    the unwatermarked pipeline hold 'applied' (non-numeric) and simply
+    don't advance the clock; an unmarked (crashed) epoch contributes
+    nothing, so its recovery replay recomputes the same watermark its
+    first attempt saw."""
+    best = None
+    edir = os.path.join(index_path, "_epochs")
+    if not os.path.isdir(edir):
+        return None
+    for name in os.listdir(edir):
+        try:
+            with open(os.path.join(edir, name)) as fh:
+                v = int(fh.read().strip())
+        except (OSError, ValueError):
+            continue
+        if best is None or v > best:
+            best = v
+    return best
+
+
 def read_accepted(spark: SparkSession, accepted_dir: str, index_path: str):
     """Crash-consistent view of the accepted sink: only epochs whose
     completion marker exists under ``index_path/_epochs`` are read (a
@@ -88,13 +110,33 @@ def stream_delta_pipeline(
     schema: StructType,
     max_files_per_trigger: int = 1,
     threshold: float = 0.5,
+    ts_col: str | None = None,
+    delay_us: int = 0,
+    late_dir: str | None = None,
 ) -> StreamingQuery:
     """Watch ``drop_dir`` for parquet document batches; per micro-batch:
     probe → accept survivors into ``accepted_dir`` AND the index (as a
     marker-gated epoch segment — see module docstring for the
     crash-consistency protocol). Returns the started query
     (``availableNow`` trigger — drains what exists, then stops; rerun
-    to drain new drops)."""
+    to drain new drops).
+
+    Watermark / late-data mode (``ts_col`` set): rows whose event time
+    (a unix-micros long column) is STRICTLY below the watermark —
+    max event time over all COMPLETED epochs minus ``delay_us``, the
+    Structured-Streaming ``withWatermark`` convention — are routed to
+    ``late_dir`` (epoch-addressed, crash-consistent like the accepted
+    sink; never silently dropped) and excluded from probe/accept. The
+    epoch marker then records the max event time over the WHOLE batch
+    (late rows included — watermarks advance on arrival, exactly like
+    Spark's global max-event-time clock), which is what makes the
+    watermark state itself crash-consistent: only completed epochs
+    advance the clock, so a recovery replay of a crashed epoch applies
+    the same cutoff its first attempt did. Replaying the drops
+    sequentially through the batch operators WITH the same cutoff rule
+    yields identical accepted/late/index state (pinned by
+    tests/test_stream_delta.py and tools/stress_stream_delta.py
+    --watermark)."""
     from collection_templates_spark.operators.dedup import (
         hashed_shingle_sets,
         lsh_band_table,
@@ -117,6 +159,34 @@ def stream_delta_pipeline(
             return
         # pin the batch: the probe and the accept must see ONE snapshot
         batch = batch_df.localCheckpoint(eager=True)
+        marker_text = "applied"
+        if ts_col is not None:
+            batch_max = batch.agg(
+                F.max(F.col(ts_col).cast("long")).alias("m")
+            ).collect()[0]["m"]
+            prev_max = _marked_max_event_us(index_path)
+            new_max = (
+                batch_max
+                if prev_max is None or batch_max > prev_max
+                else prev_max
+            )
+            marker_text = str(new_max)
+            if prev_max is not None:
+                wm = prev_max - delay_us
+                late = batch.filter(F.col(ts_col).cast("long") < wm)
+                if late_dir is not None and not late.isEmpty():
+                    late.write.mode("overwrite").parquet(
+                        os.path.join(late_dir, f"epoch={epoch_id}")
+                    )
+                batch = batch.filter(
+                    F.col(ts_col).cast("long") >= wm
+                ).localCheckpoint(eager=True)
+            if batch.isEmpty():
+                # all-late batch still completes (and advances the clock)
+                os.makedirs(os.path.dirname(marker), exist_ok=True)
+                with open(marker, "w") as fh:
+                    fh.write(marker_text)
+                return
         # the probe sees base index + MARKED epoch segments only — a
         # prior crashed attempt at THIS epoch left an unmarked segment
         # that must not shadow the batch against itself
@@ -148,7 +218,7 @@ def stream_delta_pipeline(
             )
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as fh:
-            fh.write("applied")
+            fh.write(marker_text)
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -201,3 +201,81 @@ def test_index_rebuild_clears_epoch_segments(spark, tmp_path):
     build_minhash_index(_docs(spark, HISTORY), idx)
     assert not os.path.isdir(f"{idx}/bands_epochs")
     assert not os.path.isdir(f"{idx}/_epochs")
+
+
+def test_watermarked_stream_routes_late_rows(spark, tmp_path):
+    """r11 verdict #5: out-of-order batch arrival under a watermark
+    policy — rows with event time strictly below (max completed-epoch
+    event time - delay) go to the late sink and never probe/accept;
+    the stream equals a sequential batch replay applying the same
+    cutoff."""
+    from collection_templates_spark.streaming.delta_stream import (
+        stream_delta_pipeline,
+    )
+
+    tmp = str(tmp_path)
+    drop, idx = f"{tmp}/drop", f"{tmp}/index"
+    accepted, late, ckpt = f"{tmp}/acc", f"{tmp}/late", f"{tmp}/ckpt"
+    S = 1_000_000  # seconds -> micros
+    delay = 300 * S
+
+    def docs_ts(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, ts long"
+        )
+
+    build_minhash_index(_docs(spark, HISTORY), idx)
+    b1 = [(11, BATCH1[0][1], 1000 * S), (12, BATCH1[1][1], 1000 * S)]
+    b2 = [(21, BATCH2[0][1], 2000 * S), (22, BATCH2[1][1], 2000 * S)]
+    # out-of-order drop: two LATE novel docs (500s < wm=1700s) + one
+    # on-time doc; late docs are novel, so silently processing them
+    # (the bug mode) would change the accepted set
+    b3 = [
+        (31, "late yet entirely novel first document here", 500 * S),
+        (32, "late and also novel second document text", 500 * S),
+        (33, "an on time novel document about watermarks", 2100 * S),
+    ]
+    batches = [b1, b2, b3]
+    for rows in batches:
+        docs_ts(rows).coalesce(1).write.mode("append").parquet(drop)
+        time.sleep(1.1)
+    q = stream_delta_pipeline(
+        spark, drop, idx, accepted, ckpt, docs_ts(b1).schema,
+        ts_col="ts", delay_us=delay, late_dir=late,
+    )
+    q.awaitTermination(180)
+
+    got_acc = sorted(
+        r.doc_id for r in spark.read.parquet(accepted).collect()
+    )
+    got_late = sorted(
+        r.doc_id for r in spark.read.parquet(late).collect()
+    )
+    assert got_late == [31, 32]
+    # 11 dups history; 21 dups accepted 12; 31/32 late; rest accepted
+    assert got_acc == [12, 22, 33]
+
+    # sequential batch replay with the same watermark rule
+    idx2 = f"{tmp}/idx2"
+    build_minhash_index(_docs(spark, HISTORY), idx2)
+    wm_max, exp_acc, exp_late = None, [], []
+    for rows in batches:
+        batch_max = max(ts for _, _, ts in rows)
+        if wm_max is not None:
+            cutoff = wm_max - delay
+            exp_late.extend(d for d, _, ts in rows if ts < cutoff)
+            rows = [r for r in rows if r[2] >= cutoff]
+        wm_max = batch_max if wm_max is None else max(wm_max, batch_max)
+        if not rows:
+            continue
+        batch = _docs(spark, [(d, t) for d, t, _ in rows])
+        matched = {
+            r.doc_new
+            for r in dedup_batch_against_index(spark, idx2, batch).collect()
+        }
+        kept = [(d, t) for d, t, _ in rows if d not in matched]
+        exp_acc.extend(d for d, _ in kept)
+        if kept:
+            append_to_index(_docs(spark, kept), idx2)
+    assert got_acc == sorted(exp_acc)
+    assert got_late == sorted(exp_late)
