@@ -602,3 +602,246 @@ def benford_first_digit(
             6,
         ).alias("chi2_contrib"),
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation of two paired columns: Pearson's r on
+    average ranks — the monotone-association test (robust to any
+    monotone transform of either variable, unlike the raw-moment
+    correlation row).
+
+    Determinism is total: average ranks are cum_before + (cnt+1)/2 —
+    every rank a multiple of 0.5 (the mann_whitney_u argument), so the
+    rank moments accumulate in DECIMAL(28,1)/(38,2) exactly in both
+    engines; rho is one exact-input formula rounded 6dp. Accumulators
+    are DECIMAL(18,1) so rank products stay at width 37 — within BOTH
+    engines' 38-digit ceiling (DuckDB silently falls back to DOUBLE
+    past it, which would reopen the summation-order exposure).
+
+    Scale shape: callers pass a BOUNDED paired table (the repo's
+    series convention — key×day, never raw events). Two distinct-value
+    rank tables (one per variable, each a skinny cumulative window)
+    join back on value, then ONE moment aggregate. Output one row:
+    (n, rho).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y")
+    )
+
+    def rank_table(col: str) -> DataFrame:
+        at_v = base.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return at_v.select(
+            F.col(col),
+            (
+                F.coalesce(
+                    F.sum("cnt").over(w), F.lit(0).cast("long")
+                ).cast("double")
+                + (F.col("cnt").cast("double") + F.lit(1.0)) / F.lit(2.0)
+            ).alias(f"r_{col}"),
+        )
+
+    ranked = base.join(F.broadcast(rank_table("x")), "x").join(
+        F.broadcast(rank_table("y")), "y"
+    )
+    dec = "decimal(18,1)"
+    rx = F.col("r_x").cast(dec)
+    ry = F.col("r_y").cast(dec)
+    m = ranked.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rx).alias("sx"),
+        F.sum(ry).alias("sy"),
+        F.sum(rx * ry).alias("sxy"),
+        F.sum(rx * rx).alias("sxx"),
+        F.sum(ry * ry).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = F.try_divide(
+        sxy - sx * sy / n,
+        F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        (F.round(rho, 6) + F.lit(0.0)).alias("rho"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's τ-b over a paired table: concordant/discordant pair
+    counts with the standard tie correction, τ-b = (C − D) /
+    sqrt((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2 and n1/n2 the x/y tie
+    pair counts — INTEGER-EXACT throughout (every count is a whole
+    number; the only float op is the final ratio, rounded 6dp).
+
+    Scale shape: the pair enumeration is a self-join — O(n²) pairs, so
+    this operator is for BOUNDED series tables only (key×day; 150 days
+    → 11k pairs). For unbounded inputs use :func:`spearman_rho`
+    (rank-table shaped, no pair join) or pre-sample. Output one row:
+    (n, concordant, discordant, tau_b).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y")
+    )
+    idx = base.withColumn(
+        "i",
+        F.row_number().over(Window.orderBy("x", "y")),
+    )
+    pairs = (
+        idx.alias("a")
+        .join(idx.alias("b"), F.col("a.i") < F.col("b.i"))
+        .select(
+            (F.col("a.x") - F.col("b.x")).alias("dx"),
+            (F.col("a.y") - F.col("b.y")).alias("dy"),
+        )
+    )
+    agg = pairs.groupBy().agg(
+        F.sum(
+            ((F.col("dx") * F.col("dy")) > 0).cast("long")
+        ).alias("c"),
+        F.sum(
+            ((F.col("dx") * F.col("dy")) < 0).cast("long")
+        ).alias("d"),
+        F.sum(
+            ((F.col("dx") == 0) & (F.col("dy") != 0)).cast("long")
+        ).alias("tx"),
+        F.sum(
+            ((F.col("dy") == 0) & (F.col("dx") != 0)).cast("long")
+        ).alias("ty"),
+        F.sum(
+            ((F.col("dx") == 0) & (F.col("dy") == 0)).cast("long")
+        ).alias("txy"),
+        F.count(F.lit(1)).alias("n0"),
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = (F.col("tx") + F.col("txy")).cast("double")
+    n2 = (F.col("ty") + F.col("txy")).cast("double")
+    tau = F.try_divide(
+        (F.col("c") - F.col("d")).cast("double"),
+        F.sqrt((n0 - n1) * (n0 - n2)),
+    )
+    cnt = base.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    return (
+        agg.join(F.broadcast(cnt))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("c").cast("long").alias("concordant"),
+            F.col("d").cast("long").alias("discordant"),
+            (F.round(tau, 6) + F.lit(0.0)).alias("tau_b"),
+        )
+    )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b: int = 48,
+    salt: str = "boot",
+    scale: int = 2,
+) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for the mean: replicate
+    j ∈ 0..b−1 contains each row iff bit j of the row's portable hash
+    is set (one hash per row serves all ≤62 replicates — no explode,
+    no RNG state), each replicate mean is a DECIMAL-exact sum over an
+    expected n/2 subsample, and the CI comes from the replicate-mean
+    quantiles with the half-sample √2 width correction
+    (subsampling-bootstrap: SE(half) = √2·SE(full), Politis &
+    Romano-style m-out-of-n with m = n/2).
+
+    Determinism: membership is a pure function of (salt, id); replicate
+    sums are DECIMAL; quantiles are exact interpolated (percentile ≡
+    quantile_cont) over b values, rounded 6dp; ci bounds are one
+    exact-input formula rounded 6dp.
+
+    The row hash is a pure-arithmetic double multiplicative fold
+    (two (a·id + salt) mod 2³¹−1 lanes packed side by side) rather than
+    the char-fold ``portable_shingle_hash``: bit-sampling needs only
+    unbiased per-bit parity, the arithmetic form costs one codegen'd
+    expression per row instead of an interpreted per-char HOF (this
+    operator runs over RAW event rows, not a bounded series table),
+    and it is equally engine-portable.
+
+    Scale shape: ONE map-side-combined aggregate computes all 2b
+    replicate sums/counts (no explode — the b-way fan-out lives in the
+    aggregate expression list), then the b-row replicate table reduces
+    to one row. Output: (n, b, mean, q_lo, q_hi, ci_lo, ci_hi).
+    """
+    dec = f"decimal(28,{scale})"
+    v = F.col(value_col).cast(dec)
+    salt_add = sum(ord(c) for c in salt)
+    idc = F.col(id_col).cast("long")
+    h1 = (idc * F.lit(2654435761) + F.lit(97531 + salt_add)) % F.lit(
+        2147483647
+    )
+    h2 = (idc * F.lit(1566083941) + F.lit(13579 + salt_add)) % F.lit(
+        2147483647
+    )
+    h = h1 * F.lit(2147483648).cast("long") + h2
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        v.alias("vd"), h.alias("h")
+    )
+    bit = lambda j: F.shiftright(F.col("h"), j) % 2 == 1  # noqa: E731
+    aggs = [
+        F.sum(F.col("vd").cast(dec)).alias("s_all"),
+        F.count(F.lit(1)).alias("n_all"),
+    ]
+    for j in range(b):
+        aggs.append(F.sum(F.when(bit(j), F.col("vd"))).alias(f"s{j}"))
+        aggs.append(
+            F.sum(F.when(bit(j), 1).otherwise(0)).alias(f"c{j}")
+        )
+    m = base.groupBy().agg(*aggs)
+    reps = m.select(
+        "s_all",
+        "n_all",
+        F.explode(
+            F.array(
+                *[
+                    F.round(
+                        F.try_divide(
+                            F.col(f"s{j}").cast("double"),
+                            F.col(f"c{j}").cast("double"),
+                        ),
+                        9,
+                    )
+                    for j in range(b)
+                ]
+            )
+        ).alias("rep_mean"),
+    )
+    mean = F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    out = reps.groupBy("s_all", "n_all").agg(
+        F.round(F.percentile(F.col("rep_mean"), F.lit(0.025)), 6).alias(
+            "q_lo"
+        ),
+        F.round(F.percentile(F.col("rep_mean"), F.lit(0.975)), 6).alias(
+            "q_hi"
+        ),
+    )
+    sqrt2 = F.sqrt(F.lit(2.0))
+    return out.select(
+        F.col("n_all").cast("long").alias("n"),
+        F.lit(b).alias("b"),
+        F.round(mean, 6).alias("mean"),
+        "q_lo",
+        "q_hi",
+        F.round(mean - sqrt2 * (mean - F.col("q_lo")), 6).alias("ci_lo"),
+        F.round(mean + sqrt2 * (F.col("q_hi") - mean), 6).alias("ci_hi"),
+    )

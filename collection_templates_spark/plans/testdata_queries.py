@@ -3755,6 +3755,66 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("grp", "event_type")
 
 
+def _paired_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, x, y) pairing of the click and purchase daily totals —
+    the bounded two-metric table the rank-association rows share."""
+    d = _daily_event_series(spark, sf_dir)
+    a = d.filter(F.col("event_type") == "click").select(
+        "day", F.col("v").alias("x")
+    )
+    b = d.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("v").alias("y")
+    )
+    return a.join(b, "day")
+
+
+def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (stats.spearman_rho) between click and
+    purchase daily revenue: average ranks are exact multiples of 0.5,
+    rank moments DECIMAL-exact — the monotone-association companion to
+    the raw-moment correlation row."""
+    from collection_templates_spark.operators.stats import spearman_rho
+
+    return spearman_rho(_paired_daily(spark, sf_dir), "x", "y")
+
+
+def stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b (stats.kendall_tau) on the same paired daily series:
+    concordant/discordant pair counts with tie correction —
+    integer-exact throughout, the only float op is the final ratio."""
+    from collection_templates_spark.operators.stats import kendall_tau
+
+    return kendall_tau(_paired_daily(spark, sf_dir), "x", "y")
+
+
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type
+    (temporal.theil_sen_slope): median of pairwise slopes over the
+    bounded daily series — the 29%-breakdown robust companion to the
+    OLS slope."""
+    from collection_templates_spark.operators.temporal import (
+        theil_sen_slope,
+    )
+
+    return theil_sen_slope(
+        _daily_event_series(spark, sf_dir), "event_type", "day", "v"
+    ).withColumnRenamed("grp", "event_type")
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for the mean event value
+    (stats.bootstrap_mean_ci): 48 bit-sampled replicates from one
+    arithmetic row hash, all replicate sums in ONE map-side-combined
+    aggregate, √2-corrected subsampling CI."""
+    from collection_templates_spark.operators.stats import (
+        bootstrap_mean_ci,
+    )
+
+    return bootstrap_mean_ci(
+        _t(spark, sf_dir, "events"), "value", "event_id"
+    )
+
+
 def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search via positional adjacency (search.phrase_match,
     Lucene PhraseQuery slop-0 semantics): per-doc match counts and first
@@ -4042,62 +4102,19 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 12 below (new r12 rows
-    # lead; see the rotation marker comments).
+    # the sampling lever). Rotated for round 12: the 6 never-sampled
+    # rows (LTR pair from this round's first wave + the four r12
+    # rank/robust/bootstrap rows) lead, then the 16 rows last checked
+    # in r8, then the r9/r10/r11 cohorts in staleness order. All rows
+    # pass the identical local oracle (tools/check.py) every round;
+    # the full-bank artifact is CHECKLOCAL_r{N}.json.
     "ltr_train_weights": ltr_train_weights,
     "ltr_ndcg_eval": ltr_ndcg_eval,
-    # All 166 pass the identical local oracle (tools/check.py) every
-    # round; the full-bank artifact is CHECKLOCAL_r{N}.json.
-    "stats_ks_test": stats_ks_test,
-    "stats_chi_square": stats_chi_square,
-    "stats_correlation": stats_correlation,
-    "events_anomaly_mad": events_anomaly_mad,
-    "events_cusum_changepoint": events_cusum_changepoint,
-    "events_attribution": events_attribution,
-    "customer_rfm_segments": customer_rfm_segments,
-    "events_top_paths": events_top_paths,
-    "graph_kcore": graph_kcore,
-    "graph_link_prediction": graph_link_prediction,
-    "text_readability": text_readability,
-    "text_entropy": text_entropy,
-    "quality_gopher_rules": quality_gopher_rules,
-    "sample_reservoir": sample_reservoir_q,
-    "ann_sq8_recall": ann_sq8_recall,
-    "text_rake_keywords": text_rake_keywords,
-    "stats_ols_regression": stats_ols_regression,
-    "text_feature_hashing": text_feature_hashing,
-    "decontaminate_fuzzy": decontaminate_fuzzy,
-    "events_ewma": events_ewma,
-    "search_phrase_match": search_phrase_match,
-    "stats_mann_whitney": stats_mann_whitney,
-    "agg_gini_concentration": agg_gini_concentration,
-    "text_langid_confusion": text_langid_confusion,
-    "temporal_ohlc": temporal_ohlc,
-    "events_autocorrelation": events_autocorrelation,
-    "stats_benford": stats_benford,
-    "graph_assortativity": graph_assortativity,
-    "corpus_dsir_weights": corpus_dsir_weights,
-    "events_interval_coverage": events_interval_coverage,
-    "graph_clustering_coeff": graph_clustering_coeff,
-    "text_heaps_fit": text_heaps_fit,
-    "events_seasonal_decompose": events_seasonal_decompose,
-    "events_pattern_runs": events_pattern_runs,
-    "text_lexical_diversity": text_lexical_diversity,
-    "text_perplexity_kn": text_perplexity_kn,
-    "ann_knn_accuracy": ann_knn_accuracy,
-    "graph_hits": graph_hits,
-    "text_common_spans": text_common_spans,
-    "window_rank_functions": window_rank_functions,
-    "window_range_moving_sum": window_range_moving_sum,
-    "agg_unpivot": agg_unpivot,
-    "dedup_fuzzy_names": dedup_fuzzy_names,
-    "agg_percentile_bands": agg_percentile_bands,
-    "agg_boolean": agg_boolean,
-    "scalar_array_functions": scalar_array_functions,
-    "agg_grouping_sets": agg_grouping_sets,
-    "corpus_report": corpus_report,
-    "export_manifest": export_manifest_q,
-    "text_boilerplate": text_boilerplate,
+    "stats_spearman": stats_spearman,
+    "stats_kendall": stats_kendall,
+    "events_theil_sen": events_theil_sen,
+    "stats_bootstrap_ci": stats_bootstrap_ci,
+    # --- last driver-checked r8 ---
     "text_containment": text_containment,
     "text_perplexity": text_perplexity,
     "text_winnowing": text_winnowing,
@@ -4114,6 +4131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": graph_pagerank,
     "sample_weighted": sample_weighted_q,
     "text_top_terms": text_top_terms,
+    # --- last driver-checked r9 ---
     "dedup_paragraph": dedup_paragraph,
     "dedup_keep_best": dedup_keep_best,
     "events_cohort_retention": events_cohort_retention,
@@ -4164,6 +4182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_curate_name": scalar_curate_name,
     "graph_transitive_closure": graph_transitive_closure,
     "dedup_exact": dedup_exact,
+    # --- last driver-checked r10 ---
     "ann_incremental_topk": ann_incremental_topk,
     "sketch_hll_union": sketch_hll_union,
     "events_markov_transitions": events_markov_transitions,
@@ -4214,6 +4233,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_refresh": rollup_refresh,
     "sketch_theta_intersection": sketch_theta_intersection,
     "sketch_bloom_fpr": sketch_bloom_fpr,
+    # --- last driver-checked r11 ---
+    "stats_ks_test": stats_ks_test,
+    "stats_chi_square": stats_chi_square,
+    "stats_correlation": stats_correlation,
+    "events_anomaly_mad": events_anomaly_mad,
+    "events_cusum_changepoint": events_cusum_changepoint,
+    "events_attribution": events_attribution,
+    "customer_rfm_segments": customer_rfm_segments,
+    "events_top_paths": events_top_paths,
+    "graph_kcore": graph_kcore,
+    "graph_link_prediction": graph_link_prediction,
+    "text_readability": text_readability,
+    "text_entropy": text_entropy,
+    "quality_gopher_rules": quality_gopher_rules,
+    "sample_reservoir": sample_reservoir_q,
+    "ann_sq8_recall": ann_sq8_recall,
+    "text_rake_keywords": text_rake_keywords,
+    "stats_ols_regression": stats_ols_regression,
+    "text_feature_hashing": text_feature_hashing,
+    "decontaminate_fuzzy": decontaminate_fuzzy,
+    "events_ewma": events_ewma,
+    "search_phrase_match": search_phrase_match,
+    "stats_mann_whitney": stats_mann_whitney,
+    "agg_gini_concentration": agg_gini_concentration,
+    "text_langid_confusion": text_langid_confusion,
+    "temporal_ohlc": temporal_ohlc,
+    "events_autocorrelation": events_autocorrelation,
+    "stats_benford": stats_benford,
+    "graph_assortativity": graph_assortativity,
+    "corpus_dsir_weights": corpus_dsir_weights,
+    "events_interval_coverage": events_interval_coverage,
+    "graph_clustering_coeff": graph_clustering_coeff,
+    "text_heaps_fit": text_heaps_fit,
+    "events_seasonal_decompose": events_seasonal_decompose,
+    "events_pattern_runs": events_pattern_runs,
+    "text_lexical_diversity": text_lexical_diversity,
+    "text_perplexity_kn": text_perplexity_kn,
+    "ann_knn_accuracy": ann_knn_accuracy,
+    "graph_hits": graph_hits,
+    "text_common_spans": text_common_spans,
+    "window_rank_functions": window_rank_functions,
+    "window_range_moving_sum": window_range_moving_sum,
+    "agg_unpivot": agg_unpivot,
+    "dedup_fuzzy_names": dedup_fuzzy_names,
+    "agg_percentile_bands": agg_percentile_bands,
+    "agg_boolean": agg_boolean,
+    "scalar_array_functions": scalar_array_functions,
+    "agg_grouping_sets": agg_grouping_sets,
+    "corpus_report": corpus_report,
+    "export_manifest": export_manifest_q,
+    "text_boilerplate": text_boilerplate,
 }
 
 
@@ -9821,3 +9891,166 @@ ORACLE_SQL["ltr_ndcg_eval"] = f"""
                       ELSE CAST(0 AS DOUBLE) END, 6) AS ndcg_ltr
     FROM agg
 """
+
+
+_PAIRED_DAILY_CTE = """paired AS (
+        SELECT a.t AS t, a.v AS x, b.v AS y
+        FROM daily a JOIN daily b ON a.t = b.t
+        WHERE a.grp = 'click' AND b.grp = 'purchase'
+    )"""
+
+# stats_spearman: the distinct-value average-rank tables (ranks are
+# multiples of 0.5 — exact), DECIMAL(18,1) rank moments (width 37,
+# inside both engines' 38-digit ceiling), Pearson formula on ranks.
+ORACLE_SQL["stats_spearman"] = f"""
+    WITH {_DAILY_SERIES_CTE}, {_PAIRED_DAILY_CTE}, xr AS (
+        SELECT x,
+               CAST(coalesce(sum(cnt) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS DOUBLE)
+               + (CAST(cnt AS DOUBLE) + CAST(1 AS DOUBLE))
+                 / CAST(2 AS DOUBLE) AS r_x
+        FROM (SELECT x, count(*) AS cnt FROM paired GROUP BY x)
+    ), yr AS (
+        SELECT y,
+               CAST(coalesce(sum(cnt) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS DOUBLE)
+               + (CAST(cnt AS DOUBLE) + CAST(1 AS DOUBLE))
+                 / CAST(2 AS DOUBLE) AS r_y
+        FROM (SELECT y, count(*) AS cnt FROM paired GROUP BY y)
+    ), ranked AS (
+        SELECT CAST(r_x AS DECIMAL(18,1)) AS rx,
+               CAST(r_y AS DECIMAL(18,1)) AS ry
+        FROM paired p JOIN xr USING (x) JOIN yr USING (y)
+    ), m AS (
+        SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+               sum(rx * ry) AS sxy, sum(rx * rx) AS sxx,
+               sum(ry * ry) AS syy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / sqrt((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        * (CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                             / CAST(n AS DOUBLE))), 6)
+           + CAST(0 AS DOUBLE) AS rho
+    FROM m
+"""
+
+# stats_kendall: pair enumeration over an arbitrary total order (the
+# counts depend only on the (x, y) multiset, so tie order is
+# irrelevant), integer concordance/tie counts, tau-b ratio.
+ORACLE_SQL["stats_kendall"] = f"""
+    WITH {_DAILY_SERIES_CTE}, {_PAIRED_DAILY_CTE}, idx AS (
+        SELECT x, y, row_number() OVER (ORDER BY x, y) AS i FROM paired
+    ), pr AS (
+        SELECT a.x - b.x AS dx, a.y - b.y AS dy
+        FROM idx a JOIN idx b ON a.i < b.i
+    ), agg AS (
+        SELECT sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS c,
+               sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS d,
+               sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS tx,
+               sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS ty,
+               sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS txy,
+               count(*) AS n0
+        FROM pr
+    ), cnt AS (SELECT count(*) AS n FROM paired)
+    SELECT CAST(cnt.n AS BIGINT) AS n,
+           CAST(agg.c AS BIGINT) AS concordant,
+           CAST(agg.d AS BIGINT) AS discordant,
+           round(CAST(agg.c - agg.d AS DOUBLE)
+                 / sqrt((CAST(n0 AS DOUBLE)
+                         - CAST(tx + txy AS DOUBLE))
+                        * (CAST(n0 AS DOUBLE)
+                           - CAST(ty + txy AS DOUBLE))), 6)
+           + CAST(0 AS DOUBLE) AS tau_b
+    FROM agg, cnt
+"""
+
+# events_theil_sen: pairwise slopes (9dp before the median), exact
+# interpolated medians, integer day offsets from the per-key first day.
+ORACLE_SQL["events_theil_sen"] = f"""
+    WITH {_DAILY_SERIES_CTE}, t0 AS (
+        SELECT grp, min(t) AS t0 FROM daily GROUP BY grp
+    ), days AS (
+        SELECT d.grp,
+               CAST(date_diff('day', t0.t0, d.t) AS DOUBLE) AS dd, d.v
+        FROM daily d JOIN t0 ON d.grp = t0.grp
+    ), pr AS (
+        SELECT a.grp,
+               round((b.v - a.v) / (b.dd - a.dd), 9) AS slope
+        FROM days a JOIN days b ON a.grp = b.grp AND a.dd < b.dd
+    ), slopes AS (
+        SELECT grp, round(quantile_cont(slope, 0.5), 6) AS slope
+        FROM pr GROUP BY grp
+    )
+    SELECT d.grp AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+           min(s.slope) AS slope,
+           round(quantile_cont(d.v - s.slope * d.dd, 0.5), 6)
+               AS intercept
+    FROM days d JOIN slopes s ON d.grp = s.grp
+    GROUP BY d.grp
+"""
+
+
+def _bootstrap_ci_oracle_sql(b: int = 48, salt: str = "boot") -> str:
+    salt_add = sum(ord(c) for c in salt)
+    sums = "\n".join(
+        f"               sum(CASE WHEN (h >> {j}) & 1 = 1 THEN vd END)"
+        f" AS s{j},\n"
+        f"               sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1"
+        f" ELSE 0 END) AS c{j},"
+        for j in range(b)
+    )
+    means = ",\n".join(
+        f"               CASE WHEN c{j} > 0 THEN"
+        f" round(CAST(s{j} AS DOUBLE) / CAST(c{j} AS DOUBLE), 9) END"
+        for j in range(b)
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(value AS DECIMAL(28,2)) AS vd,
+               ((event_id * 2654435761 + {97531 + salt_add})
+                % 2147483647) * 2147483648
+               + ((event_id * 1566083941 + {13579 + salt_add})
+                  % 2147483647) AS h
+        FROM events WHERE value IS NOT NULL
+    ), m AS (
+        SELECT sum(vd) AS s_all, count(*) AS n_all,
+{sums}
+               1 AS one
+        FROM base
+    ), reps AS (
+        SELECT s_all, n_all, unnest([
+{means}
+        ]) AS rep_mean
+        FROM m
+    ), q AS (
+        SELECT s_all, n_all,
+               round(quantile_cont(rep_mean, 0.025), 6) AS q_lo,
+               round(quantile_cont(rep_mean, 0.975), 6) AS q_hi
+        FROM reps GROUP BY s_all, n_all
+    )
+    SELECT CAST(n_all AS BIGINT) AS n, {b} AS b,
+           round(CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE), 6)
+               AS mean,
+           q_lo, q_hi,
+           round(CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+                 - sqrt(CAST(2 AS DOUBLE))
+                   * (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+                      - q_lo), 6) AS ci_lo,
+           round(CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+                 + sqrt(CAST(2 AS DOUBLE))
+                   * (q_hi - CAST(s_all AS DOUBLE)
+                      / CAST(n_all AS DOUBLE)), 6) AS ci_hi
+    FROM q
+"""
+
+
+ORACLE_SQL["stats_bootstrap_ci"] = _bootstrap_ci_oracle_sql()
