@@ -845,3 +845,361 @@ def bootstrap_mean_ci(
         F.round(mean - sqrt2 * (mean - F.col("q_lo")), 6).alias("ci_lo"),
         F.round(mean + sqrt2 * (F.col("q_hi") - mean), 6).alias("ci_hi"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """One-way ANOVA F over k groups: between/within sum-of-squares
+    decomposition, F = (SSB/(k−1)) / (SSW/(N−k)), effect size
+    η² = SSB/SST — the k-sample generalization of the two-sample
+    location tests (mann_whitney_u / the KS row).
+
+    Determinism: per-group moments (n, Σv, Σv²) accumulate in DECIMAL
+    (exact for fixed-point inputs — the correlation/OLS convention);
+    the cross-group reduction Σ_g s_g²/n_g would re-open summation
+    order as doubles, so each group's term is computed as a double
+    from exact inputs, ROUNDED to 6dp, cast back to DECIMAL(38,6) and
+    summed — a decimal sum of identically-rounded values is
+    order-independent in both engines. F/η² are single closed-form
+    expressions on the resulting scalars, rounded 6dp.
+
+    Scale shape: one map-side-combined groupBy (k rows out), one
+    single-row reduce over the k-row table. No window, no broadcast,
+    no driver data. Output: (k, n, ss_between, ss_within, f_stat,
+    eta_sq).
+    """
+    dec = f"decimal(18,{scale})"
+    v = F.col(value_col).cast(dec)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"), v.alias("v")
+    )
+    grp = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("v").alias("sg"),
+        F.sum(F.col("v") * F.col("v")).alias("qg"),
+    )
+    term = F.round(
+        F.col("sg").cast("double")
+        * F.col("sg").cast("double")
+        / F.col("ng").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    m = grp.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s_all"),
+        F.sum("qg").alias("q_all"),
+        F.sum(term).alias("a"),
+    )
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    a = F.col("a").cast("double")
+    s = F.col("s_all").cast("double")
+    q = F.col("q_all").cast("double")
+    ssb = a - s * s / n
+    ssw = q - a
+    f_stat = F.try_divide(
+        F.try_divide(ssb, k - F.lit(1.0)),
+        F.try_divide(ssw, n - k),
+    )
+    eta = F.try_divide(ssb, ssb + ssw)
+    return m.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        (F.round(ssb, 4) + F.lit(0.0)).alias("ss_between"),
+        (F.round(ssw, 4) + F.lit(0.0)).alias("ss_within"),
+        (F.round(f_stat, 6) + F.lit(0.0)).alias("f_stat"),
+        (F.round(eta, 6) + F.lit(0.0)).alias("eta_sq"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H: the k-sample rank test (nonparametric ANOVA),
+    H = 12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1) with the standard tie
+    correction C = 1 − Σ(t³−t)/(N³−N), H_c = H/C.
+
+    Determinism: pooled average ranks are cum_before + (cnt+1)/2 —
+    multiples of 0.5, so per-group rank sums are EXACT in
+    DECIMAL(28,1); the cross-group Σ R_g²/n_g uses the
+    round-to-6dp-then-DECIMAL-sum trick (see anova_oneway); the tie
+    term is integer-exact. H/H_c are closed-form on exact scalars,
+    rounded 6dp.
+
+    Scale shape: one groupBy(value) count table, one cumulative window
+    over the skinny distinct-value table (the mann_whitney shape), a
+    broadcast rank-lookup join back, one k-row group agg, one reduce.
+    Output: (k, n, h_stat, h_corrected, df).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("g"), v.alias("v")
+    )
+    at_v = base.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = at_v.select(
+        "v",
+        "cnt",
+        (
+            F.coalesce(F.sum("cnt").over(w), F.lit(0).cast("long"))
+            .cast("double")
+            + (F.col("cnt").cast("double") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    per_g = (
+        base.join(F.broadcast(ranked.select("v", "avg_rank")), "v")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum(F.col("avg_rank").cast("decimal(28,1)")).alias("rg"),
+        )
+    )
+    term = F.round(
+        F.col("rg").cast("double")
+        * F.col("rg").cast("double")
+        / F.col("ng").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    ties = at_v.groupBy().agg(
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_term")
+    )
+    m = per_g.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum(term).alias("a"),
+    ).join(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) / (n * (n + F.lit(1.0))) * F.col("a").cast("double")
+        - F.lit(3.0) * (n + F.lit(1.0))
+    )
+    c = F.lit(1.0) - F.col("tie_term").cast("double") / (
+        n * n * n - n
+    )
+    return m.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        (F.round(h, 6) + F.lit(0.0)).alias("h_stat"),
+        (F.round(F.try_divide(h, c), 6) + F.lit(0.0)).alias(
+            "h_corrected"
+        ),
+        (F.col("k") - F.lit(1)).cast("long").alias("df"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-proportion z-test (pooled): the A/B conversion-rate test.
+    z = (p̂_a − p̂_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled
+    success rate. All counts are integers (exact); p̂/z are closed-form
+    on four integers, rounded 6dp — no summation-order exposure at
+    all.
+
+    Scale shape: ONE map-side-combined aggregate over the unit table
+    (conditional sums — no filter fan-out), one row out.
+    Output: (n_a, x_a, n_b, x_b, p_a, p_b, z, reject_05).
+    """
+    g = F.col(group_col)
+    s = F.col(success_col).cast("boolean")
+    base = df.filter(g.isin([group_a, group_b])).select(
+        g.alias("g"), s.alias("s")
+    )
+    m = base.groupBy().agg(
+        F.sum((F.col("g") == group_a).cast("long")).alias("n_a"),
+        F.sum(
+            ((F.col("g") == group_a) & F.col("s")).cast("long")
+        ).alias("x_a"),
+        F.sum((F.col("g") == group_b).cast("long")).alias("n_b"),
+        F.sum(
+            ((F.col("g") == group_b) & F.col("s")).cast("long")
+        ).alias("x_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    xa = F.col("x_a").cast("double")
+    xb = F.col("x_b").cast("double")
+    pa = F.try_divide(xa, na)
+    pb = F.try_divide(xb, nb)
+    pool = F.try_divide(xa + xb, na + nb)
+    z = F.try_divide(
+        pa - pb,
+        F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        ),
+    )
+    zr = F.round(z, 6) + F.lit(0.0)
+    return m.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        (F.round(pa, 6) + F.lit(0.0)).alias("p_a"),
+        (F.round(pb, 6) + F.lit(0.0)).alias("p_b"),
+        zr.alias("z"),
+        (F.abs(zr) > F.lit(1.96)).alias("reject_05"),
+    )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    variant_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """CUPED variance reduction for A/B experiments (Deng et al.,
+    WSDM'13 — public method): θ = cov(x, y)/var(x) fit on the POOLED
+    pre-experiment covariate x, per-variant adjusted mean
+    ȳ_cuped = ȳ_g − θ·(x̄_g − x̄), and the achieved variance-reduction
+    ratio 1 − var(y − θx)/var(y) = ρ² (reported from pooled moments).
+
+    Determinism: every moment (Σx, Σy, Σxy, Σx², Σy², per variant and
+    pooled) accumulates in DECIMAL — exact for fixed-point inputs; θ,
+    the adjusted means and the reduction ratio are closed-form on
+    exact scalars (the pooled one-row table is cross-joined to the
+    k-variant table — identical scalar inputs in both engines),
+    rounded 6dp.
+
+    Scale shape: one groupBy(variant) moment aggregate (k rows), one
+    single-row pooled reduce over it, one broadcast cross join back.
+    Output per variant: (variant, n, mean_y, mean_y_cuped, theta,
+    var_reduction) — theta/var_reduction repeat across rows by
+    design (one experiment-level value).
+    """
+    dec = f"decimal(18,{scale})"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    base = df.select(
+        F.col(variant_col).alias("variant"), x.alias("x"), y.alias("y")
+    )
+    per_v = base.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pooled = per_v.groupBy().agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+        F.sum("sxx").alias("psxx"),
+        F.sum("syy").alias("psyy"),
+    )
+    pn = F.col("pn").cast("double")
+    psx = F.col("psx").cast("double")
+    psy = F.col("psy").cast("double")
+    cov = F.col("psxy").cast("double") - psx * psy / pn
+    varx = F.col("psxx").cast("double") - psx * psx / pn
+    vary = F.col("psyy").cast("double") - psy * psy / pn
+    theta = F.try_divide(cov, varx)
+    reduction = F.try_divide(cov * cov, varx * vary)
+    joined = per_v.join(F.broadcast(pooled))
+    mean_y = F.col("sy").cast("double") / F.col("n").cast("double")
+    mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    pooled_mean_x = psx / pn
+    return joined.select(
+        "variant",
+        F.col("n").cast("long").alias("n"),
+        (F.round(mean_y, 6) + F.lit(0.0)).alias("mean_y"),
+        (
+            F.round(mean_y - theta * (mean_x - pooled_mean_x), 6)
+            + F.lit(0.0)
+        ).alias("mean_y_cuped"),
+        (F.round(theta, 6) + F.lit(0.0)).alias("theta"),
+        (F.round(reduction, 6) + F.lit(0.0)).alias("var_reduction"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimate over a unit table
+    of (duration, observed): at each distinct EVENT time t,
+    n_t = units with duration ≥ t (at-risk), d_t = observed events at
+    t, Ŝ(t) = Π_{u ≤ t} (1 − d_u/n_u). Censored units (observed =
+    false) leave the risk set at their duration without an event —
+    the standard right-censoring treatment.
+
+    Determinism: n_t/d_t/c_t are integer-exact (risk set via a
+    cumulative window over the distinct-duration table — descending
+    suffix sum, no per-unit window); the running product is
+    exp(Σ ln(1 − d/n)) with each ln term rounded to 12dp BEFORE the
+    ordered cumulative sum (both engines then sum IDENTICAL doubles
+    in the same t-order — the perplexity-family convention), survival
+    rounded 6dp.
+
+    Scale shape: one groupBy(duration) count table (distinct
+    durations ≪ units), one ordered window over that skinny table.
+    Output per event time: (t, n_risk, d_events, c_censored,
+    survival).
+    """
+    d = F.col(duration_col).cast("long")
+    obs = F.col(observed_col).cast("boolean")
+    base = df.filter(d.isNotNull()).select(
+        d.alias("t"), obs.alias("obs")
+    )
+    at_t = base.groupBy("t").agg(
+        F.sum(F.col("obs").cast("long")).alias("d_events"),
+        F.sum((~F.col("obs")).cast("long")).alias("c_censored"),
+    )
+    w_suffix = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risked = at_t.withColumn(
+        "n_risk",
+        F.sum(F.col("d_events") + F.col("c_censored")).over(w_suffix),
+    )
+    # d == n_risk can only happen at the maximum duration (the risk
+    # set is a suffix); ln(0) is engine-divergent (null vs -inf), so
+    # that row contributes 0 to the log-sum and its survival is
+    # overridden to exactly 0.0 below — no later row exists to read
+    # the truncated sum.
+    term = F.when(
+        F.col("d_events") < F.col("n_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d_events").cast("double")
+                / F.col("n_risk").cast("double")
+            ),
+            12,
+        ),
+    ).otherwise(F.lit(0.0))
+    w_prefix = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = F.when(
+        F.col("d_events") == F.col("n_risk"), F.lit(0.0)
+    ).otherwise(F.round(F.exp(F.col("lns")), 6) + F.lit(0.0))
+    return (
+        risked.withColumn("lns", F.sum(term).over(w_prefix))
+        .filter(F.col("d_events") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "d_events",
+            "c_censored",
+            surv.alias("survival"),
+        )
+    )

@@ -3815,6 +3815,140 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F (stats.anova_oneway) of event value across the
+    five event types: DECIMAL-exact group moments, cross-group terms
+    rounded-then-DECIMAL-summed (order-independent), closed-form
+    F/η²."""
+    from collection_templates_spark.operators.stats import anova_oneway
+
+    return anova_oneway(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H (stats.kruskal_wallis) across event types:
+    pooled average ranks (multiples of 0.5 — exact), DECIMAL rank
+    sums, tie-corrected H — the k-sample companion of the
+    Mann–Whitney row."""
+    from collection_templates_spark.operators.stats import kruskal_wallis
+
+    return kruskal_wallis(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+def _user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user A/B unit table: deterministic variant = parity of
+    user_id, success = user fired ≥1 purchase event."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .cast("boolean")
+        .alias("converted")
+    ).select(
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+
+
+def stats_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test (stats.two_proportion_ztest) on
+    user conversion (≥1 purchase) between the parity variants —
+    integer counts, one closed-form z."""
+    from collection_templates_spark.operators.stats import (
+        two_proportion_ztest,
+    )
+
+    return two_proportion_ztest(
+        _user_conversion(spark, sf_dir), "variant", "converted", "A", "B"
+    )
+
+
+def _user_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (variant, x, y) table for CUPED: x = pre-period spend
+    (before 2024-01-11), y = post-period spend, both DECIMAL-exact day
+    sums cast to double; variant = parity of user_id."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-11").cast("timestamp")
+    dv = F.col("value").cast("decimal(18,2)")
+    return ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, dv)),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, dv)),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("y"),
+    ).select(
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "x",
+        "y",
+    )
+
+
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (stats.cuped_adjustment) on per-user
+    post-period spend with pre-period spend as the covariate: pooled
+    θ from DECIMAL-exact moments, per-variant adjusted means, achieved
+    variance-reduction ratio (= ρ²)."""
+    from collection_templates_spark.operators.stats import (
+        cuped_adjustment,
+    )
+
+    return cuped_adjustment(
+        _user_prepost(spark, sf_dir), "variant", "x", "y"
+    )
+
+
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival (stats.kaplan_meier) for time-to-first-
+    purchase: per signed-up user, duration = days from first signup to
+    first subsequent purchase (observed) or to the corpus horizon (the
+    global max event day — right-censored, no purchase by then);
+    integer-exact risk sets, ordered 12dp-rounded log-sum product."""
+    from collection_templates_spark.operators.stats import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    signup = ev.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min(F.to_date("ts")).alias("s_day"))
+    horizon = ev.groupBy().agg(
+        F.max(F.to_date("ts")).alias("h_day")
+    )
+    purchase = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("p_day")
+    )
+    first_p = (
+        signup.join(purchase, "user_id")
+        .filter(F.col("p_day") >= F.col("s_day"))
+        .groupBy("user_id")
+        .agg(F.min("p_day").alias("p_day"))
+    )
+    units = (
+        signup.join(first_p, "user_id", "left")
+        .join(F.broadcast(horizon))
+        .select(
+            F.datediff(
+                F.coalesce(F.col("p_day"), F.col("h_day")),
+                F.col("s_day"),
+            ).alias("dur"),
+            F.col("p_day").isNotNull().alias("obs"),
+        )
+    )
+    return kaplan_meier(units, "dur", "obs")
+
+
 def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search via positional adjacency (search.phrase_match,
     Lucene PhraseQuery slop-0 semantics): per-doc match counts and first
@@ -4114,6 +4248,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_kendall": stats_kendall,
     "events_theil_sen": events_theil_sen,
     "stats_bootstrap_ci": stats_bootstrap_ci,
+    "stats_anova": stats_anova,
+    "stats_kruskal_wallis": stats_kruskal_wallis,
+    "stats_two_proportion": stats_two_proportion,
+    "events_cuped": events_cuped,
+    "events_kaplan_meier": events_kaplan_meier,
     # --- last driver-checked r8 ---
     "text_containment": text_containment,
     "text_perplexity": text_perplexity,
@@ -10054,3 +10193,268 @@ def _bootstrap_ci_oracle_sql(b: int = 48, salt: str = "boot") -> str:
 
 
 ORACLE_SQL["stats_bootstrap_ci"] = _bootstrap_ci_oracle_sql()
+
+
+# stats_anova: DECIMAL group moments; the cross-group sum of
+# s_g^2/n_g re-enters DECIMAL after a 6dp round (order-independent);
+# F / eta^2 closed-form on the exact scalars.
+ORACLE_SQL["stats_anova"] = """
+    WITH base AS (
+        SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE value IS NOT NULL
+    ), grp AS (
+        SELECT g, count(*) AS ng, sum(v) AS sg, sum(v * v) AS qg
+        FROM base GROUP BY g
+    ), m AS (
+        SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s_all,
+               sum(qg) AS q_all,
+               sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                              / CAST(ng AS DOUBLE), 6)
+                        AS DECIMAL(38,6))) AS a
+        FROM grp
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           round(CAST(a AS DOUBLE)
+                 - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                   / CAST(n AS DOUBLE), 4)
+           + CAST(0 AS DOUBLE) AS ss_between,
+           round(CAST(q_all AS DOUBLE) - CAST(a AS DOUBLE), 4)
+           + CAST(0 AS DOUBLE) AS ss_within,
+           round(((CAST(a AS DOUBLE)
+                   - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / (CAST(k AS DOUBLE) - CAST(1 AS DOUBLE)))
+                 / ((CAST(q_all AS DOUBLE) - CAST(a AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+           + CAST(0 AS DOUBLE) AS f_stat,
+           round((CAST(a AS DOUBLE)
+                  - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / ((CAST(a AS DOUBLE)
+                     - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    + (CAST(q_all AS DOUBLE) - CAST(a AS DOUBLE))), 6)
+           + CAST(0 AS DOUBLE) AS eta_sq
+    FROM m
+"""
+
+# stats_kruskal_wallis: pooled average ranks over the distinct-value
+# table (multiples of 0.5), DECIMAL(28,1) rank sums, the same
+# round-then-DECIMAL cross-group trick, integer tie term.
+ORACLE_SQL["stats_kruskal_wallis"] = """
+    WITH base AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ), at_v AS (
+        SELECT v, count(*) AS cnt FROM base GROUP BY v
+    ), ranked AS (
+        SELECT v,
+               CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS DOUBLE)
+               + (CAST(cnt AS DOUBLE) + CAST(1 AS DOUBLE))
+                 / CAST(2 AS DOUBLE) AS avg_rank
+        FROM at_v
+    ), per_g AS (
+        SELECT g, count(*) AS ng,
+               sum(CAST(avg_rank AS DECIMAL(28,1))) AS rg
+        FROM base JOIN ranked USING (v) GROUP BY g
+    ), ties AS (
+        SELECT sum(cnt * cnt * cnt - cnt) AS tie_term FROM at_v
+    ), m AS (
+        SELECT count(*) AS k, sum(ng) AS n,
+               sum(CAST(round(CAST(rg AS DOUBLE) * CAST(rg AS DOUBLE)
+                              / CAST(ng AS DOUBLE), 6)
+                        AS DECIMAL(38,6))) AS a
+        FROM per_g
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           round(CAST(12 AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)))
+                 * CAST(a AS DOUBLE)
+                 - CAST(3 AS DOUBLE)
+                   * (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)), 6)
+           + CAST(0 AS DOUBLE) AS h_stat,
+           round((CAST(12 AS DOUBLE)
+                  / (CAST(n AS DOUBLE)
+                     * (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)))
+                  * CAST(a AS DOUBLE)
+                  - CAST(3 AS DOUBLE)
+                    * (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)))
+                 / (CAST(1 AS DOUBLE)
+                    - CAST(tie_term AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+           + CAST(0 AS DOUBLE) AS h_corrected,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM m, ties
+"""
+
+# stats_two_proportion: integer conversion counts per parity variant,
+# one closed-form pooled z.
+ORACLE_SQL["stats_two_proportion"] = """
+    WITH u AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                   AS variant,
+               max(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END) = 1 AS converted
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN variant = 'A' AND converted THEN 1
+                        ELSE 0 END) AS x_a,
+               sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+               sum(CASE WHEN variant = 'B' AND converted THEN 1
+                        ELSE 0 END) AS x_b
+        FROM u
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+           round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+           + CAST(0 AS DOUBLE) AS p_a,
+           round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+           + CAST(0 AS DOUBLE) AS p_b,
+           round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt(CAST(x_a + x_b AS DOUBLE)
+                        / CAST(n_a + n_b AS DOUBLE)
+                        * (CAST(1 AS DOUBLE)
+                           - CAST(x_a + x_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                        * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           + CAST(1 AS DOUBLE)
+                             / CAST(n_b AS DOUBLE))), 6)
+           + CAST(0 AS DOUBLE) AS z,
+           abs(round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / sqrt(CAST(x_a + x_b AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE)
+                            * (CAST(1 AS DOUBLE)
+                               - CAST(x_a + x_b AS DOUBLE)
+                                 / CAST(n_a + n_b AS DOUBLE))
+                            * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                               + CAST(1 AS DOUBLE)
+                                 / CAST(n_b AS DOUBLE))), 6)
+               + CAST(0 AS DOUBLE))
+           > CAST('1.96' AS DOUBLE) AS reject_05
+    FROM m
+"""
+
+# events_cuped: per-user DECIMAL-exact pre/post spend, pooled theta
+# from DECIMAL moments, per-variant adjusted means; theta and the
+# variance-reduction ratio repeat across the two variant rows.
+ORACLE_SQL["events_cuped"] = """
+    WITH u AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                   AS variant,
+               CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-11'
+                   THEN CAST(value AS DECIMAL(18,2)) END),
+                   0) AS DOUBLE) AS x,
+               CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-11'
+                   THEN CAST(value AS DECIMAL(18,2)) END),
+                   0) AS DOUBLE) AS y
+        FROM events GROUP BY user_id
+    ), per_v AS (
+        SELECT variant, count(*) AS n,
+               sum(CAST(x AS DECIMAL(18,2))) AS sx,
+               sum(CAST(y AS DECIMAL(18,2))) AS sy,
+               sum(CAST(x AS DECIMAL(18,2))
+                   * CAST(y AS DECIMAL(18,2))) AS sxy,
+               sum(CAST(x AS DECIMAL(18,2))
+                   * CAST(x AS DECIMAL(18,2))) AS sxx,
+               sum(CAST(y AS DECIMAL(18,2))
+                   * CAST(y AS DECIMAL(18,2))) AS syy
+        FROM u GROUP BY variant
+    ), pooled AS (
+        SELECT sum(n) AS pn, sum(sx) AS psx, sum(sy) AS psy,
+               sum(sxy) AS psxy, sum(sxx) AS psxx, sum(syy) AS psyy
+        FROM per_v
+    )
+    SELECT variant, CAST(n AS BIGINT) AS n,
+           round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           + CAST(0 AS DOUBLE) AS mean_y,
+           round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(psxy AS DOUBLE)
+                    - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE)
+                      / CAST(pn AS DOUBLE))
+                   / (CAST(psxx AS DOUBLE)
+                      - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)
+                        / CAST(pn AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE)), 6)
+           + CAST(0 AS DOUBLE) AS mean_y_cuped,
+           round((CAST(psxy AS DOUBLE)
+                  - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE)
+                    / CAST(pn AS DOUBLE))
+                 / (CAST(psxx AS DOUBLE)
+                    - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)
+                      / CAST(pn AS DOUBLE)), 6)
+           + CAST(0 AS DOUBLE) AS theta,
+           round((CAST(psxy AS DOUBLE)
+                  - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE)
+                    / CAST(pn AS DOUBLE))
+                 * (CAST(psxy AS DOUBLE)
+                    - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE)
+                      / CAST(pn AS DOUBLE))
+                 / ((CAST(psxx AS DOUBLE)
+                     - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)
+                       / CAST(pn AS DOUBLE))
+                    * (CAST(psyy AS DOUBLE)
+                       - CAST(psy AS DOUBLE) * CAST(psy AS DOUBLE)
+                         / CAST(pn AS DOUBLE))), 6)
+           + CAST(0 AS DOUBLE) AS var_reduction
+    FROM per_v, pooled
+"""
+
+# events_kaplan_meier: integer risk sets via a suffix window over the
+# distinct-duration table; product-limit as an ordered 12dp-rounded
+# log-sum; the d == n_risk final row pinned to exactly 0.
+ORACLE_SQL["events_kaplan_meier"] = """
+    WITH signup AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS s_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), horizon AS (
+        SELECT max(CAST(ts AS DATE)) AS h_day FROM events
+    ), first_p AS (
+        SELECT s.user_id, min(CAST(e.ts AS DATE)) AS p_day
+        FROM signup s JOIN events e ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS DATE) >= s.s_day
+        GROUP BY s.user_id
+    ), u AS (
+        SELECT date_diff('day', s.s_day,
+                         coalesce(p.p_day, horizon.h_day)) AS dur,
+               p.p_day IS NOT NULL AS obs
+        FROM signup s LEFT JOIN first_p p ON s.user_id = p.user_id,
+             horizon
+    ), at_t AS (
+        SELECT dur AS t,
+               sum(CASE WHEN obs THEN 1 ELSE 0 END) AS d_events,
+               sum(CASE WHEN obs THEN 0 ELSE 1 END) AS c_censored
+        FROM u GROUP BY dur
+    ), risked AS (
+        SELECT t, d_events, c_censored,
+               sum(d_events + c_censored) OVER (ORDER BY t
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS n_risk
+        FROM at_t
+    ), lsum AS (
+        SELECT t, d_events, c_censored, n_risk,
+               sum(CASE WHEN d_events < n_risk THEN
+                       round(ln(CAST(1 AS DOUBLE)
+                                - CAST(d_events AS DOUBLE)
+                                  / CAST(n_risk AS DOUBLE)), 12)
+                   ELSE CAST(0 AS DOUBLE) END) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lns
+        FROM risked
+    )
+    SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_events AS BIGINT) AS d_events,
+           CAST(c_censored AS BIGINT) AS c_censored,
+           CASE WHEN d_events = n_risk THEN CAST(0 AS DOUBLE)
+                ELSE round(exp(lns), 6) + CAST(0 AS DOUBLE) END
+               AS survival
+    FROM lsum WHERE d_events > 0
+"""

@@ -89,3 +89,81 @@ def test_bootstrap_ci_salt_changes_replicates_not_mean(spark):
     b = bootstrap_mean_ci(df, "value", "event_id", salt="b").collect()[0]
     assert a.mean == b.mean
     assert (a.q_lo, a.q_hi) != (b.q_lo, b.q_hi)
+
+
+def test_anova_hand_example(spark):
+    # A=[1,2,3], B=[4,5,6]: SSB=13.5, SSW=4, F=(13.5/1)/(4/4)=13.5
+    from collection_templates_spark.operators.stats import anova_oneway
+
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0),
+            ("B", 4.0), ("B", 5.0), ("B", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = anova_oneway(df, "g", "v").collect()[0]
+    assert (out.k, out.n) == (2, 6)
+    assert out.ss_between == pytest.approx(13.5, abs=1e-4)
+    assert out.ss_within == pytest.approx(4.0, abs=1e-4)
+    assert out.f_stat == pytest.approx(13.5, abs=1e-6)
+    assert out.eta_sq == pytest.approx(13.5 / 17.5, abs=1e-6)
+
+
+def test_kruskal_wallis_no_ties(spark):
+    # ranks 1..6; R=(6,15); H = 12/42*87 - 21 = 27/7
+    from collection_templates_spark.operators.stats import kruskal_wallis
+
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0),
+            ("B", 4.0), ("B", 5.0), ("B", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = kruskal_wallis(df, "g", "v").collect()[0]
+    assert (out.k, out.n, out.df) == (2, 6, 1)
+    assert out.h_stat == pytest.approx(27 / 7, abs=1e-6)
+    assert out.h_corrected == out.h_stat  # no ties
+
+
+def test_two_proportion_hand(spark):
+    from collection_templates_spark.operators.stats import (
+        two_proportion_ztest,
+    )
+
+    rows = [("A", i < 40) for i in range(100)] + [
+        ("B", i < 30) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    out = two_proportion_ztest(df, "g", "s", "A", "B").collect()[0]
+    assert (out.n_a, out.x_a, out.n_b, out.x_b) == (100, 40, 100, 30)
+    expect = 0.1 / (0.35 * 0.65 * 0.02) ** 0.5
+    assert out.z == pytest.approx(expect, abs=1e-6)
+    assert not out.reject_05
+
+
+def test_cuped_perfect_covariate(spark):
+    # y = 2x exactly: theta = 2, var_reduction = 1, and the adjusted
+    # means of both variants coincide (all variance was pre-period).
+    from collection_templates_spark.operators.stats import (
+        cuped_adjustment,
+    )
+
+    rows = [("A", 1.0, 2.0), ("A", 2.0, 4.0),
+            ("B", 3.0, 6.0), ("B", 4.0, 8.0)]
+    df = spark.createDataFrame(rows, "variant string, x double, y double")
+    out = {r.variant: r for r in cuped_adjustment(
+        df, "variant", "x", "y").collect()}
+    assert out["A"].theta == pytest.approx(2.0, abs=1e-6)
+    assert out["A"].var_reduction == pytest.approx(1.0, abs=1e-6)
+    assert out["A"].mean_y_cuped == pytest.approx(
+        out["B"].mean_y_cuped, abs=1e-6)
+    assert out["A"].mean_y == pytest.approx(3.0, abs=1e-6)
+
+
+def test_kaplan_meier_textbook(spark):
+    # durations 1+(obs), 2(obs), 3(censored), 4(obs):
+    # S(1)=3/4, S(2)=1/2, t=3 no event row, S(4)=0 (d==n edge)
+    from collection_templates_spark.operators.stats import kaplan_meier
+
+    rows = [(1, True), (2, True), (3, False), (4, True)]
+    df = spark.createDataFrame(rows, "dur long, obs boolean")
+    out = {r.t: r for r in kaplan_meier(df, "dur", "obs").collect()}
+    assert sorted(out) == [1, 2, 4]
+    assert out[1].n_risk == 4 and out[1].survival == pytest.approx(0.75)
+    assert out[2].n_risk == 3 and out[2].survival == pytest.approx(0.5)
+    assert out[4].n_risk == 1 and out[4].survival == 0.0
+    assert out[1].d_events == 1 and out[1].c_censored == 0
