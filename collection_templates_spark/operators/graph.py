@@ -706,3 +706,62 @@ def clustering_coefficient(
         ),
     ).otherwise(F.lit(0.0))
     return joined.withColumn("clustering_coeff", cc)
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Layered BFS from a seed set over the UNDIRECTED graph: per
+    reached node the minimum hop distance, returned as the layer
+    histogram (hop, n_nodes) — the reachability profile
+    (``reachable_from``'s distance-annotated sibling; the reference
+    only asks boolean reachability, /root/reference/airflow/dags/
+    create_custom.py's ontology walk).
+
+    Integer-exact throughout. The frontier loop is the Pregel shape:
+    each sweep joins ONLY the new frontier against the edge table
+    (never the accumulated visited set), anti-joins out already-seen
+    nodes, and cuts lineage with an eager localCheckpoint — per-sweep
+    work is O(frontier-adjacent edges), total O(|E|) across all
+    sweeps, shuffle keyed on node id. At 100 TB the edge table would
+    be bucketed by src so every sweep's join is co-located
+    (exchange-free after the first); max_hops bounds the sweep count
+    exactly like kcore_stats' fixed peels.
+    """
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = (
+        fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        grown = (
+            frontier.join(und, frontier["node"] == und["s"])
+            .select(und["d"].alias("node"))
+            .distinct()
+        )
+        fresh = (
+            grown.join(dist, "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if fresh.isEmpty():
+            break
+        dist = dist.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    return (
+        dist.groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("hop")
+    )

@@ -3949,6 +3949,43 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(units, "dur", "obs")
 
 
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the events table
+    (profiling.profile_table): null counts, exact distinct
+    cardinality, numeric ranges, string length ranges — the
+    ingestion-trust audit, one aggregate pass."""
+    from collection_templates_spark.operators.profiling import (
+        profile_table,
+    )
+
+    return profile_table(_t(spark, sf_dir, "events"))
+
+
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered BFS (graph.bfs_layers, 4 hops) over the 1995-window
+    customer-part bipartite graph from the custkey ≡ 1 (mod 500) seed
+    customers: the (hop, n_nodes) reachability histogram — frontier
+    joins only, integer-exact; the oracle replays it as a recursive
+    CTE with a min-hop reduction."""
+    from collection_templates_spark.operators.graph import bfs_layers
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.pmod(F.col("c_custkey"), F.lit(500)) == 1)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+    )
+    return bfs_layers(edges, seeds, max_hops=4)
+
+
 def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search via positional adjacency (search.phrase_match,
     Lucene PhraseQuery slop-0 semantics): per-doc match counts and first
@@ -4253,6 +4290,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_two_proportion": stats_two_proportion,
     "events_cuped": events_cuped,
     "events_kaplan_meier": events_kaplan_meier,
+    "profile_events": profile_events,
+    "graph_bfs_layers": graph_bfs_layers,
     # --- last driver-checked r8 ---
     "text_containment": text_containment,
     "text_perplexity": text_perplexity,
@@ -10457,4 +10496,79 @@ ORACLE_SQL["events_kaplan_meier"] = """
                 ELSE round(exp(lns), 6) + CAST(0 AS DOUBLE) END
                AS survival
     FROM lsum WHERE d_events > 0
+"""
+
+
+def _profile_events_oracle_sql() -> str:
+    """Per-column UNION ALL replay of profiling.profile_table over
+    events: integer counts + native min/max cast to double — dtype
+    literals pinned to the loader's Spark schema."""
+    spec = [
+        ("event_id", "bigint", True, False),
+        ("ts", "timestamp", False, False),
+        ("user_id", "bigint", True, False),
+        ("event_type", "string", False, True),
+        ("value", "double", True, False),
+        ("props", "string", False, True),
+    ]
+    parts = []
+    for c, t, num, st in spec:
+        mn = (
+            f"CAST(min({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        )
+        mx = (
+            f"CAST(max({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        )
+        ln = (
+            f"CAST(min(length({c})) AS BIGINT)"
+            if st
+            else "CAST(NULL AS BIGINT)"
+        )
+        lx = (
+            f"CAST(max(length({c})) AS BIGINT)"
+            if st
+            else "CAST(NULL AS BIGINT)"
+        )
+        parts.append(f"""
+    SELECT '{c}' AS col_name, '{t}' AS dtype,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num,
+           {ln} AS min_len, {lx} AS max_len
+    FROM events""")
+    return "\n    UNION ALL\n".join(parts)
+
+
+ORACLE_SQL["profile_events"] = _profile_events_oracle_sql()
+
+# graph_bfs_layers: the frontier loop replayed as a bounded recursive
+# CTE — UNION-dedup'd (node, hop) walk, min-hop reduction, layer
+# histogram.
+ORACLE_SQL["graph_bfs_layers"] = """
+    WITH RECURSIVE e AS (
+        SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS s,
+               'p' || CAST(l.l_partkey AS VARCHAR) AS d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate < DATE '1996-01-01'
+    ), und AS (
+        SELECT DISTINCT s, d FROM (
+            SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e
+        )
+    ), seeds AS (
+        SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+        FROM customer WHERE c_custkey % 500 = 1
+    ), walk AS (
+        SELECT node, 0 AS hop FROM seeds
+        UNION
+        SELECT u.d AS node, w.hop + 1 AS hop
+        FROM walk w JOIN und u ON u.s = w.node
+        WHERE w.hop < 4
+    ), mind AS (
+        SELECT node, min(hop) AS hop FROM walk GROUP BY node
+    )
+    SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM mind GROUP BY hop
 """

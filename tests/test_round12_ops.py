@@ -167,3 +167,42 @@ def test_kaplan_meier_textbook(spark):
     assert out[2].n_risk == 3 and out[2].survival == pytest.approx(0.5)
     assert out[4].n_risk == 1 and out[4].survival == 0.0
     assert out[1].d_events == 1 and out[1].c_censored == 0
+
+
+def test_bfs_layers_path_graph(spark):
+    # path a-b-c-d-e (directed edges stored one way; BFS is undirected),
+    # seed c: layers 0:{c} 1:{b,d} 2:{a,e}
+    from collection_templates_spark.operators.graph import bfs_layers
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("c",)], "node string")
+    out = {r.hop: r.n_nodes for r in bfs_layers(
+        edges, seeds, max_hops=2).collect()}
+    assert out == {0: 1, 1: 2, 2: 2}
+    # max_hops truncates: 1 hop stops at b/d
+    out1 = {r.hop: r.n_nodes for r in bfs_layers(
+        edges, seeds, max_hops=1).collect()}
+    assert out1 == {0: 1, 1: 2}
+
+
+def test_profile_table_basics(spark):
+    from collection_templates_spark.operators.profiling import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab", 1.5), (2, None, -0.5), (3, "wxyz", None)],
+        "id bigint, s string, v double",
+    )
+    out = {r.col_name: r for r in profile_table(df).collect()}
+    assert out["id"].n_rows == 3 and out["id"].n_null == 0
+    assert out["id"].n_distinct == 3
+    assert (out["id"].min_num, out["id"].max_num) == (1.0, 3.0)
+    assert out["s"].n_null == 1 and out["s"].n_distinct == 2
+    assert (out["s"].min_len, out["s"].max_len) == (2, 4)
+    assert out["s"].min_num is None
+    assert (out["v"].min_num, out["v"].max_num) == (-0.5, 1.5)
+    assert out["v"].min_len is None
