@@ -30,7 +30,7 @@ extension surface next to the sketch family.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -195,4 +195,75 @@ def welch_t_by_group(
         F.col(f"mean_{split_b}").alias("mean_b"),
         F.round(t, 6).alias("t_stat"),
         F.round(dof, 2).alias("welch_df"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    split: Column,
+    split_a: str,
+    split_b: str,
+    n_bins: int = 16,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Per-group Population Stability Index between the ``split_a``
+    (expected) and ``split_b`` (actual) value distributions — the
+    industry drift gate (PSI < 0.1 stable, > 0.25 shifted) and
+    :func:`js_divergence`'s unbounded companion: PSI weights tail bins
+    by the log-ratio, so a thin-bin shift JS barely sees moves PSI.
+
+    Empty bins get additive smoothing p = (n + 1/2)/(tot + k/2) —
+    PSI's ln(p/q) is infinite on a zero, and the deterministic
+    +1/2-per-bin prior keeps the statistic finite and exact-integer
+    derived (no epsilon constant whose magnitude the data scale would
+    have to tune).
+
+    Determinism: smoothed probabilities are exact-integer divisions;
+    per-bin contributions (p−q)·ln(p/q) are rounded to 9dp and summed
+    in DECIMAL(38,9) (order-independent), total rounded 6dp.
+
+    Scale shape: identical to js_divergence — one binned groupBy, a
+    per-group total join, one k-bin reduce per group. Output:
+    (grp, n_a, n_b, psi).
+    """
+    hist = binned_counts(df, group_col, value_col, split, n_bins, lo, hi)
+    tot = hist.groupBy("grp", "split").agg(F.sum("n").alias("tot"))
+    h = hist.join(tot, ["grp", "split"])
+
+    def side(name: str, p: str, n: str) -> DataFrame:
+        return h.filter(F.col("split") == name).select(
+            "grp", "bin", F.col("n").alias(f"n_{p}"),
+            F.col("tot").alias(n),
+        )
+
+    j = side(split_a, "pa", "n_a").join(
+        side(split_b, "pb", "n_b"), ["grp", "bin"], "full_outer"
+    )
+    # a group missing one side entirely has no distribution to compare
+    j = j.withColumn(
+        "na_g", F.max("n_a").over(Window.partitionBy("grp"))
+    ).withColumn(
+        "nb_g", F.max("n_b").over(Window.partitionBy("grp"))
+    ).filter(F.col("na_g").isNotNull() & F.col("nb_g").isNotNull())
+    k = F.lit(float(n_bins))
+    p = (
+        F.coalesce(F.col("n_pa"), F.lit(0)).cast("double")
+        + F.lit(0.5)
+    ) / (F.col("na_g").cast("double") + k / F.lit(2.0))
+    q = (
+        F.coalesce(F.col("n_pb"), F.lit(0)).cast("double")
+        + F.lit(0.5)
+    ) / (F.col("nb_g").cast("double") + k / F.lit(2.0))
+    contrib = F.round((p - q) * F.log(p / q), 9).cast("decimal(38,9)")
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.max("na_g").alias("n_a"),
+            F.max("nb_g").alias("n_b"),
+            (F.round(F.sum(contrib).cast("double"), 6) + F.lit(0.0))
+            .alias("psi"),
+        )
     )

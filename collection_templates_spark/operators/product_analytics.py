@@ -225,3 +225,52 @@ def top_paths(
     return counted.orderBy(
         F.col("n_sessions").desc(), F.col("path").asc()
     ).limit(k)
+
+
+def user_growth(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily active / new / cumulative user counts — the growth
+    triptych on every product dashboard: DAU = distinct users active
+    that day, new = users whose FIRST-ever activity is that day,
+    cumulative = running total of new (≡ distinct users ever seen).
+
+    Integer-exact throughout: one per-(user, day) dedup aggregate that
+    also carries each user's first day (a min over the user's rows —
+    no per-user window), then a per-day count and one ordered
+    cumulative window over the skinny day table.
+
+    Scale shape: groupBy(user) for first-day (shuffles user ids once),
+    groupBy(user, day) dedup rides the same exchange, day-level
+    reduce, then a single-partition window over ~O(days) rows — the
+    only single-node step is over the day table, never the raw events.
+    Output: (day, dau, new_users, cum_users).
+    """
+    u = F.col(user_col)
+    day = F.to_date(F.col(ts_col))
+    per_user_day = df.select(u.alias("uid"), day.alias("day"))
+    first_day = per_user_day.groupBy("uid").agg(
+        F.min("day").alias("first_day")
+    )
+    active = per_user_day.distinct()
+    daily = (
+        active.join(first_day, "uid")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum(
+                (F.col("day") == F.col("first_day")).cast("long")
+            ).alias("new_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "dau",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

@@ -1203,3 +1203,52 @@ def kaplan_meier(
             surv.alias("survival"),
         )
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: scores in
+    [0, 1] binned into ``n_bins`` equal-width bins, per bin the mean
+    predicted probability vs the observed positive rate and their gap
+    — the calibration audit every scoring model (quality filters, LTR
+    grades, churn scores) gets before its threshold is trusted. The
+    weighted |gap| sum over bins is ECE; this surfaces the full curve.
+
+    Determinism: bin assignment floors a 6dp-rounded score (identical
+    doubles in both engines); mean_score accumulates the rounded
+    scores in DECIMAL(18,6) (exact); positive counts are integers; the
+    three output ratios are closed-form per bin, rounded 6dp.
+
+    Scale shape: one map-side-combined groupBy(bin) — n_bins rows out,
+    no window, no broadcast. Output per non-empty bin:
+    (bin, n, mean_score, frac_positive, gap).
+    """
+    s = F.round(F.col(score_col).cast("double"), 6)
+    y = F.col(label_col).cast("boolean")
+    bin_id = F.least(
+        F.floor(s * F.lit(float(n_bins))).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        bin_id.alias("bin"),
+        s.cast("decimal(18,6)").alias("s"),
+        y.cast("long").alias("pos"),
+    )
+    g = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("ss"),
+        F.sum("pos").alias("np"),
+    )
+    mean_s = F.col("ss").cast("double") / F.col("n").cast("double")
+    frac = F.col("np").cast("double") / F.col("n").cast("double")
+    return g.select(
+        "bin",
+        "n",
+        (F.round(mean_s, 6) + F.lit(0.0)).alias("mean_score"),
+        (F.round(frac, 6) + F.lit(0.0)).alias("frac_positive"),
+        (F.round(mean_s - frac, 6) + F.lit(0.0)).alias("gap"),
+    )

@@ -3986,6 +3986,68 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_layers(edges, seeds, max_hops=4)
 
 
+def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (drift.psi_drift) per event type,
+    first half of January (expected) vs second (actual), the same
+    16-bin [0, 500] histogram as the JS row — PSI's log-ratio weighting
+    vs JS's bounded symmetric view, with the +1/2-per-bin smoothing
+    prior keeping empty bins finite."""
+    from collection_templates_spark.operators.drift import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        F.lit("early"),
+    ).otherwise(F.lit("late"))
+    return psi_drift(
+        ev,
+        group_col="event_type",
+        value_col="value",
+        split=split,
+        split_a="early",
+        split_b="late",
+        n_bins=16,
+        lo=0.0,
+        hi=500.0,
+    )
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (stats.calibration_bins, 10 bins) of the
+    pinned-weight logistic quality score against the lang = 'en'
+    label: per score decile the mean prediction, observed positive
+    rate, and gap — the calibration audit of the quality_logistic
+    row's model."""
+    from collection_templates_spark.operators.stats import (
+        calibration_bins,
+    )
+    from collection_templates_spark.operators.training_prep import (
+        quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_classifier(docs).select(
+        F.col("doc").alias("doc_id"), "score"
+    )
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
+        "doc_id",
+    )
+    return calibration_bins(labeled, "score", "is_en", n_bins=10)
+
+
+def events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / cumulative users
+    (product_analytics.user_growth): the growth triptych over the
+    events table — integer-exact, one user-keyed shuffle, day-level
+    cumulative window."""
+    from collection_templates_spark.operators.product_analytics import (
+        user_growth,
+    )
+
+    return user_growth(_t(spark, sf_dir, "events"))
+
+
 def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search via positional adjacency (search.phrase_match,
     Lucene PhraseQuery slop-0 semantics): per-doc match counts and first
@@ -4292,6 +4354,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_kaplan_meier": events_kaplan_meier,
     "profile_events": profile_events,
     "graph_bfs_layers": graph_bfs_layers,
+    "drift_psi_events": drift_psi_events,
+    "quality_calibration": quality_calibration,
+    "events_user_growth": events_user_growth,
     # --- last driver-checked r8 ---
     "text_containment": text_containment,
     "text_perplexity": text_perplexity,
@@ -10571,4 +10636,133 @@ ORACLE_SQL["graph_bfs_layers"] = """
     )
     SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes
     FROM mind GROUP BY hop
+"""
+
+
+def _psi_drift_oracle_sql(
+    n_bins: int = 16, lo: float = 0.0, hi: float = 500.0
+) -> str:
+    """Textual mirror of drift.psi_drift: same binning CTE as the JS
+    oracle, +1/2-per-bin smoothing, per-bin contributions rounded 9dp
+    and summed in DECIMAL (order-independent). Bins empty in BOTH
+    slices are omitted in both engines (they never enter the
+    histogram) — consistent, documented semantics."""
+    width = (hi - lo) / n_bins
+    return f"""
+        WITH binned AS (
+            SELECT event_type AS grp,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 'early' ELSE 'late' END AS split,
+                   CAST(greatest(0, least({n_bins - 1},
+                       floor((CAST(value AS DOUBLE) - CAST({lo!r} AS DOUBLE))
+                             / CAST({width!r} AS DOUBLE)))) AS INT) AS bin
+            FROM events WHERE value IS NOT NULL
+        ), hist AS (
+            SELECT grp, split, bin, count(*) AS n
+            FROM binned GROUP BY 1, 2, 3
+        ), tot AS (
+            SELECT grp, split, sum(n) AS tot FROM hist GROUP BY 1, 2
+        ), a AS (
+            SELECT hist.grp, hist.bin, n AS n_pa, tot AS n_a
+            FROM hist JOIN tot USING (grp, split) WHERE split = 'early'
+        ), b AS (
+            SELECT hist.grp, hist.bin, n AS n_pb, tot AS n_b
+            FROM hist JOIN tot USING (grp, split) WHERE split = 'late'
+        ), j AS (
+            SELECT coalesce(a.grp, b.grp) AS grp, n_pa, n_pb, n_a, n_b
+            FROM a FULL OUTER JOIN b
+              ON a.grp = b.grp AND a.bin = b.bin
+        ), w AS (
+            SELECT grp, n_pa, n_pb,
+                   max(n_a) OVER (PARTITION BY grp) AS na_g,
+                   max(n_b) OVER (PARTITION BY grp) AS nb_g
+            FROM j
+        ), t AS (
+            SELECT grp, na_g, nb_g,
+                   CAST(round(
+                       ((CAST(coalesce(n_pa, 0) AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE))
+                        / (CAST(na_g AS DOUBLE)
+                           + CAST({n_bins} AS DOUBLE)
+                             / CAST(2 AS DOUBLE))
+                        - (CAST(coalesce(n_pb, 0) AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE))
+                          / (CAST(nb_g AS DOUBLE)
+                             + CAST({n_bins} AS DOUBLE)
+                               / CAST(2 AS DOUBLE)))
+                       * ln(((CAST(coalesce(n_pa, 0) AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE))
+                             / (CAST(na_g AS DOUBLE)
+                                + CAST({n_bins} AS DOUBLE)
+                                  / CAST(2 AS DOUBLE)))
+                            / ((CAST(coalesce(n_pb, 0) AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE))
+                               / (CAST(nb_g AS DOUBLE)
+                                  + CAST({n_bins} AS DOUBLE)
+                                    / CAST(2 AS DOUBLE)))), 9)
+                       AS DECIMAL(38,9)) AS c
+            FROM w
+            WHERE na_g IS NOT NULL AND nb_g IS NOT NULL
+        )
+        SELECT grp, CAST(max(na_g) AS BIGINT) AS n_a,
+               CAST(max(nb_g) AS BIGINT) AS n_b,
+               round(CAST(sum(c) AS DOUBLE), 6)
+               + CAST(0 AS DOUBLE) AS psi
+        FROM t GROUP BY grp
+    """
+
+
+ORACLE_SQL["drift_psi_events"] = _psi_drift_oracle_sql()
+
+# quality_calibration: the quality_logistic score replay as a CTE,
+# lang = 'en' labels, decile bins on the 6dp-rounded score, DECIMAL
+# score sums.
+ORACLE_SQL["quality_calibration"] = f"""
+    WITH scores AS ({_quality_logistic_oracle_sql()}),
+    lab AS (
+        SELECT s.doc_id, s.score, d.lang = 'en' AS y
+        FROM scores s JOIN documents d USING (doc_id)
+    ), bb AS (
+        SELECT least(CAST(floor(round(CAST(score AS DOUBLE), 6)
+                                * CAST(10 AS DOUBLE)) AS INT), 9)
+                   AS bin,
+               CAST(round(CAST(score AS DOUBLE), 6) AS DECIMAL(18,6))
+                   AS s,
+               CASE WHEN y THEN 1 ELSE 0 END AS pos
+        FROM lab WHERE score IS NOT NULL AND y IS NOT NULL
+    ), g AS (
+        SELECT bin, count(*) AS n, sum(s) AS ss, sum(pos) AS np
+        FROM bb GROUP BY bin
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           + CAST(0 AS DOUBLE) AS mean_score,
+           round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           + CAST(0 AS DOUBLE) AS frac_positive,
+           round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           + CAST(0 AS DOUBLE) AS gap
+    FROM g
+"""
+
+# events_user_growth: per-(user, day) dedup + per-user first day,
+# integer day counts, ordered cumulative window.
+ORACLE_SQL["events_user_growth"] = """
+    WITH pud AS (
+        SELECT DISTINCT user_id AS uid, CAST(ts AS DATE) AS day
+        FROM events
+    ), fd AS (
+        SELECT uid, min(day) AS first_day FROM pud GROUP BY uid
+    ), daily AS (
+        SELECT day, count(*) AS dau,
+               sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                   AS new_users
+        FROM pud JOIN fd USING (uid) GROUP BY day
+    )
+    SELECT day, CAST(dau AS BIGINT) AS dau,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_users
+    FROM daily
 """

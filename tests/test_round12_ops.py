@@ -206,3 +206,67 @@ def test_profile_table_basics(spark):
     assert out["s"].min_num is None
     assert (out["v"].min_num, out["v"].max_num) == (-0.5, 1.5)
     assert out["v"].min_len is None
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    # identical early/late slices: smoothing keeps PSI exactly 0
+    from pyspark.sql import functions as F
+    from collection_templates_spark.operators.drift import psi_drift
+
+    rows = [("g", s, float(v % 10)) for v in range(100)
+            for s in ("a", "b")]
+    df = spark.createDataFrame(rows, "grp string, sl string, v double")
+    out = psi_drift(
+        df, "grp", "v", F.col("sl"), "a", "b", n_bins=10,
+        lo=0.0, hi=10.0,
+    ).collect()[0]
+    assert (out.n_a, out.n_b) == (100, 100)
+    assert out.psi == 0.0
+    # a concentrated shift produces a clearly positive PSI
+    rows2 = ([("g", "a", 1.0)] * 90 + [("g", "a", 9.0)] * 10
+             + [("g", "b", 1.0)] * 10 + [("g", "b", 9.0)] * 90)
+    df2 = spark.createDataFrame(rows2, "grp string, sl string, v double")
+    out2 = psi_drift(
+        df2, "grp", "v", F.col("sl"), "a", "b", n_bins=10,
+        lo=0.0, hi=10.0,
+    ).collect()[0]
+    assert out2.psi > 1.0
+
+
+def test_calibration_bins_perfectly_calibrated(spark):
+    # bin 2 (scores ~0.25): 1 of 4 positive; gap = 0.25 - 0.25 = 0
+    from collection_templates_spark.operators.stats import (
+        calibration_bins,
+    )
+
+    rows = [(0.25, i == 0) for i in range(4)] + [
+        (0.75, i < 3) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = {r.bin: r for r in calibration_bins(
+        df, "score", "y", n_bins=10).collect()}
+    assert out[2].n == 4 and out[2].frac_positive == 0.25
+    assert out[2].gap == pytest.approx(0.0, abs=1e-6)
+    assert out[7].mean_score == pytest.approx(0.75, abs=1e-6)
+    assert out[7].frac_positive == 0.75
+    # score exactly 1.0 clamps into the top bin
+    df2 = spark.createDataFrame([(1.0, True)], "score double, y boolean")
+    assert calibration_bins(df2, "score", "y").collect()[0].bin == 9
+
+
+def test_user_growth_hand_series(spark):
+    import datetime
+
+    from collection_templates_spark.operators.product_analytics import (
+        user_growth,
+    )
+
+    def t(d, u):
+        return (datetime.datetime(2024, 1, d, 12, 0), u)
+
+    rows = [t(1, 1), t(1, 1), t(1, 2), t(2, 1), t(2, 3), t(3, 3)]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+    out = {r.day.day: r for r in user_growth(df).collect()}
+    assert (out[1].dau, out[1].new_users, out[1].cum_users) == (2, 2, 2)
+    assert (out[2].dau, out[2].new_users, out[2].cum_users) == (2, 1, 3)
+    assert (out[3].dau, out[3].new_users, out[3].cum_users) == (1, 0, 3)
