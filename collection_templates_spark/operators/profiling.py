@@ -92,3 +92,53 @@ def profile_table(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
     return one.select(
         F.explode(F.array(*structs)).alias("p")
     ).select("p.*")
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostics: the pre-flight check before
+    keying a 100 TB shuffle on a column — per-key count distribution
+    (max, p50/p90/p99, top-1 share). A top1_share near 1/partitions
+    means one reducer owns the key; the fix (salting, AQE skew join)
+    is chosen from exactly these numbers.
+
+    Determinism: counts are integers; percentiles over the per-key
+    count table are exact interpolated (percentile ≡ quantile_cont)
+    rounded 6dp; top1_share is one exact-integer division rounded 6dp.
+
+    Scale shape: one map-side-combined groupBy(key) (the count table —
+    one row per key), one single-row reduce over it. NULL keys are
+    counted as their own class (they all land in one shuffle
+    partition — exactly the skew the report exists to catch).
+    Output one row: (n_rows, n_keys, max_count, top1_share,
+    p50_count, p90_count, p99_count).
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = counts.groupBy().agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_count"),
+        F.round(F.percentile(F.col("n"), F.lit(0.5)), 6).alias(
+            "p50_count"
+        ),
+        F.round(F.percentile(F.col("n"), F.lit(0.9)), 6).alias(
+            "p90_count"
+        ),
+        F.round(F.percentile(F.col("n"), F.lit(0.99)), 6).alias(
+            "p99_count"
+        ),
+    )
+    return m.select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        F.round(
+            F.col("max_count").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("top1_share"),
+        "p50_count",
+        "p90_count",
+        "p99_count",
+    )

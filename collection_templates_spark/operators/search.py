@@ -345,3 +345,122 @@ def phrase_match(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("pos").cast("long").alias("first_pos"),
     )
+
+
+def search_tfidf_cosine(
+    docs: DataFrame,
+    query: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vector-space-model retrieval: cosine similarity between the
+    query and each document under tf·idf weighting — the classic IR
+    baseline next to :func:`search_corpus`'s raw tf·idf sum (cosine
+    normalizes away document length, so a short focused doc can
+    outrank a long one that merely repeats a term; Salton's SMART
+    lnc.ltc family, public method).
+
+    w(t, d) = tf(t, d) · idf_t with idf_t = ln((N+1)/(df_t+1)) rounded
+    9dp; score(d) = Σ_{t∈q} w(t,d)·w(t,q) / (‖d‖·‖q‖) with
+    ‖d‖ = sqrt(Σ_t w(t,d)²) over ALL the doc's terms.
+
+    Determinism: idf is rounded 9dp before any product; the per-doc
+    norm accumulates 6dp-rounded w² terms in DECIMAL(38,6)
+    (order-independent — the anova_oneway convention); the ≤|q|-term
+    dot product accumulates 9dp-rounded products in DECIMAL(38,9);
+    the final ratio is rounded 6dp with an id tie-break.
+
+    Scale shape: ONE tokenize+explode pass feeds both the df/idf
+    aggregate and the per-(doc, term) tf table (the perplexity-family
+    shuffle profile, keyed on token then doc); the query vector is |q|
+    rows joined by token. No all-pairs anything; top-k is
+    TakeOrderedAndProject.
+    """
+    import re
+
+    terms = sorted({t for t in re.split(ANALYZER_SPLIT_RE, query.lower()) if t})
+    if not terms:
+        raise ValueError("query has no analyzable terms")
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), ANALYZER_SPLIT_RE),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = docs.count()
+    idf = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_t")
+    ).select(
+        "token",
+        F.round(
+            F.log(
+                (F.lit(float(n_docs)) + F.lit(1.0))
+                / (F.col("df_t").cast("double") + F.lit(1.0))
+            ),
+            9,
+        ).alias("idf"),
+    )
+    w = tf.join(idf, "token").select(
+        "doc",
+        "token",
+        (F.col("tf").cast("double") * F.col("idf")).alias("w"),
+    )
+    norms = w.groupBy("doc").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("w") * F.col("w"), 6).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+        ).alias("norm_d")
+    )
+    # query vector: tf = 1 per distinct term; ‖q‖ from the same idf
+    qv = idf.filter(F.col("token").isin(terms))
+    q_norm = qv.groupBy().agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("idf") * F.col("idf"), 6).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+        ).alias("norm_q")
+    )
+    dots = (
+        w.join(qv.select("token", F.col("idf").alias("w_q")), "token")
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.round(F.col("w") * F.col("w_q"), 9).cast(
+                    "decimal(38,9)"
+                )
+            ).alias("dot")
+        )
+    )
+    scored = (
+        dots.join(norms, "doc")
+        .join(F.broadcast(q_norm))
+        .select(
+            F.col("doc").alias(id_col),
+            F.round(
+                F.try_divide(
+                    F.col("dot").cast("double"),
+                    F.col("norm_d") * F.col("norm_q"),
+                ),
+                6,
+            ).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w_rank = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w_rank)).select(
+        id_col, "rank", "score"
+    )

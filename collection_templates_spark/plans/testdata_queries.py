@@ -4048,6 +4048,47 @@ def events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_growth(_t(spark, sf_dir, "events"))
 
 
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (privacy.k_anonymity_histogram)
+    of customer under the (nation, market segment) quasi-identifiers
+    with account balance as the sensitive attribute: equivalence-class
+    size histogram + per-size minimum distinct-l — integer-exact."""
+    from collection_templates_spark.operators.privacy import (
+        k_anonymity_histogram,
+    )
+
+    return k_anonymity_histogram(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        sensitive_col="c_acctbal",
+    )
+
+
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (profiling.key_skew_report) for
+    orders.o_custkey — the pre-flight check before keying a join on
+    it: per-key count percentiles and top-1 share."""
+    from collection_templates_spark.operators.profiling import (
+        key_skew_report,
+    )
+
+    return key_skew_report(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+def search_tfidf_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-normalized vector-space retrieval
+    (search.search_tfidf_cosine) for 'spark hash join' — the SMART
+    lnc.ltc baseline next to the raw tf·idf search_bm25ish row;
+    per-doc norms over ALL terms, DECIMAL-accumulated."""
+    from collection_templates_spark.operators.search import (
+        search_tfidf_cosine,
+    )
+
+    return search_tfidf_cosine(
+        _t(spark, sf_dir, "documents"), "spark hash join", k=20
+    )
+
+
 def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search via positional adjacency (search.phrase_match,
     Lucene PhraseQuery slop-0 semantics): per-doc match counts and first
@@ -4357,6 +4398,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_psi_events": drift_psi_events,
     "quality_calibration": quality_calibration,
     "events_user_growth": events_user_growth,
+    "privacy_k_anonymity": privacy_k_anonymity,
+    "skew_key_report": skew_key_report,
+    "search_tfidf_cosine": search_tfidf_cosine_q,
     # --- last driver-checked r8 ---
     "text_containment": text_containment,
     "text_perplexity": text_perplexity,
@@ -10765,4 +10809,98 @@ ORACLE_SQL["events_user_growth"] = """
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS cum_users
     FROM daily
+"""
+
+
+# privacy_k_anonymity: integer equivalence-class histogram +
+# per-size min distinct-l — exact groupings, no floats.
+ORACLE_SQL["privacy_k_anonymity"] = """
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+               count(DISTINCT c_acctbal) AS l_div
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(class_size AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(class_size * count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_div) AS BIGINT) AS min_l_diversity
+    FROM classes GROUP BY class_size
+"""
+
+# skew_key_report: per-key count table, exact interpolated percentiles
+# (quantile_cont ≡ Spark percentile), one-row reduce.
+ORACLE_SQL["skew_key_report"] = """
+    WITH counts AS (
+        SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_count,
+           round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+               AS top1_share,
+           round(quantile_cont(n, CAST(0.5 AS DOUBLE)), 6)
+               AS p50_count,
+           round(quantile_cont(n, CAST(0.9 AS DOUBLE)), 6)
+               AS p90_count,
+           round(quantile_cont(n, CAST(0.99 AS DOUBLE)), 6)
+               AS p99_count
+    FROM counts
+"""
+
+# search_tfidf_cosine: the perplexity-family tokenization CTE, 9dp
+# idf, DECIMAL-accumulated norms and dot products, cosine ratio with
+# the (score DESC, doc_id ASC) total tie order.
+ORACLE_SQL["search_tfidf_cosine"] = """
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9'']+'), x -> x <> '') AS t
+        FROM documents
+    ), tok AS (
+        SELECT doc_id AS doc, unnest(t) AS token FROM arrs
+    ), tf AS (
+        SELECT doc, token, count(*) AS tf FROM tok GROUP BY doc, token
+    ), nd AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+    ), idf AS (
+        SELECT token,
+               round(ln((nd.n + CAST(1 AS DOUBLE))
+                        / (CAST(count(*) AS DOUBLE)
+                           + CAST(1 AS DOUBLE))), 9) AS idf
+        FROM tf, nd GROUP BY token, nd.n
+    ), w AS (
+        SELECT doc, tf.token, CAST(tf AS DOUBLE) * idf AS w
+        FROM tf JOIN idf USING (token)
+    ), norms AS (
+        SELECT doc,
+               sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(38,6)))
+                         AS DOUBLE)) AS norm_d
+        FROM w GROUP BY doc
+    ), qv AS (
+        SELECT token, idf FROM idf
+        WHERE token IN ('hash', 'join', 'spark')
+    ), qn AS (
+        SELECT sqrt(CAST(sum(CAST(round(idf * idf, 6)
+                                  AS DECIMAL(38,6))) AS DOUBLE))
+                   AS norm_q
+        FROM qv
+    ), dots AS (
+        SELECT doc,
+               sum(CAST(round(w.w * qv.idf, 9) AS DECIMAL(38,9)))
+                   AS dot
+        FROM w JOIN qv USING (token) GROUP BY doc
+    ), scored AS (
+        SELECT doc AS doc_id,
+               round(CAST(dot AS DOUBLE) / (norm_d * norm_q), 6)
+                   AS score
+        FROM dots JOIN norms USING (doc), qn
+    ), top AS (
+        SELECT doc_id, score FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id ASC LIMIT 20
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS INT) AS rank,
+           score
+    FROM top
 """

@@ -270,3 +270,55 @@ def test_user_growth_hand_series(spark):
     assert (out[1].dau, out[1].new_users, out[1].cum_users) == (2, 2, 2)
     assert (out[2].dau, out[2].new_users, out[2].cum_users) == (2, 1, 3)
     assert (out[3].dau, out[3].new_users, out[3].cum_users) == (1, 0, 3)
+
+
+def test_k_anonymity_histogram(spark):
+    from collection_templates_spark.operators.privacy import (
+        k_anonymity_histogram,
+    )
+
+    rows = [("us", "a", 1), ("us", "a", 2), ("us", "a", 2),
+            ("de", "b", 5), ("de", "c", 6)]
+    df = spark.createDataFrame(rows, "nat string, seg string, sens int")
+    out = {r.class_size: r for r in k_anonymity_histogram(
+        df, ["nat", "seg"], sensitive_col="sens").collect()}
+    # two singleton classes (de,b) (de,c), one size-3 class (us,a)
+    assert out[1].n_classes == 2 and out[1].n_rows == 2
+    assert out[1].min_l_diversity == 1
+    assert out[3].n_classes == 1 and out[3].n_rows == 3
+    assert out[3].min_l_diversity == 2  # sens values {1, 2}
+    # without sensitive col: same histogram, no l column
+    h = k_anonymity_histogram(df, ["nat", "seg"]).columns
+    assert "min_l_diversity" not in h
+
+
+def test_key_skew_report(spark):
+    from collection_templates_spark.operators.profiling import (
+        key_skew_report,
+    )
+
+    rows = [(k,) for k in [1] * 8 + [2, 3]]
+    df = spark.createDataFrame(rows, "k bigint")
+    out = key_skew_report(df, "k").collect()[0]
+    assert (out.n_rows, out.n_keys, out.max_count) == (10, 3, 8)
+    assert out.top1_share == pytest.approx(0.8, abs=1e-6)
+    assert out.p50_count == pytest.approx(1.0, abs=1e-6)
+
+
+def test_tfidf_cosine_prefers_focused_doc(spark):
+    # doc 1 is entirely the query terms; doc 2 mentions them once in a
+    # long tail -> cosine ranks doc 1 first even though tf is equal
+    from collection_templates_spark.operators.search import (
+        search_tfidf_cosine,
+    )
+
+    filler = " ".join(f"filler{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, "spark hash join"), (2, "spark hash join " + filler),
+         (3, "unrelated text entirely")],
+        "doc_id bigint, text string",
+    )
+    out = search_tfidf_cosine(docs, "spark hash join", k=5).collect()
+    ranked = [r.doc_id for r in out]
+    assert ranked[0] == 1 and 2 in ranked and 3 not in ranked
+    assert out[0].score > out[1].score
