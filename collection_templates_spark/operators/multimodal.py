@@ -95,9 +95,17 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         from collection_templates_spark.functions.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # lossless VP8L decodes for real (functions/webp.py, r12);
+        # lossy VP8 / extended VP8X raise NotImplementedError inside
+        # and fall back to fake_decode like progressive JPEG
+        from collection_templates_spark.functions.webp import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
-        "unrecognized image format (PNG and baseline JPEG decode here; "
-        "WebP/AVIF need C libraries not in this container)"
+        "unrecognized image format (PNG, baseline JPEG, GIF and "
+        "lossless WebP decode here; lossy WebP/AVIF need C libraries "
+        "not in this container)"
     )
 
 

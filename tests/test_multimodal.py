@@ -52,16 +52,25 @@ def test_repartition_by_payload_size(spark):
 
 
 def test_decode_image_unknown_formats_still_stubbed():
-    """PNG and baseline JPEG decode for real (r5/r6); anything else —
-    WebP here — stays a clean NotImplementedError so callers fall back
-    to fake_decode. A truncated JPEG is a ValueError (malformed, not
-    env-limited)."""
+    """PNG, baseline JPEG, GIF and lossless WebP decode for real
+    (r5/r6/r7/r12); LOSSY WebP (VP8 chunk) stays a clean
+    NotImplementedError so callers fall back to fake_decode. A
+    truncated JPEG is a ValueError (malformed, not env-limited)."""
+    import struct
+
     import pytest
 
     from collection_templates_spark.operators.multimodal import decode_image
 
+    vp8_body = b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    lossy = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(vp8_body))
+        + b"WEBP"
+        + vp8_body
+    )
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        decode_image(lossy)
     with pytest.raises(ValueError):
         from collection_templates_spark.functions.jpeg import decode_jpeg
 
