@@ -405,3 +405,48 @@ def test_degree_tables_not_hint_broadcast(spark):
     asrt = QUERIES["graph_assortativity"](spark, SF)
     analyzed = asrt._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") <= 1, analyzed
+
+
+def test_round12_extension_plans(spark):
+    """Plan shapes for the round-12 operators."""
+    # ANOVA / z-test / CUPED: aggregate pipelines — no window, no
+    # cartesian; CUPED's pooled row rides a broadcast back
+    for name in ("stats_anova", "stats_two_proportion"):
+        p = _plan(spark, name)
+        assert "Window" not in p and "Join" not in p, (name, p)
+    p = _plan(spark, "events_cuped")
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # Spearman / Kruskal-Wallis: the rank tables broadcast back onto
+    # the paired/pooled rows — never an SMJ on the value column
+    for name in ("stats_spearman", "stats_kruskal_wallis"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p, (name, p)
+        assert "SortMergeJoin" not in p, (name, p)
+    # bootstrap CI: ALL 2b replicate sums in ONE aggregate over the
+    # events scan — no join anywhere, exactly one Generate (the b-row
+    # replicate explode over the single result row)
+    p = _plan(spark, "stats_bootstrap_ci")
+    assert "Join" not in p, p
+    # one Generate node (formatted explain prints tree + detail)
+    assert "Generate" in p and p.count("Generate") <= 2, p
+    # profiler: one aggregate pass; the exact count_distincts expand
+    # the scan (documented 100 TB knob: exact_distinct=False) but
+    # there is no join and no window
+    p = _plan(spark, "profile_events")
+    assert "Join" not in p and "Window" not in p, p
+    # skew report: count table + single-row reduce — no join
+    p = _plan(spark, "skew_key_report")
+    assert "Join" not in p, p
+    # k-anonymity: two chained aggregates, nothing else
+    p = _plan(spark, "privacy_k_anonymity")
+    assert "Join" not in p and "Window" not in p, p
+    # Kaplan-Meier: windows run over the skinny distinct-duration
+    # table (two aggregates below), never a cartesian
+    p = _plan(spark, "events_kaplan_meier")
+    assert "CartesianProduct" not in p, p
+    # TF-IDF cosine: token-keyed equi-joins only; top-k is a
+    # TakeOrdered, not a global sort
+    p = _plan(spark, "search_tfidf_cosine")
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
