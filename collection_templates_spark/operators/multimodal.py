@@ -255,15 +255,42 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
-    """Video frame sampling plumbing (stubbed decode): one output row per
-    sampled frame with its timestamp — real impl = ffmpeg seek per
-    ``frame_ms``. The fake slices the payload deterministically so each
-    'frame' is distinct and reproducible."""
+    """Video frame sampling: one output row per sampled frame with its
+    timestamp. MJPEG-in-AVI payloads sample REAL frames (r12 —
+    functions/avi.py parses the RIFF container; each emitted payload
+    is that frame's actual baseline JPEG, decodable by
+    functions/jpeg.py): the frame nearest each ``every_ms`` tick, up
+    to ``max_frames``, frame_ms = the frame's true timestamp. Other
+    codecs (H.264-class — ffmpeg territory) keep the documented
+    deterministic fake slicing so the plumbing stays testable."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collection_templates_spark.functions.avi import (
+            decode_avi_mjpeg,
+        )
+
         for pdf in batches:
             ids, idxs, mss, payloads = [], [], [], []
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b)
+                frames = None
+                usec = 0
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    try:
+                        _, _, usec, frames = decode_avi_mjpeg(b)
+                    except NotImplementedError:
+                        frames = None  # non-MJPEG codec → fake path
+                if frames is not None:
+                    usec = usec or 40_000
+                    step = max(1, (every_ms * 1000) // usec)
+                    for i, fi in enumerate(
+                        range(0, len(frames), step)[:max_frames]
+                    ):
+                        ids.append(mid)
+                        idxs.append(i)
+                        mss.append((fi * usec) // 1000)
+                        payloads.append(frames[fi])
+                    continue
                 n = min(max_frames, max(1, len(b) // 16))
                 for i in range(n):
                     ids.append(mid)
