@@ -274,3 +274,64 @@ def user_growth(
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+def pareto_abc(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+    scale: int = 4,
+) -> DataFrame:
+    """ABC / Pareto analysis: keys ranked by total value, classified by
+    the cumulative-share thresholds (class A carries the first
+    ``a_cut`` of value, B up to ``b_cut``, C the tail) — the 80/20
+    inventory/revenue concentration report.
+
+    Determinism: per-key totals accumulate in DECIMAL (exact for
+    fixed-point inputs), the cumulative window runs over the TOTAL
+    order (value desc, key asc), and the share each classification
+    compares is rounded to 9dp first, so a last-ulp division
+    difference can never flip a key's class.
+
+    Scale shape: one map-side-combined groupBy(key), then ONE ordered
+    cumulative window over the per-key table (rows = distinct keys ≪
+    input; the global sort is inherent to ranked cumulative share —
+    at 100 TB pre-bin by value magnitude and sort within bins), then a
+    3-row class rollup. Output per class: (abc_class, n_keys, value,
+    value_share).
+    """
+    dec = f"decimal(28,{scale})"
+    v = F.col(value_col).cast(dec)
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(v).alias("val")
+    )
+    w = Window.orderBy(F.col("val").desc(), F.col("k").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    cum = per_key.withColumn("cum", F.sum("val").over(w)).withColumn(
+        "tot", F.sum("val").over(tot)
+    )
+    share = F.round(
+        F.col("cum").cast("double") / F.col("tot").cast("double"), 9
+    )
+    cls = (
+        F.when(share <= F.lit(float(a_cut)), F.lit("A"))
+        .when(share <= F.lit(float(b_cut)), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        cum.select(cls.alias("abc_class"), "val", "tot")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum("val").cast("double"), 2).alias("value"),
+            F.round(
+                F.sum("val").cast("double")
+                / F.max("tot").cast("double"),
+                6,
+            ).alias("value_share"),
+        )
+    )

@@ -1209,3 +1209,68 @@ def sq8_cosine_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def centroid_separation(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the cluster-separation audit an embedding space gets
+    before its labels are trusted for IVF partitioning or kNN eval
+    (well-separated centroids ⇒ the coarse quantizer's cells mean
+    something; a pair near 1.0 flags label confusion).
+
+    Determinism: centroids are 6dp-rounded per-dimension averages (the
+    ann_label_centroids convention); every cross-dimension sum
+    (dot product, both norms) accumulates 9dp-rounded terms in
+    DECIMAL(38,9) — order-independent; the final ratio is rounded 6dp.
+
+    Scale shape: one posexplode + groupBy(label, dim) centroid
+    aggregate (k×d rows), then a (label_a < label_b) centroid pair
+    join on dim — O(k²·d) with k = label count, bounded and tiny next
+    to the corpus; the corpus itself is touched exactly once. Output
+    per unordered pair: (label_a, label_b, cosine).
+    """
+    cent = (
+        emb.select(
+            F.col(label_col).alias("lab"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .groupBy("lab", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )
+    a = cent.select(
+        F.col("lab").alias("label_a"),
+        "pos",
+        F.col("c").alias("ca"),
+    )
+    b = cent.select(
+        F.col("lab").alias("label_b"),
+        "pos",
+        F.col("c").alias("cb"),
+    )
+    pairs = a.join(b, "pos").filter(F.col("label_a") < F.col("label_b"))
+    dec = "decimal(38,9)"
+    agg = pairs.groupBy("label_a", "label_b").agg(
+        F.sum(F.round(F.col("ca") * F.col("cb"), 9).cast(dec)).alias(
+            "dot"
+        ),
+        F.sum(F.round(F.col("ca") * F.col("ca"), 9).cast(dec)).alias(
+            "na"
+        ),
+        F.sum(F.round(F.col("cb") * F.col("cb"), 9).cast(dec)).alias(
+            "nb"
+        ),
+    )
+    cos = F.try_divide(
+        F.col("dot").cast("double"),
+        F.sqrt(F.col("na").cast("double"))
+        * F.sqrt(F.col("nb").cast("double")),
+    )
+    return agg.select(
+        "label_a",
+        "label_b",
+        (F.round(cos, 6) + F.lit(0.0)).alias("cosine"),
+    )

@@ -4089,6 +4089,41 @@ def search_tfidf_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue concentration
+    (product_analytics.pareto_abc) over part revenue
+    Σ extendedprice·(1−discount): class A = first 80 % of value, B to
+    95 %, C the tail — DECIMAL-exact revenue, 9dp-rounded share before
+    classification."""
+    from collection_templates_spark.operators.product_analytics import (
+        pareto_abc,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
+        ).alias("rev"),
+    )
+    return pareto_abc(li, "l_partkey", "rev")
+
+
+def ann_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids
+    (similarity.centroid_separation) — the cluster-separation audit of
+    the IVF coarse quantizer's label structure; 6dp centroids,
+    DECIMAL-accumulated dot/norm sums."""
+    from collection_templates_spark.operators.similarity import (
+        centroid_separation,
+    )
+
+    return centroid_separation(_t(spark, sf_dir, "embeddings"))
+
+
 def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search via positional adjacency (search.phrase_match,
     Lucene PhraseQuery slop-0 semantics): per-doc match counts and first
@@ -4401,6 +4436,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "privacy_k_anonymity": privacy_k_anonymity,
     "skew_key_report": skew_key_report,
     "search_tfidf_cosine": search_tfidf_cosine_q,
+    "lineitem_pareto_abc": lineitem_pareto_abc,
+    "ann_centroid_separation": ann_centroid_separation,
     # --- last driver-checked r8 ---
     "text_containment": text_containment,
     "text_perplexity": text_perplexity,
@@ -10903,4 +10940,69 @@ ORACLE_SQL["search_tfidf_cosine"] = """
                 AS INT) AS rank,
            score
     FROM top
+"""
+
+
+# lineitem_pareto_abc: DECIMAL revenue totals, cumulative window over
+# the total (value desc, key asc) order, 9dp share before the class
+# compare, 3-row rollup.
+ORACLE_SQL["lineitem_pareto_abc"] = """
+    WITH per_key AS (
+        SELECT l_partkey AS k,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS val
+        FROM lineitem GROUP BY 1
+    ), cum AS (
+        SELECT val,
+               sum(val) OVER (ORDER BY val DESC, k ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(val) OVER () AS tot
+        FROM per_key
+    ), classed AS (
+        SELECT CASE
+                 WHEN round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE),
+                            9) <= CAST('0.8' AS DOUBLE) THEN 'A'
+                 WHEN round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE),
+                            9) <= CAST('0.95' AS DOUBLE) THEN 'B'
+                 ELSE 'C' END AS abc_class,
+               val, tot
+        FROM cum
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_keys,
+           round(CAST(sum(val) AS DOUBLE), 2) AS value,
+           round(CAST(sum(val) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+               AS value_share
+    FROM classed GROUP BY abc_class
+"""
+
+# ann_centroid_separation: 6dp per-dim centroid averages, label pair
+# join on dim, DECIMAL-accumulated dot/norms, 6dp cosine.
+ORACLE_SQL["ann_centroid_separation"] = """
+    WITH cent AS (
+        SELECT label AS lab, pos, round(avg(v), 6) AS c
+        FROM (
+            SELECT label, i AS pos, embedding[i + 1]::DOUBLE AS v
+            FROM embeddings, LATERAL (
+                SELECT unnest(range(len(embedding))) AS i))
+        GROUP BY label, pos
+    ), pairs AS (
+        SELECT a.lab AS label_a, b.lab AS label_b,
+               a.c AS ca, b.c AS cb
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.lab < b.lab
+    ), agg AS (
+        SELECT label_a, label_b,
+               sum(CAST(round(ca * cb, 9) AS DECIMAL(38,9))) AS dot,
+               sum(CAST(round(ca * ca, 9) AS DECIMAL(38,9))) AS na,
+               sum(CAST(round(cb * cb, 9) AS DECIMAL(38,9))) AS nb
+        FROM pairs GROUP BY label_a, label_b
+    )
+    SELECT label_a, label_b,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                 6)
+           + CAST(0 AS DOUBLE) AS cosine
+    FROM agg
 """

@@ -322,3 +322,38 @@ def test_tfidf_cosine_prefers_focused_doc(spark):
     ranked = [r.doc_id for r in out]
     assert ranked[0] == 1 and 2 in ranked and 3 not in ranked
     assert out[0].score > out[1].score
+
+
+def test_pareto_abc_hand_distribution(spark):
+    from collection_templates_spark.operators.product_analytics import (
+        pareto_abc,
+    )
+
+    # values 80, 10, 6, 4 of total 100: A={80} (0.80 boundary is
+    # INCLUSIVE), B={10} (0.90), C={6 (0.96), 4}
+    rows = [(1, 80.0), (2, 10.0), (3, 6.0), (4, 4.0)]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    out = {r.abc_class: r for r in pareto_abc(df, "k", "v").collect()}
+    assert out["A"].n_keys == 1 and out["A"].value == 80.0
+    assert out["B"].n_keys == 1 and out["B"].value == 10.0
+    assert out["C"].n_keys == 2 and out["C"].value == 10.0
+    assert out["A"].value_share == pytest.approx(0.8, abs=1e-6)
+
+
+def test_centroid_separation_orthogonal_vs_identical(spark):
+    from collection_templates_spark.operators.similarity import (
+        centroid_separation,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {(r.label_a, r.label_b): r.cosine
+           for r in centroid_separation(df).collect()}
+    assert out[(0, 1)] == pytest.approx(0.0, abs=1e-6)
+    assert out[(0, 2)] == pytest.approx(1.0, abs=1e-6)
+    assert out[(1, 2)] == pytest.approx(0.0, abs=1e-6)
