@@ -4411,12 +4411,12 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 12: the 6 never-sampled
-    # rows (LTR pair from this round's first wave + the four r12
-    # rank/robust/bootstrap rows) lead, then the 16 rows last checked
-    # in r8, then the r9/r10/r11 cohorts in staleness order. All rows
-    # pass the identical local oracle (tools/check.py) every round;
-    # the full-bank artifact is CHECKLOCAL_r{N}.json.
+    # the sampling lever). Rotated for round 12: the 21 never-sampled
+    # rows (this round's waves, inserted as built) lead, then the 16
+    # rows last checked in r8, then the r9/r10/r11 cohorts in
+    # staleness order. All rows pass the identical local oracle
+    # (tools/check.py) every round; the full-bank artifact is
+    # CHECKLOCAL_r{N}.json.
     "ltr_train_weights": ltr_train_weights,
     "ltr_ndcg_eval": ltr_ndcg_eval,
     "stats_spearman": stats_spearman,
