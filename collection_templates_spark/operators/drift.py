@@ -230,17 +230,34 @@ def psi_drift(
     (grp, n_a, n_b, psi).
     """
     hist = binned_counts(df, group_col, value_col, split, n_bins, lo, hi)
-    tot = hist.groupBy("grp", "split").agg(F.sum("n").alias("tot"))
-    h = hist.join(tot, ["grp", "split"])
+    return psi_from_histograms(
+        hist.filter(F.col("split") == split_a).select("grp", "bin", "n"),
+        hist.filter(F.col("split") == split_b).select("grp", "bin", "n"),
+        n_bins,
+    )
 
-    def side(name: str, p: str, n: str) -> DataFrame:
-        return h.filter(F.col("split") == name).select(
-            "grp", "bin", F.col("n").alias(f"n_{p}"),
-            F.col("tot").alias(n),
+
+def psi_from_histograms(
+    hist_a: DataFrame,
+    hist_b: DataFrame,
+    n_bins: int,
+) -> DataFrame:
+    """PSI from two pre-binned (grp, bin, n) histograms — the algebra
+    :func:`psi_drift` runs after binning, exposed for callers that
+    only HOLD histograms (the streaming drift monitor's persisted
+    reference and cumulative state; histograms are the mergeable
+    sufficient statistic, raw rows are not replayable). Identical
+    smoothing/rounding, identical output: (grp, n_a, n_b, psi).
+    """
+
+    def side(h: DataFrame, p: str, n: str) -> DataFrame:
+        tot = h.groupBy("grp").agg(F.sum("n").alias(n))
+        return h.join(tot, "grp").select(
+            "grp", "bin", F.col("n").alias(f"n_{p}"), n
         )
 
-    j = side(split_a, "pa", "n_a").join(
-        side(split_b, "pb", "n_b"), ["grp", "bin"], "full_outer"
+    j = side(hist_a, "pa", "n_a").join(
+        side(hist_b, "pb", "n_b"), ["grp", "bin"], "full_outer"
     )
     # a group missing one side entirely has no distribution to compare
     j = j.withColumn(
