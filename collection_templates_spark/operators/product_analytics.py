@@ -335,3 +335,80 @@ def pareto_abc(
             ).alias("value_share"),
         )
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    signup_type: str = "signup",
+    revenue_type: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 2,
+) -> DataFrame:
+    """Cohort LTV curves: users grouped by SIGNUP WEEK, cumulative
+    revenue per user as a function of account age in days — the
+    payback chart every growth team reads next to cohort retention
+    (events_cohort_retention is the activity view; this is the money
+    view).
+
+    Determinism: revenue accumulates in DECIMAL (exact for fixed-point
+    values); the cumulative window runs over the integer age order;
+    LTV-per-user is one exact-input division rounded 6dp. Cohort =
+    date_trunc('week') — Monday-based in BOTH engines.
+
+    Scale shape: one per-user min (signup day), one user-keyed join of
+    revenue events onto their cohort, one (cohort, age) aggregate,
+    then a cumulative window over the bounded (cohort × age) table.
+    Output: (cohort, age_days, n_users, revenue_cum, ltv_per_user).
+    """
+    dec = f"decimal(18,{scale})"
+    u = F.col(user_col)
+    day = F.to_date(F.col(ts_col))
+    signup = (
+        df.filter(F.col(type_col) == signup_type)
+        .groupBy(u.alias("uid"))
+        .agg(F.min(day).alias("s_day"))
+        .withColumn(
+            "cohort", F.date_trunc("week", F.col("s_day")).cast("date")
+        )
+    )
+    sizes = signup.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        df.filter(F.col(type_col) == revenue_type)
+        .select(
+            u.alias("uid"),
+            day.alias("p_day"),
+            F.col(value_col).cast(dec).alias("rev"),
+        )
+        .join(signup, "uid")
+        .filter(F.col("p_day") >= F.col("s_day"))
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("p_day"), F.col("s_day")).alias("age_days"),
+        )
+        .agg(F.sum("rev").alias("rev_day"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.withColumn("revenue_cum", F.sum("rev_day").over(w))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age_days",
+            "n_users",
+            F.col("revenue_cum").cast("double").alias("revenue_cum"),
+            F.round(
+                F.col("revenue_cum").cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+    )

@@ -969,3 +969,43 @@ def theil_sen_slope(
         ).alias("intercept"),
     )
     return resid.select("grp", "n_days", "slope", "intercept")
+
+
+def rolling_quantile(
+    series: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    q: float = 0.5,
+    window_rows: int = 7,
+) -> DataFrame:
+    """Trailing-window exact quantile per key: for each row, the
+    interpolated q-quantile of the last ``window_rows`` values (ROWS
+    frame — the rolling median/p90 line on every monitoring chart,
+    robust where the moving average is outlier-dragged).
+
+    Determinism: exact (n−1)·q interpolation (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` — the repo-wide convention), rounded 6dp;
+    the frame is a ROWS frame over a TOTAL order (order_col must be
+    unique per key — the daily-series convention), so both engines see
+    the identical window multiset.
+
+    Scale shape: ONE per-key ordered window over the bounded series
+    table (key×day, never raw events) — the sessionize shuffle
+    profile. Output: (grp, t, v, rolling_q).
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    v = F.col(value_col).cast("double")
+    return series.select(
+        F.col(part_col).alias("grp"),
+        F.col(order_col).alias("t"),
+        v.alias("v"),
+        (
+            F.round(F.percentile(v, F.lit(float(q))).over(w), 6)
+            + F.lit(0.0)
+        ).alias("rolling_q"),
+    )

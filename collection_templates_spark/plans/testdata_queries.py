@@ -4124,6 +4124,32 @@ def ann_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_separation(_t(spark, sf_dir, "embeddings"))
 
 
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day exact rolling median of daily revenue per event
+    type (temporal.rolling_quantile): interpolated percentile over a
+    ROWS frame on the bounded daily series — the robust monitoring
+    line."""
+    from collection_templates_spark.operators.temporal import (
+        rolling_quantile,
+    )
+
+    return rolling_quantile(
+        _daily_event_series(spark, sf_dir), "event_type", "day", "v",
+        q=0.5, window_rows=7,
+    ).withColumnRenamed("grp", "event_type")
+
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-week cohort LTV curves (product_analytics.cohort_ltv):
+    cumulative purchase revenue per user by account age — DECIMAL-exact
+    revenue, Monday-based week truncation in both engines."""
+    from collection_templates_spark.operators.product_analytics import (
+        cohort_ltv,
+    )
+
+    return cohort_ltv(_t(spark, sf_dir, "events"))
+
+
 def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search via positional adjacency (search.phrase_match,
     Lucene PhraseQuery slop-0 semantics): per-doc match counts and first
@@ -4438,6 +4464,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_tfidf_cosine": search_tfidf_cosine_q,
     "lineitem_pareto_abc": lineitem_pareto_abc,
     "ann_centroid_separation": ann_centroid_separation,
+    "events_rolling_median": events_rolling_median,
+    "events_cohort_ltv": events_cohort_ltv,
     # --- last driver-checked r8 ---
     "text_containment": text_containment,
     "text_perplexity": text_perplexity,
@@ -11005,4 +11033,52 @@ ORACLE_SQL["ann_centroid_separation"] = """
                  6)
            + CAST(0 AS DOUBLE) AS cosine
     FROM agg
+"""
+
+
+# events_rolling_median: trailing-7 ROWS-frame quantile_cont over the
+# shared daily series (total order: day is unique per type).
+ORACLE_SQL["events_rolling_median"] = f"""
+    WITH {_DAILY_SERIES_CTE}
+    SELECT grp AS event_type, t, v,
+           round(quantile_cont(v, CAST('0.5' AS DOUBLE)) OVER (
+               PARTITION BY grp ORDER BY t
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+           + CAST(0 AS DOUBLE) AS rolling_q
+    FROM daily
+"""
+
+# events_cohort_ltv: Monday-based week cohorts, DECIMAL revenue,
+# cumulative window over (cohort, age).
+ORACLE_SQL["events_cohort_ltv"] = """
+    WITH signup AS (
+        SELECT user_id AS uid, min(CAST(ts AS DATE)) AS s_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), coh AS (
+        SELECT uid, s_day,
+               CAST(date_trunc('week', s_day) AS DATE) AS cohort
+        FROM signup
+    ), sizes AS (
+        SELECT cohort, count(*) AS n_users FROM coh GROUP BY cohort
+    ), rev AS (
+        SELECT c.cohort,
+               date_diff('day', c.s_day, CAST(e.ts AS DATE)) AS age_days,
+               sum(CAST(e.value AS DECIMAL(18,2))) AS rev_day
+        FROM events e JOIN coh c ON e.user_id = c.uid
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS DATE) >= c.s_day
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT cohort, age_days,
+               sum(rev_day) OVER (PARTITION BY cohort ORDER BY age_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS revenue_cum
+        FROM rev
+    )
+    SELECT cum.cohort, CAST(age_days AS BIGINT) AS age_days,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(revenue_cum AS DOUBLE) AS revenue_cum,
+           round(CAST(revenue_cum AS DOUBLE)
+                 / CAST(n_users AS DOUBLE), 6) AS ltv_per_user
+    FROM cum JOIN sizes ON cum.cohort = sizes.cohort
 """

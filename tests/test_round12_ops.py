@@ -357,3 +357,50 @@ def test_centroid_separation_orthogonal_vs_identical(spark):
     assert out[(0, 1)] == pytest.approx(0.0, abs=1e-6)
     assert out[(0, 2)] == pytest.approx(1.0, abs=1e-6)
     assert out[(1, 2)] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_rolling_quantile_hand_window(spark):
+    import datetime
+
+    from collection_templates_spark.operators.temporal import (
+        rolling_quantile,
+    )
+
+    d0 = datetime.date(2024, 1, 1)
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0]
+    rows = [("g", d0 + datetime.timedelta(days=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, day date, v double")
+    out = {r.t.day: r.rolling_q for r in rolling_quantile(
+        df, "grp", "day", "v", q=0.5, window_rows=3).collect()}
+    # day3 window {5,1,9} -> 5; day4 {1,9,3} -> 3; day5 {9,3,7} -> 7
+    assert out[1] == 5.0 and out[2] == 3.0  # {5}, {5,1}->interp 3
+    assert out[3] == 5.0 and out[4] == 3.0 and out[5] == 7.0
+
+
+def test_cohort_ltv_hand_series(spark):
+    import datetime
+
+    from collection_templates_spark.operators.product_analytics import (
+        cohort_ltv,
+    )
+
+    def ev(day, uid, typ, val):
+        return (datetime.datetime(2024, 1, day, 10), uid, typ, val)
+
+    # users 1,2 sign up Mon Jan 1 week; user 1 buys 10 on day 1 and
+    # 20 on day 3 (age 0, 2); user 2 buys 40 on day 2 (age 1)
+    rows = [
+        ev(1, 1, "signup", 0.0), ev(2, 2, "signup", 0.0),
+        ev(1, 1, "purchase", 10.0), ev(3, 1, "purchase", 20.0),
+        ev(3, 2, "purchase", 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id bigint, event_type string, value double"
+    )
+    out = {r.age_days: r for r in cohort_ltv(df).collect()}
+    assert out[0].revenue_cum == 10.0
+    assert out[1].revenue_cum == 50.0  # +40 (user 2, age 1)
+    assert out[2].revenue_cum == 70.0
+    assert out[2].n_users == 2
+    assert out[2].ltv_per_user == pytest.approx(35.0, abs=1e-6)
