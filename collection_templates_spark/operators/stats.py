@@ -688,9 +688,15 @@ def kendall_tau(
     pair counts — INTEGER-EXACT throughout (every count is a whole
     number; the only float op is the final ratio, rounded 6dp).
 
-    Scale shape: the pair enumeration is a self-join — O(n²) pairs, so
-    this operator is for BOUNDED series tables only (key×day; 150 days
-    → 11k pairs). For unbounded inputs use :func:`spearman_rho`
+    Scale shape: the pair enumeration is a self-join over DISTINCT
+    (x, y) tuples with multiplicities (never the raw rows, and no
+    global sort anywhere — r12 verdict wart #1: the old row_number
+    pair-dedup forced a single-partition Window). Pairs within one
+    tuple are all double-ties (txy = Σ m(m−1)/2, computed in the same
+    aggregate); pairs across tuples are deduped by lexicographic
+    (x, y) inequality and weighted m_a·m_b. Still O(u²) in the number
+    of distinct tuples, so BOUNDED series tables only (key×day; 150
+    days → 11k pairs). For unbounded inputs use :func:`spearman_rho`
     (rank-table shaped, no pair join) or pre-sample. Output one row:
     (n, concordant, discordant, tau_b).
     """
@@ -699,52 +705,64 @@ def kendall_tau(
     base = df.filter(x.isNotNull() & y.isNotNull()).select(
         x.alias("x"), y.alias("y")
     )
-    idx = base.withColumn(
-        "i",
-        F.row_number().over(Window.orderBy("x", "y")),
+    g = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("m"))
+    lex_lt = (F.col("a.x") < F.col("b.x")) | (
+        (F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y"))
     )
     pairs = (
-        idx.alias("a")
-        .join(idx.alias("b"), F.col("a.i") < F.col("b.i"))
+        g.alias("a")
+        .join(g.alias("b"), lex_lt)
         .select(
             (F.col("a.x") - F.col("b.x")).alias("dx"),
             (F.col("a.y") - F.col("b.y")).alias("dy"),
+            (F.col("a.m") * F.col("b.m")).alias("w"),
         )
     )
+    w = F.col("w")
     agg = pairs.groupBy().agg(
         F.sum(
-            ((F.col("dx") * F.col("dy")) > 0).cast("long")
+            F.when((F.col("dx") * F.col("dy")) > 0, w).otherwise(F.lit(0))
         ).alias("c"),
         F.sum(
-            ((F.col("dx") * F.col("dy")) < 0).cast("long")
+            F.when((F.col("dx") * F.col("dy")) < 0, w).otherwise(F.lit(0))
         ).alias("d"),
         F.sum(
-            ((F.col("dx") == 0) & (F.col("dy") != 0)).cast("long")
+            F.when((F.col("dx") == 0) & (F.col("dy") != 0), w).otherwise(
+                F.lit(0)
+            )
         ).alias("tx"),
         F.sum(
-            ((F.col("dy") == 0) & (F.col("dx") != 0)).cast("long")
+            F.when((F.col("dy") == 0) & (F.col("dx") != 0), w).otherwise(
+                F.lit(0)
+            )
         ).alias("ty"),
-        F.sum(
-            ((F.col("dx") == 0) & (F.col("dy") == 0)).cast("long")
-        ).alias("txy"),
-        F.count(F.lit(1)).alias("n0"),
     )
-    n0 = F.col("n0").cast("double")
-    n1 = (F.col("tx") + F.col("txy")).cast("double")
-    n2 = (F.col("ty") + F.col("txy")).cast("double")
+    # n, n0 = n(n−1)/2, and the within-tuple double-tie count come from
+    # the distinct-tuple table alone (no pair join needed for them).
+    cnt = g.groupBy().agg(
+        F.sum("m").alias("n"),
+        (F.sum(F.col("m") * (F.col("m") - 1)) / F.lit(2))
+        .cast("long")
+        .alias("txy"),
+    )
+    joined = agg.join(F.broadcast(cnt))
+    c = F.coalesce(F.col("c"), F.lit(0))
+    d = F.coalesce(F.col("d"), F.lit(0))
+    tx = F.coalesce(F.col("tx"), F.lit(0))
+    ty = F.coalesce(F.col("ty"), F.lit(0))
+    n = F.col("n").cast("double")
+    n0 = n * (n - F.lit(1.0)) / F.lit(2.0)
+    n1 = (tx + F.col("txy")).cast("double")
+    n2 = (ty + F.col("txy")).cast("double")
     tau = F.try_divide(
-        (F.col("c") - F.col("d")).cast("double"),
+        (c - d).cast("double"),
         F.sqrt((n0 - n1) * (n0 - n2)),
     )
-    cnt = base.groupBy().agg(F.count(F.lit(1)).alias("n"))
-    return (
-        agg.join(F.broadcast(cnt))
-        .select(
-            F.col("n").cast("long").alias("n"),
-            F.col("c").cast("long").alias("concordant"),
-            F.col("d").cast("long").alias("discordant"),
-            (F.round(tau, 6) + F.lit(0.0)).alias("tau_b"),
-        )
+    return joined.select(
+        F.col("n").cast("long").alias("n"),
+        c.cast("long").alias("concordant"),
+        d.cast("long").alias("discordant"),
+        (F.round(tau, 6) + F.lit(0.0)).alias("tau_b"),
     )
 
 
