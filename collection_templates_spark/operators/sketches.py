@@ -534,3 +534,151 @@ def hash_sampled_quantiles(
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (DDSketch shape)
+# ---------------------------------------------------------------------------
+
+#: default relative-error target: gamma = (1+a)/(1-a) = 51/49
+DD_ALPHA = 0.02
+
+#: sentinel bin for v <= 0 (DDSketch is defined on positives; the
+#: estimate for this bin is exactly 0.0)
+DD_ZERO_BIN = -(2**31)
+
+
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def _dd_bin(val: F.Column, alpha: float = DD_ALPHA) -> F.Column:
+    """Log-spaced bin index: i = ceil(ln(v)/ln(gamma)) so that
+    v in (gamma^(i-1), gamma^i].
+
+    The ratio is rounded to 6dp BEFORE the ceil: Spark's Math.log and
+    DuckDB's std::log agree to ~1 ulp, and a 6dp pre-round makes that
+    last-ulp disagreement unobservable unless a value sits within
+    ~1e-16 of a rounding boundary (the repo's round-before-compare
+    determinism rule applied to a discretization).
+    """
+    gamma = _dd_gamma(alpha)
+    import math
+
+    ratio = F.log(val.cast("double")) / F.lit(math.log(gamma))
+    return (
+        F.when(val.cast("double") <= 0, F.lit(DD_ZERO_BIN))
+        .otherwise(F.ceil(F.round(ratio, 6)))
+        .cast("int")
+    )
+
+
+def ddsketch_bins(
+    df: DataFrame,
+    value_col: str,
+    alpha: float = DD_ALPHA,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build the mergeable quantile summary: one (bin, cnt) histogram
+    row per log-spaced bin (optionally per group / shard).
+
+    This is the bank's missing mergeable order-statistics summary (r12
+    verdict #3): CMS/HLL/theta/Bloom all had an associative merge, but
+    ``hash_sampled_quantiles`` was a sample, not a summary. A KLL or
+    t-digest compactor is RANDOMIZED (KLL) or order-dependent
+    (t-digest centroid formation), which the repo's cross-engine
+    hash gate cannot tolerate; DDSketch (Masson, Rim, Lee — VLDB 2019)
+    gives the same mergeability and a *deterministic* a-relative-error
+    guarantee: the summary is a pure log-binned histogram, so merge is
+    count addition — associative, commutative, and EXACTLY equal to a
+    single pass (the hll_merge max-register argument, here for order
+    statistics).
+
+    Scale shape: ONE map-side-combined aggregation; state per partition
+    is bounded by the number of occupied bins, ~ln(max/min)/ln(gamma)
+    (a=0.02 over a 0.01..10^6 value span -> ~460 bins) regardless of
+    row count. At 100 TB the per-executor partial is a few KB and the
+    shuffle carries only (group, bin, cnt) rows.
+    """
+    b = _dd_bin(F.col(value_col), alpha).alias("bin")
+    keys = [*group_cols, "bin"]
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, b)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ddsketch_merge(*histograms: DataFrame) -> DataFrame:
+    """Merge per-shard summaries: union + count addition per bin.
+    merge(bins(A), bins(B)) == bins(A UNION ALL B) exactly (pinned by
+    the property test), because the summary is a histogram keyed by a
+    row-local bin function — no compaction, no order dependence."""
+    it = iter(histograms)
+    u = next(it)
+    for h in it:
+        u = u.unionByName(h)
+    return u.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def ddsketch_quantiles(
+    bins_df: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    alpha: float = DD_ALPHA,
+) -> DataFrame:
+    """Read quantile estimates off a (bin, cnt) summary.
+
+    Rank convention: the estimate for quantile q is the value of the
+    row with 1-based rank floor(q*(n-1)) + 1 (the DDSketch paper's
+    convention); the bin holding that rank is the first bin whose
+    cumulative count reaches it, and the point estimate is the bin's
+    relative midpoint 2*gamma^i/(gamma+1), which is within a relative
+    error a of EVERY value in the bin — hence of the true order
+    statistic.
+
+    Scale shape: the summary is tiny (hundreds of rows), so the
+    cumulative window over Window.orderBy("bin") is a single-partition
+    sort over a bounded table — the same shape as the HLL register
+    readout, not a data-sized sort.
+    """
+    from pyspark.sql import Window
+
+    gamma = _dd_gamma(alpha)
+    n_total = bins_df.agg(F.sum("cnt").alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins_df.select(
+        "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    qs = [float(q) for q in quantiles]
+    rows = None
+    for q in qs:
+        # 1-based target rank for this q
+        tgt = (
+            n_total.select(
+                F.lit(q).alias("q"),
+                (
+                    F.floor(
+                        F.lit(q) * (F.col("n").cast("double") - F.lit(1.0))
+                    )
+                    + F.lit(1)
+                ).alias("rank"),
+            )
+        )
+        rows = tgt if rows is None else rows.unionByName(tgt)
+    est = (
+        rows.join(cum, F.col("cum") >= F.col("rank"))
+        .groupBy("q", "rank")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "q",
+            F.when(F.col("bin") == DD_ZERO_BIN, F.lit(0.0))
+            .otherwise(
+                F.lit(2.0)
+                * F.pow(F.lit(gamma), F.col("bin").cast("double"))
+                / F.lit(gamma + 1.0)
+            )
+            .alias("raw_est"),
+        )
+    )
+    return est.select("q", F.round("raw_est", 4).alias("est_q"))

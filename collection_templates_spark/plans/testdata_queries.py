@@ -4431,6 +4431,87 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 13 — mergeable quantile sketch + distribution tests + feature
+# selection + graph shortest paths
+# ---------------------------------------------------------------------------
+
+
+def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summary (sketches.ddsketch_bins /
+    ddsketch_merge / ddsketch_quantiles — DDSketch shape, Masson–Rim–Lee
+    VLDB'19): per-shard log-binned histograms (shard = user_id mod 8,
+    standing in for 8 executors' partial states), merged by count
+    addition, then p50/p90/p99 read off the MERGED summary and graded
+    against the exact order statistic at the same rank.
+
+    This closes the sketch family's order-statistics gap (CMS/HLL/
+    theta/Bloom all merge associatively; ``sketch_quantile_errors``
+    was a hash-sample, not a summary). KLL's compactor is randomized
+    and t-digest's centroids are order-dependent — both break the
+    cross-engine hash gate; DDSketch's summary is a pure row-local
+    binning, so merge ≡ single pass EXACTLY (pinned by the property
+    test) and every estimate is within alpha=2% of the true order
+    statistic by construction (``within_alpha`` is computed, not
+    asserted).
+
+    Scale shape: ONE map-side-combined aggregation builds all shard
+    histograms; the merge is a ~460-bin groupBy; the exact side's
+    distinct-value cumulative window exists only to GRADE the sketch
+    (it is the full sort the sketch replaces at 100 TB).
+    """
+    from collection_templates_spark.operators.sketches import (
+        ddsketch_bins,
+        ddsketch_quantiles,
+    )
+
+    alpha = 0.02
+    qs = (0.5, 0.9, 0.99)
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(8)).alias("shard"),
+        F.col("value").cast("double").alias("v"),
+    )
+    per_shard = ddsketch_bins(ev, "v", alpha=alpha, group_cols=("shard",))
+    merged = per_shard.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    est = ddsketch_quantiles(merged, qs, alpha=alpha)
+
+    # exact order statistic at rank floor(q*(n-1)) + 1 — the quantity
+    # the sketch bounds — via a distinct-value cumulative table (values
+    # are 2dp doubles: bounded distinct count, deterministic in both
+    # engines; no interpolation-convention exposure).
+    n_total = ev.agg(F.count(F.lit(1)).alias("n"))
+    tgt = None
+    for q in qs:
+        t = n_total.select(
+            F.lit(float(q)).alias("q"),
+            (
+                F.floor(F.lit(float(q)) * (F.col("n").cast("double") - 1.0))
+                + F.lit(1)
+            ).alias("rank"),
+        )
+        tgt = t if tgt is None else tgt.unionByName(t)
+    vals = ev.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vals.select("v", F.sum("c").over(wv).alias("cum"))
+    exact = (
+        tgt.join(vcum, F.col("cum") >= F.col("rank"))
+        .groupBy("q")
+        .agg(F.min("v").alias("exact_q"))
+    )
+    rel = F.abs(F.col("est_q") - F.col("exact_q")) / F.col("exact_q")
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            "est_q",
+            F.round("exact_q", 4).alias("exact_q"),
+            F.round(rel, 6).alias("rel_err"),
+            (F.round(rel, 6) <= F.lit(alpha)).alias("within_alpha"),
+        )
+        .orderBy("q")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4443,6 +4524,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # staleness order. All rows pass the identical local oracle
     # (tools/check.py) every round; the full-bank artifact is
     # CHECKLOCAL_r{N}.json.
+    # --- r13 new rows (never externally sampled) ---
+    "sketch_quantile_merge": sketch_quantile_merge,
+    # --- r12 new rows ---
     "ltr_train_weights": ltr_train_weights,
     "ltr_ndcg_eval": ltr_ndcg_eval,
     "stats_spearman": stats_spearman,
@@ -11081,4 +11165,57 @@ ORACLE_SQL["events_cohort_ltv"] = """
            round(CAST(revenue_cum AS DOUBLE)
                  / CAST(n_users AS DOUBLE), 6) AS ltv_per_user
     FROM cum JOIN sizes ON cum.cohort = sizes.cohort
+"""
+
+# sketch_quantile_merge: the oracle replays the DDSketch binning
+# (ceil of the 6dp-rounded ln ratio — the round-before-discretize rule),
+# the count-addition merge (trivially the same as one pass in SQL), the
+# rank rule floor(q*(n-1))+1, and the distinct-value exact order
+# statistic. gamma = 51/49 is written as the same double division in
+# both engines; pow() 1-ulp scatter is absorbed by the 4dp round.
+ORACLE_SQL["sketch_quantile_merge"] = """
+    WITH v AS (
+        SELECT CAST(value AS DOUBLE) AS v FROM events
+        WHERE value IS NOT NULL
+    ), g AS (
+        SELECT CAST(51 AS DOUBLE) / CAST(49 AS DOUBLE) AS gamma
+    ), bins AS (
+        SELECT CAST(CASE WHEN v <= 0 THEN -2147483648
+                    ELSE ceil(round(ln(v) / ln(gamma), 6)) END AS INT)
+                   AS bin,
+               count(*) AS cnt
+        FROM v, g GROUP BY 1
+    ), cum AS (
+        SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM bins
+    ), n AS (
+        SELECT count(*) AS n FROM v
+    ), tgt AS (
+        SELECT CAST(q AS DOUBLE) AS q,
+               CAST(floor(CAST(q AS DOUBLE)
+                          * (CAST(n AS DOUBLE) - 1)) + 1 AS BIGINT)
+                   AS rank
+        FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q), n
+    ), est AS (
+        SELECT q, min(bin) AS bin
+        FROM tgt JOIN cum ON cum.cum >= tgt.rank GROUP BY q
+    ), estv AS (
+        SELECT q,
+               round(CASE WHEN bin = -2147483648 THEN CAST(0 AS DOUBLE)
+                     ELSE CAST(2 AS DOUBLE) * pow(gamma, bin)
+                          / (gamma + CAST(1 AS DOUBLE)) END, 4) AS est_q
+        FROM est, g
+    ), vals AS (
+        SELECT v, count(*) AS c FROM v GROUP BY v
+    ), vcum AS (
+        SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vals
+    ), exact AS (
+        SELECT q, min(v) AS exact_q
+        FROM tgt JOIN vcum ON vcum.cum >= tgt.rank GROUP BY q
+    )
+    SELECT estv.q AS q, est_q, round(exact_q, 4) AS exact_q,
+           round(abs(est_q - exact_q) / exact_q, 6) AS rel_err,
+           round(abs(est_q - exact_q) / exact_q, 6)
+               <= CAST(0.02 AS DOUBLE) AS within_alpha
+    FROM estv JOIN exact ON estv.q = exact.q
+    ORDER BY q
 """
