@@ -1270,3 +1270,398 @@ def calibration_bins(
         (F.round(frac, 6) + F.lit(0.0)).alias("frac_positive"),
         (F.round(mean_s - frac, 6) + F.lit(0.0)).alias("gap"),
     )
+
+
+def levene_brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown–Forsythe test for equality of group variances: one-way
+    ANOVA F on the absolute deviations from each group's MEDIAN
+    (median-centering — Brown & Forsythe 1974 — keeps the test robust
+    under skew, unlike mean-centered Levene). The homoscedasticity
+    check that gates the plain ANOVA row's pooled-variance assumption.
+
+    Determinism: group medians are exact interpolated percentiles
+    (percentile ≡ quantile_cont, identical across engines on the same
+    doubles); z = |v − med_g| is rounded to 6dp and accumulated as
+    DECIMAL (exact, order-free); the cross-group Σ s_g²/n_g reduction
+    uses the round-then-DECIMAL-sum trick (anova_oneway's argument).
+
+    Scale shape: one groupBy for medians (k rows, broadcast back), one
+    map-side-combined moment groupBy, one k-row reduce. Output:
+    (k, n, w_stat, df1, df2).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("g"), v.alias("v")
+    )
+    med = base.groupBy("g").agg(
+        F.percentile("v", F.lit(0.5)).alias("med")
+    )
+    z = F.round(F.abs(F.col("v") - F.col("med")), 6).cast("decimal(18,6)")
+    zt = base.join(F.broadcast(med), "g").select("g", z.alias("z"))
+    grp = zt.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("z").alias("sg"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(30,12)")).alias("qg"),
+    )
+    term = F.round(
+        F.col("sg").cast("double")
+        * F.col("sg").cast("double")
+        / F.col("ng").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    m = grp.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s_all"),
+        F.sum("qg").alias("q_all"),
+        F.sum(term).alias("a"),
+    )
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    a = F.col("a").cast("double")
+    s = F.col("s_all").cast("double")
+    q = F.col("q_all").cast("double")
+    ssb = a - s * s / n
+    ssw = q - a
+    w = F.try_divide(
+        F.try_divide(ssb, k - F.lit(1.0)), F.try_divide(ssw, n - k)
+    )
+    return m.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        (F.round(w, 6) + F.lit(0.0)).alias("w_stat"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Jarque–Bera normality test from DECIMAL-exact raw power sums:
+    JB = n/6 · (skew² + excess_kurtosis²/4). The distribution-shape
+    companion to the location (t/ANOVA) and dispersion (Brown–Forsythe)
+    rows — the standard pre-check before trusting z-based monitors.
+
+    Determinism: Σv, Σv², Σv³, Σv⁴ accumulate as DECIMAL with per-power
+    width re-casts (9,2 → 12,4 → 16,6 → 20,8: each multiply stays under
+    both engines' 38-digit ceiling; exact for 2dp fixed-point inputs up
+    to ~1e4 in magnitude — the documented contract). Central moments,
+    skewness and kurtosis are ONE closed-form double expression over
+    those exact scalars, written identically in the oracle (m2^1.5 is
+    m2·√m2 — sqrt is IEEE-correctly-rounded in both engines; pow is
+    not).
+
+    Scale shape: ONE map-side-combined aggregate; no shuffle beyond the
+    single-row reduce. Output: (n, skewness, ex_kurtosis, jb_stat).
+    """
+    v = F.col(value_col).cast("decimal(9,2)")
+    v2 = (v * v).cast("decimal(12,4)")
+    v3 = (v2 * v).cast("decimal(16,6)")
+    v4 = (v2 * v2).cast("decimal(20,8)")
+    m = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            v.alias("v1"), v2.alias("v2"), v3.alias("v3"), v4.alias("v4")
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v1").alias("s1"),
+            F.sum("v2").alias("s2"),
+            F.sum("v3").alias("s3"),
+            F.sum("v4").alias("s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mu * (s3 / n)
+        + F.lit(6.0) * mu * mu * (s2 / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew = F.try_divide(m3, m2 * F.sqrt(m2))
+    kurt = F.try_divide(m4, m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0))
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        (F.round(skew, 6) + F.lit(0.0)).alias("skewness"),
+        (F.round(kurt, 6) + F.lit(0.0)).alias("ex_kurtosis"),
+        (F.round(jb, 4) + F.lit(0.0)).alias("jb_stat"),
+    )
+
+
+def grubbs_test(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate statistic: G =
+    max|v − mean| / sd (sample sd, ddof=1), plus the offending value —
+    the single-outlier screen that complements the MAD row (which
+    flags MANY outliers; Grubbs asks whether the single worst point is
+    surprising under normality, to be read with the JB row).
+
+    Determinism: mean/sd from DECIMAL-exact (Σv, Σv²); deviations are
+    doubles of exact inputs; max and arg-max are order-free (arg-max
+    tie-broken by larger value — struct max ≡ ORDER BY dev DESC, v
+    DESC LIMIT 1).
+
+    Scale shape: two map-side-combined aggregates (moments, then
+    deviations against the broadcast 1-row scalar table). Output:
+    (n, mean, sd, outlier_value, g_stat).
+    """
+    v = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("v"), v.alias("vd")
+    )
+    m = base.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vd").alias("s1"),
+        F.sum((F.col("vd") * F.col("vd")).cast("decimal(38,4)")).alias(
+            "s2"
+        ),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / n
+    sd = F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+    scal = m.select(
+        F.col("n").alias("n"), mean.alias("mean"), sd.alias("sd")
+    )
+    dev = F.abs(F.col("v") - F.col("mean"))
+    agg = base.join(F.broadcast(scal)).groupBy("n", "mean", "sd").agg(
+        F.max(dev).alias("max_dev"),
+        F.max_by("v", F.struct(dev.alias("d"), F.col("v").alias("v"))).alias(
+            "outlier_value"
+        ),
+    )
+    g = F.try_divide(F.col("max_dev"), F.col("sd"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("sd", 6) + F.lit(0.0)).alias("sd"),
+        F.col("outlier_value"),
+        (F.round(g, 6) + F.lit(0.0)).alias("g_stat"),
+    )
+
+
+def permutation_mean_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    group_a: str,
+    group_b: str,
+    b: int = 62,
+    salt: str = "perm",
+    scale: int = 2,
+) -> DataFrame:
+    """Deterministic randomization test for a difference in means:
+    replicate j relabels each row into pseudo-group A' iff bit j of the
+    row's arithmetic hash is set (the bootstrap_mean_ci bit-lane trick
+    — one hash serves all ≤62 relabelings, no explode, no RNG), and the
+    p-value is the smoothed fraction of relabeled |mean-diffs| at least
+    as extreme as the observed one: p = (1 + #extreme) / (b + 1).
+
+    This is a RANDOMIZATION (relabeling) test with Binomial(n, 1/2)
+    pseudo-group sizes, not an exact fixed-size permutation — valid
+    when the real design is itself a ~50/50 split (the repo's parity
+    variants), and the determinism contract is the point: the same
+    p-value on every run, in both engines.
+
+    Determinism: all replicate sums/counts are DECIMAL/integer in ONE
+    map-side-combined aggregate; each diff is rounded 9dp before the
+    |diff| ≥ |observed| comparison so a last-ulp division wobble cannot
+    flip a count.
+
+    Scale shape: one aggregate over raw rows (2b+4 accumulators), one
+    1-row select. Output: (n, b, diff_obs, n_extreme, p_value).
+    """
+    dec = f"decimal(28,{scale})"
+    v = F.col(value_col).cast(dec)
+    salt_add = sum(ord(c) for c in salt)
+    idc = F.col(id_col).cast("long")
+    h1 = (idc * F.lit(2654435761) + F.lit(97531 + salt_add)) % F.lit(
+        2147483647
+    )
+    h2 = (idc * F.lit(1566083941) + F.lit(13579 + salt_add)) % F.lit(
+        2147483647
+    )
+    h = h1 * F.lit(2147483648).cast("long") + h2
+    g = F.col(group_col)
+    base = df.filter(
+        F.col(value_col).isNotNull() & g.isin([group_a, group_b])
+    ).select(v.alias("vd"), h.alias("h"), g.alias("g"))
+    bit = lambda j: F.shiftright(F.col("h"), j) % 2 == 1  # noqa: E731
+    aggs = [
+        F.sum("vd").alias("s_all"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("g") == group_a, F.col("vd"))).alias("s_a"),
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("c_a"),
+    ]
+    for j in range(b):
+        aggs.append(F.sum(F.when(bit(j), F.col("vd"))).alias(f"s{j}"))
+        aggs.append(F.sum(F.when(bit(j), 1).otherwise(0)).alias(f"c{j}"))
+    m = base.groupBy().agg(*aggs)
+
+    def diff(s_col: F.Column, c_col: F.Column) -> F.Column:
+        sa = s_col.cast("double")
+        ca = c_col.cast("double")
+        st = F.col("s_all").cast("double")
+        nt = F.col("n_all").cast("double")
+        return F.round(
+            F.try_divide(sa, ca) - F.try_divide(st - sa, nt - ca), 9
+        )
+
+    d_obs = diff(F.col("s_a"), F.col("c_a"))
+    extreme = [
+        (
+            F.abs(diff(F.col(f"s{j}"), F.col(f"c{j}"))) >= F.abs(d_obs)
+        ).cast("int")
+        for j in range(b)
+    ]
+    n_ext = sum(extreme[1:], extreme[0])
+    return m.select(
+        F.col("n_all").cast("long").alias("n"),
+        F.lit(b).alias("b"),
+        (d_obs + F.lit(0.0)).alias("diff_obs"),
+        n_ext.cast("long").alias("n_extreme"),
+        F.round(
+            (n_ext.cast("double") + F.lit(1.0)) / F.lit(float(b + 1)), 6
+        ).alias("p_value"),
+    )
+
+
+def poisson_rate_test(
+    counts_df: DataFrame,
+    group_col: str,
+    events_col: str,
+    exposure_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Poisson rate z-test: z = (λ̂_a − λ̂_b) /
+    √(k_a/T_a² + k_b/T_b²) with λ̂ = k/T — the count-data companion to
+    the two-proportion row (conversions are Bernoulli; purchase COUNTS
+    per exposure are Poisson).
+
+    Integer event/exposure totals, one closed-form z — fully
+    deterministic. Output: (k_a, t_a, k_b, t_b, rate_a, rate_b, z).
+
+    Scale shape: one map-side-combined aggregate over the per-unit
+    counts table, 1-row output.
+    """
+    g = F.col(group_col)
+    m = counts_df.filter(g.isin([group_a, group_b])).groupBy().agg(
+        F.sum(F.when(g == group_a, F.col(events_col))).alias("k_a"),
+        F.sum(F.when(g == group_a, F.col(exposure_col))).alias("t_a"),
+        F.sum(F.when(g == group_b, F.col(events_col))).alias("k_b"),
+        F.sum(F.when(g == group_b, F.col(exposure_col))).alias("t_b"),
+    )
+    ka = F.col("k_a").cast("double")
+    ta = F.col("t_a").cast("double")
+    kb = F.col("k_b").cast("double")
+    tb = F.col("t_b").cast("double")
+    z = F.try_divide(
+        ka / ta - kb / tb, F.sqrt(ka / (ta * ta) + kb / (tb * tb))
+    )
+    return m.select(
+        F.col("k_a").cast("long").alias("k_a"),
+        F.col("t_a").cast("long").alias("t_a"),
+        F.col("k_b").cast("long").alias("k_b"),
+        F.col("t_b").cast("long").alias("t_b"),
+        F.round(ka / ta, 6).alias("rate_a"),
+        F.round(kb / tb, 6).alias("rate_b"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    feature_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information I(X;Y) per feature, in nats, plus the
+    normalized variant NMI = I/√(H(X)·H(Y)) — the model-free
+    feature-ranking score of a training-data pipeline (which candidate
+    features carry signal about the label before any model is fit).
+
+    I = Σ_xy (n_xy/N)·ln(N·n_xy / (n_x·n_y)); H similarly from the
+    marginals. Every count is integer; every term is a double of exact
+    integers rounded to 9dp then DECIMAL-summed (order-free — the PSI
+    bin-contribution trick), so a last-ulp ln() wobble cannot move the
+    hash.
+
+    Scale shape: one (feature, x, y) groupBy (map-side combined), two
+    marginal groupBys over the CELL table (already tiny — |X|·|Y| per
+    feature), joins on feature+margin keys, one per-feature reduce.
+    Output: (feature, n, k_x, k_y, mi_nats, nmi) sorted by feature.
+    """
+    base = df.select(
+        F.col(feature_col).alias("f"),
+        F.col(x_col).cast("string").alias("x"),
+        F.col(y_col).cast("string").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    cells = base.groupBy("f", "x", "y").agg(
+        F.count(F.lit(1)).alias("nxy")
+    )
+    mx = cells.groupBy("f", "x").agg(F.sum("nxy").alias("nx"))
+    my = cells.groupBy("f", "y").agg(F.sum("nxy").alias("ny"))
+    nt = cells.groupBy("f").agg(F.sum("nxy").alias("nn"))
+    j = (
+        cells.join(mx, ["f", "x"])
+        .join(my, ["f", "y"])
+        .join(F.broadcast(nt), "f")
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    term = F.round(
+        dbl("nxy")
+        / dbl("nn")
+        * F.log(
+            dbl("nn") * dbl("nxy") / (dbl("nx") * dbl("ny"))
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    mi = j.groupBy("f").agg(F.sum(term).alias("mi_d"))
+
+    def entropy(margin: DataFrame, cnt: str) -> DataFrame:
+        jm = margin.join(F.broadcast(nt), "f")
+        t = F.round(
+            dbl(cnt) / dbl("nn") * F.log(dbl("nn") / dbl(cnt)), 9
+        ).cast("decimal(38,9)")
+        return jm.groupBy("f").agg(
+            F.sum(t).alias(f"h_{cnt}"),
+            F.count(F.lit(1)).alias(f"k_{cnt}"),
+        )
+
+    hx = entropy(mx, "nx")
+    hy = entropy(my, "ny")
+    out = mi.join(hx, "f").join(hy, "f").join(F.broadcast(nt), "f")
+    nmi = F.try_divide(
+        F.col("mi_d").cast("double"),
+        F.sqrt(
+            F.col("h_nx").cast("double") * F.col("h_ny").cast("double")
+        ),
+    )
+    return out.select(
+        F.col("f").alias("feature"),
+        F.col("nn").cast("long").alias("n"),
+        F.col("k_nx").cast("long").alias("k_x"),
+        F.col("k_ny").cast("long").alias("k_y"),
+        F.round(F.col("mi_d").cast("double"), 6).alias("mi_nats"),
+        (F.round(nmi, 6) + F.lit(0.0)).alias("nmi"),
+    ).orderBy("feature")

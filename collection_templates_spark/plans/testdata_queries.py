@@ -4511,6 +4511,136 @@ def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe homoscedasticity test (stats.
+    levene_brown_forsythe) of event value across the five event types —
+    the variance-equality gate for the ANOVA row's pooled-variance
+    assumption; median-centered so skew doesn't masquerade as
+    heteroscedasticity."""
+    from collection_templates_spark.operators.stats import (
+        levene_brown_forsythe,
+    )
+
+    return levene_brown_forsythe(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test (stats.jarque_bera) of event value:
+    DECIMAL-exact raw power sums up to Σv⁴, closed-form
+    skewness/kurtosis/JB — the shape test that tells the z-based
+    monitors whether 'z' means anything."""
+    from collection_templates_spark.operators.stats import jarque_bera
+
+    return jarque_bera(_t(spark, sf_dir, "events"), "value")
+
+
+def stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs max-studentized-deviate (stats.grubbs_test) on order
+    totals — the single-worst-point outlier screen (vs the MAD row's
+    bulk-outlier flagging)."""
+    from collection_templates_spark.operators.stats import grubbs_test
+
+    return grubbs_test(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic randomization test (stats.permutation_mean_test)
+    for the A/B difference in mean event value between the parity
+    variants: 62 hash-bit relabelings, all replicate sums in ONE
+    map-side aggregate, smoothed p-value — the assumption-free
+    companion to the Welch-t row."""
+    from collection_templates_spark.operators.stats import (
+        permutation_mean_test,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+    )
+    return permutation_mean_test(
+        ev, "variant", "value", "event_id", "A", "B"
+    )
+
+
+def events_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test (stats.poisson_rate_test):
+    purchases per ACTIVE DAY between the parity variants — count-data
+    experiment readout (the two-proportion row is Bernoulli; purchase
+    intensity is Poisson)."""
+    from collection_templates_spark.operators.stats import (
+        poisson_rate_test,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "k"
+        ),
+        F.countDistinct(F.to_date("ts")).alias("t"),
+    ).select(
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "k",
+        "t",
+    )
+    return poisson_rate_test(per_user, "variant", "k", "t", "A", "B")
+
+
+def feature_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model-free feature ranking (stats.mutual_information): MI and
+    NMI between three candidate user-level features (activity bucket,
+    spend bucket, event-type breadth) and the conversion label — the
+    which-features-carry-signal pass a training-data pipeline runs
+    before fitting anything."""
+    from collection_templates_spark.operators.stats import (
+        mutual_information,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,2)")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dv).alias("total"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "label"
+        ),
+    )
+    feats = users.select(
+        F.lit("activity_bucket").alias("f"),
+        F.least(F.floor(F.col("n_events") / F.lit(10)), F.lit(12))
+        .cast("string")
+        .alias("x"),
+        F.col("label").cast("string").alias("y"),
+    ).unionByName(
+        users.select(
+            F.lit("spend_bucket").alias("f"),
+            F.least(
+                F.floor(F.col("total").cast("double") / F.lit(500.0)),
+                F.lit(9),
+            )
+            .cast("string")
+            .alias("x"),
+            F.col("label").cast("string").alias("y"),
+        )
+    ).unionByName(
+        users.select(
+            F.lit("type_breadth").alias("f"),
+            F.col("n_types").cast("string").alias("x"),
+            F.col("label").cast("string").alias("y"),
+        )
+    )
+    return mutual_information(feats, "f", "x", "y")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4526,6 +4656,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CHECKLOCAL_r{N}.json.
     # --- r13 new rows (never externally sampled) ---
     "sketch_quantile_merge": sketch_quantile_merge,
+    "stats_levene": stats_levene,
+    "stats_jarque_bera": stats_jarque_bera,
+    "stats_grubbs": stats_grubbs,
+    "stats_permutation": stats_permutation,
+    "events_poisson_rate": events_poisson_rate,
+    "feature_mutual_information": feature_mutual_information,
     # --- r12 new rows ---
     "ltr_train_weights": ltr_train_weights,
     "ltr_ndcg_eval": ltr_ndcg_eval,
@@ -11218,4 +11354,300 @@ ORACLE_SQL["sketch_quantile_merge"] = """
                <= CAST(0.02 AS DOUBLE) AS within_alpha
     FROM estv JOIN exact ON estv.q = exact.q
     ORDER BY q
+"""
+
+# stats_levene: group medians via quantile_cont (≡ percentile on the
+# same doubles), z = 6dp-rounded |v − med| as DECIMAL(18,6), the
+# round-then-DECIMAL cross-group trick from the ANOVA oracle.
+ORACLE_SQL["stats_levene"] = """
+    WITH base AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ), med AS (
+        SELECT g, quantile_cont(v, 0.5) AS med FROM base GROUP BY g
+    ), zt AS (
+        SELECT base.g,
+               CAST(round(abs(v - med), 6) AS DECIMAL(18,6)) AS z
+        FROM base JOIN med ON base.g = med.g
+    ), grp AS (
+        SELECT g, count(*) AS ng, sum(z) AS sg,
+               sum(CAST(z * z AS DECIMAL(30,12))) AS qg
+        FROM zt GROUP BY g
+    ), m AS (
+        SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s_all,
+               sum(qg) AS q_all,
+               sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                              / CAST(ng AS DOUBLE), 6)
+                        AS DECIMAL(38,6))) AS a
+        FROM grp
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           round(((CAST(a AS DOUBLE)
+                   - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / (CAST(k AS DOUBLE) - CAST(1 AS DOUBLE)))
+                 / ((CAST(q_all AS DOUBLE) - CAST(a AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+           + CAST(0 AS DOUBLE) AS w_stat,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(n - k AS BIGINT) AS df2
+    FROM m
+"""
+
+# stats_jarque_bera: the same per-power DECIMAL width ladder
+# (9,2 → 12,4 → 16,6 → 20,8) and the same closed-form central-moment
+# expressions (m2^1.5 written as m2*sqrt(m2) — sqrt is IEEE-exact in
+# both engines, pow is not).
+ORACLE_SQL["stats_jarque_bera"] = """
+    WITH base AS (
+        -- one operand of every multiply is widened past 18 digits so
+        -- DuckDB runs the product in int128 (an int64 DECIMAL(12,4)
+        -- square overflows); the CAST back to the ladder width keeps
+        -- the VALUES identical to Spark's (both exact)
+        SELECT CAST(value AS DECIMAL(9,2)) AS v1,
+               CAST(CAST(value AS DECIMAL(20,2))
+                    * CAST(value AS DECIMAL(18,2)) AS DECIMAL(12,4)) AS v2
+        FROM events WHERE value IS NOT NULL
+    ), pw AS (
+        SELECT v1, v2,
+               CAST(CAST(v2 AS DECIMAL(20,4)) * v1 AS DECIMAL(16,6))
+                   AS v3,
+               CAST(CAST(v2 AS DECIMAL(20,4)) * CAST(v2 AS DECIMAL(18,4))
+                    AS DECIMAL(20,8)) AS v4
+        FROM base
+    ), s AS (
+        SELECT count(*) AS n, sum(v1) AS s1, sum(v2) AS s2,
+               sum(v3) AS s3, sum(v4) AS s4
+        FROM pw
+    ), d AS (
+        SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+               CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+               CAST(s4 AS DOUBLE) AS s4
+        FROM s
+    ), mom AS (
+        SELECT n,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - CAST(3 AS DOUBLE) * (s1 / n) * (s2 / n)
+                   + CAST(2 AS DOUBLE) * (s1 / n) * (s1 / n) * (s1 / n)
+                   AS m3,
+               s4 / n - CAST(4 AS DOUBLE) * (s1 / n) * (s3 / n)
+                   + CAST(6 AS DOUBLE) * (s1 / n) * (s1 / n) * (s2 / n)
+                   - CAST(3 AS DOUBLE) * (s1 / n) * (s1 / n)
+                     * (s1 / n) * (s1 / n) AS m4
+        FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(m3 / (m2 * sqrt(m2)), 6) + CAST(0 AS DOUBLE)
+               AS skewness,
+           round(m4 / (m2 * m2) - CAST(3 AS DOUBLE), 6)
+               + CAST(0 AS DOUBLE) AS ex_kurtosis,
+           round(n / CAST(6 AS DOUBLE)
+                 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                    + (m4 / (m2 * m2) - CAST(3 AS DOUBLE))
+                      * (m4 / (m2 * m2) - CAST(3 AS DOUBLE))
+                      / CAST(4 AS DOUBLE)), 4)
+           + CAST(0 AS DOUBLE) AS jb_stat
+    FROM mom
+"""
+
+# stats_grubbs: DECIMAL moments then arg-max deviation, tie-broken by
+# larger value (ORDER BY dev DESC, v DESC ≡ max_by struct).
+ORACLE_SQL["stats_grubbs"] = """
+    WITH base AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS vd
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), m AS (
+        SELECT count(*) AS n, sum(vd) AS s1,
+               sum(CAST(vd * vd AS DECIMAL(38,4))) AS s2
+        FROM base
+    ), scal AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))) AS sd
+        FROM m
+    ), dev AS (
+        SELECT n, mean, sd, v, abs(v - mean) AS d
+        FROM base, scal
+    ), top AS (
+        SELECT n, mean, sd, v AS outlier_value, d AS max_dev
+        FROM dev ORDER BY d DESC, v DESC LIMIT 1
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(mean, 6) + CAST(0 AS DOUBLE) AS mean,
+           round(sd, 6) + CAST(0 AS DOUBLE) AS sd,
+           outlier_value,
+           round(max_dev / sd, 6) + CAST(0 AS DOUBLE) AS g_stat
+    FROM top
+"""
+
+
+def _permutation_oracle_sql(b: int = 62, salt: str = "perm") -> str:
+    salt_add = sum(ord(c) for c in salt)
+    sums = "\n".join(
+        f"               sum(CASE WHEN (h >> {j}) & 1 = 1 THEN vd END)"
+        f" AS s{j},\n"
+        f"               sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1"
+        f" ELSE 0 END) AS c{j},"
+        for j in range(b)
+    )
+    diffs = ",\n".join(
+        f"               round(CAST(s{j} AS DOUBLE) / CAST(c{j} AS"
+        f" DOUBLE)\n"
+        f"                 - CAST(s_all - s{j} AS DOUBLE)"
+        f" / CAST(n_all - c{j} AS DOUBLE), 9)"
+        for j in range(b)
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(value AS DECIMAL(28,2)) AS vd,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+               ((event_id * 2654435761 + {97531 + salt_add})
+                % 2147483647) * 2147483648
+               + ((event_id * 1566083941 + {13579 + salt_add})
+                  % 2147483647) AS h
+        FROM events WHERE value IS NOT NULL
+    ), m AS (
+        SELECT sum(vd) AS s_all, count(*) AS n_all,
+               sum(CASE WHEN g = 'A' THEN vd END) AS s_a,
+               sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS c_a,
+{sums}
+               1 AS one
+        FROM base
+    ), obs AS (
+        SELECT *, round(CAST(s_a AS DOUBLE) / CAST(c_a AS DOUBLE)
+                   - CAST(s_all - s_a AS DOUBLE)
+                     / CAST(n_all - c_a AS DOUBLE), 9) AS d_obs
+        FROM m
+    ), reps AS (
+        SELECT n_all, d_obs, unnest([
+{diffs}
+        ]) AS d_rep
+        FROM obs
+    ), agg AS (
+        SELECT n_all, d_obs,
+               sum(CASE WHEN abs(d_rep) >= abs(d_obs) THEN 1
+                        ELSE 0 END) AS n_ext
+        FROM reps GROUP BY n_all, d_obs
+    )
+    SELECT CAST(n_all AS BIGINT) AS n, {b} AS b,
+           d_obs + CAST(0 AS DOUBLE) AS diff_obs,
+           CAST(n_ext AS BIGINT) AS n_extreme,
+           round((CAST(n_ext AS DOUBLE) + CAST(1 AS DOUBLE))
+                 / CAST({b + 1} AS DOUBLE), 6) AS p_value
+    FROM agg
+"""
+
+
+ORACLE_SQL["stats_permutation"] = _permutation_oracle_sql()
+
+# events_poisson_rate: integer purchase counts / active-day exposures
+# per parity variant, one closed-form z.
+ORACLE_SQL["events_poisson_rate"] = """
+    WITH u AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                   AS variant,
+               sum(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END) AS k,
+               count(DISTINCT CAST(ts AS DATE)) AS t
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT sum(CASE WHEN variant = 'A' THEN k END) AS k_a,
+               sum(CASE WHEN variant = 'A' THEN t END) AS t_a,
+               sum(CASE WHEN variant = 'B' THEN k END) AS k_b,
+               sum(CASE WHEN variant = 'B' THEN t END) AS t_b
+        FROM u
+    )
+    SELECT CAST(k_a AS BIGINT) AS k_a, CAST(t_a AS BIGINT) AS t_a,
+           CAST(k_b AS BIGINT) AS k_b, CAST(t_b AS BIGINT) AS t_b,
+           round(CAST(k_a AS DOUBLE) / CAST(t_a AS DOUBLE), 6)
+               AS rate_a,
+           round(CAST(k_b AS DOUBLE) / CAST(t_b AS DOUBLE), 6)
+               AS rate_b,
+           round((CAST(k_a AS DOUBLE) / CAST(t_a AS DOUBLE)
+                  - CAST(k_b AS DOUBLE) / CAST(t_b AS DOUBLE))
+                 / sqrt(CAST(k_a AS DOUBLE)
+                        / (CAST(t_a AS DOUBLE) * CAST(t_a AS DOUBLE))
+                        + CAST(k_b AS DOUBLE)
+                          / (CAST(t_b AS DOUBLE)
+                             * CAST(t_b AS DOUBLE))), 6)
+           + CAST(0 AS DOUBLE) AS z
+    FROM m
+"""
+
+# feature_mutual_information: integer contingency cells per feature,
+# each ln term rounded 9dp then DECIMAL-summed (the PSI trick), NMI
+# from the same-machinery marginal entropies.
+ORACLE_SQL["feature_mutual_information"] = """
+    WITH users AS (
+        SELECT user_id, count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,2))) AS total,
+               count(DISTINCT event_type) AS n_types,
+               max(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ), feats AS (
+        SELECT 'activity_bucket' AS f,
+               CAST(least(floor(n_events / 10), 12) AS VARCHAR) AS x,
+               CAST(label AS VARCHAR) AS y
+        FROM users
+        UNION ALL
+        SELECT 'spend_bucket' AS f,
+               CAST(least(floor(CAST(total AS DOUBLE)
+                                / CAST(500 AS DOUBLE)), 9)
+                    AS VARCHAR) AS x,
+               CAST(label AS VARCHAR) AS y
+        FROM users
+        UNION ALL
+        SELECT 'type_breadth' AS f, CAST(n_types AS VARCHAR) AS x,
+               CAST(label AS VARCHAR) AS y
+        FROM users
+    ), cells AS (
+        SELECT f, x, y, count(*) AS nxy FROM feats GROUP BY f, x, y
+    ), mx AS (
+        SELECT f, x, sum(nxy) AS nx FROM cells GROUP BY f, x
+    ), my AS (
+        SELECT f, y, sum(nxy) AS ny FROM cells GROUP BY f, y
+    ), nt AS (
+        SELECT f, sum(nxy) AS nn FROM cells GROUP BY f
+    ), mi AS (
+        SELECT c.f,
+               sum(CAST(round(CAST(nxy AS DOUBLE) / CAST(nn AS DOUBLE)
+                        * ln(CAST(nn AS DOUBLE) * CAST(nxy AS DOUBLE)
+                             / (CAST(nx AS DOUBLE)
+                                * CAST(ny AS DOUBLE))), 9)
+                        AS DECIMAL(38,9))) AS mi_d
+        FROM cells c
+        JOIN mx ON c.f = mx.f AND c.x = mx.x
+        JOIN my ON c.f = my.f AND c.y = my.y
+        JOIN nt ON c.f = nt.f
+        GROUP BY c.f
+    ), hx AS (
+        SELECT mx.f,
+               sum(CAST(round(CAST(nx AS DOUBLE) / CAST(nn AS DOUBLE)
+                        * ln(CAST(nn AS DOUBLE) / CAST(nx AS DOUBLE)),
+                        9) AS DECIMAL(38,9))) AS h_nx,
+               count(*) AS k_nx
+        FROM mx JOIN nt ON mx.f = nt.f GROUP BY mx.f
+    ), hy AS (
+        SELECT my.f,
+               sum(CAST(round(CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE)
+                        * ln(CAST(nn AS DOUBLE) / CAST(ny AS DOUBLE)),
+                        9) AS DECIMAL(38,9))) AS h_ny,
+               count(*) AS k_ny
+        FROM my JOIN nt ON my.f = nt.f GROUP BY my.f
+    )
+    SELECT mi.f AS feature, CAST(nn AS BIGINT) AS n,
+           CAST(k_nx AS BIGINT) AS k_x, CAST(k_ny AS BIGINT) AS k_y,
+           round(CAST(mi_d AS DOUBLE), 6) AS mi_nats,
+           round(CAST(mi_d AS DOUBLE)
+                 / sqrt(CAST(h_nx AS DOUBLE) * CAST(h_ny AS DOUBLE)),
+                 6)
+           + CAST(0 AS DOUBLE) AS nmi
+    FROM mi JOIN hx ON mi.f = hx.f JOIN hy ON mi.f = hy.f
+    JOIN nt ON mi.f = nt.f
+    ORDER BY feature
 """

@@ -81,3 +81,141 @@ def test_ddsketch_zero_and_negative_sentinel(spark):
         ddsketch_bins(df, "v"), (0.25,)
     ).collect()
     assert rows[0].est_q == 0.0
+
+
+from collection_templates_spark.operators.stats import (  # noqa: E402
+    grubbs_test,
+    jarque_bera,
+    levene_brown_forsythe,
+    mutual_information,
+    permutation_mean_test,
+    poisson_rate_test,
+)
+
+
+def _gv(spark, rows):
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_levene_translation_and_scale_invariance(spark):
+    """Per-group translation leaves |v − med_g| unchanged; global
+    scaling cancels in the F ratio — both leave W fixed."""
+    rng = random.Random(211)
+    rows = [
+        (g, round(rng.uniform(0, 50) * (1 + 2 * i), 2))
+        for i, g in enumerate("abc")
+        for _ in range(40)
+    ]
+    base = levene_brown_forsythe(_gv(spark, rows), "g", "v").collect()[0]
+    shifted = [
+        (g, v + {"a": 100.0, "b": -40.0, "c": 7.0}[g]) for g, v in rows
+    ]
+    sh = levene_brown_forsythe(_gv(spark, shifted), "g", "v").collect()[0]
+    assert sh.w_stat == base.w_stat
+    scaled = [(g, 4.0 * v) for g, v in rows]
+    sc = levene_brown_forsythe(_gv(spark, scaled), "g", "v").collect()[0]
+    assert abs(sc.w_stat - base.w_stat) < 1e-3
+    assert base.df1 == 2 and base.df2 == len(rows) - 3
+
+
+def test_jarque_bera_brute_force(spark):
+    rng = random.Random(223)
+    vals = [round(rng.uniform(0.01, 400), 2) for _ in range(500)]
+    out = jarque_bera(
+        spark.createDataFrame([(v,) for v in vals], "v double"), "v"
+    ).collect()[0]
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((v - mu) ** 2 for v in vals) / n
+    m3 = sum((v - mu) ** 3 for v in vals) / n
+    m4 = sum((v - mu) ** 4 for v in vals) / n
+    skew = m3 / m2**1.5
+    kurt = m4 / m2**2 - 3
+    jb = n / 6 * (skew**2 + kurt**2 / 4)
+    assert abs(out.skewness - skew) < 1e-4
+    assert abs(out.ex_kurtosis - kurt) < 1e-4
+    assert abs(out.jb_stat - jb) < max(1e-2, abs(jb) * 1e-4)
+
+
+def test_grubbs_recovers_planted_outlier(spark):
+    rng = random.Random(227)
+    vals = [round(rng.uniform(90, 110), 2) for _ in range(200)] + [
+        500.0
+    ]
+    out = grubbs_test(
+        spark.createDataFrame([(v,) for v in vals], "v double"), "v"
+    ).collect()[0]
+    assert out.outlier_value == 500.0
+    n = len(vals)
+    mu = sum(vals) / n
+    sd = (sum((v - mu) ** 2 for v in vals) / (n - 1)) ** 0.5
+    assert abs(out.g_stat - (500.0 - mu) / sd) < 1e-4
+
+
+def test_permutation_test_brute_force(spark):
+    """Replicate the hash-bit relabeling in Python: identical counts,
+    identical p."""
+    rng = random.Random(229)
+    rows = [
+        (i, "A" if i % 2 == 0 else "B", round(rng.uniform(0, 100), 2))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = permutation_mean_test(
+        df, "g", "v", "id", "A", "B", b=30, salt="perm"
+    ).collect()[0]
+    salt_add = sum(ord(c) for c in "perm")
+    import decimal
+
+    def h(i):
+        return ((i * 2654435761 + 97531 + salt_add) % 2147483647) * (
+            2**31
+        ) + ((i * 1566083941 + 13579 + salt_add) % 2147483647)
+
+    vals = {i: decimal.Decimal(str(v)) for i, _, v in rows}
+    s_all = sum(vals.values())
+    n_all = len(rows)
+    s_a = sum(vals[i] for i, g, _ in rows if g == "A")
+    c_a = sum(1 for _, g, _ in rows if g == "A")
+    d_obs = round(
+        float(s_a) / c_a - float(s_all - s_a) / (n_all - c_a), 9
+    )
+    n_ext = 0
+    for j in range(30):
+        sj = sum(vals[i] for i, _, _ in rows if (h(i) >> j) & 1)
+        cj = sum(1 for i, _, _ in rows if (h(i) >> j) & 1)
+        dj = round(
+            float(sj) / cj - float(s_all - sj) / (n_all - cj), 9
+        )
+        if abs(dj) >= abs(d_obs):
+            n_ext += 1
+    assert out.n_extreme == n_ext
+    assert out.p_value == round((n_ext + 1) / 31, 6)
+    assert 1 / 31 <= out.p_value <= 1.0
+
+
+def test_poisson_rate_brute_force(spark):
+    rows = [("A", 10, 5), ("A", 2, 4), ("B", 3, 6), ("B", 1, 3)]
+    df = spark.createDataFrame(rows, "g string, k long, t long")
+    out = poisson_rate_test(df, "g", "k", "t", "A", "B").collect()[0]
+    ra, rb = 12 / 9, 4 / 9
+    z = (ra - rb) / (12 / 81 + 4 / 81) ** 0.5
+    assert (out.k_a, out.t_a, out.k_b, out.t_b) == (12, 9, 4, 9)
+    assert abs(out.z - z) < 1e-6
+
+
+def test_mutual_information_identities(spark):
+    """Independent features → MI 0; a feature equal to the label →
+    NMI exactly 1."""
+    rows = []
+    for i in range(200):
+        lab = str(i % 2)
+        rows.append(("indep", str((i // 2) % 4), lab))
+        rows.append(("copy", lab, lab))
+    df = spark.createDataFrame(rows, "f string, x string, y string")
+    out = {
+        r.feature: r for r in mutual_information(df, "f", "x", "y").collect()
+    }
+    assert abs(out["indep"].mi_nats) < 1e-9
+    assert out["copy"].nmi == 1.0
+    assert out["copy"].k_x == 2 and out["copy"].k_y == 2
