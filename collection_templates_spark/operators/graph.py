@@ -765,3 +765,83 @@ def bfs_layers(
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("hop")
     )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded-hop single-source(-set) shortest paths over the
+    UNDIRECTED weighted graph: per reached node the minimum
+    path weight using at most ``max_hops`` edges — Bellman–Ford with
+    frontier pruning (only nodes whose distance improved last sweep
+    are re-relaxed; standard SPFA argument: after sweep k both the
+    frontier and the full-relaxation form hold exactly the ≤k-edge
+    shortest distances, which is what makes the chained-CTE oracle
+    replay the loop bit-for-bit).
+
+    INTEGER weights by contract: every candidate distance is an exact
+    long, min() is order-free, so the result is engine-deterministic
+    with no rounding anywhere (the repo has no float-min determinism
+    story and doesn't need one here).
+
+    Scale shape: the Pregel loop of :func:`bfs_layers` with a weight
+    accumulator — per sweep ONE frontier⋈edges shuffle keyed on node
+    id, a map-side-combined min per dst, and an improvement anti-check
+    against the running dist table; eager localCheckpoints cut the
+    multi-consumer lineage (dist feeds both the next improvement
+    check and the union — the r10/r12 lineage rule). max_hops bounds
+    sweeps; at 100 TB the edge table is bucketed by src so sweeps
+    after the first are exchange-free.
+    """
+    fwd = edges.select(
+        F.col(src).alias("s"),
+        F.col(dst).alias("d"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    und = (
+        fwd.unionByName(
+            fwd.select(
+                F.col("d").alias("s"), F.col("s").alias("d"), "w"
+            )
+        )
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        best = (
+            frontier.join(und, frontier["node"] == und["s"])
+            .select(
+                und["d"].alias("node"),
+                (frontier["dist"] + und["w"]).alias("nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        fresh = (
+            best.join(dist, "node", "left_outer")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if fresh.isEmpty():
+            break
+        dist = (
+            dist.join(fresh, "node", "left_anti")
+            .unionByName(fresh)
+            .localCheckpoint(eager=True)
+        )
+        frontier = fresh
+    return dist

@@ -4641,6 +4641,46 @@ def feature_mutual_information(
     return mutual_information(feats, "f", "x", "y")
 
 
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest paths (graph.weighted_sssp, 4
+    hops, integer min-quantity edge weights) over the 1995-window
+    customer-part bipartite graph from the custkey ≡ 1 (mod 500)
+    seeds — reported as the distance-band histogram. The weighted
+    companion to the BFS-layers row; the oracle replays the
+    Bellman–Ford sweeps as chained full-relaxation CTEs (frontier
+    pruning ≡ full relaxation after every sweep — SPFA argument)."""
+    from collection_templates_spark.operators.graph import weighted_sssp
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.pmod(F.col("c_custkey"), F.lit(500)) == 1)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+    )
+    sp = weighted_sssp(edges, seeds, max_hops=4)
+    return (
+        sp.groupBy(F.floor(F.col("dist") / F.lit(5)).alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("dist").alias("min_dist"),
+            F.max("dist").alias("max_dist"),
+        )
+        .orderBy("band")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4662,6 +4702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_permutation": stats_permutation,
     "events_poisson_rate": events_poisson_rate,
     "feature_mutual_information": feature_mutual_information,
+    "graph_shortest_paths": graph_shortest_paths,
     # --- r12 new rows ---
     "ltr_train_weights": ltr_train_weights,
     "ltr_ndcg_eval": ltr_ndcg_eval,
@@ -11651,3 +11692,48 @@ ORACLE_SQL["feature_mutual_information"] = """
     JOIN nt ON mi.f = nt.f
     ORDER BY feature
 """
+
+
+def _sssp_oracle_sql(max_hops: int = 4) -> str:
+    """Chained full-relaxation CTEs ≡ the frontier-pruned Bellman–Ford
+    loop: after sweep k both hold the exact ≤k-edge shortest
+    distances (integer weights — no float min anywhere)."""
+    hops = ""
+    prev = "d0"
+    for k in range(1, max_hops + 1):
+        hops += f""", d{k} AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.d AS node, {prev}.dist + e.w AS dist
+            FROM {prev} JOIN e ON {prev}.node = e.s
+        ) GROUP BY node
+    )"""
+        prev = f"d{k}"
+    return f"""
+    WITH e0 AS (
+        SELECT concat('c', o_custkey) AS s,
+               concat('p', l_partkey) AS d,
+               min(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2
+    ), e AS (
+        SELECT s, d, min(w) AS w FROM (
+            SELECT s, d, w FROM e0
+            UNION ALL
+            SELECT d AS s, s AS d, w FROM e0
+        ) GROUP BY s, d
+    ), d0 AS (
+        SELECT concat('c', c_custkey) AS node, CAST(0 AS BIGINT) AS dist
+        FROM customer WHERE c_custkey % 500 = 1
+    ){hops}
+    SELECT CAST(floor(dist / 5) AS BIGINT) AS band,
+           count(*) AS n_nodes,
+           min(dist) AS min_dist, max(dist) AS max_dist
+    FROM {prev} GROUP BY band ORDER BY band
+"""
+
+
+ORACLE_SQL["graph_shortest_paths"] = _sssp_oracle_sql()
