@@ -4681,6 +4681,68 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source shingle novelty: for each document the fraction of
+    its distinct word-3-grams that occur in NO other document
+    (corpus-unique), aggregated per source — the content-freshness
+    profile a training-data pipeline reads next to the dedup rate
+    (low novelty ⇒ templated/boilerplate-heavy source even when no
+    pair crosses the dedup threshold). Docs under 3 tokens have no
+    shingles and are excluded (both engines).
+
+    Determinism: integer document frequencies; per-doc novelty rounded
+    9dp then DECIMAL-summed per source (the PSI trick). Scale shape:
+    one explode → one shingle-df groupBy (inverted-index shape) → join
+    back → per-doc agg; the exploded table feeds two consumers, so it
+    gets ONE eager localCheckpoint (the r12 multi-consumer-lineage
+    rule: cut the heavy tokenize subtree, nothing else)."""
+    from collection_templates_spark.operators.dedup import word_shingles
+
+    sh = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(F.col("text"), 3)).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_uni"),
+        )
+    )
+    nv = F.round(
+        F.col("n_uni").cast("double") / F.col("n_sh").cast("double"), 9
+    )
+    return (
+        per_doc.select("source", nv.alias("nv"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("nv").cast("decimal(38,9)")).alias("s_nov"),
+            F.sum((F.col("nv") < F.lit(0.2)).cast("long")).alias(
+                "n_low_novelty"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.col("s_nov").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("mean_novelty"),
+            F.col("n_low_novelty").cast("long").alias("n_low_novelty"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4703,6 +4765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_poisson_rate": events_poisson_rate,
     "feature_mutual_information": feature_mutual_information,
     "graph_shortest_paths": graph_shortest_paths,
+    "text_ngram_novelty": text_ngram_novelty,
     # --- r12 new rows ---
     "ltr_train_weights": ltr_train_weights,
     "ltr_ndcg_eval": ltr_ndcg_eval,
@@ -11737,3 +11800,36 @@ def _sssp_oracle_sql(max_hops: int = 4) -> str:
 
 
 ORACLE_SQL["graph_shortest_paths"] = _sssp_oracle_sql()
+
+# text_ngram_novelty: same tokenize/shingle CTEs as the jaccard oracle,
+# integer dfs, per-doc ratio rounded 9dp then DECIMAL-summed per source.
+ORACLE_SQL["text_ngram_novelty"] = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                            'g')), ' ') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 3
+    ), dfreq AS (
+        SELECT s, count(*) AS df FROM sh GROUP BY s
+    ), per_doc AS (
+        SELECT doc_id, source, count(*) AS n_sh,
+               sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_uni
+        FROM sh JOIN dfreq USING (s) GROUP BY 1, 2
+    ), nov AS (
+        SELECT source,
+               round(CAST(n_uni AS DOUBLE) / CAST(n_sh AS DOUBLE), 9)
+                   AS nv
+        FROM per_doc
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(nv AS DECIMAL(38,9))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_novelty,
+           CAST(sum(CASE WHEN nv < CAST(0.2 AS DOUBLE) THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_low_novelty
+    FROM nov GROUP BY source ORDER BY source
+"""
