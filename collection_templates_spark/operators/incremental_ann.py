@@ -61,6 +61,21 @@ def scratch_ann_index_path() -> str:
     return scratch_dir("spark_ann_index_")
 
 
+def _vectors_dir(index_path: str) -> str:
+    """The LIVE vector-partition dir: the compaction pointer's target
+    when one was published (operators/index_maintenance), else the
+    legacy ``vectors/``."""
+    import os
+
+    from collection_templates_spark.operators.index_maintenance import (
+        ANN_DEFAULT_LAYOUT,
+        read_layout,
+    )
+
+    lay = read_layout(index_path, ANN_DEFAULT_LAYOUT)
+    return os.path.join(index_path, lay["vectors"])
+
+
 def build_ivf_index(
     corpus: DataFrame,
     index_path: str,
@@ -73,6 +88,23 @@ def build_ivf_index(
     state under ``index_path`` (see module docstring for the layout).
     Returns the trained centroid matrix."""
     spark = corpus.sparkSession
+    # a rebuild retires any compaction-published layout (and its
+    # versioned dirs) — the fresh base is the legacy vectors/ dir
+    import shutil
+
+    from collection_templates_spark.operators.index_maintenance import (
+        clear_layout,
+    )
+
+    import os as _os
+
+    if _os.path.isdir(index_path):
+        for name in _os.listdir(index_path):
+            if name.startswith("vectors_v"):
+                shutil.rmtree(
+                    _os.path.join(index_path, name), ignore_errors=True
+                )
+    clear_layout(index_path)
     centroids = train_ivf_centroids(
         corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
@@ -128,7 +160,7 @@ def append_to_ivf_index(
         )
         .write.mode("append")
         .partitionBy("cluster")
-        .parquet(f"{index_path}/vectors")
+        .parquet(_vectors_dir(index_path))
     )
 
 
@@ -165,7 +197,7 @@ def ann_batch_against_index(
     probed = sorted(
         r["cluster"] for r in q.select("cluster").distinct().collect()
     )
-    vecs = spark.read.parquet(f"{index_path}/vectors").filter(
+    vecs = spark.read.parquet(_vectors_dir(index_path)).filter(
         F.col("cluster").isin(probed)
     )
     sim = F.round(cosine(F.col("query_vec"), F.col("embedding")), 6)

@@ -63,20 +63,43 @@ def scratch_index_path() -> str:
     return scratch_dir("spark_dedup_index_")
 
 
-def _completed_epoch_dirs(index_path: str, sub: str) -> list[str]:
+def _completed_epoch_dirs(
+    index_path: str, sub: str, min_epoch: int = -1
+) -> list[str]:
     """Streaming epoch segment dirs under ``index_path/<sub>/epoch=N``
     whose completion marker ``index_path/_epochs/N`` exists — the
     marker-gated view that makes crashed half-epochs invisible to the
-    probe (see streaming/delta_stream.py for the write protocol)."""
+    probe (see streaming/delta_stream.py for the write protocol).
+    Epochs ≤ ``min_epoch`` (the compaction watermark — already folded
+    into the live base, see operators/index_maintenance) are skipped
+    even if their markers still exist: the pointer flip, not the GC,
+    is what retires a segment."""
     import glob
     import os
 
     out = []
     for d in sorted(glob.glob(os.path.join(index_path, sub, "epoch=*"))):
         n = d.rsplit("=", 1)[-1]
+        if int(n) <= min_epoch:
+            continue
         if os.path.exists(os.path.join(index_path, "_epochs", n)):
             out.append(d)
     return out
+
+
+def _resolve_dedup_layout(spark: SparkSession, index_path: str) -> dict:
+    """The live base layout: the ``_layout.json`` pointer when a
+    compaction has published one, else the legacy append-only layout
+    (``bands``/``shingles``, watermark −1, the md5-keyed catalog
+    name)."""
+    from collection_templates_spark.operators.index_maintenance import (
+        DEDUP_DEFAULT_LAYOUT,
+        read_layout,
+    )
+
+    defaults = dict(DEDUP_DEFAULT_LAYOUT)
+    defaults["bands_table"] = _bands_table_name(index_path)
+    return read_layout(index_path, defaults)
 
 
 def _bands_table_name(index_path: str) -> str:
@@ -107,15 +130,39 @@ def build_minhash_index(
     writes (band table + verification sets). ``bucket_bands`` writes
     the band table bucketed on (band_idx, band_hash) so every later
     probe join shuffles only the batch side (see module docstring)."""
+    spark = df.sparkSession
     if _mode == "overwrite":
-        # a rebuild/compaction subsumes any streaming epoch segments:
-        # stale segments + markers must not outlive the base they
+        # a rebuild subsumes any streaming epoch segments AND any
+        # compaction-published layout: stale segments, markers, pointer
+        # and versioned dirs/tables must not outlive the base they
         # were deltas OF (same catalog-vs-layout principle as below)
         import os
         import shutil
 
+        from collection_templates_spark.operators.index_maintenance import (
+            clear_layout,
+        )
+
+        old = _resolve_dedup_layout(spark, index_path)
+        if old["bands_table"]:
+            spark.sql(f"DROP TABLE IF EXISTS {old['bands_table']}")
         for sub in ("bands_epochs", "shingles_epochs", "_epochs"):
             shutil.rmtree(os.path.join(index_path, sub), ignore_errors=True)
+        if os.path.isdir(index_path):
+            for name in os.listdir(index_path):
+                if name.startswith(("bands_v", "shingles_v")):
+                    shutil.rmtree(
+                        os.path.join(index_path, name), ignore_errors=True
+                    )
+        clear_layout(index_path)
+        bands_rel, sets_rel = "bands", "shingles"
+        table = _bands_table_name(index_path)
+    else:
+        # appends land in the LIVE base published by the last
+        # compaction (or the legacy dirs when none was)
+        live = _resolve_dedup_layout(spark, index_path)
+        bands_rel, sets_rel = live["bands"], live["shingles"]
+        table = live["bands_table"] or _bands_table_name(index_path)
     # lineage cut: the interpreted shingle-hash chain is the plan's
     # most expensive stage (r4 perf notes) and feeds BOTH writes — a
     # lazy localCheckpoint makes it one corpus pass, not two
@@ -130,10 +177,10 @@ def build_minhash_index(
 
         save_bucketed(
             bands,
-            _bands_table_name(index_path),
+            table,
             ("band_idx", "band_hash"),
             num_buckets=bucket_bands,
-            path=f"{index_path}/bands",
+            path=f"{index_path}/{bands_rel}",
             mode=_mode,
         )
     else:
@@ -143,11 +190,9 @@ def build_minhash_index(
             # parquet underneath it would make later probes read through
             # the stale spec and fail with 'Invalid bucket file' — the
             # catalog must never outlive the layout it describes
-            df.sparkSession.sql(
-                f"DROP TABLE IF EXISTS {_bands_table_name(index_path)}"
-            )
-        bands.write.mode(_mode).parquet(f"{index_path}/bands")
-    sets.write.mode(_mode).parquet(f"{index_path}/shingles")
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        bands.write.mode(_mode).parquet(f"{index_path}/{bands_rel}")
+    sets.write.mode(_mode).parquet(f"{index_path}/{sets_rel}")
 
 
 def append_to_index(
@@ -205,15 +250,20 @@ def dedup_batch_against_index(
     AFTER the join, so a bucketed base keeps its shuffle-elision."""
     # bucketed index (same session as the build): read through the
     # catalog so the probe join inherits the bucket partitioning and
-    # only the batch side shuffles; otherwise plain parquet
-    tbl = _bands_table_name(index_path)
-    if spark.catalog.tableExists(tbl):
+    # only the batch side shuffles; otherwise plain parquet. Base dirs,
+    # catalog name and the epoch watermark all come from the live
+    # layout pointer (operators/index_maintenance) so a compacted index
+    # is probed exactly like a fresh one.
+    lay = _resolve_dedup_layout(spark, index_path)
+    wm = lay["epoch_watermark"]
+    tbl = lay["bands_table"]
+    if tbl and spark.catalog.tableExists(tbl):
         hist_bands = spark.table(tbl)
     else:
-        hist_bands = spark.read.parquet(f"{index_path}/bands")
-    hist_sets = spark.read.parquet(f"{index_path}/shingles")
-    seg_band_dirs = _completed_epoch_dirs(index_path, "bands_epochs")
-    seg_set_dirs = _completed_epoch_dirs(index_path, "shingles_epochs")
+        hist_bands = spark.read.parquet(f"{index_path}/{lay['bands']}")
+    hist_sets = spark.read.parquet(f"{index_path}/{lay['shingles']}")
+    seg_band_dirs = _completed_epoch_dirs(index_path, "bands_epochs", wm)
+    seg_set_dirs = _completed_epoch_dirs(index_path, "shingles_epochs", wm)
     if seg_set_dirs:
         hist_sets = hist_sets.select("doc", "sh").unionByName(
             spark.read.parquet(*seg_set_dirs).select("doc", "sh")

@@ -1,0 +1,286 @@
+"""Compaction for the persisted incremental indexes (r12 verdict #6).
+
+``incremental_ann.append_to_ivf_index`` and
+``incremental_dedup.append_to_index`` are append-only: every accepted
+batch adds one parquet file set per cluster partition / band bucket,
+and the streaming delta pipeline adds one epoch segment directory per
+micro-batch. After thousands of batches the probe's partition-pruned
+read degrades on FILE COUNT (listing + footer + task overhead per
+file) — the classic streaming-ingest failure at 100 TB, where the
+data volume is fine but the metadata volume is not.
+
+``compact_ivf_index`` / ``compact_minhash_index`` rewrite the
+accumulated state into one file per cluster / a fresh bucketed or
+plain base that FOLDS IN the marker-complete streaming epochs, with a
+crash-safe publication protocol:
+
+- every compacted base is written to a fresh VERSIONED directory
+  (``vectors_v3``, ``bands_v3`` …) — never in place;
+- a single pointer file ``_layout.json`` names the live base dirs,
+  the live bucketed-table name (dedup), and the epoch WATERMARK
+  (highest epoch folded into the base). It is published atomically
+  (tmp + ``os.replace``), so every reader sees either the old layout
+  (old base + all marked segments) or the new one (new base +
+  segments above the watermark) — never a half state and never a
+  double-count. This is the snapshot-pointer pattern (Iceberg-style
+  manifest, reduced to the one pointer these indexes need);
+- garbage collection (old base dirs, folded segment dirs + markers,
+  the old catalog table) runs LAST and is idempotent: a crash leaves
+  only unreferenced directories, which the next compaction removes.
+
+Readers resolve through :func:`read_layout`; a missing pointer file
+yields the legacy layout (``bands``/``shingles``/``vectors``,
+watermark −1), so pre-compaction indexes keep working unchanged.
+
+Reference analogue: none (the reference has no incremental index);
+this is standard LSM/streaming-table maintenance (the OPTIMIZE step
+every table format grows) applied to the repo's two probe-able
+indexes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LAYOUT_FILE = "_layout.json"
+
+
+def read_layout(index_path: str, defaults: dict) -> dict:
+    """The live layout pointer, or ``defaults`` when none was ever
+    published (legacy append-only index)."""
+    p = os.path.join(index_path, LAYOUT_FILE)
+    if not os.path.exists(p):
+        return dict(defaults)
+    with open(p) as fh:
+        out = dict(defaults)
+        out.update(json.load(fh))
+        return out
+
+
+def write_layout(index_path: str, layout: dict) -> None:
+    """Atomic pointer publication: readers see the old layout or the
+    new one, never a torn file."""
+    p = os.path.join(index_path, LAYOUT_FILE)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(layout, fh)
+    os.replace(tmp, p)
+
+
+def clear_layout(index_path: str) -> None:
+    """Drop the pointer (a full rebuild resets to the legacy layout)."""
+    try:
+        os.remove(os.path.join(index_path, LAYOUT_FILE))
+    except FileNotFoundError:
+        pass
+
+
+def parquet_file_count(*dirs: str) -> int:
+    """Data files under the given roots — the metadata-pressure metric
+    compaction exists to shrink."""
+    n = 0
+    for d in dirs:
+        for _, _, files in os.walk(d):
+            n += sum(
+                1
+                for f in files
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+    return n
+
+
+def _next_version(index_path: str, stem: str) -> int:
+    v = 0
+    for name in os.listdir(index_path):
+        if name.startswith(f"{stem}_v"):
+            try:
+                v = max(v, int(name.rsplit("_v", 1)[-1]))
+            except ValueError:
+                pass
+    return v + 1
+
+
+def _gc(paths: list[str]) -> None:
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF vector index
+# ---------------------------------------------------------------------------
+
+ANN_DEFAULT_LAYOUT = {"vectors": "vectors"}
+
+
+def compact_ivf_index(spark: SparkSession, index_path: str) -> dict:
+    """Rewrite the accumulated vector partitions into ONE file per
+    cluster (bin-packing rewrite: ``repartition("cluster")`` sends each
+    cluster to exactly one task, so each ``cluster=…`` directory gets
+    exactly one data file), published via the versioned-dir + atomic
+    pointer protocol. Probe results are INVARIANT (pinned by test):
+    compaction moves bytes, not rows.
+
+    Returns {"files_before", "files_after", "version"}.
+    """
+    layout = read_layout(index_path, ANN_DEFAULT_LAYOUT)
+    cur = os.path.join(index_path, layout["vectors"])
+    files_before = parquet_file_count(cur)
+    v = _next_version(index_path, "vectors")
+    new_rel = f"vectors_v{v}"
+    new_dir = os.path.join(index_path, new_rel)
+    (
+        spark.read.parquet(cur)
+        .repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(new_dir)
+    )
+    write_layout(index_path, {"vectors": new_rel})
+    _gc([cur])
+    return {
+        "files_before": files_before,
+        "files_after": parquet_file_count(new_dir),
+        "version": v,
+    }
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature index
+# ---------------------------------------------------------------------------
+
+DEDUP_DEFAULT_LAYOUT = {
+    "bands": "bands",
+    "shingles": "shingles",
+    "epoch_watermark": -1,
+    # legacy catalog name; None ⇒ plain parquet only
+    "bands_table": None,
+}
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    index_path: str,
+    bucket_bands: int | None = None,
+    target_set_files: int = 8,
+) -> dict:
+    """Fold the marker-complete streaming epoch segments into a fresh
+    base (bands + shingles) and rewrite the append-fragmented files —
+    the maintenance step that keeps ``dedup_batch_against_index``'s
+    probe O(probed buckets), not O(accumulated batch count).
+
+    ``bucket_bands`` re-buckets the new base on (band_idx, band_hash)
+    under a VERSIONED catalog name (the old table stays live until the
+    pointer flips — the catalog never leads the pointer, so no reader
+    can pair the new base with the old watermark or vice versa).
+
+    Crash-safety (each window leaves a valid index):
+    - after the new base is written, before the pointer flips → readers
+      still resolve the old base + all marked segments;
+    - after the pointer flips → new base + segments above the
+      watermark; the folded segments' markers are now ignored even
+      though GC hasn't removed them yet;
+    - GC is idempotent cleanup of unreferenced state.
+
+    Returns {"files_before", "files_after", "epochs_folded",
+    "version"}.
+    """
+    from collection_templates_spark.operators.incremental_dedup import (
+        _bands_table_name,
+        _completed_epoch_dirs,
+        _resolve_dedup_layout,
+    )
+
+    layout = _resolve_dedup_layout(spark, index_path)
+    wm = layout["epoch_watermark"]
+    seg_band_dirs = _completed_epoch_dirs(index_path, "bands_epochs", wm)
+    seg_set_dirs = _completed_epoch_dirs(index_path, "shingles_epochs", wm)
+    folded = [int(d.rsplit("=", 1)[-1]) for d in seg_band_dirs]
+    new_wm = max(folded, default=wm)
+
+    old_band_dir = os.path.join(index_path, layout["bands"])
+    old_set_dir = os.path.join(index_path, layout["shingles"])
+    files_before = parquet_file_count(old_band_dir, old_set_dir) + sum(
+        parquet_file_count(d) for d in seg_band_dirs + seg_set_dirs
+    )
+
+    if layout["bands_table"] and spark.catalog.tableExists(
+        layout["bands_table"]
+    ):
+        bands: DataFrame = spark.table(layout["bands_table"])
+    else:
+        bands = spark.read.parquet(old_band_dir)
+    if seg_band_dirs:
+        bands = bands.select("doc", "band_idx", "band_hash").unionByName(
+            spark.read.parquet(*seg_band_dirs).select(
+                "doc", "band_idx", "band_hash"
+            )
+        )
+    sets = spark.read.parquet(old_set_dir)
+    if seg_set_dirs:
+        sets = sets.select("doc", "sh").unionByName(
+            spark.read.parquet(*seg_set_dirs).select("doc", "sh")
+        )
+
+    v = _next_version(index_path, "bands")
+    new_band_rel, new_set_rel = f"bands_v{v}", f"shingles_v{v}"
+    new_band_dir = os.path.join(index_path, new_band_rel)
+    new_set_dir = os.path.join(index_path, new_set_rel)
+    new_table = None
+    if bucket_bands is not None:
+        from collection_templates_spark.operators.bucketing import (
+            save_bucketed,
+        )
+
+        new_table = f"{_bands_table_name(index_path)}_v{v}"
+        save_bucketed(
+            bands,
+            new_table,
+            ("band_idx", "band_hash"),
+            num_buckets=bucket_bands,
+            path=new_band_dir,
+        )
+    else:
+        # one file per band index: bounded file count (the band count is
+        # configuration), parallel write, and a later filter on band_idx
+        # still maps to whole files
+        bands.repartition(F.col("band_idx")).write.mode(
+            "overwrite"
+        ).parquet(new_band_dir)
+    sets.repartition(target_set_files).write.mode("overwrite").parquet(
+        new_set_dir
+    )
+
+    old_table = layout["bands_table"]
+    write_layout(
+        index_path,
+        {
+            "bands": new_band_rel,
+            "shingles": new_set_rel,
+            "epoch_watermark": new_wm,
+            "bands_table": new_table,
+        },
+    )
+    # GC (idempotent; pointer already live)
+    if old_table and old_table != new_table:
+        spark.sql(f"DROP TABLE IF EXISTS {old_table}")
+    _gc(
+        [old_band_dir, old_set_dir]
+        + seg_band_dirs
+        + seg_set_dirs
+    )
+    for e in folded:
+        try:
+            os.remove(os.path.join(index_path, "_epochs", str(e)))
+        except FileNotFoundError:
+            pass
+    return {
+        "files_before": files_before,
+        "files_after": parquet_file_count(new_band_dir, new_set_dir),
+        "epochs_folded": len(folded),
+        "version": v,
+    }
