@@ -581,6 +581,7 @@ def quality_classifier(
     weights: tuple[float, float, float, float, float] = QUALITY_WEIGHTS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Logistic quality classifier over handcrafted features — the
     model-free stand-in for the fastText/FineWeb quality filters every
@@ -592,7 +593,11 @@ def quality_classifier(
     ratio), so the filter runs at scan speed and the oracle restates the
     exact model: z is 9dp-rounded before the sigmoid and the score 6dp
     after, the repo's two-stage rounding convention for cross-engine
-    float agreement. Columns: (doc, score, keep)."""
+    float agreement. Columns: (doc, score, keep, *passthrough) —
+    ``passthrough`` carries label/metadata columns through the SAME
+    scan so callers (quality_calibration) don't self-join the corpus
+    to get them back (r12 verdict #5: the join was a second full
+    regexp-feature-free scan plus a doc-keyed shuffle)."""
     from collection_templates_spark.operators.text_analysis import (
         punct_ratio,
         stopword_ratio,
@@ -620,6 +625,7 @@ def quality_classifier(
         F.col(id_col).alias("doc"),
         score.alias("score"),
         (score >= 0.5).alias("keep"),
+        *passthrough,
     )
 
 

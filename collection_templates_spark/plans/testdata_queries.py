@@ -4026,12 +4026,10 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    scored = quality_classifier(docs).select(
-        F.col("doc").alias("doc_id"), "score"
-    )
-    labeled = scored.join(
-        docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
-        "doc_id",
+    # label rides through the classifier's scan (passthrough) — one
+    # corpus pass, no self-join (r12 verdict #5)
+    labeled = quality_classifier(docs, passthrough=("lang",)).select(
+        "score", (F.col("lang") == "en").alias("is_en")
     )
     return calibration_bins(labeled, "score", "is_en", n_bins=10)
 
