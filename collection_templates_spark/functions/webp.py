@@ -535,9 +535,27 @@ def decode_webp(payload: bytes) -> tuple[int, int, int, bytes]:
             w, h, rgba = decode_vp8l_stream(body)
             return w, h, 6, rgba
         if fourcc in (b"VP8 ", b"VP8X"):
+            # Deliberately NOT implemented from scratch (r13 decision):
+            # VP8L was feasible because its entropy coding is
+            # SELF-DESCRIBING — every prefix code is carried in the
+            # stream, so the decoder needs no normative constants
+            # beyond the structured 120-entry distance map. Lossy VP8
+            # (RFC 6386) is the opposite: its boolean-arithmetic
+            # decoder leans on ~2,000 normative spec constants (the
+            # 4×8×3×11 default coefficient probabilities, the
+            # 10×10×9 keyframe bmode probabilities, the 2×128
+            # quantizer lookups) that are not derivable from first
+            # principles and have no source in this container (no
+            # libvpx, no Pillow, no ffmpeg). A decoder with invented
+            # tables would round-trip against a same-tabled fixture
+            # encoder while being wrong on EVERY real file — a worse
+            # outcome than this honest fallback. Revisit iff a
+            # normative table source lands in the environment.
             raise NotImplementedError(
-                "lossy/extended WebP needs libwebp; only VP8L (lossless) "
-                "decodes in this container-free environment"
+                "lossy/extended WebP needs libwebp (or at minimum RFC "
+                "6386's normative probability/quantizer tables, which "
+                "this container has no source for); only VP8L "
+                "(lossless) decodes here"
             )
         off += 8 + size + (size & 1)
     raise ValueError("WebP: no image chunk found")

@@ -111,16 +111,23 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
 
 def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
     """Real audio decode for PCM WAV (RIFF) payloads — stdlib ``wave``
-    needs no C library: → (n_channels, sample_rate, n_frames, raw
-    frames). Compressed formats (mp3/ogg/aac) remain environment-limited
+    needs no C library — and for FLAC through the pure-stdlib lossless
+    decoder (``functions/flac.py``, r13: Rice/fixed/LPC subframes,
+    mid/side, CRC-verified — feasible table-free, unlike mp3): →
+    (n_channels, sample_rate, n_frames, raw frames). mp3/ogg/aac remain
+    environment-limited (normative Huffman tables with no source here)
     and raise ``NotImplementedError``."""
     import io
     import wave
 
+    if payload[:4] == b"fLaC":
+        from collection_templates_spark.functions.flac import decode_flac
+
+        return decode_flac(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "non-WAV audio decoding requires ffmpeg-class libraries; "
-            "not in this container"
+            "non-WAV/FLAC audio decoding requires ffmpeg-class "
+            "libraries; not in this container"
         )
     with wave.open(io.BytesIO(payload)) as w:
         n_frames = w.getnframes()
