@@ -1009,3 +1009,85 @@ def rolling_quantile(
             + F.lit(0.0)
         ).alias("rolling_q"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    bucket_size: int = 10,
+) -> DataFrame:
+    """Triangle-based series downsampling, the PARALLEL variant of
+    Steinarsson's Largest-Triangle-Three-Buckets (2013): split each
+    group's series into fixed ``bucket_size`` buckets, keep the first
+    and last point verbatim, and from every interior bucket keep the
+    point with the largest triangle area against the NEIGHBOR BUCKET
+    AVERAGES. True LTTB anchors on the previously SELECTED point — a
+    sequential chain that cannot fan out; anchoring on bucket averages
+    (the published "LTOB/LTTB-parallel" simplification) makes every
+    bucket independent, which is the point at scale: ONE window pass,
+    no iteration, same visual-fidelity intent.
+
+    Determinism: x is the 1-based row_number (integer), y the exact
+    group-day value; bucket averages are doubles of exact inputs;
+    the area |(xa−xc)(y−ya) − (xa−x)(ya−yc)| is rounded 6dp before the
+    (area DESC, x ASC) pick, the repo's round-before-rank rule.
+
+    Scale shape: one row_number window per group (bounded series
+    tables — the key×day convention), one bucket aggregate, two lag/
+    lead windows over the BUCKET table (tiny), one join back, one
+    top-1-per-bucket window. Output: (grp, ord, v, bucket) — the kept
+    points, ordered.
+    """
+    w = Window.partitionBy("grp").orderBy("ord")
+    pts = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).cast("double").alias("v"),
+    ).withColumn("x", F.row_number().over(w).cast("double"))
+    pts = pts.withColumn(
+        "bucket", F.floor((F.col("x") - 1) / F.lit(bucket_size))
+    )
+    bstats = pts.groupBy("grp", "bucket").agg(
+        F.avg("x").alias("bx"),
+        F.avg("v").alias("by"),
+        F.max("x").alias("max_x"),
+    )
+    wb = Window.partitionBy("grp").orderBy("bucket")
+    nb = bstats.select(
+        "grp",
+        "bucket",
+        F.lag("bx").over(wb).alias("xa"),
+        F.lag("by").over(wb).alias("ya"),
+        F.lead("bx").over(wb).alias("xc"),
+        F.lead("by").over(wb).alias("yc"),
+    )
+    j = pts.join(nb, ["grp", "bucket"])
+    area = F.round(
+        F.abs(
+            (F.col("xa") - F.col("xc")) * (F.col("v") - F.col("ya"))
+            - (F.col("xa") - F.col("x")) * (F.col("ya") - F.col("yc"))
+        ),
+        6,
+    )
+    first_last = F.col("xa").isNull() | F.col("xc").isNull()
+    # boundary buckets keep their first (resp. last) point; interior
+    # buckets rank by triangle area
+    key = F.when(
+        first_last,
+        # first bucket: smallest x wins; last bucket: largest x wins
+        F.when(
+            F.col("xa").isNull(), F.lit(1e18) - F.col("x")
+        ).otherwise(F.lit(1e18) + F.col("x")),
+    ).otherwise(area)
+    wr = Window.partitionBy("grp", "bucket").orderBy(
+        F.desc("key"), F.asc("x")
+    )
+    return (
+        j.withColumn("key", key)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("grp", "ord", "v", F.col("bucket").cast("long").alias("bucket"))
+        .orderBy("grp", "ord")
+    )

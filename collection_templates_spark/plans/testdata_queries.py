@@ -4741,6 +4741,26 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temporal_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-based downsampling (temporal.lttb_downsample, parallel
+    bucket-average variant of LTTB) of the per-type daily revenue
+    series to one point per 10-day bucket — the decimation step a
+    dashboard/export pipeline runs before shipping a 100M-point series
+    to a chart, keeping the visually dominant extremes instead of
+    naive every-Nth sampling."""
+    from collection_templates_spark.operators.temporal import (
+        lttb_downsample,
+    )
+
+    return lttb_downsample(
+        _daily_event_series(spark, sf_dir),
+        "event_type",
+        "day",
+        "v",
+        bucket_size=10,
+    ).withColumnRenamed("grp", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4764,6 +4784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_mutual_information": feature_mutual_information,
     "graph_shortest_paths": graph_shortest_paths,
     "text_ngram_novelty": text_ngram_novelty,
+    "temporal_downsample_lttb": temporal_downsample_lttb,
     # --- r12 new rows ---
     "ltr_train_weights": ltr_train_weights,
     "ltr_ndcg_eval": ltr_ndcg_eval,
@@ -11830,4 +11851,49 @@ ORACLE_SQL["text_ngram_novelty"] = """
            CAST(sum(CASE WHEN nv < CAST(0.2 AS DOUBLE) THEN 1
                          ELSE 0 END) AS BIGINT) AS n_low_novelty
     FROM nov GROUP BY source ORDER BY source
+"""
+
+# temporal_downsample_lttb: same daily series, row_number x, bucket
+# averages via lag/lead over the bucket table, 6dp-rounded area with
+# (area DESC, x ASC) pick; boundary buckets keep first/last point via
+# the same 1e18±x key trick as the Spark side.
+ORACLE_SQL["temporal_downsample_lttb"] = """
+    WITH daily AS (
+        SELECT event_type AS grp, CAST(ts AS DATE) AS ord,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ), pts AS (
+        SELECT grp, ord, v,
+               CAST(row_number() OVER (PARTITION BY grp ORDER BY ord)
+                    AS DOUBLE) AS x
+        FROM daily
+    ), pb AS (
+        SELECT *, CAST(floor((x - 1) / 10) AS BIGINT) AS bucket FROM pts
+    ), bstats AS (
+        SELECT grp, bucket, avg(x) AS bx, avg(v) AS by_
+        FROM pb GROUP BY grp, bucket
+    ), nb AS (
+        SELECT grp, bucket,
+               lag(bx) OVER (PARTITION BY grp ORDER BY bucket) AS xa,
+               lag(by_) OVER (PARTITION BY grp ORDER BY bucket) AS ya,
+               lead(bx) OVER (PARTITION BY grp ORDER BY bucket) AS xc,
+               lead(by_) OVER (PARTITION BY grp ORDER BY bucket) AS yc
+        FROM bstats
+    ), j AS (
+        SELECT pb.*, xa, ya, xc, yc,
+               CASE WHEN xa IS NULL OR xc IS NULL THEN
+                   CASE WHEN xa IS NULL
+                        THEN CAST(1e18 AS DOUBLE) - x
+                        ELSE CAST(1e18 AS DOUBLE) + x END
+               ELSE round(abs((xa - xc) * (v - ya)
+                              - (xa - x) * (ya - yc)), 6) END AS key
+        FROM pb JOIN nb ON pb.grp = nb.grp AND pb.bucket = nb.bucket
+    ), ranked AS (
+        SELECT grp, ord, v, bucket,
+               row_number() OVER (PARTITION BY grp, bucket
+                   ORDER BY key DESC, x ASC) AS rn
+        FROM j
+    )
+    SELECT grp AS event_type, ord, v, bucket
+    FROM ranked WHERE rn = 1 ORDER BY event_type, ord
 """

@@ -254,3 +254,44 @@ def test_weighted_sssp_brute_force(spark):
                 new[b] = dist[a] + w
         dist = new
     assert out == dist
+
+
+def test_lttb_downsample_brute_force(spark):
+    """One point per bucket; boundary buckets keep first/last point;
+    interior buckets keep the brute-force max-area point."""
+    from collection_templates_spark.operators.temporal import (
+        lttb_downsample,
+    )
+
+    rng = random.Random(251)
+    n, bsize = 47, 10
+    series = [("g", i, round(rng.uniform(0, 100), 2)) for i in range(n)]
+    df = spark.createDataFrame(series, "g string, d int, v double")
+    out = {
+        r.bucket: (r.ord, r.v)
+        for r in lttb_downsample(df, "g", "d", "v", bsize).collect()
+    }
+    n_buckets = -(-n // bsize)
+    assert sorted(out) == list(range(n_buckets))
+    assert out[0] == (0, series[0][2])
+    assert out[n_buckets - 1] == (n - 1, series[-1][2])
+    # brute-force interior buckets
+    xs = [float(i + 1) for i in range(n)]
+    ys = [v for _, _, v in series]
+    for b in range(1, n_buckets - 1):
+        lo, hi = b * bsize, min((b + 1) * bsize, n)
+        pl, ph = (b - 1) * bsize, b * bsize
+        nl, nh = (b + 1) * bsize, min((b + 2) * bsize, n)
+        xa = sum(xs[pl:ph]) / (ph - pl)
+        ya = sum(ys[pl:ph]) / (ph - pl)
+        xc = sum(xs[nl:nh]) / (nh - nl)
+        yc = sum(ys[nl:nh]) / (nh - nl)
+        best = max(
+            range(lo, hi),
+            key=lambda i: (
+                round(abs((xa - xc) * (ys[i] - ya)
+                          - (xa - xs[i]) * (ya - yc)), 6),
+                -xs[i],
+            ),
+        )
+        assert out[b] == (best, ys[best]), b
