@@ -1071,16 +1071,15 @@ def lttb_downsample(
         ),
         6,
     )
-    first_last = F.col("xa").isNull() | F.col("xc").isNull()
     # boundary buckets keep their first (resp. last) point; interior
-    # buckets rank by triangle area
-    key = F.when(
-        first_last,
-        # first bucket: smallest x wins; last bucket: largest x wins
-        F.when(
-            F.col("xa").isNull(), F.lit(1e18) - F.col("x")
-        ).otherwise(F.lit(1e18) + F.col("x")),
-    ).otherwise(area)
+    # buckets rank by triangle area. The cases never mix within one
+    # (grp, bucket) partition, so one DESC key per case suffices — no
+    # magnitude sentinel (1e18 + x collapses in double precision).
+    key = (
+        F.when(F.col("xa").isNull(), -F.col("x"))  # first: min x wins
+        .when(F.col("xc").isNull(), F.col("x"))  # last: max x wins
+        .otherwise(area)
+    )
     wr = Window.partitionBy("grp", "bucket").orderBy(
         F.desc("key"), F.asc("x")
     )

@@ -11881,10 +11881,8 @@ ORACLE_SQL["temporal_downsample_lttb"] = """
         FROM bstats
     ), j AS (
         SELECT pb.*, xa, ya, xc, yc,
-               CASE WHEN xa IS NULL OR xc IS NULL THEN
-                   CASE WHEN xa IS NULL
-                        THEN CAST(1e18 AS DOUBLE) - x
-                        ELSE CAST(1e18 AS DOUBLE) + x END
+               CASE WHEN xa IS NULL THEN -x
+                    WHEN xc IS NULL THEN x
                ELSE round(abs((xa - xc) * (v - ya)
                               - (xa - x) * (ya - yc)), 6) END AS key
         FROM pb JOIN nb ON pb.grp = nb.grp AND pb.bucket = nb.bucket
