@@ -304,3 +304,102 @@ def ltr_ndcg_eval(
         ndcg("dcg_base").alias("ndcg_base"),
         ndcg("dcg_ltr").alias("ndcg_ltr"),
     )
+
+
+def ltr_rank_metrics(
+    docs: DataFrame,
+    queries: tuple[str, ...] = DEFAULT_LTR_QUERIES,
+    k: int = 10,
+    rel_threshold: int = 4,
+    **kwargs,
+) -> DataFrame:
+    """Binary rank-quality metrics of the TRAINED ranker per query —
+    the evaluation battery next to ltr_ndcg_eval's graded NDCG:
+    MRR@k (reciprocal rank of the first relevant hit), Precision@5,
+    Recall@k and AP@k, with relevant ≡ rel ≥ ``rel_threshold`` (the
+    evaluate_endpoints.py endpoint-comparison shape, reference
+    research/learning-to-rank, re-expressed as windows).
+
+    Determinism: ranks are total-ordered (6dp score DESC, doc_id ASC);
+    every metric is a ratio of small integers except AP, whose
+    per-hit precision terms are rounded 9dp and DECIMAL-summed
+    (order-free). Queries with no relevant docs report 0.0 metrics
+    (stated, not null). Scale shape: judged tables are bounded
+    (queries × matched docs); two windows + one groupBy.
+    """
+    judged = ltr_judgments(docs, queries, **kwargs)
+    w = _weights(judged)
+    scored = judged.join(F.broadcast(w)).select(
+        "query",
+        "doc_id",
+        (F.col("rel") >= rel_threshold).cast("int").alias("is_rel"),
+        F.round(
+            F.col("b0")
+            + F.col("b1") * F.col("ov")
+            + F.col("b2") * F.col("sat"),
+            6,
+        ).alias("score"),
+    )
+    wq = Window.partitionBy("query").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "query",
+        "is_rel",
+        F.row_number().over(wq).alias("r"),
+        F.sum("is_rel")
+        .over(wq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_rel"),
+    )
+    ap_term = F.when(
+        (F.col("is_rel") == 1) & (F.col("r") <= k),
+        F.round(
+            F.col("cum_rel").cast("double") / F.col("r").cast("double"),
+            9,
+        ),
+    ).cast("decimal(38,9)")
+    agg = ranked.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_judged"),
+        F.sum("is_rel").alias("n_rel"),
+        F.min(
+            F.when((F.col("is_rel") == 1) & (F.col("r") <= k), F.col("r"))
+        ).alias("first_rel"),
+        F.sum(
+            F.when(F.col("r") <= 5, F.col("is_rel")).otherwise(F.lit(0))
+        ).alias("rel_at_5"),
+        F.sum(
+            F.when(F.col("r") <= k, F.col("is_rel")).otherwise(F.lit(0))
+        ).alias("rel_at_k"),
+        F.sum(ap_term).alias("ap_sum"),
+    )
+    n_rel = F.col("n_rel").cast("double")
+    zero = F.lit(0.0)
+    return agg.select(
+        "query",
+        F.col("n_judged").cast("long").alias("n_judged"),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel").cast("double"), zero
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(F.col("rel_at_5").cast("double") / F.lit(5.0), 6).alias(
+            "p_at_5"
+        ),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("rel_at_k").cast("double") / n_rel,
+            ).otherwise(zero),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.coalesce(F.col("ap_sum").cast("double"), zero)
+                / F.least(n_rel, F.lit(float(k))),
+            ).otherwise(zero),
+            6,
+        ).alias("ap_at_k"),
+    )

@@ -4761,6 +4761,16 @@ def temporal_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("grp", "event_type")
 
 
+def ltr_rank_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary rank-quality battery (ltr.ltr_rank_metrics): MRR@10,
+    P@5, Recall@10, AP@10 of the trained pointwise ranker per query —
+    the endpoint-comparison metrics next to the graded NDCG row
+    (reference research/learning-to-rank/evaluate_endpoints.py)."""
+    from collection_templates_spark.operators.ltr import ltr_rank_metrics
+
+    return ltr_rank_metrics(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4785,6 +4795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_shortest_paths": graph_shortest_paths,
     "text_ngram_novelty": text_ngram_novelty,
     "temporal_downsample_lttb": temporal_downsample_lttb,
+    "ltr_rank_metrics": ltr_rank_metrics_q,
     # --- r12 new rows ---
     "ltr_train_weights": ltr_train_weights,
     "ltr_ndcg_eval": ltr_ndcg_eval,
@@ -11894,4 +11905,54 @@ ORACLE_SQL["temporal_downsample_lttb"] = """
     )
     SELECT grp AS event_type, ord, v, bucket
     FROM ranked WHERE rn = 1 ORDER BY event_type, ord
+"""
+
+# ltr_rank_metrics: same judged/weights CTEs as the ndcg oracle, then
+# binary relevance (rel >= 4), total-ordered ranks, integer-count
+# metrics; AP terms rounded 9dp and DECIMAL-summed.
+ORACLE_SQL["ltr_rank_metrics"] = f"""
+    WITH {_ltr_judged_cte()}, {_LTR_MOMENTS_CTE}, scored AS (
+        SELECT j.query, j.doc_id,
+               CASE WHEN j.rel >= 4 THEN 1 ELSE 0 END AS is_rel,
+               round(w.b0 + w.b1 * j.ov + w.b2 * j.sat, 6) AS score
+        FROM judged j CROSS JOIN wts w
+    ), ranked AS (
+        SELECT query, is_rel,
+               row_number() OVER (PARTITION BY query
+                   ORDER BY score DESC, doc_id) AS r,
+               sum(is_rel) OVER (PARTITION BY query
+                   ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_rel
+        FROM scored
+    ), agg AS (
+        SELECT query, count(*) AS n_judged, sum(is_rel) AS n_rel,
+               min(CASE WHEN is_rel = 1 AND r <= 10 THEN r END)
+                   AS first_rel,
+               sum(CASE WHEN r <= 5 THEN is_rel ELSE 0 END) AS rel_at_5,
+               sum(CASE WHEN r <= 10 THEN is_rel ELSE 0 END) AS rel_at_k,
+               sum(CASE WHEN is_rel = 1 AND r <= 10 THEN
+                       CAST(round(CAST(cum_rel AS DOUBLE)
+                                  / CAST(r AS DOUBLE), 9)
+                            AS DECIMAL(38,9)) END) AS ap_sum
+        FROM ranked GROUP BY query
+    )
+    SELECT query, CAST(n_judged AS BIGINT) AS n_judged,
+           CAST(n_rel AS BIGINT) AS n_rel,
+           round(coalesce(CAST(1 AS DOUBLE)
+                          / CAST(first_rel AS DOUBLE),
+                          CAST(0 AS DOUBLE)), 6) AS mrr,
+           round(CAST(rel_at_5 AS DOUBLE) / CAST(5 AS DOUBLE), 6)
+               AS p_at_5,
+           round(CASE WHEN n_rel > 0
+                      THEN CAST(rel_at_k AS DOUBLE)
+                           / CAST(n_rel AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END, 6) AS recall_at_k,
+           round(CASE WHEN n_rel > 0
+                      THEN coalesce(CAST(ap_sum AS DOUBLE),
+                                    CAST(0 AS DOUBLE))
+                           / least(CAST(n_rel AS DOUBLE),
+                                   CAST(10 AS DOUBLE))
+                      ELSE CAST(0 AS DOUBLE) END, 6) AS ap_at_k
+    FROM agg
 """

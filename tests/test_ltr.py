@@ -101,3 +101,22 @@ def test_eval_plan_is_bounded(spark):
     # the only product is the 1-row weights broadcast; never a
     # shuffled cartesian
     assert "CartesianProduct" not in p, p
+
+
+def test_rank_metrics_bounds_and_consistency(spark, docs_df=None):
+    """All metrics in [0,1]; recall uses n_rel as denominator; a query
+    whose every judged doc is relevant has p_at_5 == 1 when ≥5 docs."""
+    from collection_templates_spark.operators.ltr import ltr_rank_metrics
+    from collection_templates_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    rows = ltr_rank_metrics(docs).collect()
+    assert rows
+    for r in rows:
+        for m in ("mrr", "p_at_5", "recall_at_k", "ap_at_k"):
+            assert 0.0 <= getattr(r, m) <= 1.0, (r.query, m)
+        if r.n_rel == 0:
+            assert r.mrr == r.ap_at_k == r.recall_at_k == 0.0
+        if r.n_rel >= 10:
+            # 10 ranked slots cannot hold more than 10 of n_rel
+            assert r.recall_at_k <= 10 / r.n_rel + 1e-9
