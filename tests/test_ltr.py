@@ -119,4 +119,4 @@ def test_rank_metrics_bounds_and_consistency(spark, docs_df=None):
             assert r.mrr == r.ap_at_k == r.recall_at_k == 0.0
         if r.n_rel >= 10:
             # 10 ranked slots cannot hold more than 10 of n_rel
-            assert r.recall_at_k <= 10 / r.n_rel + 1e-9
+            assert r.recall_at_k <= 10 / r.n_rel + 1e-6  # 6dp rounding
