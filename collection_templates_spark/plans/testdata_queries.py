@@ -4778,12 +4778,13 @@ def ltr_rank_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 12: the 21 never-sampled
-    # rows (this round's waves, inserted as built) lead, then the 16
-    # rows last checked in r8, then the r9/r10/r11 cohorts in
-    # staleness order. All rows pass the identical local oracle
-    # (tools/check.py) every round; the full-bank artifact is
-    # CHECKLOCAL_r{N}.json.
+    # the sampling lever). Rotated for round 13 per the r12 verdict:
+    # the 11 new r13 rows lead, then the r9-stale remainder (the r9
+    # cohort rows NOT re-sampled in r12), then the r10 and r11 cohorts,
+    # and the 50 rows r12 just sampled at the back — so the r13 sample
+    # has ZERO overlap with r12's except the new rows. All 200 rows
+    # pass the identical local oracle (tools/check.py) every round; the
+    # full-bank artifact is CHECKLOCAL_r{N}.json.
     # --- r13 new rows (never externally sampled) ---
     "sketch_quantile_merge": sketch_quantile_merge,
     "stats_levene": stats_levene,
@@ -4796,59 +4797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ngram_novelty": text_ngram_novelty,
     "temporal_downsample_lttb": temporal_downsample_lttb,
     "ltr_rank_metrics": ltr_rank_metrics_q,
-    # --- r12 new rows ---
-    "ltr_train_weights": ltr_train_weights,
-    "ltr_ndcg_eval": ltr_ndcg_eval,
-    "stats_spearman": stats_spearman,
-    "stats_kendall": stats_kendall,
-    "events_theil_sen": events_theil_sen,
-    "stats_bootstrap_ci": stats_bootstrap_ci,
-    "stats_anova": stats_anova,
-    "stats_kruskal_wallis": stats_kruskal_wallis,
-    "stats_two_proportion": stats_two_proportion,
-    "events_cuped": events_cuped,
-    "events_kaplan_meier": events_kaplan_meier,
-    "profile_events": profile_events,
-    "graph_bfs_layers": graph_bfs_layers,
-    "drift_psi_events": drift_psi_events,
-    "quality_calibration": quality_calibration,
-    "events_user_growth": events_user_growth,
-    "privacy_k_anonymity": privacy_k_anonymity,
-    "skew_key_report": skew_key_report,
-    "search_tfidf_cosine": search_tfidf_cosine_q,
-    "lineitem_pareto_abc": lineitem_pareto_abc,
-    "ann_centroid_separation": ann_centroid_separation,
-    "events_rolling_median": events_rolling_median,
-    "events_cohort_ltv": events_cohort_ltv,
-    # --- last driver-checked r8 ---
-    "text_containment": text_containment,
-    "text_perplexity": text_perplexity,
-    "text_winnowing": text_winnowing,
-    "vocab_oov": vocab_oov_q,
-    "ann_ivfpq_topk": ann_ivfpq_topk,
-    "bpe_apply_stats": bpe_apply_stats,
-    "dedup_semantic": dedup_semantic,
-    "quality_logistic": quality_logistic,
-    "text_perplexity_bigram": text_perplexity_bigram,
-    "bpe_fertility_by_lang": bpe_fertility_by_lang,
-    "corpus_funnel": corpus_funnel,
-    "sketch_cms_errors": sketch_cms_errors,
-    "sketch_hll_cardinality": sketch_hll_cardinality,
-    "graph_pagerank": graph_pagerank,
-    "sample_weighted": sample_weighted_q,
-    "text_top_terms": text_top_terms,
-    # --- last driver-checked r9 ---
-    "dedup_paragraph": dedup_paragraph,
-    "dedup_keep_best": dedup_keep_best,
-    "events_cohort_retention": events_cohort_retention,
-    "graph_triangle_count": graph_triangle_count,
-    "sketch_quantile_errors": sketch_quantile_errors,
-    "dedup_incremental": dedup_incremental,
-    "delta_pipeline": delta_pipeline,
-    "ann_cosine_topk": ann_cosine_topk,
-    "ann_lsh_topk": ann_lsh_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_lsh_recall": ann_lsh_recall,
+    # --- r9-stale (last driver-checked r9, skipped r10-r12) ---
     "ann_ivf_recall": ann_ivf_recall,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
@@ -4888,7 +4837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_curate_name": scalar_curate_name,
     "graph_transitive_closure": graph_transitive_closure,
     "dedup_exact": dedup_exact,
-    # --- last driver-checked r10 ---
+    # --- r10-stale ---
     "ann_incremental_topk": ann_incremental_topk,
     "sketch_hll_union": sketch_hll_union,
     "events_markov_transitions": events_markov_transitions,
@@ -4939,7 +4888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_refresh": rollup_refresh,
     "sketch_theta_intersection": sketch_theta_intersection,
     "sketch_bloom_fpr": sketch_bloom_fpr,
-    # --- last driver-checked r11 ---
+    # --- r11-stale ---
     "stats_ks_test": stats_ks_test,
     "stats_chi_square": stats_chi_square,
     "stats_correlation": stats_correlation,
@@ -4990,7 +4939,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": corpus_report,
     "export_manifest": export_manifest_q,
     "text_boilerplate": text_boilerplate,
+    # --- sampled by the r12 driver gate (freshest external) ---
+    "ltr_train_weights": ltr_train_weights,
+    "ltr_ndcg_eval": ltr_ndcg_eval,
+    "stats_spearman": stats_spearman,
+    "stats_kendall": stats_kendall,
+    "events_theil_sen": events_theil_sen,
+    "stats_bootstrap_ci": stats_bootstrap_ci,
+    "stats_anova": stats_anova,
+    "stats_kruskal_wallis": stats_kruskal_wallis,
+    "stats_two_proportion": stats_two_proportion,
+    "events_cuped": events_cuped,
+    "events_kaplan_meier": events_kaplan_meier,
+    "profile_events": profile_events,
+    "graph_bfs_layers": graph_bfs_layers,
+    "drift_psi_events": drift_psi_events,
+    "quality_calibration": quality_calibration,
+    "events_user_growth": events_user_growth,
+    "privacy_k_anonymity": privacy_k_anonymity,
+    "skew_key_report": skew_key_report,
+    "search_tfidf_cosine": search_tfidf_cosine_q,
+    "lineitem_pareto_abc": lineitem_pareto_abc,
+    "ann_centroid_separation": ann_centroid_separation,
+    "events_rolling_median": events_rolling_median,
+    "events_cohort_ltv": events_cohort_ltv,
+    "text_containment": text_containment,
+    "text_perplexity": text_perplexity,
+    "text_winnowing": text_winnowing,
+    "vocab_oov": vocab_oov_q,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
+    "bpe_apply_stats": bpe_apply_stats,
+    "dedup_semantic": dedup_semantic,
+    "quality_logistic": quality_logistic,
+    "text_perplexity_bigram": text_perplexity_bigram,
+    "bpe_fertility_by_lang": bpe_fertility_by_lang,
+    "corpus_funnel": corpus_funnel,
+    "sketch_cms_errors": sketch_cms_errors,
+    "sketch_hll_cardinality": sketch_hll_cardinality,
+    "graph_pagerank": graph_pagerank,
+    "sample_weighted": sample_weighted_q,
+    "text_top_terms": text_top_terms,
+    "dedup_paragraph": dedup_paragraph,
+    "dedup_keep_best": dedup_keep_best,
+    "events_cohort_retention": events_cohort_retention,
+    "graph_triangle_count": graph_triangle_count,
+    "sketch_quantile_errors": sketch_quantile_errors,
+    "dedup_incremental": dedup_incremental,
+    "delta_pipeline": delta_pipeline,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_recall": ann_lsh_recall,
 }
+
 
 
 def memo_backed_queries() -> list[str]:
