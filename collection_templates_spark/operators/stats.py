@@ -1665,3 +1665,148 @@ def mutual_information(
         F.round(F.col("mi_d").cast("double"), 6).alias("mi_nats"),
         (F.round(nmi, 6) + F.lit(0.0)).alias("nmi"),
     ).orderBy("feature")
+
+
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    expected_ratio: float = 0.5,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: chi-square goodness-of-fit
+    (1 df) of the observed A/B unit split against the designed ratio —
+    the first check every experiment readout runs, because a biased
+    assignment invalidates all the tests downstream of it. Flag at
+    chi² > 3.841 (the 5% critical value for 1 df, a spec constant).
+
+    Integer counts, one closed-form statistic. Output: (n_a, n_b,
+    expected_a, chi2, srm_flag)."""
+    g = F.col(group_col)
+    m = df.filter(g.isin([group_a, group_b])).groupBy().agg(
+        F.sum((g == group_a).cast("long")).alias("n_a"),
+        F.sum((g == group_b).cast("long")).alias("n_b"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    ea = n * F.lit(expected_ratio)
+    eb = n * F.lit(1.0 - expected_ratio)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    chi2 = (na - ea) * (na - ea) / ea + (nb - eb) * (nb - eb) / eb
+    return m.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(ea, 4).alias("expected_a"),
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+        (F.round(chi2, 6) > F.lit(3.841)).alias("srm_flag"),
+    )
+
+
+def power_analysis_mean(
+    df: DataFrame,
+    value_col: str,
+    mde_rel: float = 0.05,
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+    scale: int = 2,
+) -> DataFrame:
+    """Required sample size per arm for a two-sample mean test at the
+    observed variance: n = 2σ²(z_{α/2}+z_β)²/δ² with δ = mde_rel·mean —
+    the experiment-design companion to the readout tests (how long must
+    the A/B run before the Welch/permutation rows can say anything).
+    z constants are spec literals (α = 5% two-sided, power 80%).
+
+    Determinism: mean/σ² from DECIMAL-exact moments; one closed-form
+    expression, ceil at the end. Output: (n, mean, sd, delta_abs,
+    n_per_arm)."""
+    dec = f"decimal(28,{scale})"
+    v = F.col(value_col).cast(dec)
+    m = df.filter(F.col(value_col).isNotNull()).groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum((v * v).cast("decimal(38,4)")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    delta = F.lit(mde_rel) * mean
+    zz = F.lit((z_alpha + z_beta) ** 2)
+    n_arm = F.ceil(
+        F.round(F.lit(2.0) * var * zz / (delta * delta), 6)
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("sd"),
+        F.round(delta, 6).alias("delta_abs"),
+        n_arm.cast("long").alias("n_per_arm"),
+    )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    margin_rel: float = 0.05,
+    z_crit: float = 1.644854,
+    scale: int = 2,
+) -> DataFrame:
+    """Two-one-sided-tests (TOST) equivalence readout: the A/B means
+    are declared equivalent when BOTH one-sided Welch z's clear the 5%
+    critical value against a ±margin band (margin = margin_rel · the
+    pooled mean) — the "did the refactor change anything" test, where
+    a plain t-test's non-significance is NOT evidence of equivalence.
+
+    Determinism: per-group DECIMAL moments; closed-form z's rounded
+    6dp; the verdict compares rounded values against the z literal.
+    Output: (n_a, n_b, mean_a, mean_b, diff, margin, z_lower, z_upper,
+    equivalent)."""
+    dec = f"decimal(28,{scale})"
+    v = F.col(value_col).cast(dec)
+    g = F.col(group_col)
+    m = df.filter(
+        F.col(value_col).isNotNull() & g.isin([group_a, group_b])
+    ).groupBy().agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(g == group_a, v)).alias("sa"),
+        F.sum(F.when(g == group_a, (v * v).cast("decimal(38,4)"))).alias(
+            "qa"
+        ),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(g == group_b, v)).alias("sb"),
+        F.sum(F.when(g == group_b, (v * v).cast("decimal(38,4)"))).alias(
+            "qb"
+        ),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    qa = F.col("qa").cast("double")
+    qb = F.col("qb").cast("double")
+    ma = sa / na
+    mb = sb / nb
+    va = (qa - sa * sa / na) / (na - F.lit(1.0))
+    vb = (qb - sb * sb / nb) / (nb - F.lit(1.0))
+    diff = ma - mb
+    se = F.sqrt(va / na + vb / nb)
+    margin = F.lit(margin_rel) * ((sa + sb) / (na + nb))
+    z_lo = F.round(F.try_divide(diff + margin, se), 6)
+    z_up = F.round(F.try_divide(margin - diff, se), 6)
+    return m.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        (F.round(diff, 6) + F.lit(0.0)).alias("diff"),
+        F.round(margin, 6).alias("margin"),
+        (z_lo + F.lit(0.0)).alias("z_lower"),
+        (z_up + F.lit(0.0)).alias("z_upper"),
+        ((z_lo > F.lit(z_crit)) & (z_up > F.lit(z_crit))).alias(
+            "equivalent"
+        ),
+    )

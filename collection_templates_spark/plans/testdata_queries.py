@@ -4604,6 +4604,9 @@ def feature_mutual_information(
 
     ev = _t(spark, sf_dir, "events")
     dv = F.col("value").cast("decimal(18,2)")
+    # the user aggregate feeds THREE feature branches — one eager cut
+    # so the events scan+groupBy runs once, not per branch (the
+    # multi-consumer-lineage rule; the table is |users|-sized)
     users = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dv).alias("total"),
@@ -4611,7 +4614,7 @@ def feature_mutual_information(
         F.max((F.col("event_type") == "purchase").cast("int")).alias(
             "label"
         ),
-    )
+    ).localCheckpoint(eager=True)
     feats = users.select(
         F.lit("activity_bucket").alias("f"),
         F.least(F.floor(F.col("n_events") / F.lit(10)), F.lit(12))
@@ -4771,6 +4774,52 @@ def ltr_rank_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ltr_rank_metrics(_t(spark, sf_dir, "documents"))
 
 
+def _parity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with the parity A/B variant — the shared unit table of
+    the experiment rows (two_proportion / permutation / CUPED)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+    )
+
+
+def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (stats.srm_check): chi-square
+    GOF of the parity A/B event split against the designed 50/50 — the
+    assignment-health check that gates every other experiment row."""
+    from collection_templates_spark.operators.stats import srm_check
+
+    return srm_check(_parity_events(spark, sf_dir), "variant", "A", "B")
+
+
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required per-arm sample size (stats.power_analysis_mean) to
+    detect a 5% shift of mean event value at 80% power — the
+    experiment-DESIGN companion to the readout tests."""
+    from collection_templates_spark.operators.stats import (
+        power_analysis_mean,
+    )
+
+    return power_analysis_mean(_t(spark, sf_dir, "events"), "value")
+
+
+def stats_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence readout (stats.tost_equivalence) of mean event
+    value between the parity variants with a ±5%-of-pooled-mean margin
+    — 'no change' as a POSITIVE claim, vs the t-test's mere
+    non-significance."""
+    from collection_templates_spark.operators.stats import (
+        tost_equivalence,
+    )
+
+    return tost_equivalence(
+        _parity_events(spark, sf_dir), "variant", "value", "A", "B"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4797,6 +4846,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ngram_novelty": text_ngram_novelty,
     "temporal_downsample_lttb": temporal_downsample_lttb,
     "ltr_rank_metrics": ltr_rank_metrics_q,
+    "stats_srm_check": stats_srm_check,
+    "stats_power_analysis": stats_power_analysis,
+    "stats_tost": stats_tost,
     # --- r9-stale (last driver-checked r9, skipped r10-r12) ---
     "ann_ivf_recall": ann_ivf_recall,
     "ann_pq_topk": ann_pq_topk,
@@ -11956,4 +12008,112 @@ ORACLE_SQL["ltr_rank_metrics"] = f"""
                                    CAST(10 AS DOUBLE))
                       ELSE CAST(0 AS DOUBLE) END, 6) AS ap_at_k
     FROM agg
+"""
+
+# stats_srm_check: integer counts, closed-form 1-df chi-square GOF
+# against the designed 50/50 split, 3.841 critical literal.
+ORACLE_SQL["stats_srm_check"] = """
+    WITH m AS (
+        SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+        FROM events
+    ), d AS (
+        SELECT n_a, n_b,
+               CAST(n_a + n_b AS DOUBLE) * CAST(0.5 AS DOUBLE) AS ea,
+               CAST(n_a + n_b AS DOUBLE)
+                   * (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) AS eb
+        FROM m
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(ea, 4) AS expected_a,
+           round((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea)
+                 / ea
+                 + (CAST(n_b AS DOUBLE) - eb)
+                   * (CAST(n_b AS DOUBLE) - eb) / eb, 6)
+           + CAST(0 AS DOUBLE) AS chi2,
+           round((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea)
+                 / ea
+                 + (CAST(n_b AS DOUBLE) - eb)
+                   * (CAST(n_b AS DOUBLE) - eb) / eb, 6)
+               > CAST(3.841 AS DOUBLE) AS srm_flag
+    FROM d
+"""
+
+# stats_power_analysis: DECIMAL moments, closed-form n per arm with the
+# (1.959964 + 0.841621)^2 literal precomputed in Python on both sides.
+ORACLE_SQL["stats_power_analysis"] = f"""
+    WITH m AS (
+        SELECT count(*) AS n, sum(CAST(value AS DECIMAL(28,2))) AS s1,
+               sum(CAST(CAST(value AS DECIMAL(28,2))
+                        * CAST(value AS DECIMAL(18,2))
+                        AS DECIMAL(38,4))) AS s2
+        FROM events WHERE value IS NOT NULL
+    ), d AS (
+        SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+               CAST(s2 AS DOUBLE) AS s2
+        FROM m
+    ), e AS (
+        SELECT n, s1 / n AS mean,
+               (s2 - s1 * s1 / n) / (n - CAST(1 AS DOUBLE)) AS var
+        FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n, round(mean, 6) AS mean,
+           round(sqrt(var), 6) AS sd,
+           round(CAST(0.05 AS DOUBLE) * mean, 6) AS delta_abs,
+           CAST(ceil(round(CAST(2 AS DOUBLE) * var
+                           * CAST({(1.959964 + 0.841621) ** 2!r} AS DOUBLE)
+                           / ((CAST(0.05 AS DOUBLE) * mean)
+                              * (CAST(0.05 AS DOUBLE) * mean)), 6))
+                AS BIGINT) AS n_per_arm
+    FROM e
+"""
+
+# stats_tost: per-variant DECIMAL moments, two one-sided Welch z's vs
+# the 1.644854 critical literal.
+ORACLE_SQL["stats_tost"] = """
+    WITH base AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+               CAST(value AS DECIMAL(28,2)) AS v
+        FROM events WHERE value IS NOT NULL
+    ), m AS (
+        SELECT sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN g = 'A' THEN v END) AS sa,
+               sum(CASE WHEN g = 'A' THEN
+                   CAST(v * CAST(v AS DECIMAL(18,2)) AS DECIMAL(38,4))
+                   END) AS qa,
+               sum(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS n_b,
+               sum(CASE WHEN g = 'B' THEN v END) AS sb,
+               sum(CASE WHEN g = 'B' THEN
+                   CAST(v * CAST(v AS DECIMAL(18,2)) AS DECIMAL(38,4))
+                   END) AS qb
+        FROM base
+    ), d AS (
+        SELECT CAST(n_a AS DOUBLE) AS na, CAST(sa AS DOUBLE) AS sa,
+               CAST(qa AS DOUBLE) AS qa, CAST(n_b AS DOUBLE) AS nb,
+               CAST(sb AS DOUBLE) AS sb, CAST(qb AS DOUBLE) AS qb,
+               n_a, n_b
+        FROM m
+    ), e AS (
+        SELECT n_a, n_b, na, nb, sa / na AS ma, sb / nb AS mb,
+               (qa - sa * sa / na) / (na - CAST(1 AS DOUBLE)) AS va,
+               (qb - sb * sb / nb) / (nb - CAST(1 AS DOUBLE)) AS vb,
+               CAST(0.05 AS DOUBLE) * ((sa + sb) / (na + nb)) AS margin
+        FROM d
+    ), z AS (
+        SELECT n_a, n_b, ma, mb, margin, ma - mb AS diff,
+               round((ma - mb + margin)
+                     / sqrt(va / na + vb / nb), 6) AS z_lo,
+               round((margin - (ma - mb))
+                     / sqrt(va / na + vb / nb), 6) AS z_up
+        FROM e
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round(diff, 6) + CAST(0 AS DOUBLE) AS diff,
+           round(margin, 6) AS margin,
+           z_lo + CAST(0 AS DOUBLE) AS z_lower,
+           z_up + CAST(0 AS DOUBLE) AS z_upper,
+           z_lo > CAST(1.644854 AS DOUBLE)
+               AND z_up > CAST(1.644854 AS DOUBLE) AS equivalent
+    FROM z
 """

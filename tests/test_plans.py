@@ -380,10 +380,14 @@ def test_round11_late_extension_plans(spark):
     # seasonal decompose: the tiny per-phase table broadcasts back
     p = _plan(spark, "events_seasonal_decompose")
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
-    # Heaps fit: per-row array ops + one moments aggregate — no
-    # explode to a token table, no join
+    # Heaps fit (r13 shape): the token array is computed EXACTLY ONCE
+    # per row inside a single-element-array Generate (the barrier that
+    # stops filter pushdown + project collapsing from re-deriving the
+    # interpreted split chain — it appeared 3x in the r12 plan), then
+    # one moments aggregate; still no join and no token-table explode
     p = _plan(spark, "text_heaps_fit")
-    assert "Join" not in p and "Generate" not in p, p
+    assert "Join" not in p, p
+    assert p.count("split(lower") == 1, p
     # pattern runs: windows over the bounded daily series, no join
     p = _plan(spark, "events_pattern_runs")
     assert "Join" not in p, p
