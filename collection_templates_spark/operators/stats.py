@@ -1810,3 +1810,90 @@ def tost_equivalence(
             "equivalent"
         ),
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    k: int = 10,
+    scale: int = 2,
+) -> DataFrame:
+    """Top-k bivariate outliers by squared Mahalanobis distance —
+    the correlation-aware generalization of the z-score/Grubbs screens
+    (a point can be unremarkable per-axis yet wildly off the joint
+    distribution; d² is the statistic that sees it). For two variables
+    the inverse covariance is closed-form, so the whole operator is
+    two aggregates and a top-k:
+
+        d² = (dx² σ_y² − 2 dx dy σ_xy + dy² σ_x²) / (σ_x² σ_y² − σ_xy²)
+
+    Determinism: means/covariance from DECIMAL-exact moments (sample,
+    ddof 1); d² is one closed-form double rounded 6dp; the top-k is
+    (d² DESC, x DESC, y DESC) — total order. Output: (x, y, d2, rank).
+
+    Scale shape: one map-side-combined moment aggregate, one scan
+    against the broadcast 1-row scalar table, one TakeOrdered top-k —
+    no shuffle carries more than k rows past the scan.
+    """
+    dec = f"decimal(18,{scale})"
+    xv = F.col(x_col).cast(dec)
+    yv = F.col(y_col).cast(dec)
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        xv.alias("xd"),
+        yv.alias("yd"),
+    )
+    m = base.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xd").alias("sx"),
+        F.sum("yd").alias("sy"),
+        F.sum((F.col("xd") * F.col("xd")).cast("decimal(38,4)")).alias(
+            "sxx"
+        ),
+        F.sum((F.col("yd") * F.col("yd")).cast("decimal(38,4)")).alias(
+            "syy"
+        ),
+        F.sum((F.col("xd") * F.col("yd")).cast("decimal(38,4)")).alias(
+            "sxy"
+        ),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    scal = m.select(
+        (sx / n).alias("mx"),
+        (sy / n).alias("my"),
+        ((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("vx"),
+        ((syy - sy * sy / n) / (n - F.lit(1.0))).alias("vy"),
+        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("vxy"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("vx") * F.col("vy") - F.col("vxy") * F.col("vxy")
+    d2 = F.round(
+        F.try_divide(
+            dx * dx * F.col("vy")
+            - F.lit(2.0) * dx * dy * F.col("vxy")
+            + dy * dy * F.col("vx"),
+            det,
+        ),
+        6,
+    )
+    scored = base.join(F.broadcast(scal)).select(
+        "x", "y", d2.alias("d2")
+    )
+    # TakeOrdered top-k first (per-partition heaps, k rows to the
+    # driver-side sort — never a global window over the data), THEN
+    # number the k-row result
+    top = scored.orderBy(F.desc("d2"), F.desc("x"), F.desc("y")).limit(k)
+    w = Window.orderBy(F.desc("d2"), F.desc("x"), F.desc("y"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "x", "y", (F.col("d2") + F.lit(0.0)).alias("d2"), "rank"
+    )

@@ -4820,6 +4820,21 @@ def stats_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bivariate (quantity, extendedprice) outliers by squared
+    Mahalanobis distance (stats.mahalanobis_outliers) — the
+    correlation-aware joint-distribution screen next to the univariate
+    Grubbs/MAD rows (a cheap low-quantity/high-price line is invisible
+    per-axis)."""
+    from collection_templates_spark.operators.stats import (
+        mahalanobis_outliers,
+    )
+
+    return mahalanobis_outliers(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4849,6 +4864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_srm_check": stats_srm_check,
     "stats_power_analysis": stats_power_analysis,
     "stats_tost": stats_tost,
+    "stats_mahalanobis": stats_mahalanobis,
     # --- r9-stale (last driver-checked r9, skipped r10-r12) ---
     "ann_ivf_recall": ann_ivf_recall,
     "ann_pq_topk": ann_pq_topk,
@@ -12116,4 +12132,48 @@ ORACLE_SQL["stats_tost"] = """
            z_lo > CAST(1.644854 AS DOUBLE)
                AND z_up > CAST(1.644854 AS DOUBLE) AS equivalent
     FROM z
+"""
+
+# stats_mahalanobis: DECIMAL moment pass, closed-form 2x2 inverse-
+# covariance d2 rounded 6dp, (d2 DESC, x DESC, y DESC) top-10.
+ORACLE_SQL["stats_mahalanobis"] = """
+    WITH base AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y,
+               CAST(l_quantity AS DECIMAL(18,2)) AS xd,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS yd
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), m AS (
+        SELECT count(*) AS n, sum(xd) AS sx, sum(yd) AS sy,
+               sum(CAST(xd * CAST(xd AS DECIMAL(20,2))
+                        AS DECIMAL(38,4))) AS sxx,
+               sum(CAST(yd * CAST(yd AS DECIMAL(20,2))
+                        AS DECIMAL(38,4))) AS syy,
+               sum(CAST(xd * CAST(yd AS DECIMAL(20,2))
+                        AS DECIMAL(38,4))) AS sxy
+        FROM base
+    ), d AS (
+        SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+               CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx,
+               CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy
+        FROM m
+    ), scal AS (
+        SELECT sx / n AS mx, sy / n AS my,
+               (sxx - sx * sx / n) / (n - CAST(1 AS DOUBLE)) AS vx,
+               (syy - sy * sy / n) / (n - CAST(1 AS DOUBLE)) AS vy,
+               (sxy - sx * sy / n) / (n - CAST(1 AS DOUBLE)) AS vxy
+        FROM d
+    ), scored AS (
+        SELECT x, y,
+               round(((x - mx) * (x - mx) * vy
+                      - CAST(2 AS DOUBLE) * (x - mx) * (y - my) * vxy
+                      + (y - my) * (y - my) * vx)
+                     / (vx * vy - vxy * vxy), 6) AS d2
+        FROM base, scal
+    )
+    SELECT x, y, d2 + CAST(0 AS DOUBLE) AS d2,
+           CAST(row_number() OVER (ORDER BY d2 DESC, x DESC, y DESC)
+                AS INT) AS rank
+    FROM scored ORDER BY d2 DESC, x DESC, y DESC LIMIT 10
 """

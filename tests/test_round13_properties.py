@@ -295,3 +295,71 @@ def test_lttb_downsample_brute_force(spark):
             ),
         )
         assert out[b] == (best, ys[best]), b
+
+
+def test_srm_power_tost_brute_force(spark):
+    from collection_templates_spark.operators.stats import (
+        power_analysis_mean,
+        srm_check,
+        tost_equivalence,
+    )
+
+    rng = random.Random(263)
+    rows = [
+        ("A" if i < 130 else "B", round(rng.uniform(10, 20), 2))
+        for i in range(230)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    srm = srm_check(df, "g", "A", "B").collect()[0]
+    # 130/100 vs 115/115 expected: chi2 = 2*(15^2/115)
+    assert (srm.n_a, srm.n_b) == (130, 100)
+    assert abs(srm.chi2 - 2 * 15**2 / 115) < 1e-6
+    # 2*15^2/115 = 3.913 > 3.841: this imbalance IS a mismatch
+    assert srm.srm_flag
+
+    vals = [v for _, v in rows]
+    n = len(vals)
+    mu = sum(vals) / n
+    var = sum((v - mu) ** 2 for v in vals) / (n - 1)
+    pw = power_analysis_mean(df, "v").collect()[0]
+    want = 2 * var * (1.959964 + 0.841621) ** 2 / (0.05 * mu) ** 2
+    assert pw.n_per_arm == math.ceil(round(want, 6))
+
+    # identical distributions with a generous margin → equivalent
+    to = tost_equivalence(df, "g", "v", "A", "B", margin_rel=0.05)
+    r = to.collect()[0]
+    va = [v for g, v in rows if g == "A"]
+    vb = [v for g, v in rows if g == "B"]
+    ma, mb = sum(va) / len(va), sum(vb) / len(vb)
+    assert abs(r.diff - (ma - mb)) < 1e-5
+    assert r.equivalent == (r.z_lower > 1.644854 and r.z_upper > 1.644854)
+
+
+def test_mahalanobis_brute_force(spark):
+    from collection_templates_spark.operators.stats import (
+        mahalanobis_outliers,
+    )
+
+    rng = random.Random(269)
+    rows = [
+        (round(u := rng.uniform(0, 10), 2), round(2 * u + rng.uniform(-1, 1), 2))
+        for _ in range(300)
+    ] + [(1.0, 25.0)]  # joint outlier: low x, high y
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = mahalanobis_outliers(df, "x", "y", k=5).collect()
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    assert (out[0].x, out[0].y) == (1.0, 25.0)
+    # brute force d2 of the winner
+    import statistics
+
+    xs = [x for x, _ in rows]
+    ys = [y for _, y in rows]
+    n = len(rows)
+    mx, my = sum(xs) / n, sum(ys) / n
+    vx = statistics.variance(xs)
+    vy = statistics.variance(ys)
+    vxy = sum((x - mx) * (y - my) for x, y in rows) / (n - 1)
+    det = vx * vy - vxy * vxy
+    d2 = ((1.0 - mx) ** 2 * vy - 2 * (1.0 - mx) * (25.0 - my) * vxy
+          + (25.0 - my) ** 2 * vx) / det
+    assert abs(out[0].d2 - d2) < 1e-4
