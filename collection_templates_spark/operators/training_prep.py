@@ -621,11 +621,28 @@ def quality_classifier(
         9,
     )
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    return docs.select(
-        F.col(id_col).alias("doc"),
-        score.alias("score"),
-        (score >= 0.5).alias("keep"),
-        *passthrough,
+    # single-element-array explode = Generate BARRIER (the r13
+    # heaps_fit fix): the interpreted regexp/HOF feature chain becomes
+    # a Generate OUTPUT ATTRIBUTE, so downstream filters (keep,
+    # calibration's not-null guard) and multi-use projections (bin id
+    # + mean-score accumulator) reference the attribute instead of
+    # re-deriving the chain — it was evaluated up to 3x per row at
+    # sf10 (quality_calibration's 1.05 second-decade exponent), once
+    # after this. `keep` derives from the attribute too.
+    row = F.explode(
+        F.array(
+            F.struct(
+                F.col(id_col).alias("doc"),
+                score.alias("score"),
+                *[F.col(c).alias(c) for c in passthrough],
+            )
+        )
+    )
+    return docs.select(row.alias("___r")).select(
+        F.col("___r.doc").alias("doc"),
+        F.col("___r.score").alias("score"),
+        (F.col("___r.score") >= 0.5).alias("keep"),
+        *[F.col(f"___r.{c}").alias(c) for c in passthrough],
     )
 
 
