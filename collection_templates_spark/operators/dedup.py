@@ -41,6 +41,29 @@ _INFER_GENERATE_RULE = (
 AUTO_EXCLUDE_CONF = "spark.collectionTemplates.autoExcludeInferGenerate"
 
 
+def ensure_infer_generate_excluded(spark) -> None:
+    """Session-level defensive exclusion of InferFiltersFromGenerate
+    (honoring :data:`AUTO_EXCLUDE_CONF`): shared by every operator that
+    relies on a Generate BARRIER to evaluate an interpreted expression
+    chain once per row (_spread's shingle fan-out, heaps_fit's and
+    quality_classifier's single-element-array explodes). On a vanilla
+    driver session the rule would synthesize a size()>0/isnotnull
+    filter BELOW the Generate, re-deriving the chain the barrier exists
+    to protect. Appends to — never clobbers — existing exclusions;
+    results are identical either way (see _spread's docstring)."""
+    if str(spark.conf.get(AUTO_EXCLUDE_CONF, "true")).lower() != "false":
+        excluded = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+        if not excluded:
+            spark.conf.set(
+                "spark.sql.optimizer.excludedRules", _INFER_GENERATE_RULE
+            )
+        elif _INFER_GENERATE_RULE not in excluded:
+            spark.conf.set(
+                "spark.sql.optimizer.excludedRules",
+                excluded + "," + _INFER_GENERATE_RULE,
+            )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Fan a narrow input out to the session's full parallelism before
     CPU-heavy per-row expression evaluation (the shingle chains are
@@ -67,17 +90,7 @@ def _spread(df: DataFrame) -> DataFrame:
     untouched.
     """
     spark = df.sparkSession
-    if str(spark.conf.get(AUTO_EXCLUDE_CONF, "true")).lower() != "false":
-        excluded = spark.conf.get("spark.sql.optimizer.excludedRules", None)
-        if not excluded:
-            spark.conf.set(
-                "spark.sql.optimizer.excludedRules", _INFER_GENERATE_RULE
-            )
-        elif _INFER_GENERATE_RULE not in excluded:
-            spark.conf.set(
-                "spark.sql.optimizer.excludedRules",
-                excluded + "," + _INFER_GENERATE_RULE,
-            )
+    ensure_infer_generate_excluded(spark)
     sc = spark.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

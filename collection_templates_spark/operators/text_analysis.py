@@ -771,7 +771,13 @@ def heaps_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from collection_templates_spark.functions.langmodel import (
         TOKEN_SPLIT_RE,
     )
+    from collection_templates_spark.operators.dedup import (
+        ensure_infer_generate_excluded,
+    )
 
+    # vanilla sessions: keep InferFiltersFromGenerate from synthesizing
+    # a chain-re-deriving filter below the barrier Generate
+    ensure_infer_generate_excluded(docs.sparkSession)
     words = F.filter(
         F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
         lambda x: x != F.lit(""),

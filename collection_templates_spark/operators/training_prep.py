@@ -629,6 +629,11 @@ def quality_classifier(
     # re-deriving the chain — it was evaluated up to 3x per row at
     # sf10 (quality_calibration's 1.05 second-decade exponent), once
     # after this. `keep` derives from the attribute too.
+    from collection_templates_spark.operators.dedup import (
+        ensure_infer_generate_excluded,
+    )
+
+    ensure_infer_generate_excluded(docs.sparkSession)
     row = F.explode(
         F.array(
             F.struct(
