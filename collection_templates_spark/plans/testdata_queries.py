@@ -4708,14 +4708,26 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
-        sh.join(dfreq, "s")
-        .groupBy("doc_id", "source")
+    # a corpus-unique shingle (df == 1) belongs to exactly ONE doc, so
+    # its owner comes out of the same df aggregate (min == only) — the
+    # per-doc unique count then joins back at |docs| rows, not
+    # |doc × shingle| rows (the exponent-0.99 join this row first
+    # shipped with; the oracle computes identical values either way)
+    uniq_per_doc = (
+        sh.groupBy("s")
         .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.sum((F.col("df") == 1).cast("long")).alias("n_uni"),
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("doc_id"),
         )
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    per_doc = (
+        sh.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .join(uniq_per_doc, "doc_id", "left")
+        .withColumn("n_uni", F.coalesce("n_uni", F.lit(0)))
     )
     nv = F.round(
         F.col("n_uni").cast("double") / F.col("n_sh").cast("double"), 9
