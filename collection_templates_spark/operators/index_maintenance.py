@@ -284,3 +284,120 @@ def compact_minhash_index(
         "epochs_folded": len(folded),
         "version": v,
     }
+
+
+# ---------------------------------------------------------------------------
+# Streaming monitor state (epoch-segment histograms/sketches)
+# ---------------------------------------------------------------------------
+
+
+def read_state_with_base(
+    spark: SparkSession,
+    state_dir: str,
+    sub: str,
+    complete_epochs: list[int],
+    exclude_epoch: int | None = None,
+):
+    """Cumulative monitor state = the compacted base (when a pointer
+    was published) + marker-complete epoch segments ABOVE the
+    watermark — the shared read path of the PSI and quantile stream
+    monitors. Returns None when there is no state at all."""
+    lay = read_layout(
+        state_dir, {f"{sub}_base": None, f"{sub}_watermark": -1}
+    )
+    wm = lay[f"{sub}_watermark"]
+    dirs = [
+        os.path.join(state_dir, sub, f"epoch={e}")
+        for e in complete_epochs
+        if e > wm
+        and e != exclude_epoch
+        and os.path.isdir(os.path.join(state_dir, sub, f"epoch={e}"))
+    ]
+    parts = []
+    if lay[f"{sub}_base"]:
+        parts.append(
+            spark.read.parquet(os.path.join(state_dir, lay[f"{sub}_base"]))
+        )
+    if dirs:
+        parts.append(spark.read.parquet(*dirs))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_state_segments(
+    spark: SparkSession,
+    state_dir: str,
+    sub: str,
+    group_cols: tuple[str, ...],
+    cnt_col: str = "n",
+) -> dict:
+    """Fold a streaming monitor's marker-complete epoch segments into
+    ONE merged base table (count addition over ``group_cols`` — the
+    segments are mergeable sufficient statistics by construction), so
+    the per-micro-batch cumulative read stops costing O(epochs): the
+    same versioned-dir + atomic-pointer + watermark protocol as the
+    index compactors, with one difference — the EPOCH MARKERS are NOT
+    removed, because they also gate the monitor's per-epoch OUTPUT log
+    (read_psi_log / read_quantile_log); only the folded segment
+    directories are GC'd, and the watermark is what retires them from
+    the state read (crash-safe: a stale folded segment is ignored even
+    if GC died).
+
+    Returns {"epochs_folded", "files_before", "files_after",
+    "version"}.
+    """
+    lay = read_layout(
+        state_dir, {f"{sub}_base": None, f"{sub}_watermark": -1}
+    )
+    wm = lay[f"{sub}_watermark"]
+    import glob as _glob
+
+    complete = sorted(
+        int(os.path.basename(p))
+        for p in _glob.glob(os.path.join(state_dir, "_epochs", "*"))
+        if os.path.basename(p).isdigit()
+    )
+    fold = [e for e in complete if e > wm]
+    seg_dirs = [
+        os.path.join(state_dir, sub, f"epoch={e}")
+        for e in fold
+        if os.path.isdir(os.path.join(state_dir, sub, f"epoch={e}"))
+    ]
+    old_base = (
+        os.path.join(state_dir, lay[f"{sub}_base"])
+        if lay[f"{sub}_base"]
+        else None
+    )
+    files_before = parquet_file_count(
+        *( [old_base] if old_base else [] ), *seg_dirs
+    )
+    cur = read_state_with_base(spark, state_dir, sub, complete)
+    if cur is None:
+        return {
+            "epochs_folded": 0,
+            "files_before": 0,
+            "files_after": 0,
+            "version": 0,
+        }
+    merged = cur.groupBy(*group_cols).agg(
+        F.sum(cnt_col).alias(cnt_col)
+    )
+    v = _next_version(state_dir, f"{sub}_base")
+    new_rel = f"{sub}_base_v{v}"
+    new_dir = os.path.join(state_dir, new_rel)
+    merged.coalesce(1).write.mode("overwrite").parquet(new_dir)
+    new_lay = read_layout(state_dir, {})
+    new_lay[f"{sub}_base"] = new_rel
+    new_lay[f"{sub}_watermark"] = max(fold, default=wm)
+    write_layout(state_dir, new_lay)
+    _gc(([old_base] if old_base else []) + seg_dirs)
+    return {
+        "epochs_folded": len(fold),
+        "files_before": files_before,
+        "files_after": parquet_file_count(new_dir),
+        "version": v,
+    }

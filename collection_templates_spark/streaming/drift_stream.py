@@ -131,9 +131,16 @@ def stream_drift_monitor(
         )
         seg_dir = os.path.join(state_dir, "hist", f"epoch={epoch_id}")
         hist.write.mode("overwrite").parquet(seg_dir)
-        prior = _read_segments(
-            spark, state_dir, "hist",
-            [e for e in _complete_epochs(state_dir) if e != epoch_id],
+        # cumulative = compacted base (if one was published) + segments
+        # above its watermark — compact_state_segments keeps this read
+        # O(1) in epoch count (operators/index_maintenance)
+        from collection_templates_spark.operators.index_maintenance import (
+            read_state_with_base,
+        )
+
+        prior = read_state_with_base(
+            spark, state_dir, "hist", _complete_epochs(state_dir),
+            exclude_epoch=epoch_id,
         )
         cum = hist if prior is None else prior.unionByName(hist)
         cum = cum.groupBy("grp", "bin").agg(F.sum("n").alias("n"))

@@ -124,9 +124,15 @@ def stream_quantile_monitor(
         sk.write.mode("overwrite").parquet(
             os.path.join(state_dir, "sketch", f"epoch={epoch_id}")
         )
-        prior = _read_segments(
-            spark, state_dir, "sketch",
-            [e for e in _complete_epochs(state_dir) if e != epoch_id],
+        # cumulative = compacted base + segments above its watermark
+        # (compact_state_segments; O(1) in epoch count)
+        from collection_templates_spark.operators.index_maintenance import (
+            read_state_with_base,
+        )
+
+        prior = read_state_with_base(
+            spark, state_dir, "sketch", _complete_epochs(state_dir),
+            exclude_epoch=epoch_id,
         )
         cum = sk if prior is None else prior.unionByName(sk)
         cum = cum.groupBy("bin").agg(F.sum("cnt").alias("cnt"))

@@ -111,3 +111,67 @@ def test_stream_quantile_rerun_idempotent_and_marker_gated(
         (r.epoch, r.q) for r in read_quantile_log(spark, state).collect()
     )}
     assert epochs[-1] not in left
+
+
+def test_stream_quantile_state_compaction(spark, tmp_path):
+    """Mid-stream state compaction: fold the sketch segments into a
+    base (watermark gating, markers retained for the output log), then
+    continue the stream — later epochs' estimates still equal the
+    batch replay, folded segment dirs are gone, and a stale restored
+    segment is ignored."""
+    import shutil
+
+    from collection_templates_spark.operators.index_maintenance import (
+        compact_state_segments,
+        read_layout,
+    )
+
+    tmp = str(tmp_path)
+    _, state = _run(spark, tmp)
+    n_before = len(read_quantile_log(spark, state).collect())
+    # snapshot a segment to restore later (stale-segment crash window)
+    shutil.copytree(
+        f"{state}/sketch/epoch=0", f"{tmp}/snap_epoch0"
+    )
+    stats = compact_state_segments(
+        spark, state, "sketch", ("bin",), cnt_col="cnt"
+    )
+    assert stats["epochs_folded"] == 3
+    assert not os.path.exists(f"{state}/sketch/epoch=0")
+    lay = read_layout(state, {})
+    assert lay["sketch_watermark"] == 2 and lay["sketch_base"]
+    # markers survive (they gate the output log)
+    assert len(read_quantile_log(spark, state).collect()) == n_before
+
+    # restore a folded segment (GC-crash simulation): watermark must
+    # keep it invisible to the cumulative read
+    shutil.copytree(f"{tmp}/snap_epoch0", f"{state}/sketch/epoch=0")
+
+    # continue the stream with a 4th batch
+    extra = [(float(1 + x % 100),) for x in range(100)]
+    d = f"{tmp}/b3"
+    _df(spark, extra).coalesce(1).write.mode("overwrite").parquet(d)
+    flat = f"{tmp}/flat"
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            os.replace(f"{d}/{f}", f"{flat}/0003.parquet")
+    schema = spark.read.parquet(f"{flat}/0000.parquet").schema
+    q = stream_quantile_monitor(
+        spark, flat, f"{tmp}/ref", state, f"{tmp}/ckpt", schema, "v",
+        quantiles=QS, rel_alarm=0.5,
+    )
+    q.awaitTermination(120)
+    log = read_quantile_log(spark, state).collect()
+    by_epoch = {}
+    for r in log:
+        by_epoch.setdefault(r.epoch, {})[r.q] = r.est_q
+    last = max(by_epoch)
+    rows = [x for b in BATCHES for x in b] + extra
+    want = {
+        r.q: r.est_q
+        for r in ddsketch_quantiles(
+            ddsketch_bins(_df(spark, rows), "v"), QS
+        ).collect()
+    }
+    for qv in QS:
+        assert by_epoch[last][qv] == want[qv], qv
