@@ -4847,6 +4847,70 @@ def stats_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar calibration summary of the quality classifier vs the
+    lang='en' label: ECE (the bin-weighted |gap| of the reliability
+    diagram — quality_calibration reduced to the number dashboards
+    track) and the Brier score (mean squared error of the probability,
+    the proper-scoring companion that catches what ECE's binning can
+    hide). One corpus pass + a 10-row bin reduce.
+
+    Determinism: scores are 6dp-rounded then DECIMAL-accumulated; the
+    Brier terms (s − y)² are squares of 6dp decimals summed as
+    DECIMAL(38,12); each bin's |gap| weight term is rounded 9dp then
+    DECIMAL-summed (the PSI trick)."""
+    from collection_templates_spark.operators.training_prep import (
+        quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = quality_classifier(docs, passthrough=("lang",)).select(
+        F.col("score").cast("decimal(18,6)").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    binned = labeled.select(
+        F.least(
+            F.floor(F.col("s").cast("double") * F.lit(10.0)).cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+        "s",
+        "y",
+        # diff narrowed to (12,6) BEFORE squaring: a (19,6)² would cap
+        # at 38 digits and silently reduce scale (the r13 width-ladder
+        # rule)
+        (
+            (F.col("s") - F.col("y")).cast("decimal(12,6)")
+            * (F.col("s") - F.col("y")).cast("decimal(12,6)")
+        )
+        .cast("decimal(30,12)")
+        .alias("sq"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("ss"),
+        F.sum("y").alias("np"),
+        F.sum("sq").alias("sqs"),
+    )
+    gap = F.abs(
+        F.col("ss").cast("double") / F.col("n").cast("double")
+        - F.col("np").cast("double") / F.col("n").cast("double")
+    )
+    term = F.round(F.col("n").cast("double") * gap, 9).cast(
+        "decimal(38,9)"
+    )
+    out = bins.groupBy().agg(
+        F.sum("n").alias("n"),
+        F.sum(term).alias("wgap"),
+        F.sum("sqs").alias("sq_all"),
+    )
+    n = F.col("n").cast("double")
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("wgap").cast("double") / n, 6).alias("ece"),
+        F.round(F.col("sq_all").cast("double") / n, 6).alias("brier"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4877,6 +4941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_power_analysis": stats_power_analysis,
     "stats_tost": stats_tost,
     "stats_mahalanobis": stats_mahalanobis,
+    "quality_ece": quality_ece,
     # --- r9-stale (last driver-checked r9, skipped r10-r12) ---
     "ann_ivf_recall": ann_ivf_recall,
     "ann_pq_topk": ann_pq_topk,
@@ -12189,3 +12254,50 @@ ORACLE_SQL["stats_mahalanobis"] = """
                 AS INT) AS rank
     FROM scored ORDER BY d2 DESC, x DESC, y DESC LIMIT 10
 """
+
+# quality_ece: the calibration oracle's score/bin CTEs reduced to the
+# two scalars — bin-weighted |gap| terms rounded 9dp then
+# DECIMAL-summed; Brier squares on the (12,6)-narrowed diff with the
+# widen-one-operand int128 trick.
+ORACLE_SQL["quality_ece"] = f"""
+    WITH scores AS ({{}}),
+    lab AS (
+        SELECT s.score, d.lang = 'en' AS y
+        FROM scores s JOIN documents d USING (doc_id)
+    ), bb AS (
+        SELECT least(CAST(floor(round(CAST(score AS DOUBLE), 6)
+                                * CAST(10 AS DOUBLE)) AS INT), 9)
+                   AS bin,
+               CAST(round(CAST(score AS DOUBLE), 6) AS DECIMAL(18,6))
+                   AS s,
+               CASE WHEN y THEN 1 ELSE 0 END AS pos
+        FROM lab WHERE score IS NOT NULL AND y IS NOT NULL
+    ), bq AS (
+        SELECT bin, s, pos,
+               CAST(CAST(CAST(s - pos AS DECIMAL(20,6))
+                         * CAST(s - pos AS DECIMAL(12,6))
+                         AS DECIMAL(30,12)) AS DECIMAL(30,12)) AS sq
+        FROM bb
+    ), g AS (
+        SELECT bin, count(*) AS n, sum(s) AS ss, sum(pos) AS np,
+               sum(sq) AS sqs
+        FROM bq GROUP BY bin
+    ), t AS (
+        SELECT n, sqs,
+               CAST(round(CAST(n AS DOUBLE)
+                          * abs(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                                - CAST(np AS DOUBLE)
+                                  / CAST(n AS DOUBLE)), 9)
+                    AS DECIMAL(38,9)) AS wg
+        FROM g
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           round(CAST(sum(wg) AS DOUBLE)
+                 / CAST(sum(n) AS DOUBLE), 6) AS ece,
+           round(CAST(sum(sqs) AS DOUBLE)
+                 / CAST(sum(n) AS DOUBLE), 6) AS brier
+    FROM t
+"""
+ORACLE_SQL["quality_ece"] = ORACLE_SQL["quality_ece"].format(
+    _quality_logistic_oracle_sql()
+)
