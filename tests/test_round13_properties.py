@@ -363,3 +363,76 @@ def test_mahalanobis_brute_force(spark):
     d2 = ((1.0 - mx) ** 2 * vy - 2 * (1.0 - mx) * (25.0 - my) * vxy
           + (25.0 - my) ** 2 * vx) / det
     assert abs(out[0].d2 - d2) < 1e-4
+
+
+def test_flac_random_roundtrip_all_subframes():
+    """Randomized FLAC round trips across every subframe type, rice
+    parameter and both stereo paths — no Spark, pure codec."""
+    from collection_templates_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+    import struct
+
+    rng = random.Random(271)
+    for trial in range(12):
+        n = rng.choice([16, 48, 96])
+        sub = rng.choice(
+            ["constant", "verbatim", "fixed0", "fixed1", "fixed2",
+             "fixed3", "fixed4", "lpc1"]
+        )
+        if sub == "constant":
+            left = [rng.randint(-3000, 3000)] * n
+        else:
+            left = [rng.randint(-3000, 3000) for _ in range(n)]
+        stereo = rng.choice([None, None, "mid_side"])
+        chans = [left]
+        if stereo or rng.random() < 0.4:
+            right = (
+                [left[0]] * n if sub == "constant"
+                else [rng.randint(-3000, 3000) for _ in range(n)]
+            )
+            chans = [left, right]
+        if stereo and len(chans) != 2:
+            stereo = None
+        rice = rng.randint(6, 14)
+        blob = encode_flac(
+            chans, subframe=sub, rice_param=rice, stereo_mode=stereo
+        )
+        ch, _, nn, pcm = decode_flac(blob)
+        assert (ch, nn) == (len(chans), n), (trial, sub, stereo)
+        vals = struct.unpack(f"<{nn * ch}h", pcm)
+        for c in range(ch):
+            assert list(vals[c::ch]) == chans[c], (trial, sub, stereo)
+
+
+def test_ddsketch_merge_associativity_random_partitions(spark):
+    """Random k-way partitions, merged in random association orders,
+    all equal the single pass — full mergeability, not just one
+    sharding."""
+    from collection_templates_spark.operators.sketches import (
+        ddsketch_bins,
+        ddsketch_merge,
+    )
+
+    rng = random.Random(277)
+    vals = [rng.uniform(0.01, 5000) for _ in range(2000)]
+    single = {
+        r.bin: r.cnt
+        for r in ddsketch_bins(_values_df(spark, vals), "v").collect()
+    }
+    for trial in range(2):
+        k = rng.randint(2, 5)
+        parts = [[] for _ in range(k)]
+        for v in vals:
+            parts[rng.randrange(k)].append(v)
+        hists = [
+            ddsketch_bins(_values_df(spark, p), "v")
+            for p in parts
+            if p
+        ]
+        rng.shuffle(hists)
+        merged = {
+            r.bin: r.cnt for r in ddsketch_merge(*hists).collect()
+        }
+        assert merged == single, trial
