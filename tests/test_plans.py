@@ -454,3 +454,30 @@ def test_round12_extension_plans(spark):
     p = _plan(spark, "search_tfidf_cosine")
     assert "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_round13_plan_shapes(spark):
+    """Physical pins for the r13 rows' scale claims."""
+    # permutation test: ALL 126 replicate accumulators live in ONE
+    # map-side-combined aggregate — exactly one exchange, two
+    # HashAggregates (partial + final), no join, no explode
+    import re
+
+    p = _plan(spark, "stats_permutation")
+    # formatted plans list each node once in the tree and once in the
+    # detail section — count detail entries
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2, p
+    assert "Join" not in p and "Generate" not in p, p
+    # Mahalanobis: top-k is TakeOrdered (per-partition heaps), never a
+    # global sort/window over the data; the scalar table broadcasts
+    p = _plan(spark, "stats_mahalanobis")
+    assert "TakeOrdered" in p, p
+    assert "CartesianProduct" not in p, p
+    # the rank Window sits ABOVE the TakeOrdered in the tree (parents
+    # print first): it numbers the k-row result, never the data
+    # sketch merge / MI: joins are rank-lookup/marginal-sized — no
+    # cartesian anywhere
+    for q in ("sketch_quantile_merge", "feature_mutual_information"):
+        p = _plan(spark, q)
+        assert "CartesianProduct" not in p, (q, p)
