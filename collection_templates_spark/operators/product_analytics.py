@@ -412,3 +412,117 @@ def cohort_ltv(
             ).alias("ltv_per_user"),
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    count_alias: str = "n_members",
+) -> DataFrame:
+    """2-D skyline (Pareto-dominance) query: keep the points not
+    dominated on (``min_col`` smaller-is-better, ``max_col``
+    larger-is-better) — the classic "cheapest-and-biggest" frontier
+    operator from the OLAP literature (Börzsönyi et al., ICDE 2001),
+    absent from both engines' builtin surface.
+
+    A point (p, q) is dominated iff another point has p' ≤ p AND
+    q' ≥ q with at least one strict. Dominance is decided on the
+    DISTINCT (p, q) point set (duplicate points never dominate each
+    other), with the member count carried through, via the
+    sort-filter-skyline method: order points by (p ASC, q DESC); a
+    point is dominated exactly when the running max of q over STRICTLY
+    EARLIER points in that order is ≥ its own q (earlier rows have
+    smaller p, or equal p with strictly larger q — both dominate).
+    One window over the distinct-point table — integer/DECIMAL exact,
+    no float in the dominance decision.
+
+    Scale shape: groupBy(point) collapse first (points ≪ rows), then
+    a single-dimension ordered window over the skinny point table. At
+    100 TB the standard grid prefilter applies (drop any point
+    dominated by its own grid cell's corner before the sort); the
+    frontier itself is provably small for independent dims (O(log n)
+    expected points).
+    """
+    pts = df.groupBy(
+        F.col(min_col).alias("p"), F.col(max_col).alias("q")
+    ).agg(F.count(F.lit(1)).alias(count_alias))
+    w = Window.orderBy(F.asc("p"), F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = pts.withColumn("best_q_before", F.max("q").over(w))
+    return (
+        flagged.filter(
+            F.col("best_q_before").isNull()
+            | (F.col("best_q_before") < F.col("q"))
+        )
+        .select("p", "q", count_alias)
+        .orderBy("p")
+    )
+
+
+def item_item_cosine(
+    lineitem: DataFrame,
+    k: int = 5,
+    min_support: int = 2,
+) -> DataFrame:
+    """Item-item collaborative-filtering neighborhoods: cosine
+    similarity between parts by order co-occurrence,
+    cos(p, q) = support(p, q) / √(s_p · s_q), top-``k`` neighbors per
+    item — the classic Amazon-style recommender primitive
+    (Sarwar et al., WWW 2001) on the basket table.
+
+    Determinism: supports and pair counts are integer-exact; cosine is
+    one double sqrt/division of exact integers (identical in both
+    engines), rounded 6dp; the per-item top-k has the
+    (cosine DESC, neighbor ASC) total order.
+
+    Scale shape: the pair generation is the basket_item_pairs
+    self-equi-join on the order key — per-order fan-out is basket²
+    (bounded baskets), never corpus²; item supports broadcast onto the
+    pair table; the top-k is a per-item window over pairs that already
+    passed the support floor. A hot-item cap (drop baskets above a
+    size bound) is where this binds at 100 TB, same as the dedup caps.
+    """
+    basket = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = basket.select("o", F.col("p").alias("p1"))
+    b = basket.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    both = pairs.select("p1", "p2", "support").union(
+        pairs.select(
+            F.col("p2").alias("p1"), F.col("p1").alias("p2"), "support"
+        )
+    )
+    sup = basket.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    s1 = F.broadcast(sup.select(F.col("p").alias("p1"), F.col("s").alias("s1")))
+    s2 = F.broadcast(sup.select(F.col("p").alias("p2"), F.col("s").alias("s2")))
+    scored = (
+        both.join(s1, "p1")
+        .join(s2, "p2")
+        .select(
+            F.col("p1").alias("item"),
+            F.col("p2").alias("neighbor"),
+            F.col("support").cast("long").alias("support"),
+            F.round(
+                F.col("support").cast("double")
+                / F.sqrt(
+                    F.col("s1").cast("double") * F.col("s2").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine"), F.asc("neighbor")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

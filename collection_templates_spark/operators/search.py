@@ -474,3 +474,58 @@ def search_tfidf_cosine(
     return top.withColumn("rank", F.row_number().over(w_rank)).select(
         id_col, "rank", "score"
     )
+
+
+def search_rrf_fusion(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    pool: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of the two
+    lexical retrievers: the raw tf·idf ranking (:func:`search_corpus`)
+    and the SMART lnc.ltc cosine ranking (:func:`search_tfidf_cosine`)
+    each contribute 1/(rrf_k + rank) for their top-``pool`` docs, and
+    the fused top-``k`` is returned — the standard score-free way to
+    combine rankers whose score scales don't compare (the ES/OpenSearch
+    hybrid-search default, rrf_k = 60 per the paper).
+
+    Determinism: fusion reads only the integer ranks of two already
+    deterministic rankings; each contribution is one double division of
+    exact integers and the fused score a sum of ≤ 2 such terms —
+    identical in both engines; (score DESC, id ASC) total order,
+    rounded 6dp.
+
+    Scale shape: the two retriever plans are unchanged (their top-pool
+    results are k-row tables); the fusion itself is a full-outer join
+    of two k-row inputs — driver-trivial at any corpus size.
+    """
+    lhs = search_corpus(
+        docs, query, k=pool, id_col=id_col, text_col=text_col
+    ).select(id_col, F.col("rank").alias("rank_tfidf"))
+    rhs = search_tfidf_cosine(
+        docs, query, k=pool, id_col=id_col, text_col=text_col
+    ).select(id_col, F.col("rank").alias("rank_cosine"))
+    contrib = (
+        lambda c: F.when(
+            F.col(c).isNotNull(),
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(c).cast("double")),
+        ).otherwise(F.lit(0.0))
+    )
+    fused = (
+        lhs.join(rhs, id_col, "full_outer")
+        .select(
+            id_col,
+            "rank_tfidf",
+            "rank_cosine",
+            F.round(
+                contrib("rank_tfidf") + contrib("rank_cosine"), 6
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    top = fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+    return top.withColumn("fused_rank", F.row_number().over(w))

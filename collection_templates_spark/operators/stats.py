@@ -1897,3 +1897,148 @@ def mahalanobis_outliers(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "x", "y", (F.col("d2") + F.lit(0.0)).alias("d2"), "rank"
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimate over a unit table of
+    (duration, observed): at each distinct EVENT time t the hazard
+    increment is d_t/n_t and Ĥ(t) = Σ_{u ≤ t} d_u/n_u, with the
+    Fleming–Harrington survival transform Ŝ(t) = exp(−Ĥ(t)) — the
+    additive companion of ``kaplan_meier`` (same risk-set machinery,
+    sum instead of product), preferred when hazards are the quantity
+    being compared or merged.
+
+    Determinism: risk sets are integer-exact (descending suffix sum
+    over the distinct-duration table); each d/n increment is rounded
+    to 12dp BEFORE the ordered cumulative sum, so both engines sum
+    identical doubles in the same t-order (the kaplan_meier / log-sum
+    convention); outputs rounded 6dp.
+
+    Scale shape: identical to kaplan_meier — one groupBy(duration)
+    count table (distinct durations ≪ units), one ordered window over
+    that skinny table; nothing per-unit after the first aggregate.
+    """
+    d = F.col(duration_col).cast("long")
+    obs = F.col(observed_col).cast("boolean")
+    base = df.filter(d.isNotNull()).select(d.alias("t"), obs.alias("obs"))
+    at_t = base.groupBy("t").agg(
+        F.sum(F.col("obs").cast("long")).alias("d_events"),
+        F.sum((~F.col("obs")).cast("long")).alias("c_censored"),
+    )
+    w_suffix = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risked = at_t.withColumn(
+        "n_risk",
+        F.sum(F.col("d_events") + F.col("c_censored")).over(w_suffix),
+    )
+    inc = F.round(
+        F.col("d_events").cast("double") / F.col("n_risk").cast("double"),
+        12,
+    )
+    w_prefix = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        risked.withColumn("h_cum_raw", F.sum(inc).over(w_prefix))
+        .filter(F.col("d_events") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "d_events",
+            F.round(F.col("h_cum_raw"), 6).alias("cum_hazard"),
+            F.round(F.exp(-F.col("h_cum_raw")), 6).alias("survival_fh"),
+        )
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    y_col: str,
+    t_col: str,
+) -> DataFrame:
+    """Durbin–Watson first-order autocorrelation test on the residuals
+    of the 1-feature OLS fit y ~ a + b·t: DW = Σ(e_t − e_{t−1})² / Σe_t²
+    over the t-ordered residual series — the standard "is the trend fit
+    leaving serially-correlated errors" guardrail for the experiment /
+    forecast rows (DW ≈ 2 ⇒ none, → 0 positive, → 4 negative).
+
+    Determinism: the OLS moments (Σt, Σy, Σty, Σtt) accumulate as
+    DECIMAL over 2dp inputs — exact in both engines regardless of
+    summation order; slope/intercept are single double divisions of
+    those exact moments; residuals are rounded to 6dp and cast back to
+    DECIMAL before the DW sums, which are then again exact decimal
+    arithmetic (one operand widened past 18 digits for the engines'
+    int128 multiply path). The only cross-engine float ops are the two
+    closed-form divisions and the final ratio.
+
+    Scale shape: one map-side-combined moment aggregate, one broadcast
+    of the 1-row coefficients, one lag window over the (bounded)
+    ordered series — the window rides the same skinny daily table the
+    other series rows use.
+    """
+    t = F.col(t_col).cast("long")
+    y = F.col(y_col).cast("decimal(18,2)")
+    base = df.select(t.alias("t"), y.alias("y"))
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("t").cast("decimal(20,0)")).alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t").cast("decimal(20,0)") * F.col("y")).alias("sty"),
+        F.sum(
+            F.col("t").cast("decimal(20,0)") * F.col("t").cast("decimal(20,0)")
+        ).alias("stt"),
+    )
+    nn = F.col("n").cast("double")
+    slope = F.try_divide(
+        nn * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy").cast("double"),
+        nn * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double"),
+    )
+    coef = m.select(
+        "n",
+        slope.alias("b"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("st").cast("double"))
+            / nn
+        ).alias("a"),
+    )
+    resid = base.join(F.broadcast(coef)).select(
+        "t",
+        "n",
+        "a",
+        "b",
+        F.round(
+            F.col("y").cast("double")
+            - (F.col("a") + F.col("b") * F.col("t").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("e"),
+    )
+    w = Window.orderBy("t")
+    diffed = resid.withColumn("e_prev", F.lag("e").over(w))
+    return diffed.agg(
+        F.max("n").alias("n"),
+        F.round(F.max("b"), 6).alias("slope"),
+        F.round(F.max("a"), 6).alias("intercept"),
+        F.round(
+            F.try_divide(
+                F.sum(
+                    (
+                        (F.col("e") - F.col("e_prev")).cast("decimal(20,6)")
+                        * (F.col("e") - F.col("e_prev"))
+                    )
+                ).cast("double"),
+                F.sum(
+                    F.col("e").cast("decimal(20,6)") * F.col("e")
+                ).cast("double"),
+            ),
+            6,
+        ).alias("dw"),
+    )

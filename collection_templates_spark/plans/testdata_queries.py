@@ -3911,14 +3911,11 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan–Meier survival (stats.kaplan_meier) for time-to-first-
-    purchase: per signed-up user, duration = days from first signup to
-    first subsequent purchase (observed) or to the corpus horizon (the
-    global max event day — right-censored, no purchase by then);
-    integer-exact risk sets, ordered 12dp-rounded log-sum product."""
-    from collection_templates_spark.operators.stats import kaplan_meier
-
+def _survival_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared time-to-first-purchase unit table for the survival rows
+    (KM and Nelson–Aalen): per signed-up user, duration = days from
+    first signup to first subsequent purchase (observed) or to the
+    corpus horizon (right-censored)."""
     ev = _t(spark, sf_dir, "events")
     signup = ev.filter(F.col("event_type") == "signup").groupBy(
         "user_id"
@@ -3946,7 +3943,29 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_day").isNotNull().alias("obs"),
         )
     )
-    return kaplan_meier(units, "dur", "obs")
+    return units
+
+
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival (stats.kaplan_meier) for time-to-first-
+    purchase: per signed-up user, duration = days from first signup to
+    first subsequent purchase (observed) or to the corpus horizon (the
+    global max event day — right-censored, no purchase by then);
+    integer-exact risk sets, ordered 12dp-rounded log-sum product."""
+    from collection_templates_spark.operators.stats import kaplan_meier
+
+    return kaplan_meier(_survival_units(spark, sf_dir), "dur", "obs")
+
+
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard (stats.nelson_aalen) on the same
+    time-to-first-purchase unit table as the KM row: additive d/n
+    hazard increments (12dp-rounded before the ordered cumulative sum)
+    with the Fleming–Harrington exp(−H) survival — the mergeable-
+    hazard companion estimate."""
+    from collection_templates_spark.operators.stats import nelson_aalen
+
+    return nelson_aalen(_survival_units(spark, sf_dir), "dur", "obs")
 
 
 def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4915,6 +4934,77 @@ def quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson serial-correlation test (stats.durbin_watson) on
+    the residuals of total daily revenue ~ day index: DECIMAL-exact
+    OLS moments, 6dp-rounded residuals re-cast to DECIMAL before the
+    exact DW sums — the trend-fit autocorrelation guardrail."""
+    from collection_templates_spark.operators.stats import durbin_watson
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("y")
+    )
+    first = daily.groupBy().agg(F.min("day").alias("d0"))
+    series = daily.join(F.broadcast(first)).select(
+        F.datediff(F.col("day"), F.col("d0")).alias("t"), "y"
+    )
+    return durbin_watson(series, "y", "t")
+
+
+def lineitem_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (product_analytics.skyline_2d)
+    over per-part offers: points (min unit price paid, max quantity
+    shipped) not dominated by any other part — cheaper-and-bigger
+    frontier, one window over the distinct-point table."""
+    from collection_templates_spark.operators.product_analytics import (
+        skyline_2d,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    # unit price = 2dp-rounded double division (identical IEEE op in
+    # both engines) cast to DECIMAL, so the dominance compares are exact
+    per_part = li.groupBy("l_partkey").agg(
+        F.min(
+            F.round(
+                F.col("l_extendedprice") / F.col("l_quantity"), 2
+            ).cast("decimal(18,2)")
+        ).alias("unit_price"),
+        F.max(F.col("l_quantity").cast("decimal(18,2)")).alias("max_qty"),
+    )
+    return skyline_2d(per_part, "unit_price", "max_qty").select(
+        F.col("p").cast("double").alias("unit_price"),
+        F.col("q").cast("double").alias("max_qty"),
+        "n_members",
+    )
+
+
+def basket_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine neighborhoods
+    (product_analytics.item_item_cosine): top-5 co-occurrence
+    neighbors per part with support ≥ 2 — the collaborative-filtering
+    primitive over the basket self-join, supports broadcast."""
+    from collection_templates_spark.operators.product_analytics import (
+        item_item_cosine,
+    )
+
+    return item_item_cosine(_t(spark, sf_dir, "lineitem"), k=5)
+
+
+def search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (search.search_rrf_fusion) of the raw
+    tf·idf and SMART-cosine rankings for 'spark hash join': score-free
+    1/(60+rank) hybrid, fused top-10 — both constituent rankings are
+    themselves oracled bank rows."""
+    from collection_templates_spark.operators.search import (
+        search_rrf_fusion,
+    )
+
+    return search_rrf_fusion(
+        _t(spark, sf_dir, "documents"), "spark hash join", k=10, pool=20
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
@@ -4926,6 +5016,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pass the identical local oracle (tools/check.py) every round; the
     # full-bank artifact is CHECKLOCAL_r{N}.json.
     # --- r13 new rows (never externally sampled) ---
+    "events_nelson_aalen": events_nelson_aalen,
+    "stats_durbin_watson": stats_durbin_watson,
+    "lineitem_skyline": lineitem_skyline,
+    "basket_item_similarity": basket_item_similarity,
+    "search_rrf": search_rrf,
     "sketch_quantile_merge": sketch_quantile_merge,
     "stats_levene": stats_levene,
     "stats_jarque_bera": stats_jarque_bera,
@@ -12301,3 +12396,208 @@ ORACLE_SQL["quality_ece"] = f"""
 ORACLE_SQL["quality_ece"] = ORACLE_SQL["quality_ece"].format(
     _quality_logistic_oracle_sql()
 )
+
+
+# events_nelson_aalen: the KM unit-table CTEs verbatim, then additive
+# d/n increments (12dp-rounded before the ordered cumulative sum) and
+# the exp(-H) Fleming-Harrington transform.
+ORACLE_SQL["events_nelson_aalen"] = """
+    WITH signup AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS s_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), horizon AS (
+        SELECT max(CAST(ts AS DATE)) AS h_day FROM events
+    ), first_p AS (
+        SELECT s.user_id, min(CAST(e.ts AS DATE)) AS p_day
+        FROM signup s JOIN events e ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS DATE) >= s.s_day
+        GROUP BY s.user_id
+    ), u AS (
+        SELECT date_diff('day', s.s_day,
+                         coalesce(p.p_day, horizon.h_day)) AS dur,
+               p.p_day IS NOT NULL AS obs
+        FROM signup s LEFT JOIN first_p p ON s.user_id = p.user_id,
+             horizon
+    ), at_t AS (
+        SELECT dur AS t,
+               sum(CASE WHEN obs THEN 1 ELSE 0 END) AS d_events,
+               sum(CASE WHEN obs THEN 0 ELSE 1 END) AS c_censored
+        FROM u GROUP BY dur
+    ), risked AS (
+        SELECT t, d_events, c_censored,
+               sum(d_events + c_censored) OVER (ORDER BY t
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS n_risk
+        FROM at_t
+    ), hsum AS (
+        SELECT t, d_events, n_risk,
+               sum(round(CAST(d_events AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE), 12)) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS h_raw
+        FROM risked
+    )
+    SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d_events AS BIGINT) AS d_events,
+           round(h_raw, 6) + CAST(0 AS DOUBLE) AS cum_hazard,
+           round(exp(-h_raw), 6) + CAST(0 AS DOUBLE) AS survival_fh
+    FROM hsum WHERE d_events > 0
+"""
+
+
+# stats_durbin_watson: DECIMAL-exact OLS moments of daily revenue ~ t,
+# double closed-form slope/intercept, 6dp residuals re-cast to DECIMAL
+# (one operand widened past 18 digits for the int128 multiply), exact
+# DW sums, final double ratio.
+ORACLE_SQL["stats_durbin_watson"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(value AS DECIMAL(18,2))) AS y
+        FROM events GROUP BY 1
+    ), d0 AS (
+        SELECT min(day) AS d0 FROM daily
+    ), series AS (
+        SELECT date_diff('day', d0.d0, day) AS t, y FROM daily, d0
+    ), m AS (
+        SELECT count(*) AS n,
+               sum(CAST(t AS DECIMAL(20,0))) AS st,
+               sum(y) AS sy,
+               sum(CAST(t AS DECIMAL(20,0)) * y) AS sty,
+               sum(CAST(t AS DECIMAL(20,0))
+                   * CAST(t AS DECIMAL(20,0))) AS stt
+        FROM series
+    ), coef AS (
+        SELECT n,
+               (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                  * CAST(st AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+        FROM m
+    ), resid AS (
+        SELECT t, n, a, b,
+               CAST(round(CAST(y AS DOUBLE)
+                          - (a + b * CAST(t AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS e
+        FROM series, coef
+    ), diffed AS (
+        SELECT n, a, b, e,
+               lag(e) OVER (ORDER BY t) AS e_prev
+        FROM resid
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(max(b), 6) AS slope,
+           round(max(a), 6) AS intercept,
+           round(CAST(sum(CAST(e - e_prev AS DECIMAL(20,6))
+                          * (e - e_prev)) AS DOUBLE)
+                 / CAST(sum(CAST(e AS DECIMAL(20,6)) * e) AS DOUBLE),
+                 6) AS dw
+    FROM diffed
+"""
+
+
+# lineitem_skyline: distinct (2dp unit price, qty) points per part,
+# sort-filter skyline via the strictly-earlier running max window.
+ORACLE_SQL["lineitem_skyline"] = """
+    WITH per_part AS (
+        SELECT l_partkey,
+               min(CAST(round(l_extendedprice / l_quantity, 2)
+                        AS DECIMAL(18,2))) AS unit_price,
+               max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty
+        FROM lineitem GROUP BY l_partkey
+    ), pts AS (
+        SELECT unit_price AS p, max_qty AS q, count(*) AS n_members
+        FROM per_part GROUP BY 1, 2
+    ), flagged AS (
+        SELECT p, q, n_members,
+               max(q) OVER (ORDER BY p ASC, q DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_q_before
+        FROM pts
+    )
+    SELECT CAST(p AS DOUBLE) AS unit_price,
+           CAST(q AS DOUBLE) AS max_qty,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM flagged
+    WHERE best_q_before IS NULL OR best_q_before < q
+    ORDER BY p
+"""
+
+
+# basket_item_similarity: the basket_item_pairs self-join, both pair
+# directions, cosine = support / sqrt(s1*s2) of exact integers, top-5
+# per item on the (cosine DESC, neighbor ASC) total order.
+ORACLE_SQL["basket_item_similarity"] = """
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), pairs AS (
+        SELECT a.p AS p1, b.p AS p2, count(*) AS support
+        FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), bidir AS (
+        SELECT p1, p2, support FROM pairs
+        UNION ALL
+        SELECT p2 AS p1, p1 AS p2, support FROM pairs
+    ), sup AS (
+        SELECT p, count(*) AS s FROM basket GROUP BY p
+    ), scored AS (
+        SELECT bidir.p1 AS item, bidir.p2 AS neighbor,
+               CAST(support AS BIGINT) AS support,
+               round(CAST(support AS DOUBLE)
+                     / sqrt(CAST(s1.s AS DOUBLE)
+                            * CAST(s2.s AS DOUBLE)), 6) AS cosine
+        FROM bidir
+        JOIN sup s1 ON s1.p = bidir.p1
+        JOIN sup s2 ON s2.p = bidir.p2
+    ), ranked AS (
+        SELECT item, neighbor, support, cosine,
+               CAST(row_number() OVER (PARTITION BY item
+                   ORDER BY cosine DESC, neighbor ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+# search_rrf: both constituent rankings' oracles verbatim as derived
+# tables, full-outer joined, 1/(60+rank) contributions, fused top-10.
+ORACLE_SQL["search_rrf"] = f"""
+    WITH lhs AS (
+        SELECT doc_id, rank AS rank_tfidf
+        FROM ({ORACLE_SQL["search_bm25ish"]})
+    ), rhs AS (
+        SELECT doc_id, rank AS rank_cosine
+        FROM ({ORACLE_SQL["search_tfidf_cosine"]})
+    ), fused AS (
+        SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+               CAST(l.rank_tfidf AS INT) AS rank_tfidf,
+               CAST(r.rank_cosine AS INT) AS rank_cosine,
+               round(
+                   (CASE WHEN l.rank_tfidf IS NOT NULL THEN
+                        CAST(1 AS DOUBLE)
+                        / (CAST(60 AS DOUBLE)
+                           + CAST(l.rank_tfidf AS DOUBLE))
+                    ELSE CAST(0 AS DOUBLE) END)
+                   + (CASE WHEN r.rank_cosine IS NOT NULL THEN
+                        CAST(1 AS DOUBLE)
+                        / (CAST(60 AS DOUBLE)
+                           + CAST(r.rank_cosine AS DOUBLE))
+                      ELSE CAST(0 AS DOUBLE) END), 6) AS rrf_score
+        FROM lhs l FULL OUTER JOIN rhs r ON l.doc_id = r.doc_id
+    ), top AS (
+        SELECT * FROM fused
+        ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    )
+    SELECT doc_id, rank_tfidf, rank_cosine, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                AS INT) AS fused_rank
+    FROM top
+"""

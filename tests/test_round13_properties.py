@@ -436,3 +436,181 @@ def test_ddsketch_merge_associativity_random_partitions(spark):
             r.bin: r.cnt for r in ddsketch_merge(*hists).collect()
         }
         assert merged == single, trial
+
+
+# ---------------------------------------------------------------------------
+# Batch-A round-13 additions: survival hazard, DW, skyline, item-item,
+# RRF — each against a brute-force Python reference on randomized input.
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_matches_brute_force(spark):
+    from collection_templates_spark.operators.stats import nelson_aalen
+
+    rng = random.Random(1301)
+    units = [
+        (rng.randint(1, 20), rng.random() < 0.7) for _ in range(300)
+    ]
+    df = spark.createDataFrame(units, "dur long, obs boolean")
+    got = {
+        r.t: (r.n_risk, r.d_events, r.cum_hazard, r.survival_fh)
+        for r in nelson_aalen(df, "dur", "obs").collect()
+    }
+    # brute force
+    h = 0.0
+    exp = {}
+    for t in sorted({d for d, _ in units}):
+        n_risk = sum(1 for d, _ in units if d >= t)
+        d_ev = sum(1 for d, o in units if d == t and o)
+        h += round(d_ev / n_risk, 12)
+        if d_ev > 0:
+            exp[t] = (n_risk, d_ev, round(h, 6), round(math.exp(-h), 6))
+    assert got == exp
+
+
+def test_durbin_watson_matches_brute_force(spark):
+    from collection_templates_spark.operators.stats import durbin_watson
+
+    rng = random.Random(1303)
+    rows = []
+    for t in range(120):
+        y = round(5.0 * t + 40.0 + rng.uniform(-30, 30), 2)
+        rows.append((t, y))
+    df = spark.createDataFrame(rows, "t long, y double")
+    out = durbin_watson(df, "y", "t").collect()[0]
+    n = len(rows)
+    st = sum(t for t, _ in rows)
+    sy = sum(y for _, y in rows)
+    sty = sum(t * y for t, y in rows)
+    stt = sum(t * t for t, _ in rows)
+    b = (n * sty - st * sy) / (n * stt - st * st)
+    a = (sy - b * st) / n
+    e = [round(y - (a + b * t), 6) for t, y in rows]
+    dw = sum(
+        (e[i] - e[i - 1]) ** 2 for i in range(1, n)
+    ) / sum(v * v for v in e)
+    assert out.n == n
+    assert abs(out.slope - b) <= 1e-6
+    assert abs(out.intercept - a) <= 1e-6
+    assert abs(out.dw - dw) <= 1e-5
+    # residuals of a well-behaved iid fit should sit near DW = 2
+    assert 1.0 < out.dw < 3.0
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    from collection_templates_spark.operators.product_analytics import (
+        skyline_2d,
+    )
+
+    rng = random.Random(1307)
+    pts = [
+        (rng.randint(0, 40), rng.randint(0, 40)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(pts, "p long, q long")
+    got = {(r.p, r.q, r.n_members) for r in skyline_2d(df, "p", "q").collect()}
+    distinct = sorted(set(pts))
+    exp = set()
+    for p, q in distinct:
+        dominated = any(
+            (p2 <= p and q2 >= q and (p2 < p or q2 > q))
+            for p2, q2 in distinct
+        )
+        if not dominated:
+            exp.add((p, q, pts.count((p, q))))
+    assert got == exp
+    # frontier q strictly increases as p (smaller-better) grows —
+    # a later point survives only by beating every earlier q
+    frontier = sorted((p, q) for p, q, _ in got)
+    qs = [q for _, q in frontier]
+    assert qs == sorted(qs) and len(set(qs)) == len(qs)
+
+
+def test_item_item_cosine_matches_brute_force(spark):
+    from collection_templates_spark.operators.product_analytics import (
+        item_item_cosine,
+    )
+
+    rng = random.Random(1311)
+    rows = []
+    for o in range(80):
+        for p in rng.sample(range(12), rng.randint(1, 5)):
+            rows.append((o, p))
+            if rng.random() < 0.3:
+                rows.append((o, p))  # duplicate lines collapse
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    )
+    got = {
+        (r.item, r.neighbor): (r.support, r.cosine, r.rank)
+        for r in item_item_cosine(df, k=3).collect()
+    }
+    baskets = {}
+    for o, p in set(rows):
+        baskets.setdefault(o, set()).add(p)
+    sup = {}
+    pair = {}
+    for b in baskets.values():
+        for p in b:
+            sup[p] = sup.get(p, 0) + 1
+        for p in b:
+            for q in b:
+                if p != q:
+                    pair[(p, q)] = pair.get((p, q), 0) + 1
+    exp = {}
+    for item in sup:
+        cands = [
+            (
+                round(c / math.sqrt(sup[item] * sup[q]), 6),
+                q,
+                c,
+            )
+            for (p, q), c in pair.items()
+            if p == item and c >= 2
+        ]
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (cos, q, c) in enumerate(cands[:3], 1):
+            exp[(item, q)] = (c, cos, rank)
+    assert got == exp
+
+
+def test_search_rrf_fusion_matches_rank_fusion(spark):
+    from collection_templates_spark.operators.search import (
+        search_corpus,
+        search_rrf_fusion,
+        search_tfidf_cosine,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"spark hash join {' merge' * (i % 4)} sort {i % 7}")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    lhs = {
+        r.doc_id: r.rank
+        for r in search_corpus(docs, "spark hash join", k=20).collect()
+    }
+    rhs = {
+        r.doc_id: r.rank
+        for r in search_tfidf_cosine(
+            docs, "spark hash join", k=20
+        ).collect()
+    }
+    scores = {}
+    for d in set(lhs) | set(rhs):
+        s = 0.0
+        if d in lhs:
+            s += 1.0 / (60 + lhs[d])
+        if d in rhs:
+            s += 1.0 / (60 + rhs[d])
+        scores[d] = round(s, 6)
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r.doc_id, r.rrf_score, r.fused_rank)
+        for r in search_rrf_fusion(
+            docs, "spark hash join", k=10, pool=20
+        ).orderBy("fused_rank").collect()
+    ]
+    assert [(d, s) for d, s, _ in got] == exp
+    assert [r for _, _, r in got] == list(range(1, 11))
