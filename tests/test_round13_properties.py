@@ -580,9 +580,18 @@ def test_search_rrf_fusion_matches_rank_fusion(spark):
         search_tfidf_cosine,
     )
 
+    # terms must be discriminative (df < N) or idf = 0 zeroes every score
     docs = spark.createDataFrame(
         [
-            (i, f"spark hash join {' merge' * (i % 4)} sort {i % 7}")
+            (
+                i,
+                " ".join(
+                    (["spark"] * (i % 3))
+                    + (["hash"] * (i % 4))
+                    + (["join"] if i % 2 else [])
+                    + ["sort", "merge", f"filler{i}"]
+                ),
+            )
             for i in range(30)
         ],
         "doc_id long, text string",
