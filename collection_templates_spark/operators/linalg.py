@@ -1,0 +1,254 @@
+"""Distributed linear algebra over embedding columns: deterministic
+power iteration for the top principal component.
+
+The classic "what single direction explains this embedding table"
+diagnostic (anisotropy / dominant-axis audits before ANN indexing or
+whitening; Mu & Viswanath's all-but-the-top observation is exactly
+"the top component is large and shared"). Spark's built-in route is
+RowMatrix.computePrincipalComponents — a driver-side Gram eigensolve
+on RDDs; this re-expression keeps the data path in DataFrame-managed
+stages so it composes with the rest of the bank and stays
+oracle-checkable.
+
+Cross-engine determinism (the r11 DECIMAL discipline, pushed through
+an ITERATIVE algorithm): float32 components are 6dp-rounded ONCE
+in-engine and then carried as integer MICRO-UNITS (int64) — the
+centering, every matrix-vector product, and every cross-row sum are
+exact integer arithmetic (int64 per element, chunk-summed into Python
+bignums before any bound could overflow), identical to the oracle's
+hugeint sums by construction. The per-iteration normalization is the
+only float step — w → round(·, 6) → w/‖w‖ → round(·, 6) — computed
+DRIVER-SIDE on the exact sums with ``_round_half_up``
+(byte-equivalent to the engines' round, see its docstring), so both
+engines see identical doubles; the iterate re-enters the next round
+as 6dp micros, so error cannot compound: each iteration is an exact
+function of a 6dp vector.
+
+Execution shape — third design, each prior one abandoned for a
+MEASURED reason on 20k×64 rows at sf0.1:
+- DECIMAL hot loop: hit both Spark decimal traps at once — a 64-term
+  ``+`` chain grows result precision 1/add, crosses the 38 cap, and
+  allowPrecisionLoss silently SHRINKS THE SCALE to 6 → a 2.4e-6
+  WRONG ANSWER, not an error. (Fixable with chunked re-casts, but
+  BigDecimal per-row math stayed the slow path.)
+- 64-SUM-column wide aggregates: arithmetically exact but 1–6 s/job
+  in ANALYSIS + whole-stage-codegen of the 64-wide plans; the data
+  was never the cost.
+- array<long> + higher-order-function folds: small generic plans,
+  but interpreted lambdas run ~1 µs/element-step → ~2 s/iteration on
+  1.3M element-steps.
+Shipped: the cache is 64 LONG columns filled by ONE codegen'd
+projection (compile cost paid once), and the moment/iteration passes
+are Arrow-batched ``mapInPandas`` partial aggregates — vectorized
+int64 numpy with 256-row chunk sums lifted into Python bignums (the
+int64 bound is |d·x| ≤ ~2e16, so 256-row chunks stay under 2^63; the
+bignum fold is exact at any n). Each pass emits dim partial rows per
+partition and the driver does the exact final reduce — the classic
+treeAggregate shape with an O(dim · partitions) driver merge; the
+iterate is O(dim) per iteration, never O(rows). At 100 TB the
+per-partition pass is the embarrassingly parallel stage; insert one
+intermediate combine level if partitions ever outgrow the driver.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DIM_DEFAULT = 64
+_MICRO = 1_000_000
+_CHUNK = 256  # 256 · max|term| ≈ 4.6e18 < 2^63: chunk sums never wrap
+
+
+def _round_half_up(x: float, nd: int) -> Decimal:
+    """round(double, nd) exactly as the engines compute it: HALF_UP on
+    the shortest round-trip decimal repr — Spark's round IS
+    BigDecimal.valueOf(Double.toString(x)).setScale(nd, HALF_UP), and
+    Python's repr produces the same shortest repr, so this is
+    byte-equivalent to the in-engine rounding the oracle runs."""
+    return Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+    )
+
+
+def _micro_expr(e: Column) -> Column:
+    """Exact 6dp micros of a float component: round → DECIMAL(7,6) →
+    ×1e6 → BIGINT, every step exact in both engines."""
+    return (
+        F.round(e.cast("double"), 6).cast("decimal(7,6)")
+        * F.lit(_MICRO).cast("decimal(19,0)")
+    ).cast("long")
+
+
+def _chunked_exact_colsums(mat: np.ndarray) -> list[int]:
+    """Exact per-column sums of an int64 matrix: 256-row numpy chunk
+    sums (bounded < 2^63) folded into Python bignums."""
+    dim = mat.shape[1]
+    totals = [0] * dim
+    for lo in range(0, mat.shape[0], _CHUNK):
+        part = mat[lo : lo + _CHUNK].sum(axis=0)
+        for j in range(dim):
+            totals[j] += int(part[j])
+    return totals
+
+
+def _batch_matrix(pdf: pd.DataFrame, dim: int) -> np.ndarray:
+    return np.column_stack(
+        [pdf[f"x{j}"].to_numpy(dtype=np.int64) for j in range(dim)]
+    )
+
+
+def power_iteration_top_component(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = DIM_DEFAULT,
+    iters: int = 3,
+) -> DataFrame:
+    """Top principal component of the (centered) embedding table via
+    ``iters`` rounds of power iteration, fully deterministic (see
+    module docstring). Returns one row per dimension:
+    (pos, loading, mean_x, eigval, explained_var) — loading the 6dp
+    unit iterate, eigval ≈ ‖Cv‖ = ‖Σ cᵢ(cᵢ·v)‖/(n−1) after the final
+    round, explained_var = eigval / tr(C).
+    """
+    spark = emb.sparkSession
+    raw = emb.select(
+        *[
+            _micro_expr(F.element_at(F.col(vec_col), j + 1)).alias(f"x{j}")
+            for j in range(dim)
+        ]
+    ).persist()
+
+    def run_moments(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        n = 0
+        sx = [0] * dim
+        sxx = [0] * dim
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _batch_matrix(pdf, dim)
+            n += mat.shape[0]
+            for j, s in enumerate(_chunked_exact_colsums(mat)):
+                sx[j] += s
+            for j, s in enumerate(_chunked_exact_colsums(mat * mat)):
+                sxx[j] += s
+        if n:
+            yield pd.DataFrame(
+                {
+                    "pos": list(range(dim)),
+                    "n": [n] * dim,
+                    "sx": [str(v) for v in sx],
+                    "sxx": [str(v) for v in sxx],
+                }
+            )
+
+    parts = raw.mapInPandas(
+        run_moments, "pos int, n long, sx string, sxx string"
+    ).collect()
+    n = 0
+    sx, sxx = [0] * dim, [0] * dim
+    seen_pos = set()
+    for r in parts:
+        if r["pos"] == 0:
+            n += int(r["n"])
+        sx[r["pos"]] += int(r["sx"])
+        sxx[r["pos"]] += int(r["sxx"])
+        seen_pos.add(r["pos"])
+    # mean in micros: round(Σx / n) — the same double-divide both
+    # engines run (Σx, n ≪ 2^53: the doubles are exact)
+    m = [
+        int(_round_half_up(float(sx[j]) / float(n), 0))
+        for j in range(dim)
+    ]
+    # trace in micro²: Σ_j (Sxx_j − 2 m_j Sx_j + n m_j²) — exact ints
+    trace = sum(
+        sxx[j] - 2 * m[j] * sx[j] + n * m[j] * m[j] for j in range(dim)
+    )
+
+    v = [_MICRO // 8] * dim  # v0 = 0.125 in micros
+    norm = 0.0
+    try:
+        for _ in range(iters):
+            v_np = np.array(v, dtype=np.int64)
+            s_mv = sum(m[j] * v[j] for j in range(dim))  # m·v, micro²
+
+            def run_iter(
+                batches: Iterator[pd.DataFrame],
+                _v: np.ndarray = v_np,
+                _s_mv: int = s_mv,
+            ) -> Iterator[pd.DataFrame]:
+                wx = [0] * dim
+                sd = 0
+                any_rows = False
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    any_rows = True
+                    mat = _batch_matrix(pdf, dim)
+                    # d = round((x·v − m·v)/1e6) half-away, exact ints
+                    draw = mat @ _v - np.int64(_s_mv)
+                    half = _MICRO // 2
+                    d = np.where(
+                        draw >= 0,
+                        (draw + half) // _MICRO,
+                        -((-draw + half) // _MICRO),
+                    ).astype(np.int64)
+                    for j, s in enumerate(
+                        _chunked_exact_colsums(mat * d[:, None])
+                    ):
+                        wx[j] += s
+                    for lo in range(0, d.shape[0], _CHUNK):
+                        sd += int(d[lo : lo + _CHUNK].sum())
+                if any_rows:
+                    yield pd.DataFrame(
+                        {
+                            "pos": list(range(dim)),
+                            "wx": [str(x) for x in wx],
+                            "sd": [str(sd)] * dim,
+                        }
+                    )
+
+            wparts = raw.mapInPandas(
+                run_iter, "pos int, wx string, sd string"
+            ).collect()
+            w = [0] * dim
+            for r in wparts:
+                # w_j = Σ d·x_j − m_j·Σd (exact integer identity ≡
+                # the oracle's Σ d·c_j)
+                w[r["pos"]] += int(r["wx"]) - m[r["pos"]] * int(r["sd"])
+            # wr = round(w/1e12, 6) — w is micro²; exact driver math
+            wr = [_round_half_up(float(wj) / 1.0e12, 6) for wj in w]
+            ssq = sum(r * r for r in wr)  # exact Decimal
+            norm = math.sqrt(float(ssq))
+            # 6dp unit components back to exact micros
+            v = [
+                int(_round_half_up(float(r) / norm, 6) * _MICRO)
+                for r in wr
+            ]
+    finally:
+        raw.unpersist()
+    tv = float(trace) / 1.0e12
+    eigval = norm / float(n - 1)
+    explained = eigval / (tv / float(n - 1))
+
+    rows = [
+        (j, v[j] / float(_MICRO), m[j] / float(_MICRO)) for j in range(dim)
+    ]
+    out = spark.createDataFrame(
+        rows, "pos int, loading double, mean_x double"
+    )
+    return out.select(
+        "pos",
+        "loading",
+        "mean_x",
+        F.round(F.lit(eigval), 6).alias("eigval"),
+        F.round(F.lit(explained), 6).alias("explained_var"),
+    )

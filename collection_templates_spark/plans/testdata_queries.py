@@ -4934,6 +4934,22 @@ def quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table via DECIMAL-exact
+    distributed power iteration (linalg.power_iteration_top_component):
+    3 rounds of one-aggregate-per-round matrix-vector products with
+    in-engine 6dp normalization — the anisotropy / dominant-axis audit
+    run before ANN indexing or whitening, iterative linear algebra
+    under the bank's cross-engine determinism discipline."""
+    from collection_templates_spark.operators.linalg import (
+        power_iteration_top_component,
+    )
+
+    return power_iteration_top_component(
+        _t(spark, sf_dir, "embeddings"), "embedding", dim=64, iters=3
+    )
+
+
 def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durbin–Watson serial-correlation test (stats.durbin_watson) on
     the residuals of total daily revenue ~ day index: DECIMAL-exact
@@ -5016,6 +5032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pass the identical local oracle (tools/check.py) every round; the
     # full-bank artifact is CHECKLOCAL_r{N}.json.
     # --- r13 new rows (never externally sampled) ---
+    "embedding_pca_power": embedding_pca_power,
     "events_nelson_aalen": events_nelson_aalen,
     "stats_durbin_watson": stats_durbin_watson,
     "lineitem_skyline": lineitem_skyline,
@@ -12601,3 +12618,80 @@ ORACLE_SQL["search_rrf"] = f"""
                 AS INT) AS fused_rank
     FROM top
 """
+
+
+def _pca_power_oracle_sql(dim: int = 64, iters: int = 3) -> str:
+    """Generated unrolled power-iteration oracle mirroring
+    linalg.power_iteration_top_component's integer-micros ladder:
+    exploded 6dp micro components (BIGINT), per-iteration
+    (d = Σ c·v half-away-rescaled to micros | w = Σ d·c | in-engine
+    6dp normalize) CTE triple in join/groupBy form. All per-row math
+    is int64; the cross-row sums ride DuckDB's hugeint Sum (exact, ≡
+    Spark's DECIMAL(25,0) Sum); the only float steps are the same
+    round/sqrt/divide the Spark side runs."""
+    its = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    it{k}d AS (
+        SELECT vec_id,
+               CASE WHEN sum(c * v) >= 0
+                    THEN (sum(c * v) + 500000) // 1000000
+                    ELSE -((-sum(c * v) + 500000) // 1000000)
+               END AS d
+        FROM c JOIN {prev} USING (pos) GROUP BY vec_id
+    ), it{k}w AS (
+        SELECT pos,
+               CAST(round(CAST(sum(d * c) AS DOUBLE) / 1e12, 6)
+                    AS DECIMAL(15,6)) AS wr
+        FROM c JOIN it{k}d USING (vec_id) GROUP BY pos
+    ), it{k}n AS (
+        SELECT sqrt(CAST(sum(CAST(wr AS DECIMAL(16,6)) * wr)
+                         AS DOUBLE)) AS norm
+        FROM it{k}w
+    ), it{k}v AS (
+        SELECT pos,
+               CAST(CAST(round(CAST(wr AS DOUBLE) / norm, 6)
+                         AS DECIMAL(7,6))
+                    * CAST(1000000 AS DECIMAL(19,0)) AS BIGINT) AS v
+        FROM it{k}w, it{k}n
+    )""")
+        prev = f"it{k}v"
+    return f"""
+    WITH xr AS (
+        SELECT vec_id, i AS pos,
+               CAST(CAST(round(CAST(embedding[i + 1] AS DOUBLE), 6)
+                         AS DECIMAL(7,6))
+                    * CAST(1000000 AS DECIMAL(19,0)) AS BIGINT) AS x
+        FROM embeddings, LATERAL (SELECT unnest(range({dim})) AS i)
+    ), mm AS (
+        SELECT pos, count(*) AS n,
+               CAST(round(CAST(sum(x) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE), 0)
+                    AS BIGINT) AS m
+        FROM xr GROUP BY pos
+    ), c AS (
+        SELECT vec_id, xr.pos, x - m AS c
+        FROM xr JOIN mm ON xr.pos = mm.pos
+    ), nrow AS (
+        SELECT max(n) AS n FROM mm
+    ), v0 AS (
+        SELECT unnest(range({dim})) AS pos, CAST(125000 AS BIGINT) AS v
+    ),{",".join(its)}, tr AS (
+        SELECT sum(c * c) AS t FROM c
+    )
+    SELECT CAST(fv.pos AS INT) AS pos,
+           CAST(fv.v AS DOUBLE) / 1000000.0 AS loading,
+           CAST(mm.m AS DOUBLE) / 1000000.0 AS mean_x,
+           round(it{iters}n.norm / CAST(nrow.n - 1 AS DOUBLE), 6)
+               AS eigval,
+           round((it{iters}n.norm / CAST(nrow.n - 1 AS DOUBLE))
+                 / ((CAST(tr.t AS DOUBLE) / 1e12)
+                    / CAST(nrow.n - 1 AS DOUBLE)), 6)
+               AS explained_var
+    FROM it{iters}v fv
+    JOIN mm ON mm.pos = fv.pos, it{iters}n, nrow, tr
+    """
+
+
+ORACLE_SQL["embedding_pca_power"] = _pca_power_oracle_sql()

@@ -623,3 +623,98 @@ def test_search_rrf_fusion_matches_rank_fusion(spark):
     ]
     assert [(d, s) for d, s, _ in got] == exp
     assert [r for _, _, r in got] == list(range(1, 11))
+
+
+def test_power_iteration_matches_exact_python_replica(spark):
+    """The operator's integer-micros ladder replicated exactly in pure
+    Python (ints + the same byte-equivalent rounding) must reproduce
+    the distributed result bit-for-bit; and on an anisotropic cloud the
+    3-round iterate must capture (almost all of) the top eigenvalue."""
+    import numpy as np
+
+    from collection_templates_spark.operators.linalg import (
+        _MICRO,
+        _round_half_up,
+        power_iteration_top_component,
+    )
+
+    rng = random.Random(1313)
+    dim, n = 16, 400
+    # dominant direction + noise
+    axis = [1.0 if j < 4 else 0.1 for j in range(dim)]
+    vecs = []
+    for _ in range(n):
+        t = rng.gauss(0, 1.0)
+        vecs.append(
+            [
+                float(
+                    np.float32(
+                        t * axis[j] * 0.2 + rng.gauss(0, 0.02) + 0.05
+                    )
+                )
+                for j in range(dim)
+            ]
+        )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.pos: r
+        for r in power_iteration_top_component(
+            df, "embedding", dim=dim, iters=3
+        ).collect()
+    }
+
+    # ---- exact Python replica of the spec ----
+    X = [
+        [int(_round_half_up(float(np.float32(x)), 6) * _MICRO) for x in row]
+        for row in vecs
+    ]
+    m = [
+        int(
+            _round_half_up(
+                float(sum(r[j] for r in X)) / float(n), 0
+            )
+        )
+        for j in range(dim)
+    ]
+    C = [[r[j] - m[j] for j in range(dim)] for r in X]
+    v = [_MICRO // 8] * dim
+
+    def rnd_micro(x):
+        h = _MICRO // 2
+        return (x + h) // _MICRO if x >= 0 else -((-x + h) // _MICRO)
+
+    for _ in range(3):
+        d = [rnd_micro(sum(c[j] * v[j] for j in range(dim))) for c in C]
+        w = [sum(d[i] * C[i][j] for i in range(n)) for j in range(dim)]
+        wr = [_round_half_up(float(wj) / 1.0e12, 6) for wj in w]
+        ssq = sum(r * r for r in wr)
+        norm = math.sqrt(float(ssq))
+        v = [int(_round_half_up(float(r) / norm, 6) * _MICRO) for r in wr]
+    tr = sum(c[j] * c[j] for c in C for j in range(dim))
+    eigval = norm / float(n - 1)
+    explained = eigval / ((float(tr) / 1.0e12) / float(n - 1))
+
+    for j in range(dim):
+        assert got[j].loading == v[j] / float(_MICRO), j
+        assert got[j].mean_x == m[j] / float(_MICRO), j
+    assert float(got[0].eigval) == float(
+        _round_half_up(eigval, 6)
+    )
+    assert float(got[0].explained_var) == float(
+        _round_half_up(explained, 6)
+    )
+
+    # ---- eigen-sanity: Rayleigh quotient of the iterate vs numpy ----
+    A = np.array(vecs, dtype=np.float64)
+    A = A - A.mean(axis=0)
+    cov = A.T @ A / (n - 1)
+    top = float(np.linalg.eigvalsh(cov)[-1])
+    u = np.array([got[j].loading for j in range(dim)])
+    u = u / np.linalg.norm(u)
+    rayleigh = float(u @ cov @ u)
+    assert rayleigh >= 0.95 * top
+    # unit iterate (to 6dp rounding)
+    assert abs(np.linalg.norm(u) - 1.0) < 1e-4
