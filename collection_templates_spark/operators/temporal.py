@@ -1090,3 +1090,94 @@ def lttb_downsample(
         .select("grp", "ord", "v", F.col("bucket").cast("long").alias("bucket"))
         .orderBy("grp", "ord")
     )
+
+
+DTW_BIG = 10**15
+
+
+def dtw_to_reference(
+    series: DataFrame,
+    grp_col: str,
+    ord_col: str,
+    cents_col: str,
+    ref_cents: list[int],
+    band_floor: int = 15,
+) -> DataFrame:
+    """Dynamic-time-warping distance from every group's ordered series
+    to a (driver-held, bounded) reference series — the elastic
+    similarity measure for time series whose features drift in phase
+    (Sakoe & Chiba 1978); neither engine has a native operator for it.
+
+    Semantics: classic DTW with unit steps (→, ↓, ↘) under a
+    Sakoe–Chiba band of half-width max(band_floor, |n_a − n_b| + 5)
+    (the adaptive widening keeps unequal-length pairs feasible);
+    cost = |a_i − b_j| on integer-cent values, so the whole DP is
+    EXACT int64 arithmetic — no float anywhere, both engines (and the
+    recursive-CTE oracle) produce the identical integer distance.
+
+    Per group the DP runs vectorized in numpy via the row recurrence
+    rewritten as a prefix-scan: entering row i at column jp and
+    running right to j costs pc[j] − pc[jp−1], so
+    cur[j] = pc[j] + min_{jp ≤ j}(min(prev[jp], prev[jp−1]) − pc[jp−1])
+    — one ``np.minimum.accumulate`` per row instead of an in-row
+    loop. Out-of-band cells pin to the DTW_BIG sentinel (and are
+    re-masked every row, so the sentinel never mixes into a real sum
+    — the "no float sentinel in a sort key" rule's integer cousin).
+
+    Scale shape: groups are independent — ``applyInPandas`` over the
+    group key is the embarrassingly parallel axis (millions of
+    bounded series, one DP each); the reference rides the closure
+    (O(len) driver bytes). Output: (grp, n_a, n_b, dtw_cents) with
+    the float presentation left to the CALLER's engine expressions
+    (keeps Python banker's-rounding out of the contract).
+    """
+    import numpy as np
+    import pandas as pd
+
+    b = np.asarray(ref_cents, dtype=np.int64)
+    nb = len(b)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_col)
+        a = pdf[cents_col].to_numpy(dtype=np.int64)
+        na = len(a)
+        grp = pdf["grp"].iloc[0]
+        w = max(band_floor, abs(na - nb) + 5)
+        big = np.int64(DTW_BIG)
+        prev = np.full(nb + 1, big)  # 1-indexed, [0] is the j=0 guard
+        # row 1: banded prefix sums of |a_1 - b_j|
+        c1 = np.abs(a[0] - b)
+        row1 = np.concatenate(([big], np.cumsum(c1)))
+        row1[1 + w + 1 :] = big
+        prev = row1
+        for i in range(2, na + 1):
+            lo, hi = max(1, i - w), min(nb, i + w)
+            cost = np.abs(a[i - 1] - b[lo - 1 : hi])  # cols lo..hi
+            pc = np.cumsum(cost)  # pc[k] = cost lo..lo+k
+            # B[jp] = min(prev[jp], prev[jp-1]) for jp = lo..hi
+            bmin = np.minimum(prev[lo : hi + 1], prev[lo - 1 : hi])
+            # entry[jp] = B[jp] - pc[jp-1] (pc[lo-1] = 0)
+            entry = bmin - np.concatenate(([np.int64(0)], pc[:-1]))
+            cur_band = pc + np.minimum.accumulate(entry)
+            cur = np.full(nb + 1, big)
+            cur[lo : hi + 1] = np.minimum(cur_band, big)
+            prev = cur
+        d = int(prev[nb])
+        return pd.DataFrame(
+            {
+                "grp": [grp],
+                "n_a": [na],
+                "n_b": [nb],
+                "dtw_cents": [d if d < DTW_BIG else None],
+            }
+        )
+
+    return (
+        series.select(
+            F.col(grp_col).alias("grp"),
+            F.col(ord_col).alias(ord_col),
+            F.col(cents_col).alias(cents_col),
+        )
+        .groupBy("grp")
+        .applyInPandas(run, "grp string, n_a long, n_b long, dtw_cents long")
+    )

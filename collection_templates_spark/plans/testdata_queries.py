@@ -4950,6 +4950,49 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temporal_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance (temporal.dtw_to_reference) from
+    each event type's daily-revenue series to the click series:
+    integer-cent Sakoe–Chiba banded DP — exact int64 in the numpy
+    per-group kernel AND in the oracle's recursive-CTE replay (row-
+    by-row prefix-scan recurrence carried as a list column); the
+    operator Spark/DuckDB lack natively. Presentation divisions/
+    rounds happen in-engine on the returned integer cents."""
+    from collection_templates_spark.operators.temporal import (
+        dtw_to_reference,
+    )
+
+    daily = _daily_event_series(spark, sf_dir)
+    cents = F.round(F.col("v") * 100, 0).cast("long").alias("cents")
+    ref = [
+        int(r["cents"])
+        for r in daily.filter(F.col("event_type") == "click")
+        .select("day", cents)
+        .orderBy("day")
+        .collect()
+    ]
+    others = daily.filter(F.col("event_type") != "click").select(
+        "event_type", "day", cents
+    )
+    out = dtw_to_reference(
+        others, "event_type", "day", "cents", ref, band_floor=15
+    )
+    return out.select(
+        F.col("grp").alias("event_type"),
+        "n_a",
+        "n_b",
+        F.round(F.col("dtw_cents").cast("double") / F.lit(100.0), 2).alias(
+            "dtw"
+        ),
+        F.round(
+            F.col("dtw_cents").cast("double")
+            / F.lit(100.0)
+            / (F.col("n_a") + F.col("n_b")).cast("double"),
+            6,
+        ).alias("dtw_per_step"),
+    ).orderBy("event_type")
+
+
 def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durbin–Watson serial-correlation test (stats.durbin_watson) on
     the residuals of total daily revenue ~ day index: DECIMAL-exact
@@ -5033,6 +5076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # full-bank artifact is CHECKLOCAL_r{N}.json.
     # --- r13 new rows (never externally sampled) ---
     "embedding_pca_power": embedding_pca_power,
+    "temporal_dtw": temporal_dtw,
     "events_nelson_aalen": events_nelson_aalen,
     "stats_durbin_watson": stats_durbin_watson,
     "lineitem_skyline": lineitem_skyline,
@@ -12695,3 +12739,82 @@ def _pca_power_oracle_sql(dim: int = 64, iters: int = 3) -> str:
 
 
 ORACLE_SQL["embedding_pca_power"] = _pca_power_oracle_sql()
+
+
+# temporal_dtw oracle: the banded DP replayed as a recursive CTE — one
+# row per (group, matrix-row i) carrying DP row i as a BIGINT list; the
+# step applies the same prefix-scan recurrence the numpy kernel runs
+# (enter row i at column jp, run right: cur[j] = pc[j] +
+# min_jp(min(prev[jp], prev[jp-1]) - pc[jp-1])), all integer cents.
+# Generated from composable fragments so the lambda nesting stays
+# paren-balanced by construction.
+def _dtw_oracle_sql() -> str:
+    big = "1000000000000000::BIGINT"
+    lo = "greatest(1, dp.i + 1 - wp.w)"
+
+    def cost_sum(upper: str) -> str:
+        return (
+            f"list_sum(list_transform(range({lo}, {upper}), "
+            f"t -> abs(lg.l[dp.i + 1] - lref.l[t])))::BIGINT"
+        )
+
+    bterm = (
+        f"least(row[jp], CASE WHEN jp >= 2 THEN row[jp - 1] "
+        f"ELSE {big} END)"
+    )
+    pcterm = f"(CASE WHEN jp > {lo} THEN {cost_sum('jp')} ELSE 0::BIGINT END)"
+    inner = (
+        f"list_min(list_transform(range({lo}, j + 1), "
+        f"jp -> {bterm} - {pcterm}))"
+    )
+    cell = f"least({cost_sum('j + 1')} + {inner}, {big})"
+    step_cell = (
+        f"CASE WHEN j BETWEEN {lo} AND least(lref.n, dp.i + 1 + wp.w) "
+        f"THEN {cell} ELSE {big} END"
+    )
+    base_cell = (
+        f"CASE WHEN j <= 1 + wp.w THEN "
+        f"list_sum(list_transform(range(1, j + 1), "
+        f"t -> abs(lg.l[1] - lref.l[t])))::BIGINT ELSE {big} END"
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                               AS DOUBLE) * 100, 0) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), lref AS (
+        SELECT list(cents ORDER BY day) AS l, count(*) AS n
+        FROM daily WHERE event_type = 'click'
+    ), lg AS (
+        SELECT event_type AS grp, list(cents ORDER BY day) AS l,
+               count(*) AS n
+        FROM daily WHERE event_type <> 'click' GROUP BY 1
+    ), wp AS (
+        SELECT grp, greatest(15, abs(lg.n - lref.n) + 5) AS w
+        FROM lg, lref
+    ), dp(grp, i, row) AS (
+        SELECT lg.grp, 1,
+               list_transform(range(1, lref.n + 1), j -> {base_cell})
+        FROM lg JOIN wp USING (grp), lref
+        UNION ALL
+        SELECT dp.grp, dp.i + 1,
+               list_transform(range(1, lref.n + 1), j -> {step_cell})
+        FROM dp
+        JOIN lg ON lg.grp = dp.grp
+        JOIN wp ON wp.grp = dp.grp, lref
+        WHERE dp.i < lg.n
+    )
+    SELECT dp.grp AS event_type,
+           CAST(lg.n AS BIGINT) AS n_a,
+           CAST(lref.n AS BIGINT) AS n_b,
+           round(CAST(dp.row[lref.n] AS DOUBLE) / 100.0, 2) AS dtw,
+           round(CAST(dp.row[lref.n] AS DOUBLE) / 100.0
+                 / CAST(lg.n + lref.n AS DOUBLE), 6) AS dtw_per_step
+    FROM dp JOIN lg ON lg.grp = dp.grp, lref
+    WHERE dp.i = lg.n
+    ORDER BY event_type
+    """
+
+
+ORACLE_SQL["temporal_dtw"] = _dtw_oracle_sql()

@@ -718,3 +718,62 @@ def test_power_iteration_matches_exact_python_replica(spark):
     assert rayleigh >= 0.95 * top
     # unit iterate (to 6dp rounding)
     assert abs(np.linalg.norm(u) - 1.0) < 1e-4
+
+
+def _dtw_brute(a, b, w):
+    BIG = 10**15
+    na, nb = len(a), len(b)
+    D = [[BIG] * (nb + 1) for _ in range(na + 1)]
+    for i in range(1, na + 1):
+        for j in range(max(1, i - w), min(nb, i + w) + 1):
+            c = abs(a[i - 1] - b[j - 1])
+            if i == 1 and j == 1:
+                D[i][j] = c
+            else:
+                best = min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+                D[i][j] = c + best if best < BIG else BIG
+    return D[na][nb]
+
+
+def test_dtw_matches_brute_force_dp(spark):
+    from collection_templates_spark.operators.temporal import (
+        dtw_to_reference,
+    )
+
+    rng = random.Random(1319)
+    ref = [rng.randint(0, 100000) for _ in range(60)]
+    groups = {
+        "g_same_len": [rng.randint(0, 100000) for _ in range(60)],
+        "g_shorter": [rng.randint(0, 100000) for _ in range(48)],
+        "g_longer": [rng.randint(0, 100000) for _ in range(71)],
+        "g_identical": list(ref),
+    }
+    rows = [
+        (g, i, v)
+        for g, series in groups.items()
+        for i, v in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows, "grp string, ord long, cents long")
+    got = {
+        r.grp: (r.n_a, r.n_b, r.dtw_cents)
+        for r in dtw_to_reference(
+            df, "grp", "ord", "cents", ref, band_floor=15
+        ).collect()
+    }
+    for g, series in groups.items():
+        w = max(15, abs(len(series) - len(ref)) + 5)
+        exp = _dtw_brute(series, ref, w)
+        assert got[g] == (len(series), len(ref), exp), g
+    # identical series within the band → exact zero distance
+    assert got["g_identical"][2] == 0
+    # shifted-by-one copy: DTW collapses the phase shift to the two
+    # boundary cells, so distance <= first + last cost
+    shifted = ref[1:] + [ref[-1]]
+    df2 = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(shifted)],
+        "grp string, ord long, cents long",
+    )
+    d2 = dtw_to_reference(
+        df2, "grp", "ord", "cents", ref, band_floor=15
+    ).collect()[0].dtw_cents
+    assert d2 <= abs(ref[0] - ref[1]) + abs(ref[-1] - ref[-1])
