@@ -495,3 +495,150 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, AHASH_SCHEMA
     )
+
+
+# Synthetic 16×16 grayscale fixture corpus for the image-dedup bank row:
+# pixel values are a CLOSED FORM of doc_id, so the DuckDB oracle can
+# recompute the expected aHash with integer arithmetic while the Spark
+# path runs the REAL encode→decode→hash pipeline. Groups of
+# AHASH_GROUP consecutive doc_ids share a base pattern; each doc flips
+# exactly one pixel (value ↔ AHASH_FLIP−value), so in-group pairs land
+# within a few Hamming bits and cross-group patterns are independent.
+# 16×16 → 8×8 cells of exactly 2×2 px make every aHash float op exact
+# dyadic arithmetic (sums/4, /64), hence bit_i ⟺ 64·cellsum_i ≥ total.
+AHASH_IMG_W = 16
+AHASH_GROUP = 5
+AHASH_P_HI = 200
+AHASH_P_LO = 40
+AHASH_FLIP = 240
+# pattern = (ax·x + by·y + cz·x·y) mod 97 < 48, with ax/by/cz mixed
+# per group via multiplicative hashes — a first cut used a LINEAR
+# pattern (7x+11y+13·base) mod 29, which is only 29 distinct patterns
+# (base enters as a constant offset), so cross-group hashes collided
+# en masse (433k pairs at sf0.1, 98% cross-group). The mixed bilinear
+# family makes cross-group hashes effectively random 64-bit keys
+# (expected Hamming ≈ 32 ≫ 10) while in-group pairs stay ≤ a few bits.
+AHASH_MOD = 97
+AHASH_THRESH = 48
+AHASH_MIX_AX = 2654435761
+AHASH_MIX_BY = 40503
+AHASH_MIX_CZ = 9176
+AHASH_IDX_MULT = 37
+
+
+def synthetic_gray_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 16×16 grayscale PNG per document id (REAL encoder
+    — the decode side of the bank row exercises the production codec
+    path end-to-end). Numpy builds the pixel grid; encode_png is the
+    repo's pure-stdlib encoder."""
+    import numpy as np
+
+    from collection_templates_spark.functions.png import encode_png
+
+    w = AHASH_IMG_W
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:w, 0:w]
+        lin = (yy * w + xx).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                base = did // AHASH_GROUP
+                ax = 7 + (base * AHASH_MIX_AX) % 89
+                by = 11 + (base * AHASH_MIX_BY) % 83
+                cz = (base * AHASH_MIX_CZ) % 79
+                pat = (ax * xx + by * yy + cz * xx * yy) % AHASH_MOD
+                px = np.where(
+                    pat < AHASH_THRESH, AHASH_P_HI, AHASH_P_LO
+                ).astype(np.int64)
+                idx = (did * AHASH_IDX_MULT) % (w * w)
+                px = np.where(lin == idx, AHASH_FLIP - px, px)
+                ids.append(did)
+                payloads.append(
+                    encode_png(
+                        w, w, bytes(px.astype(np.uint8)), color_type=0
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": ["image"] * len(ids),
+                    "payload": payloads,
+                    "meta_width": pd.array([w] * len(ids), dtype="Int32"),
+                    "meta_height": pd.array([w] * len(ids), dtype="Int32"),
+                    "meta_duration_ms": pd.array(
+                        [None] * len(ids), dtype="Int32"
+                    ),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def ahash_near_dup_pairs(
+    hashed: DataFrame, max_hamming: int = 10
+) -> DataFrame:
+    """Banded Hamming near-duplicate pairs over an (media_id, ahash)
+    table: the 64-bit key splits into four 16-bit bands; candidates
+    share ≥ 1 band (equi-join per band — never an all-pairs XOR scan),
+    then the exact ``bit_count(xor)`` verifies ≤ ``max_hamming``. The
+    simhash chunk-banding recall argument applies verbatim: a pair
+    within h bits misses only if every band differs, impossible for
+    h ≤ 3 and geometrically unlikely for clustered bit flips; the
+    ORACLE mirrors the banded semantics, so the contract is exact.
+
+    Scale shape: per-band shuffles on 16-bit keys with bounded
+    per-bucket fan-out (hash buckets of near-identical images);
+    supports the same hot-bucket cap as the text dedup family. The
+    hash table is lineage-cut before the self-join — both join sides
+    read the materialized 64-bit keys instead of re-running the
+    decode+hash pipeline per side (the tfidf lineage-cut rule)."""
+    h = hashed.filter(F.col("ahash").isNotNull()).localCheckpoint(
+        eager=False
+    )
+    bands = h.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.col("ahash"), 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                    )
+                    * F.lit(4)
+                    + F.lit(b)
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id1"),
+        F.col("ahash").alias("h1"),
+        "band_key",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id2"),
+        F.col("ahash").alias("h2"),
+        "band_key",
+    )
+    cands = (
+        a.join(b, "band_key")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "h1", "h2")
+        .distinct()
+    )
+    return (
+        cands.select(
+            "id1",
+            "id2",
+            F.bit_count(
+                F.col("h1").bitwiseXOR(F.col("h2"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

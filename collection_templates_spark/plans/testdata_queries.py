@@ -4950,6 +4950,30 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicate pairs over a synthetic
+    16×16 grayscale PNG corpus (multimodal.synthetic_gray_png_media →
+    REAL stdlib PNG encode→decode → multimodal.image_ahash → banded
+    Hamming join). The fixture pixels are a closed form of doc_id
+    (groups of 5 share a base pattern, one flipped pixel per doc), so
+    the oracle recomputes the expected aHash with pure integer SQL —
+    while the Spark path proves the production codec+hash+banding
+    pipeline end-to-end on real bytes."""
+    from collection_templates_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        image_ahash,
+        synthetic_gray_png_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = image_ahash(synthetic_gray_png_media(docs))
+    return ahash_near_dup_pairs(hashed, max_hamming=10).select(
+        F.col("id1").alias("doc1"),
+        F.col("id2").alias("doc2"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 def temporal_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-time-warping distance (temporal.dtw_to_reference) from
     each event type's daily-revenue series to the click series:
@@ -5077,6 +5101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r13 new rows (never externally sampled) ---
     "embedding_pca_power": embedding_pca_power,
     "temporal_dtw": temporal_dtw,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
     "events_nelson_aalen": events_nelson_aalen,
     "stats_durbin_watson": stats_durbin_watson,
     "lineitem_skyline": lineitem_skyline,
@@ -12818,3 +12843,65 @@ def _dtw_oracle_sql() -> str:
 
 
 ORACLE_SQL["temporal_dtw"] = _dtw_oracle_sql()
+
+
+# multimodal_phash_dedup oracle: recompute the aHash from the fixture's
+# closed-form pixels in integer SQL (cell sums over 2x2 blocks, bit_i
+# iff 64*s_i >= total, row-major bit pack with the signed-64 fold), then
+# the SAME banded candidate join + bit_count(xor) verify the Spark
+# operator runs. Constants mirror multimodal.AHASH_* exactly.
+ORACLE_SQL["multimodal_phash_dedup"] = """
+    WITH px AS (
+        SELECT d.doc_id, ci.ci AS ci,
+               (ci.ci % 8) * 2 + (k.k % 2) AS x,
+               (ci.ci // 8) * 2 + (k.k // 2) AS y
+        FROM documents d,
+             LATERAL (SELECT unnest(range(64)) AS ci) ci,
+             LATERAL (SELECT unnest(range(4)) AS k) k
+    ), coeff AS (
+        SELECT doc_id, ci, x, y,
+               7 + ((doc_id // 5) * 2654435761) % 89 AS ax,
+               11 + ((doc_id // 5) * 40503) % 83 AS by,
+               ((doc_id // 5) * 9176) % 79 AS cz
+        FROM px
+    ), vals AS (
+        SELECT doc_id, ci,
+               CASE WHEN y * 16 + x = (doc_id * 37) % 256
+                    THEN 240 - (CASE WHEN (ax * x + by * y + cz * x * y)
+                                          % 97 < 48
+                                THEN 200 ELSE 40 END)
+                    ELSE (CASE WHEN (ax * x + by * y + cz * x * y)
+                                    % 97 < 48
+                          THEN 200 ELSE 40 END)
+               END AS v
+        FROM coeff
+    ), cells AS (
+        SELECT doc_id, ci, sum(v) AS s FROM vals GROUP BY doc_id, ci
+    ), tot AS (
+        SELECT doc_id, sum(s) AS st FROM cells GROUP BY doc_id
+    ), bits AS (
+        SELECT c.doc_id, ci,
+               CASE WHEN 64 * s >= st THEN 1 ELSE 0 END AS b
+        FROM cells c JOIN tot USING (doc_id)
+    ), hashes AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN b = 1 AND ci < 63
+                             THEN (1::BIGINT << ci) ELSE 0::BIGINT END)
+                    + sum(CASE WHEN b = 1 AND ci = 63
+                               THEN -9223372036854775807 - 1
+                               ELSE 0 END) AS BIGINT) AS h
+        FROM bits GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, h,
+               ((h >> (16 * bb.b)) & 65535) * 4 + bb.b AS band_key
+        FROM hashes, LATERAL (SELECT unnest(range(4)) AS b) bb
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.h AS h1, b.h AS h2
+        FROM bands a
+        JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(h1, h2)) <= 10
+"""

@@ -777,3 +777,35 @@ def test_dtw_matches_brute_force_dp(spark):
         df2, "grp", "ord", "cents", ref, band_floor=15
     ).collect()[0].dtw_cents
     assert d2 <= abs(ref[0] - ref[1]) + abs(ref[-1] - ref[-1])
+
+
+def test_phash_dedup_recovers_planted_groups(spark):
+    """Full image pipeline — closed-form pixels → REAL PNG encode →
+    REAL decode → aHash → banded Hamming join — finds exactly the
+    planted groups on a small corpus (4 groups of 5, one flipped pixel
+    per doc)."""
+    from collection_templates_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        image_ahash,
+        synthetic_gray_png_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long"
+    )
+    hashed = image_ahash(synthetic_gray_png_media(docs))
+    got = {
+        (r.id1, r.id2): r.hamming
+        for r in ahash_near_dup_pairs(hashed, max_hamming=10).collect()
+    }
+    exp_pairs = {
+        (a, b)
+        for a in range(20)
+        for b in range(a + 1, 20)
+        if a // 5 == b // 5
+    }
+    assert set(got) == exp_pairs
+    assert all(h <= 10 for h in got.values())
+    # the flip is one pixel: in-group distances are a few bits, and at
+    # least some pairs are non-identical (the hash reacts to content)
+    assert max(got.values()) >= 1
