@@ -4950,6 +4950,55 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.personalized_pagerank) on the 1995
+    customer↔supplier bipartite graph (undirected projection — no
+    dangling nodes), teleporting to the custkey ≡ 1 (mod 20) seed
+    customers: the related-entities ranking primitive, 3 unrolled
+    sweeps with the pagerank rounding convention, oracled by CTE
+    replay."""
+    from collection_templates_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = pairs.select(F.col("src").alias("node")).distinct().filter(
+        ((F.col("node") / 2).cast("long") % 20) == 1
+    )
+    out = personalized_pagerank(edges, seeds, iterations=3)
+    return out.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
+        )
+        .alias("node"),
+        "ppr",
+    )
+
+
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-duplicate pairs over a synthetic
     16×16 grayscale PNG corpus (multimodal.synthetic_gray_png_media →
@@ -5102,6 +5151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_power": embedding_pca_power,
     "temporal_dtw": temporal_dtw,
     "multimodal_phash_dedup": multimodal_phash_dedup,
+    "graph_ppr": graph_ppr,
     "events_nelson_aalen": events_nelson_aalen,
     "stats_durbin_watson": stats_durbin_watson,
     "lineitem_skyline": lineitem_skyline,
@@ -12905,3 +12955,66 @@ ORACLE_SQL["multimodal_phash_dedup"] = """
     FROM cands
     WHERE bit_count(xor(h1, h2)) <= 10
 """
+
+
+def _ppr_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    """Personalized-pagerank CTE replay (the _pagerank_oracle_sql
+    convention): teleportation to the seed restart vector, undirected
+    projection so no dangling term, 9dp contribution/iterate rounds."""
+    d, om = repr(damping), repr(1.0 - damping)
+    ctes = [
+        """pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01')""",
+        """edges AS (
+            SELECT src, dst FROM pairs
+            UNION ALL SELECT dst, src FROM pairs)""",
+        """nodes AS (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges)""",
+        """outdeg AS (
+            SELECT src AS node, count(*) AS o FROM edges GROUP BY src)""",
+        """seeds AS (
+            SELECT DISTINCT src AS node FROM pairs
+            WHERE (src // 2) % 20 = 1)""",
+        "ns AS (SELECT count(*) AS n FROM seeds)",
+        """base AS (
+            SELECT nodes.node,
+                   CASE WHEN seeds.node IS NOT NULL
+                        THEN 1.0 / ns.n ELSE 0.0 END AS r
+            FROM nodes
+            LEFT JOIN seeds ON seeds.node = nodes.node, ns)""",
+        "r0 AS (SELECT node, r AS pr FROM base)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+            SELECT e.dst AS node, round(r.pr / dg.o, 9) AS c
+            FROM r{i - 1} r
+            JOIN outdeg dg ON dg.node = r.node
+            JOIN edges e ON e.src = r.node)"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+            SELECT node, sum(c) AS s FROM c{i} GROUP BY node)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+            SELECT base.node,
+                   round({om} * base.r
+                         + {d} * coalesce(s{i}.s, 0.0), 9) AS pr
+            FROM base LEFT JOIN s{i} ON s{i}.node = base.node)"""
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                    ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+               round(pr, 6) AS ppr
+        FROM r{iterations}
+    """
+
+
+ORACLE_SQL["graph_ppr"] = _ppr_oracle_sql()

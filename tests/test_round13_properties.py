@@ -809,3 +809,49 @@ def test_phash_dedup_recovers_planted_groups(spark):
     # the flip is one pixel: in-group distances are a few bits, and at
     # least some pairs are non-identical (the hash reacts to content)
     assert max(got.values()) >= 1
+
+
+def test_personalized_pagerank_brute_force_and_mass(spark):
+    from collection_templates_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    rng = random.Random(1321)
+    # random undirected graph on 30 nodes + a disconnected island
+    und = set()
+    for _ in range(60):
+        a, b = rng.randint(0, 29), rng.randint(0, 29)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    und.add((40, 41))  # island, unreachable from seeds
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    got = {
+        r.node: r.ppr
+        for r in personalized_pagerank(df, seeds, iterations=3).collect()
+    }
+    # exact Python replica (9dp rounds mirrored via repo convention)
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    S = [1, 2, 3]
+    r = {n: (1.0 / len(S) if n in S else 0.0) for n in nodes}
+    pr = dict(r)
+    for _ in range(3):
+        s_in = {n: 0.0 for n in nodes}
+        for a, b in edges:
+            s_in[b] += round(pr[a] / out[a], 9)
+        pr = {
+            n: round(0.15 * r[n] + 0.85 * s_in[n], 9) for n in nodes
+        }
+    for n in nodes:
+        assert got[n] == round(pr[n], 6), n
+    # mass conservation (no dangling in the undirected projection)
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    # the island never receives mass
+    assert got[40] == 0.0 and got[41] == 0.0
+    # a seed outranks the global median
+    med = sorted(got.values())[len(got) // 2]
+    assert got[1] > med
