@@ -1181,3 +1181,94 @@ def dtw_to_reference(
         .groupBy("grp")
         .applyInPandas(run, "grp string, n_a long, n_b long, dtw_cents long")
     )
+
+
+def holt_linear_forecast(
+    series: DataFrame,
+    grp_col: str,
+    ord_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoother per group, with
+    α = 1/2 and β = 1/4 and the whole recursion carried in integer
+    MICRO-CENTS with half-away rounding at every step — the coupled
+    level/trend recursion is the one smoother a cumulative window
+    cannot express (unlike the single-EWMA row), and the integer
+    ladder makes it exactly replayable by a recursive-CTE oracle
+    (dyadic divisors ⇒ the rounding is a 2-/4-divide with carry,
+    never a float).
+
+        l₁ = y₁,  b₁ = y₂ − y₁
+        l_t = rnd₂(y_t + l_{t−1} + b_{t−1})        [α = 1/2]
+        b_t = rnd₄(l_t − l_{t−1} + 3·b_{t−1})      [β = 1/4]
+        e_t = y_t − (l_{t−1} + b_{t−1})  (one-step error, t ≥ 3)
+
+    Returns per group the final state plus exact error accumulators:
+    (grp, n, l_u, b_u, sae_u, sse_u2_str) — micro-cent longs and the
+    Σe² as a decimal STRING (it exceeds int64); presentation
+    (dollars, MAE/RMSE, h-step forecast) is left to the caller's
+    in-engine expressions so Python banker's rounding never touches
+    the contract. Groups with n < 3 are skipped.
+
+    Scale shape: bounded-series-per-group contract (the
+    kendall/DTW family) — ``applyInPandas`` over independent groups,
+    O(n) integer work per group.
+    """
+    import pandas as pd
+
+    def rnd2(x: int) -> int:
+        return (x + 1) // 2 if x >= 0 else -((-x + 1) // 2)
+
+    def rnd4(x: int) -> int:
+        return (x + 2) // 4 if x >= 0 else -((-x + 2) // 4)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_col)
+        y = [int(v) * 1_000_000 for v in pdf[cents_col]]
+        n = len(y)
+        if n < 3:
+            return pd.DataFrame(
+                columns=["grp", "n", "l_u", "b_u", "sae_u", "sse_u2"]
+            ).astype(
+                {
+                    "grp": "object",
+                    "n": "int64",
+                    "l_u": "int64",
+                    "b_u": "int64",
+                    "sae_u": "int64",
+                    "sse_u2": "object",
+                }
+            )
+        l, b = y[1], y[1] - y[0]  # closed form of the t=2 update
+        sae, sse = 0, 0
+        for t in range(2, n):
+            e = y[t] - (l + b)
+            sae += abs(e)
+            sse += e * e
+            l_new = rnd2(y[t] + l + b)
+            b = rnd4(l_new - l + 3 * b)
+            l = l_new
+        return pd.DataFrame(
+            {
+                "grp": [pdf["grp"].iloc[0]],
+                "n": [n],
+                "l_u": [l],
+                "b_u": [b],
+                "sae_u": [sae],
+                "sse_u2": [str(sse)],
+            }
+        )
+
+    return (
+        series.select(
+            F.col(grp_col).alias("grp"),
+            F.col(ord_col).alias(ord_col),
+            F.col(cents_col).alias(cents_col),
+        )
+        .groupBy("grp")
+        .applyInPandas(
+            run,
+            "grp string, n long, l_u long, b_u long, sae_u long, "
+            "sse_u2 string",
+        )
+    )

@@ -4950,6 +4950,46 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoother (temporal.holt_linear_forecast) over
+    each event type's daily revenue: the coupled level/trend recursion
+    carried in exact integer micro-cents (α=1/2, β=1/4 → dyadic
+    half-away divides), final level/trend, 7-day-ahead forecast and
+    one-step MAE/RMSE — presentation math runs in-engine on the exact
+    integer state, mirrored by a recursive-CTE oracle."""
+    from collection_templates_spark.operators.temporal import (
+        holt_linear_forecast,
+    )
+
+    daily = _daily_event_series(spark, sf_dir).select(
+        "event_type",
+        "day",
+        F.round(F.col("v") * 100, 0).cast("long").alias("cents"),
+    )
+    st = holt_linear_forecast(daily, "event_type", "day", "cents")
+    nm2 = (F.col("n") - 2).cast("double")
+    sse = F.col("sse_u2").cast("decimal(38,0)").cast("double")
+    return st.select(
+        F.col("grp").alias("event_type"),
+        "n",
+        F.round(F.col("l_u").cast("double") / F.lit(1.0e8), 2).alias(
+            "level"
+        ),
+        F.round(F.col("b_u").cast("double") / F.lit(1.0e8), 4).alias(
+            "trend"
+        ),
+        F.round(
+            (F.col("l_u") + F.lit(7) * F.col("b_u")).cast("double")
+            / F.lit(1.0e8),
+            2,
+        ).alias("forecast_7"),
+        F.round(
+            (F.col("sae_u").cast("double") / F.lit(1.0e8)) / nm2, 4
+        ).alias("mae"),
+        F.round(F.sqrt((sse / F.lit(1.0e16)) / nm2), 4).alias("rmse"),
+    ).orderBy("event_type")
+
+
 def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (graph.personalized_pagerank) on the 1995
     customer↔supplier bipartite graph (undirected projection — no
@@ -5152,6 +5192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_dtw": temporal_dtw,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "graph_ppr": graph_ppr,
+    "events_holt_forecast": events_holt_forecast,
     "events_nelson_aalen": events_nelson_aalen,
     "stats_durbin_watson": stats_durbin_watson,
     "lineitem_skyline": lineitem_skyline,
@@ -13018,3 +13059,68 @@ def _ppr_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
 
 
 ORACLE_SQL["graph_ppr"] = _ppr_oracle_sql()
+
+
+def _holt_oracle_sql() -> str:
+    """events_holt_forecast oracle: the integer micro-cent Holt ladder
+    replayed as a recursive CTE — one row per (group, t) carrying
+    (level, trend, Σ|e|, Σe² as HUGEINT); the dyadic half-away rounds
+    are generated inline as sign-split integer divides."""
+
+    def rnd(x: str, d: int) -> str:
+        h = d // 2
+        return (
+            f"(CASE WHEN ({x}) >= 0 THEN (({x}) + {h}) // {d} "
+            f"ELSE -((-({x}) + {h}) // {d}) END)"
+        )
+
+    lnew = rnd("s.y + r.l + r.b", 2)
+    bnew = rnd(f"{lnew} - r.l + 3 * r.b", 4)
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                               AS DOUBLE) * 100, 0) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), series AS (
+        SELECT event_type AS grp, cents * 1000000 AS y,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS t
+        FROM daily
+    ), counts AS (
+        SELECT grp, count(*) AS n FROM series GROUP BY grp
+        HAVING count(*) >= 3
+    ), rec(grp, t, l, b, sae, sse) AS (
+        SELECT s1.grp, 2, s2.y, s2.y - s1.y, 0::BIGINT, 0::HUGEINT
+        FROM series s1
+        JOIN series s2 ON s2.grp = s1.grp AND s2.t = 2
+        JOIN counts c ON c.grp = s1.grp
+        WHERE s1.t = 1
+        UNION ALL
+        SELECT r.grp, r.t + 1,
+               {lnew},
+               {bnew},
+               r.sae + abs(s.y - (r.l + r.b)),
+               r.sse + (s.y - (r.l + r.b))::HUGEINT
+                       * (s.y - (r.l + r.b))
+        FROM rec r
+        JOIN series s ON s.grp = r.grp AND s.t = r.t + 1
+        JOIN counts c ON c.grp = r.grp
+        WHERE r.t < c.n
+    )
+    SELECT rec.grp AS event_type,
+           CAST(c.n AS BIGINT) AS n,
+           round(CAST(l AS DOUBLE) / 1e8, 2) AS level,
+           round(CAST(b AS DOUBLE) / 1e8, 4) AS trend,
+           round(CAST(l + 7 * b AS DOUBLE) / 1e8, 2) AS forecast_7,
+           round((CAST(sae AS DOUBLE) / 1e8)
+                 / CAST(c.n - 2 AS DOUBLE), 4) AS mae,
+           round(sqrt((CAST(sse AS DOUBLE) / 1e16)
+                      / CAST(c.n - 2 AS DOUBLE)), 4) AS rmse
+    FROM rec JOIN counts c ON c.grp = rec.grp
+    WHERE rec.t = c.n
+    ORDER BY event_type
+    """
+
+
+ORACLE_SQL["events_holt_forecast"] = _holt_oracle_sql()

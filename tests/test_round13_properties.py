@@ -855,3 +855,58 @@ def test_personalized_pagerank_brute_force_and_mass(spark):
     # a seed outranks the global median
     med = sorted(got.values())[len(got) // 2]
     assert got[1] > med
+
+
+def test_holt_linear_matches_brute_force(spark):
+    from collection_templates_spark.operators.temporal import (
+        holt_linear_forecast,
+    )
+
+    rng = random.Random(1327)
+    rows = []
+    series = {}
+    for g in ["up", "noisy"]:
+        vals = []
+        lvl = 10000
+        for t in range(40):
+            lvl += 150 if g == "up" else rng.randint(-400, 400)
+            vals.append(max(lvl, 0))
+            rows.append((g, t, vals[-1]))
+        series[g] = vals
+    df = spark.createDataFrame(rows, "grp string, ord long, cents long")
+    got = {
+        r.grp: r
+        for r in holt_linear_forecast(df, "grp", "ord", "cents").collect()
+    }
+
+    def rnd(x, d):
+        h = d // 2
+        return (x + h) // d if x >= 0 else -((-x + h) // d)
+
+    for g, vals in series.items():
+        y = [v * 1_000_000 for v in vals]
+        lv, b = y[1], y[1] - y[0]
+        sae = sse = 0
+        for t in range(2, len(y)):
+            e = y[t] - (lv + b)
+            sae += abs(e)
+            sse += e * e
+            ln = rnd(y[t] + lv + b, 2)
+            b = rnd(ln - lv + 3 * b, 4)
+            lv = ln
+        r = got[g]
+        assert (r.n, r.l_u, r.b_u, r.sae_u, r.sse_u2) == (
+            len(y),
+            lv,
+            b,
+            sae,
+            str(sse),
+        ), g
+    # a clean linear ramp is tracked: trend ≈ +150 cents/day
+    up = got["up"]
+    assert abs(up.b_u / 1e6 - 150) < 30
+    # short groups (n < 3) are skipped
+    tiny = spark.createDataFrame(
+        [("t", 0, 5), ("t", 1, 6)], "grp string, ord long, cents long"
+    )
+    assert holt_linear_forecast(tiny, "grp", "ord", "cents").count() == 0
