@@ -682,3 +682,138 @@ def ddsketch_quantiles(
         )
     )
     return est.select("q", F.round("raw_est", 4).alias("est_q"))
+
+
+def _kmv_build(
+    events: DataFrame,
+    k: int,
+    set_col: str,
+    member_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared KMV/theta sketch build (the kmv_theta_intersections
+    geometry): → (distinct members, per-set k-minimum-hash sketch rows,
+    per-set θ table)."""
+    from pyspark.sql import Window
+
+    members = events.select(
+        F.col(set_col).alias("s"), F.col(member_col).alias("v")
+    ).distinct()
+    hashed = members.select(
+        "s",
+        "v",
+        (
+            _numeric_mix(F.col("v")).cast("double") / F.lit(float(_P31))
+        ).alias("u"),
+    )
+    w = Window.partitionBy("s").orderBy(F.asc("u"), F.asc("v"))
+    sk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    theta = sk.groupBy("s").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k, F.col("u"))), F.lit(1.0)
+        ).alias("theta")
+    )
+    return members, sk, theta
+
+
+def kmv_theta_differences(
+    events: DataFrame,
+    k: int = KMV_K,
+    set_col: str = "event_type",
+    member_col: str = "user_id",
+) -> DataFrame:
+    """KMV/theta A-NOT-B estimates between every ORDERED pair of member
+    sets — (set_a, set_b, n_exact, n_est, rel_err): the set-difference
+    companion of :func:`kmv_theta_intersections` (the DataSketches
+    AnotB operation). Under the pair θ = min(θ_a, θ_b):
+
+        |A∖B| ≈ round((|{x∈S_a : u<θ}| − |{x∈S_a∩S_b : u<θ}|)/θ)
+
+    — both counts read ONLY sketch rows, so the difference never
+    touches raw membership (the exact difference is joined alongside
+    to surface the error, the sketch-family convention). Same
+    determinism story as the intersection row: portable hashes, exact
+    double division, row_number order statistics, 4dp rounds.
+
+    Scale: everything pairwise operates on ≤ |sets|·k sketch rows.
+    """
+    members, sk, theta = _kmv_build(events, k, set_col, member_col)
+    a = sk.select(
+        F.col("s").alias("set_a"), F.col("v").alias("v"),
+        F.col("u").alias("u"),
+    )
+    b = sk.select(F.col("s").alias("set_b"), F.col("v").alias("v"))
+    ta = theta.select(F.col("s").alias("set_a"), F.col("theta").alias("th_a"))
+    tb = theta.select(F.col("s").alias("set_b"), F.col("theta").alias("th_b"))
+    # per ordered pair: survivors of S_a under the pair θ...
+    a_under = (
+        a.join(F.broadcast(ta), "set_a")
+        .join(F.broadcast(tb))
+        .filter(F.col("set_a") != F.col("set_b"))
+        .filter(F.col("u") < F.least("th_a", "th_b"))
+        .groupBy("set_a", "set_b", "th_a", "th_b")
+        .agg(F.count("*").alias("___na"))
+    )
+    # ...minus survivors that are also in S_b
+    both_under = (
+        a.join(b, "v")
+        .filter(F.col("set_a") != F.col("set_b"))
+        .join(F.broadcast(ta), "set_a")
+        .join(F.broadcast(tb), "set_b")
+        .filter(F.col("u") < F.least("th_a", "th_b"))
+        .groupBy("set_a", "set_b")
+        .agg(F.count("*").alias("___nab"))
+    )
+    est = (
+        a_under.join(both_under, ["set_a", "set_b"], "left")
+        .select(
+            "set_a",
+            "set_b",
+            F.round(
+                (
+                    F.col("___na")
+                    - F.coalesce(F.col("___nab"), F.lit(0))
+                ).cast("double")
+                / F.least("th_a", "th_b"),
+                4,
+            ).alias("n_est"),
+        )
+    )
+    ma = members.select(F.col("s").alias("set_a"), "v")
+    mb = members.select(F.col("s").alias("set_b"), "v")
+    inter = (
+        ma.join(mb, "v")
+        .filter(F.col("set_a") != F.col("set_b"))
+        .groupBy("set_a", "set_b")
+        .agg(F.count("*").alias("___ni"))
+    )
+    sizes = members.groupBy(F.col("s").alias("set_a")).agg(
+        F.count("*").alias("___sz")
+    )
+    pairs = sizes.join(
+        members.select(F.col("s").alias("set_b")).distinct()
+    ).filter(F.col("set_a") != F.col("set_b"))
+    exact = pairs.join(inter, ["set_a", "set_b"], "left").select(
+        "set_a",
+        "set_b",
+        (
+            F.col("___sz") - F.coalesce(F.col("___ni"), F.lit(0))
+        ).alias("n_exact"),
+    )
+    return exact.join(est, ["set_a", "set_b"], "left").select(
+        "set_a",
+        "set_b",
+        "n_exact",
+        F.coalesce("n_est", F.lit(0.0)).alias("n_est"),
+        F.round(
+            F.try_divide(
+                F.abs(
+                    F.coalesce("n_est", F.lit(0.0))
+                    - F.col("n_exact").cast("double")
+                ),
+                F.col("n_exact").cast("double"),
+            ),
+            4,
+        ).alias("rel_err"),
+    )

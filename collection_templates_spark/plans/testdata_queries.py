@@ -4950,6 +4950,20 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_theta_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta A-NOT-B set-difference estimates
+    (sketches.kmv_theta_differences) between every ordered pair of
+    per-event-type user sets — the DataSketches AnotB operation
+    completing the sketch family's set algebra (union ≡ hll_merge,
+    intersection ≡ sketch_theta_intersection), exact difference joined
+    alongside to surface the error."""
+    from collection_templates_spark.operators.sketches import (
+        kmv_theta_differences,
+    )
+
+    return kmv_theta_differences(_t(spark, sf_dir, "events"))
+
+
 def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend smoother (temporal.holt_linear_forecast) over
     each event type's daily revenue: the coupled level/trend recursion
@@ -5193,6 +5207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "graph_ppr": graph_ppr,
     "events_holt_forecast": events_holt_forecast,
+    "sketch_theta_difference": sketch_theta_difference,
     "events_nelson_aalen": events_nelson_aalen,
     "stats_durbin_watson": stats_durbin_watson,
     "lineitem_skyline": lineitem_skyline,
@@ -13124,3 +13139,85 @@ def _holt_oracle_sql() -> str:
 
 
 ORACLE_SQL["events_holt_forecast"] = _holt_oracle_sql()
+
+
+# sketch_theta_difference oracle: the _theta_oracle_sql sketch build
+# verbatim, then the AnotB counts — survivors of S_a under the pair θ
+# minus co-survivors in S_b — and the exact |A| − |A∩B| alongside.
+def _theta_diff_oracle_sql(k: int = 64) -> str:
+    p = 2147483647
+    mix = (
+        f"((((v * 31) % {p}) * ((v * 31) % {p}) % {p}) * 48271 % {p}"
+        f" + (v * 37) % {p}) % {p}"
+    )
+    return f"""
+        WITH members AS (
+            SELECT DISTINCT event_type AS s, user_id AS v FROM events
+        ), hashed AS (
+            SELECT s, v,
+                   CAST({mix} AS DOUBLE) / 2147483647.0 AS u
+            FROM members
+        ), sk AS (
+            SELECT * FROM (
+                SELECT s, v, u,
+                       row_number() OVER (
+                           PARTITION BY s ORDER BY u ASC, v ASC) AS rn
+                FROM hashed
+            ) WHERE rn <= {k}
+        ), theta AS (
+            SELECT s,
+                   coalesce(max(CASE WHEN rn = {k} THEN u END), 1.0)
+                       AS theta
+            FROM sk GROUP BY s
+        ), a_under AS (
+            SELECT a.s AS set_a, tb.s AS set_b,
+                   ta.theta AS th_a, tb.theta AS th_b,
+                   count(*) AS na
+            FROM sk a
+            JOIN theta ta ON ta.s = a.s
+            JOIN theta tb ON tb.s <> a.s
+            WHERE a.u < least(ta.theta, tb.theta)
+            GROUP BY a.s, tb.s, ta.theta, tb.theta
+        ), both_under AS (
+            SELECT a.s AS set_a, b.s AS set_b, count(*) AS nab
+            FROM sk a
+            JOIN sk b ON a.v = b.v AND a.s <> b.s
+            JOIN theta ta ON ta.s = a.s
+            JOIN theta tb ON tb.s = b.s
+            WHERE a.u < least(ta.theta, tb.theta)
+            GROUP BY a.s, b.s
+        ), est AS (
+            SELECT set_a, set_b,
+                   round(CAST(na - coalesce(nab, 0) AS DOUBLE)
+                         / least(th_a, th_b), 4) AS n_est
+            FROM a_under
+            LEFT JOIN both_under USING (set_a, set_b)
+        ), inter AS (
+            SELECT a.s AS set_a, b.s AS set_b, count(*) AS ni
+            FROM members a JOIN members b ON a.v = b.v AND a.s <> b.s
+            GROUP BY a.s, b.s
+        ), sizes AS (
+            SELECT s AS set_a, count(*) AS sz FROM members GROUP BY s
+        ), pairs AS (
+            SELECT sizes.set_a, o.set_b, sizes.sz
+            FROM sizes
+            JOIN (SELECT DISTINCT s AS set_b FROM members) o
+              ON o.set_b <> sizes.set_a
+        ), exact AS (
+            SELECT p2.set_a, p2.set_b,
+                   p2.sz - coalesce(inter.ni, 0) AS n_exact
+            FROM pairs p2
+            LEFT JOIN inter USING (set_a, set_b)
+        )
+        SELECT exact.set_a, exact.set_b,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               coalesce(n_est, 0.0) AS n_est,
+               round(abs(coalesce(n_est, 0.0)
+                         - CAST(n_exact AS DOUBLE))
+                     / nullif(CAST(n_exact AS DOUBLE), 0.0), 4)
+                   AS rel_err
+        FROM exact LEFT JOIN est USING (set_a, set_b)
+    """
+
+
+ORACLE_SQL["sketch_theta_difference"] = _theta_diff_oracle_sql()

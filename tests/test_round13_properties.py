@@ -910,3 +910,37 @@ def test_holt_linear_matches_brute_force(spark):
         [("t", 0, 5), ("t", 1, 6)], "grp string, ord long, cents long"
     )
     assert holt_linear_forecast(tiny, "grp", "ord", "cents").count() == 0
+
+
+def test_theta_difference_exact_below_k_and_bounded_above(spark):
+    from collection_templates_spark.operators.sketches import (
+        kmv_theta_differences,
+    )
+
+    # sets smaller than k=64 keep every hash (θ=1): AnotB is EXACT
+    rows = [("A", v) for v in range(40)] + [
+        ("B", v) for v in range(20, 50)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    got = {
+        (r.set_a, r.set_b): r
+        for r in kmv_theta_differences(df).collect()
+    }
+    assert got[("A", "B")].n_exact == 20  # 0..19
+    assert got[("A", "B")].n_est == 20.0
+    assert got[("A", "B")].rel_err == 0.0
+    assert got[("B", "A")].n_exact == 10  # 40..49
+    assert got[("B", "A")].n_est == 10.0
+    # large sets: estimate within the KMV error envelope
+    rng = random.Random(1331)
+    big = [("X", v) for v in range(3000)] + [
+        ("Y", v) for v in range(1500, 6000)
+    ]
+    dfb = spark.createDataFrame(big, "event_type string, user_id long")
+    gb = {
+        (r.set_a, r.set_b): r
+        for r in kmv_theta_differences(dfb).collect()
+    }
+    # |X∖Y| = 1500, |Y∖X| = 3000; k=64 → σ ≈ n/√k ≈ 12% — allow 4σ
+    assert abs(gb[("X", "Y")].n_est - 1500) < 1500 * 0.5
+    assert abs(gb[("Y", "X")].n_est - 3000) < 3000 * 0.5
