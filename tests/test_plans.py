@@ -481,3 +481,40 @@ def test_round13_plan_shapes(spark):
     for q in ("sketch_quantile_merge", "feature_mutual_information"):
         p = _plan(spark, q)
         assert "CartesianProduct" not in p, (q, p)
+
+
+def test_round13_session2_plan_shapes(spark):
+    """Physical pins for the session-2 rows' scale claims."""
+    import re
+
+    # skyline: dominance decided by ONE window over the distinct-point
+    # table — no self-join, no cartesian
+    p = _plan(spark, "lineitem_skyline")
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+    assert "Join" not in p, p
+    # item-item: pair generation is the basket equi-join; supports
+    # broadcast onto pairs; never a cartesian
+    p = _plan(spark, "basket_item_similarity")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    # phash dedup: candidates come from the band equi-join on the
+    # LINEAGE-CUT hash table (scan of an ExistingRDD/checkpoint, not a
+    # second decode pipeline) — no cartesian, and at most two Python
+    # stages (generator+hash fused) feed the checkpoint
+    p = _plan(spark, "multimodal_phash_dedup")
+    assert "CartesianProduct" not in p, p
+    assert p.count("MapInPandas") == 0, p  # both sides read the cut
+    # DTW / Holt: one shuffle to the per-group kernel (groupBy key),
+    # FlatMapGroupsInPandas present, no join in the kernel path
+    for q in ("temporal_dtw", "events_holt_forecast"):
+        p = _plan(spark, q)
+        assert "FlatMapGroupsInPandas" in p, (q, p)
+        assert "CartesianProduct" not in p, (q, p)
+    # theta difference: every pairwise node operates on sketch rows —
+    # the theta tables broadcast; no cartesian
+    p = _plan(spark, "sketch_theta_difference")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    # RRF: the fusion join of the two k-row rankings broadcasts
+    p = _plan(spark, "search_rrf")
+    assert "CartesianProduct" not in p, p
