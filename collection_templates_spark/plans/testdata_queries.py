@@ -4950,6 +4950,19 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimates from DAILY HLL sketches
+    (sketches.hll_sliding_window_users): mergeability along the time
+    axis — every window is a per-bucket max of stored m-row daily
+    registers, never an event-log rescan; exact windowed distincts
+    alongside."""
+    from collection_templates_spark.operators.sketches import (
+        hll_sliding_window_users,
+    )
+
+    return hll_sliding_window_users(_t(spark, sf_dir, "events"))
+
+
 def sketch_theta_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta A-NOT-B set-difference estimates
     (sketches.kmv_theta_differences) between every ordered pair of
@@ -5208,6 +5221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_ppr": graph_ppr,
     "events_holt_forecast": events_holt_forecast,
     "sketch_theta_difference": sketch_theta_difference,
+    "sketch_hll_sliding": sketch_hll_sliding,
     "events_nelson_aalen": events_nelson_aalen,
     "stats_durbin_watson": stats_durbin_watson,
     "lineitem_skyline": lineitem_skyline,
@@ -13221,3 +13235,73 @@ def _theta_diff_oracle_sql(k: int = 64) -> str:
 
 
 ORACLE_SQL["sketch_theta_difference"] = _theta_diff_oracle_sql()
+
+
+# sketch_hll_sliding oracle: daily numeric-mix registers, the 7-day
+# fan-out to target event days, per-bucket max merge, and the exact
+# _hll_estimate arithmetic (integer harmonic numerator, linear-counting
+# branch) replayed per day; exact windowed distincts alongside.
+ORACLE_SQL["sketch_hll_sliding"] = """
+    WITH hashed AS (
+        SELECT CAST(ts AS DATE) AS day,
+               ((((user_id * 31) % 2147483647)
+                 * ((user_id * 31) % 2147483647) % 2147483647)
+                * 48271 % 2147483647
+                + (user_id * 37) % 2147483647) % 2147483647 AS g1,
+               ((((user_id * 37) % 2147483647)
+                 * ((user_id * 37) % 2147483647) % 2147483647)
+                * 48271 % 2147483647
+                + (user_id * 31) % 2147483647) % 2147483647 AS g2
+        FROM events
+    ), ranked AS (
+        SELECT day, CAST(g1 % 64 AS INT) AS bucket,
+               CASE WHEN g2 > 0
+                    THEN least(length(bin(g2 & -g2)), 31)
+                    ELSE 31 END AS r
+        FROM hashed
+    ), daily_regs AS (
+        SELECT day, bucket, max(r) AS mx FROM ranked GROUP BY 1, 2
+    ), days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ), fanned AS (
+        SELECT dr.day + CAST(kk.k AS INT) AS tday, bucket, mx
+        FROM daily_regs dr, LATERAL (SELECT unnest(range(7)) AS k) kk
+    ), merged AS (
+        SELECT tday, bucket, max(mx) AS mx
+        FROM fanned
+        WHERE tday IN (SELECT day FROM days)
+        GROUP BY 1, 2
+    ), agg AS (
+        SELECT tday, count(*) AS nonzero,
+               sum(CAST(pow(2.0, CAST(31 - mx AS DOUBLE)) AS BIGINT))
+                   AS num
+        FROM merged GROUP BY tday
+    ), est AS (
+        SELECT tday,
+               round(CASE
+                 WHEN (0.709 * 64 * 64)
+                      / (CAST(num AS DOUBLE) / 2147483648.0
+                         + CAST(64 - nonzero AS DOUBLE)) <= 2.5 * 64
+                      AND 64 - nonzero > 0
+                 THEN CAST(64 AS DOUBLE)
+                      * ln(CAST(64 AS DOUBLE)
+                           / CAST(64 - nonzero AS DOUBLE))
+                 ELSE (0.709 * 64 * 64)
+                      / (CAST(num AS DOUBLE) / 2147483648.0
+                         + CAST(64 - nonzero AS DOUBLE))
+               END, 4) AS estimate
+        FROM agg
+    ), daily_users AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events
+    ), exact AS (
+        SELECT du.day + CAST(kk.k AS INT) AS tday, count(DISTINCT u) AS n_true
+        FROM daily_users du, LATERAL (SELECT unnest(range(7)) AS k) kk
+        WHERE du.day + CAST(kk.k AS INT) IN (SELECT day FROM days)
+        GROUP BY 1
+    )
+    SELECT est.tday AS day, CAST(n_true AS BIGINT) AS n_true,
+           estimate,
+           round(abs(estimate - CAST(n_true AS DOUBLE))
+                 / CAST(n_true AS DOUBLE), 4) AS rel_err
+    FROM est JOIN exact ON exact.tday = est.tday
+"""

@@ -944,3 +944,53 @@ def test_theta_difference_exact_below_k_and_bounded_above(spark):
     # |X∖Y| = 1500, |Y∖X| = 3000; k=64 → σ ≈ n/√k ≈ 12% — allow 4σ
     assert abs(gb[("X", "Y")].n_est - 1500) < 1500 * 0.5
     assert abs(gb[("Y", "X")].n_est - 3000) < 3000 * 0.5
+
+
+def test_hll_sliding_equals_direct_window_sketch(spark):
+    """The trailing-window register merge equals the registers a direct
+    single pass over the window's events would build (the max-merge
+    identity applied along the time axis), for every window — checked
+    by comparing the sliding estimates against per-window direct
+    estimates computed independently."""
+    import datetime
+
+    from collection_templates_spark.operators.sketches import (
+        hll_sliding_window_users,
+    )
+
+    rng = random.Random(1337)
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for d in range(12):
+        for _ in range(rng.randint(5, 60)):
+            rows.append(
+                (base + datetime.timedelta(days=d, hours=rng.randint(0, 23)),
+                 rng.randint(0, 500))
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    got = {
+        r.day: (r.n_true, r.estimate)
+        for r in hll_sliding_window_users(df, window_days=7).collect()
+    }
+    # exact n_true per trailing window
+    by_day = {}
+    for ts, u in rows:
+        by_day.setdefault(ts.date(), set()).add(u)
+    for day, (n_true, est) in got.items():
+        win = set()
+        for k in range(7):
+            win |= by_day.get(day - datetime.timedelta(days=k), set())
+        assert n_true == len(win), day
+        # direct sketch over the window's events == sliding estimate
+        sub = [
+            (ts, u) for ts, u in rows
+            if 0 <= (day - ts.date()).days <= 6
+        ]
+        dfw = spark.createDataFrame(sub, "ts timestamp, user_id long")
+        direct = {
+            r.day: r.estimate
+            for r in hll_sliding_window_users(dfw, window_days=7).collect()
+        }
+        assert direct[day] == est, day
+        # m=64 → σ ≈ 13%; allow a generous 4σ envelope
+        assert abs(est - n_true) <= max(10, 0.6 * n_true), (day, est, n_true)
