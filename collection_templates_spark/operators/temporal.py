@@ -1272,3 +1272,101 @@ def holt_linear_forecast(
             "sse_u2 string",
         )
     )
+
+
+SAX_BREAKPOINTS = (-0.6745, 0.0, 0.6745)  # N(0,1) quartiles, alphabet=4
+
+
+def sax_words(
+    series: DataFrame,
+    grp_col: str,
+    ord_col: str,
+    val_col: str,
+    n_segments: int = 8,
+) -> DataFrame:
+    """SAX symbolic fingerprint per series (Lin/Keogh 2003): z-normalize
+    the group's series, Piecewise Aggregate Approximation into
+    ``n_segments`` buckets, map each PAA mean to an alphabet-4 symbol
+    at the standard-normal quartile breakpoints — the discrete word
+    that makes time-series similarity indexable (shingle/hash/join
+    machinery applies to words exactly as it does to text).
+
+    Determinism: per-group moments accumulate as DECIMAL over 2dp
+    inputs (exact, order-free); mean/std/PAA-mean/z are scalar double
+    ops on exact aggregates (identical in both engines); z rounds to
+    6dp BEFORE the breakpoint compares so a last-ulp difference can
+    never flip a symbol; PAA bucketing is integer
+    ``floor(idx·w/n)`` on the row_number index (uneven tail buckets,
+    the standard treatment); the word assembles in segment order.
+
+    Scale shape: one per-group moment aggregate, one per-(group,
+    segment) aggregate, one per-group word assembly — all map-side
+    combined, embarrassingly parallel across groups.
+    """
+    w = Window.partitionBy("grp").orderBy(ord_col)
+    base = series.select(
+        F.col(grp_col).alias("grp"),
+        F.col(ord_col).alias(ord_col),
+        F.col(val_col).cast("decimal(18,2)").alias("v"),
+    ).withColumn("idx", F.row_number().over(w) - 1)
+    moments = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast("decimal(20,2)") * F.col("v")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double")
+          * F.col("s").cast("double")
+          / F.col("n").cast("double")
+    ) / (F.col("n") - F.lit(1)).cast("double")
+    stats = moments.select(
+        "grp", "n", mean.alias("mu"), F.sqrt(var).alias("sd")
+    )
+    segged = base.join(F.broadcast(stats), "grp").withColumn(
+        "seg",
+        F.floor(
+            (F.col("idx") * F.lit(n_segments)).cast("double")
+            / F.col("n").cast("double")
+        ).cast("int"),
+    )
+    paa = segged.groupBy("grp", "seg").agg(
+        F.max("n").alias("n"),
+        F.max("mu").alias("mu"),
+        F.max("sd").alias("sd"),
+        F.sum("v").alias("segsum"),
+        F.count(F.lit(1)).alias("segn"),
+    )
+    z = F.round(
+        F.try_divide(
+            F.col("segsum").cast("double") / F.col("segn").cast("double")
+            - F.col("mu"),
+            F.col("sd"),
+        ),
+        6,
+    )
+    b1, b2, b3 = SAX_BREAKPOINTS
+    sym = (
+        F.when(z < F.lit(b1), F.lit("a"))
+        .when(z < F.lit(b2), F.lit("b"))
+        .when(z < F.lit(b3), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    lettered = paa.select("grp", "n", "seg", sym.alias("sym"))
+    return (
+        lettered.groupBy("grp")
+        .agg(
+            F.max("n").alias("n_points"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg", "sym"))
+                    ),
+                    lambda s: s.sym,
+                ),
+            ).alias("sax_word"),
+        )
+    )

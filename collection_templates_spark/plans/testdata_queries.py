@@ -4950,6 +4950,26 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temporal_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic fingerprints (temporal.sax_words) of each event
+    type's daily revenue: z-normalize → 8-segment PAA → alphabet-4
+    symbols at the N(0,1) quartile breakpoints — the discrete series
+    word that makes shingle/hash similarity machinery apply to time
+    series; DECIMAL moments, 6dp z before symbol compares."""
+    from collection_templates_spark.operators.temporal import sax_words
+
+    out = sax_words(
+        _daily_event_series(spark, sf_dir), "event_type", "day", "v",
+        n_segments=8,
+    )
+    return out.select(
+        F.col("grp").alias("event_type"),
+        "n_points",
+        "n_segments",
+        "sax_word",
+    ).orderBy("event_type")
+
+
 def sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct-user estimates from DAILY HLL sketches
     (sketches.hll_sliding_window_users): mergeability along the time
@@ -5222,6 +5242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_holt_forecast": events_holt_forecast,
     "sketch_theta_difference": sketch_theta_difference,
     "sketch_hll_sliding": sketch_hll_sliding,
+    "temporal_sax_words": temporal_sax_words,
     "events_nelson_aalen": events_nelson_aalen,
     "stats_durbin_watson": stats_durbin_watson,
     "lineitem_skyline": lineitem_skyline,
@@ -13304,4 +13325,65 @@ ORACLE_SQL["sketch_hll_sliding"] = """
            round(abs(estimate - CAST(n_true AS DOUBLE))
                  / CAST(n_true AS DOUBLE), 4) AS rel_err
     FROM est JOIN exact ON exact.tday = est.tday
+"""
+
+
+# temporal_sax_words oracle: DECIMAL moments, integer PAA bucketing,
+# the same scalar double z per segment (6dp before compares), symbols
+# assembled with string_agg in segment order.
+ORACLE_SQL["temporal_sax_words"] = """
+    WITH daily AS (
+        SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS v
+        FROM events GROUP BY 1, 2
+    ), base AS (
+        SELECT grp, v,
+               row_number() OVER (PARTITION BY grp ORDER BY day) - 1
+                   AS idx
+        FROM daily
+    ), moments AS (
+        SELECT grp, count(*) AS n, sum(v) AS s,
+               sum(CAST(v AS DECIMAL(20,2)) * v) AS ss
+        FROM base GROUP BY grp
+    ), stats AS (
+        SELECT grp, n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / CAST(n - 1 AS DOUBLE)) AS sd
+        FROM moments
+    ), segged AS (
+        SELECT b.grp, b.v, st.n, st.mu, st.sd,
+               CAST(floor(CAST(b.idx * 8 AS DOUBLE)
+                          / CAST(st.n AS DOUBLE)) AS INT) AS seg
+        FROM base b JOIN stats st ON st.grp = b.grp
+    ), paa AS (
+        SELECT grp, seg, max(n) AS n, max(mu) AS mu, max(sd) AS sd,
+               sum(v) AS segsum, count(*) AS segn
+        FROM segged GROUP BY grp, seg
+    ), lettered AS (
+        SELECT grp, n, seg,
+               CASE
+                 WHEN round((CAST(segsum AS DOUBLE)
+                             / CAST(segn AS DOUBLE) - mu)
+                            / nullif(sd, 0.0), 6) < -0.6745 THEN 'a'
+                 WHEN round((CAST(segsum AS DOUBLE)
+                             / CAST(segn AS DOUBLE) - mu)
+                            / nullif(sd, 0.0), 6) < 0.0 THEN 'b'
+                 WHEN round((CAST(segsum AS DOUBLE)
+                             / CAST(segn AS DOUBLE) - mu)
+                            / nullif(sd, 0.0), 6) < 0.6745 THEN 'c'
+                 ELSE 'd'
+               END AS sym
+        FROM paa
+    )
+    SELECT grp AS event_type,
+           CAST(max(n) AS BIGINT) AS n_points,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           string_agg(sym, '' ORDER BY seg) AS sax_word
+    FROM lettered
+    GROUP BY grp
+    ORDER BY event_type
 """

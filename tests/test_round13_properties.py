@@ -994,3 +994,50 @@ def test_hll_sliding_equals_direct_window_sketch(spark):
         assert direct[day] == est, day
         # m=64 → σ ≈ 13%; allow a generous 4σ envelope
         assert abs(est - n_true) <= max(10, 0.6 * n_true), (day, est, n_true)
+
+
+def test_sax_words_brute_force(spark):
+    from collection_templates_spark.operators.temporal import sax_words
+
+    rng = random.Random(1341)
+    rows = []
+    series = {}
+    for g in ["flat", "ramp", "vee"]:
+        vals = []
+        for t in range(37):  # not divisible by 8: uneven tail buckets
+            if g == "flat":
+                v = 100.0
+            elif g == "ramp":
+                v = round(10.0 * t + rng.uniform(0, 5), 2)
+            else:
+                v = round(abs(t - 18) * 10.0 + rng.uniform(0, 5), 2)
+            vals.append(round(v, 2))
+            rows.append((g, t, vals[-1]))
+        series[g] = vals
+    df = spark.createDataFrame(rows, "grp string, ord long, v double")
+    got = {
+        r.grp: (r.n_points, r.n_segments, r.sax_word)
+        for r in sax_words(df, "grp", "ord", "v", n_segments=8).collect()
+    }
+    for g, vals in series.items():
+        n = len(vals)
+        mu = sum(vals) / n
+        sd = (sum((v - mu) ** 2 for v in vals) / (n - 1)) ** 0.5
+        segs = {}
+        for i, v in enumerate(vals):
+            segs.setdefault(i * 8 // n, []).append(v)
+        word = ""
+        for s in sorted(segs):
+            m = sum(segs[s]) / len(segs[s])
+            z = round((m - mu) / sd, 6) if sd else None
+            word += (
+                "d" if z is None
+                else "a" if z < -0.6745
+                else "b" if z < 0.0
+                else "c" if z < 0.6745
+                else "d"
+            )
+        assert got[g] == (n, 8, word), (g, got[g], word)
+    # a monotone ramp reads as a monotone word; flat (sd=0) is all 'd'
+    assert got["ramp"][2] == "".join(sorted(got["ramp"][2]))
+    assert got["flat"][2] == "dddddddd"
