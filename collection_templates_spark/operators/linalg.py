@@ -155,13 +155,11 @@ def power_iteration_top_component(
     ).collect()
     n = 0
     sx, sxx = [0] * dim, [0] * dim
-    seen_pos = set()
     for r in parts:
         if r["pos"] == 0:
             n += int(r["n"])
         sx[r["pos"]] += int(r["sx"])
         sxx[r["pos"]] += int(r["sxx"])
-        seen_pos.add(r["pos"])
     # mean in micros: round(Σx / n) — the same double-divide both
     # engines run (Σx, n ≪ 2^53: the doubles are exact)
     m = [
