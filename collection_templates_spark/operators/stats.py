@@ -2042,3 +2042,97 @@ def durbin_watson(
             6,
         ).alias("dw"),
     )
+
+
+def breusch_pagan_1var(
+    df: DataFrame,
+    y_col: str,
+    t_col: str,
+) -> DataFrame:
+    """Breusch–Pagan heteroscedasticity test on the 1-feature OLS fit
+    y ~ a + b·t: regress the squared residuals on t and report
+    BP = n·R² (χ², 1 df) — the "does error variance drift with the
+    regressor" companion of :func:`durbin_watson`, completing the
+    fit → serial-correlation → heteroscedasticity diagnostics trio.
+
+    Determinism: the OLS moments and the auxiliary-regression moments
+    all accumulate as DECIMAL over fixed-point inputs — residuals
+    round to 6dp (as in DW), squared residuals to 2dp, both re-cast to
+    DECIMAL before any sum, with one operand widened for the engines'
+    int128 multiply path; slope/intercept/R² are scalar double ops on
+    exact aggregates.
+
+    Scale shape: one moment aggregate, one broadcast of the 1-row
+    coefficients, one second aggregate over the residual projection —
+    no window, no join beyond the broadcast.
+    """
+    t = F.col(t_col).cast("long")
+    y = F.col(y_col).cast("decimal(18,2)")
+    base = df.select(t.alias("t"), y.alias("y"))
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("t").cast("decimal(20,0)")).alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t").cast("decimal(20,0)") * F.col("y")).alias("sty"),
+        F.sum(
+            F.col("t").cast("decimal(20,0)") * F.col("t").cast("decimal(20,0)")
+        ).alias("stt"),
+    )
+    nn = F.col("n").cast("double")
+    slope = F.try_divide(
+        nn * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy").cast("double"),
+        nn * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double"),
+    )
+    coef = m.select(
+        "n",
+        "st",
+        "stt",
+        slope.alias("b"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("st").cast("double"))
+            / nn
+        ).alias("a"),
+    )
+    e = F.round(
+        F.col("y").cast("double")
+        - (F.col("a") + F.col("b") * F.col("t").cast("double")),
+        6,
+    )
+    e2 = F.round(e * e, 2).cast("decimal(18,2)")
+    aux = base.join(F.broadcast(coef)).select(
+        "t", "n", "st", "stt", e2.alias("e2")
+    )
+    agg = aux.agg(
+        F.max("n").alias("n"),
+        F.max("st").alias("st"),
+        F.max("stt").alias("stt"),
+        F.sum("e2").alias("se2"),
+        F.sum(
+            F.col("t").cast("decimal(20,0)") * F.col("e2")
+        ).alias("ste2"),
+        F.sum(
+            F.col("e2").cast("decimal(20,2)") * F.col("e2")
+        ).alias("se2sq"),
+    )
+    nn2 = F.col("n").cast("double")
+    num = (
+        nn2 * F.col("ste2").cast("double")
+        - F.col("st").cast("double") * F.col("se2").cast("double")
+    )
+    den_t = (
+        nn2 * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double")
+    )
+    den_e = (
+        nn2 * F.col("se2sq").cast("double")
+        - F.col("se2").cast("double") * F.col("se2").cast("double")
+    )
+    r2 = F.try_divide(num * num, den_t * den_e)
+    return agg.select(
+        "n",
+        F.round(r2, 6).alias("aux_r2"),
+        F.round(nn2 * r2, 6).alias("bp_stat"),
+        (nn2 * r2 > F.lit(3.841)).alias("heteroscedastic_95"),
+    )

@@ -4950,6 +4950,27 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch–Pagan heteroscedasticity test (stats.breusch_pagan_1var)
+    on the same daily-revenue ~ day-index fit as the DW row: squared
+    residuals regressed on t, BP = n·R² vs the χ²(1) 95% cut —
+    completing the fit / serial-correlation / heteroscedasticity
+    regression-diagnostics trio."""
+    from collection_templates_spark.operators.stats import (
+        breusch_pagan_1var,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("y")
+    )
+    first = daily.groupBy().agg(F.min("day").alias("d0"))
+    series = daily.join(F.broadcast(first)).select(
+        F.datediff(F.col("day"), F.col("d0")).alias("t"), "y"
+    )
+    return breusch_pagan_1var(series, "y", "t")
+
+
 def temporal_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolic fingerprints (temporal.sax_words) of each event
     type's daily revenue: z-normalize → 8-segment PAA → alphabet-4
@@ -5243,6 +5264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_theta_difference": sketch_theta_difference,
     "sketch_hll_sliding": sketch_hll_sliding,
     "temporal_sax_words": temporal_sax_words,
+    "stats_breusch_pagan": stats_breusch_pagan,
     "events_nelson_aalen": events_nelson_aalen,
     "stats_durbin_watson": stats_durbin_watson,
     "lineitem_skyline": lineitem_skyline,
@@ -13386,4 +13408,89 @@ ORACLE_SQL["temporal_sax_words"] = """
     FROM lettered
     GROUP BY grp
     ORDER BY event_type
+"""
+
+
+# stats_breusch_pagan oracle: the DW oracle's moment/coefficient CTEs,
+# then the auxiliary e² ~ t regression with DECIMAL-exact moments
+# (2dp-rounded squared residuals; widened operands for int128) and the
+# scalar BP = n·R² readout.
+ORACLE_SQL["stats_breusch_pagan"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(value AS DECIMAL(18,2))) AS y
+        FROM events GROUP BY 1
+    ), d0 AS (
+        SELECT min(day) AS d0 FROM daily
+    ), series AS (
+        SELECT date_diff('day', d0.d0, day) AS t, y FROM daily, d0
+    ), m AS (
+        SELECT count(*) AS n,
+               sum(CAST(t AS DECIMAL(20,0))) AS st,
+               sum(y) AS sy,
+               sum(CAST(t AS DECIMAL(20,0)) * y) AS sty,
+               sum(CAST(t AS DECIMAL(20,0))
+                   * CAST(t AS DECIMAL(20,0))) AS stt
+        FROM series
+    ), coef AS (
+        SELECT n, st, stt,
+               (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                  * CAST(st AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+        FROM m
+    ), aux AS (
+        SELECT t, n, st, stt,
+               CAST(round(
+                   round(CAST(y AS DOUBLE)
+                         - (a + b * CAST(t AS DOUBLE)), 6)
+                   * round(CAST(y AS DOUBLE)
+                           - (a + b * CAST(t AS DOUBLE)), 6), 2)
+                    AS DECIMAL(18,2)) AS e2
+        FROM series, coef
+    ), agg AS (
+        SELECT max(n) AS n, max(st) AS st, max(stt) AS stt,
+               sum(e2) AS se2,
+               sum(CAST(t AS DECIMAL(20,0)) * e2) AS ste2,
+               sum(CAST(e2 AS DECIMAL(20,2)) * e2) AS se2sq
+        FROM aux
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(((CAST(n AS DOUBLE) * CAST(ste2 AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(se2 AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(ste2 AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(se2 AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(se2sq AS DOUBLE)
+                       - CAST(se2 AS DOUBLE) * CAST(se2 AS DOUBLE))),
+                 6) AS aux_r2,
+           round(CAST(n AS DOUBLE)
+                 * ((CAST(n AS DOUBLE) * CAST(ste2 AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(se2 AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(ste2 AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(se2 AS DOUBLE)))
+                   / ((CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(se2sq AS DOUBLE)
+                         - CAST(se2 AS DOUBLE) * CAST(se2 AS DOUBLE))),
+                 6) AS bp_stat,
+           (CAST(n AS DOUBLE)
+            * ((CAST(n AS DOUBLE) * CAST(ste2 AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(se2 AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(ste2 AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(se2 AS DOUBLE)))
+              / ((CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(se2sq AS DOUBLE)
+                    - CAST(se2 AS DOUBLE) * CAST(se2 AS DOUBLE)))
+            > 3.841) AS heteroscedastic_95
+    FROM agg
 """

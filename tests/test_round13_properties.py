@@ -1041,3 +1041,40 @@ def test_sax_words_brute_force(spark):
     # a monotone ramp reads as a monotone word; flat (sd=0) is all 'd'
     assert got["ramp"][2] == "".join(sorted(got["ramp"][2]))
     assert got["flat"][2] == "dddddddd"
+
+
+def test_breusch_pagan_brute_force_and_detection(spark):
+    from collection_templates_spark.operators.stats import (
+        breusch_pagan_1var,
+    )
+
+    rng = random.Random(1343)
+    # homoscedastic series: BP small; fan-out series: BP large
+    homo, fan = [], []
+    for t in range(150):
+        homo.append((t, round(5.0 * t + 100 + rng.uniform(-20, 20), 2)))
+        fan.append(
+            (t, round(5.0 * t + 100 + rng.uniform(-1, 1) * (1 + t), 2))
+        )
+    for rows, expect_het in [(homo, False), (fan, True)]:
+        df = spark.createDataFrame(rows, "t long, y double")
+        out = breusch_pagan_1var(df, "y", "t").collect()[0]
+        n = len(rows)
+        st = sum(t for t, _ in rows)
+        sy = sum(y for _, y in rows)
+        sty = sum(t * y for t, y in rows)
+        stt = sum(t * t for t, _ in rows)
+        b = (n * sty - st * sy) / (n * stt - st * st)
+        a = (sy - b * st) / n
+        e2 = [round(round(y - (a + b * t), 6) ** 2, 2) for t, y in rows]
+        se2 = sum(e2)
+        ste2 = sum(t * v for (t, _), v in zip(rows, e2))
+        se2sq = sum(v * v for v in e2)
+        num = n * ste2 - st * se2
+        r2 = (num * num) / (
+            (n * stt - st * st) * (n * se2sq - se2 * se2)
+        )
+        assert out.n == n
+        assert abs(out.aux_r2 - r2) < 1e-6
+        assert abs(out.bp_stat - n * r2) < 1e-4
+        assert bool(out.heteroscedastic_95) is expect_het, rows[:2]
