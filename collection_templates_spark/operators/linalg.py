@@ -160,6 +160,17 @@ def power_iteration_top_component(
             n += int(r["n"])
         sx[r["pos"]] += int(r["sx"])
         sxx[r["pos"]] += int(r["sxx"])
+    out_schema = (
+        "pos int, loading double, mean_x double, "
+        "eigval double, explained_var double"
+    )
+    if n < 2:
+        # Degenerate input (empty table or a single row): the sample
+        # covariance is undefined (n-1 == 0) — degrade to an empty
+        # frame instead of a driver-side ZeroDivisionError (repo
+        # convention: every 0-denominator path is guarded).
+        raw.unpersist()
+        return spark.createDataFrame([], out_schema)
     # mean in micros: round(Σx / n) — the same double-divide both
     # engines run (Σx, n ≪ 2^53: the doubles are exact)
     m = [
@@ -226,6 +237,12 @@ def power_iteration_top_component(
             wr = [_round_half_up(float(wj) / 1.0e12, 6) for wj in w]
             ssq = sum(r * r for r in wr)  # exact Decimal
             norm = math.sqrt(float(ssq))
+            if norm == 0.0:
+                # Zero-variance (constant) embeddings: Cv is the zero
+                # vector and the unit iterate is undefined — stop and
+                # emit NULL loading/eigval rows (the oracle's x/0 path
+                # yields NULL, not an error).
+                break
             # 6dp unit components back to exact micros
             v = [
                 int(_round_half_up(float(r) / norm, 6) * _MICRO)
@@ -233,9 +250,22 @@ def power_iteration_top_component(
             ]
     finally:
         raw.unpersist()
+    if norm == 0.0:
+        rows = [(j, None, m[j] / float(_MICRO)) for j in range(dim)]
+        return spark.createDataFrame(
+            rows, "pos int, loading double, mean_x double"
+        ).select(
+            "pos",
+            "loading",
+            "mean_x",
+            F.lit(None).cast("double").alias("eigval"),
+            F.lit(None).cast("double").alias("explained_var"),
+        )
     tv = float(trace) / 1.0e12
     eigval = norm / float(n - 1)
-    explained = eigval / (tv / float(n - 1))
+    explained = (
+        eigval / (tv / float(n - 1)) if trace else float("nan")
+    )
 
     rows = [
         (j, v[j] / float(_MICRO), m[j] / float(_MICRO)) for j in range(dim)

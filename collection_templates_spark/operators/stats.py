@@ -2027,16 +2027,21 @@ def durbin_watson(
         F.max("n").alias("n"),
         F.round(F.max("b"), 6).alias("slope"),
         F.round(F.max("a"), 6).alias("intercept"),
+        # (19,6) x (18,6) -> DECIMAL(38,12): stays within Spark's 38-digit
+        # cap (no silent allowPrecisionLoss scale shrink — a (20,6) cast
+        # pushed the product to precision 40 and rounded every term) while
+        # one >18-digit operand still forces DuckDB's int128 multiply.
         F.round(
             F.try_divide(
                 F.sum(
                     (
-                        (F.col("e") - F.col("e_prev")).cast("decimal(20,6)")
-                        * (F.col("e") - F.col("e_prev"))
+                        (F.col("e") - F.col("e_prev")).cast("decimal(19,6)")
+                        * (F.col("e") - F.col("e_prev")).cast("decimal(18,6)")
                     )
                 ).cast("double"),
                 F.sum(
-                    F.col("e").cast("decimal(20,6)") * F.col("e")
+                    F.col("e").cast("decimal(19,6)")
+                    * F.col("e").cast("decimal(18,6)")
                 ).cast("double"),
             ),
             6,

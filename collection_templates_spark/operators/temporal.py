@@ -1144,8 +1144,8 @@ def dtw_to_reference(
         grp = pdf["grp"].iloc[0]
         w = max(band_floor, abs(na - nb) + 5)
         big = np.int64(DTW_BIG)
-        prev = np.full(nb + 1, big)  # 1-indexed, [0] is the j=0 guard
-        # row 1: banded prefix sums of |a_1 - b_j|
+        # row 1: banded prefix sums of |a_1 - b_j| (1-indexed, [0] is
+        # the j=0 guard)
         c1 = np.abs(a[0] - b)
         row1 = np.concatenate(([big], np.cumsum(c1)))
         row1[1 + w + 1 :] = big

@@ -12744,9 +12744,10 @@ ORACLE_SQL["stats_durbin_watson"] = """
     SELECT CAST(max(n) AS BIGINT) AS n,
            round(max(b), 6) AS slope,
            round(max(a), 6) AS intercept,
-           round(CAST(sum(CAST(e - e_prev AS DECIMAL(20,6))
-                          * (e - e_prev)) AS DOUBLE)
-                 / CAST(sum(CAST(e AS DECIMAL(20,6)) * e) AS DOUBLE),
+           round(CAST(sum(CAST(e - e_prev AS DECIMAL(19,6))
+                          * CAST(e - e_prev AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(e AS DECIMAL(19,6))
+                            * CAST(e AS DECIMAL(18,6))) AS DOUBLE),
                  6) AS dw
     FROM diffed
 """
