@@ -94,10 +94,12 @@ def build_ivf_index(
 
     from collection_templates_spark.operators.index_maintenance import (
         clear_layout,
+        clear_tombstones,
     )
 
     import os as _os
 
+    clear_tombstones(index_path)
     if _os.path.isdir(index_path):
         for name in _os.listdir(index_path):
             if name.startswith("vectors_v"):
@@ -164,6 +166,25 @@ def append_to_ivf_index(
     )
 
 
+def delete_from_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    vec_ids,
+) -> None:
+    """Retract vectors from the persisted IVF index: an O(delete-batch)
+    tombstone append — the inverted lists are not rewritten, probes
+    mask the deleted ids, and the next ``compact_ivf_index`` folds
+    them out of the cluster partitions for good. ``vec_ids`` is a
+    one-column DataFrame or a list of ids. Idempotent. The coarse
+    quantizer is untouched (the IVF contract: lists shrink, the
+    quantizer is stable between retrains)."""
+    from collection_templates_spark.operators.index_maintenance import (
+        append_tombstones,
+    )
+
+    append_tombstones(spark, index_path, vec_ids, "vec_id")
+
+
 def ann_batch_against_index(
     spark: SparkSession,
     index_path: str,
@@ -200,6 +221,16 @@ def ann_batch_against_index(
     vecs = spark.read.parquet(_vectors_dir(index_path)).filter(
         F.col("cluster").isin(probed)
     )
+    # tombstone mask (delete_from_ivf_index): broadcast anti-join after
+    # the partition filter, so pruning still drops unprobed lists at
+    # file-listing time and only surviving vectors are scored
+    from collection_templates_spark.operators.index_maintenance import (
+        read_tombstones,
+    )
+
+    tomb = read_tombstones(spark, index_path, "vec_id")
+    if tomb is not None:
+        vecs = vecs.join(F.broadcast(tomb), "vec_id", "left_anti")
     sim = F.round(cosine(F.col("query_vec"), F.col("embedding")), 6)
     scored = (
         vecs.join(F.broadcast(q), "cluster")

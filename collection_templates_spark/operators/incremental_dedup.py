@@ -141,8 +141,10 @@ def build_minhash_index(
 
         from collection_templates_spark.operators.index_maintenance import (
             clear_layout,
+            clear_tombstones,
         )
 
+        clear_tombstones(index_path)
         old = _resolve_dedup_layout(spark, index_path)
         if old["bands_table"]:
             spark.sql(f"DROP TABLE IF EXISTS {old['bands_table']}")
@@ -216,6 +218,25 @@ def append_to_index(
     )
 
 
+def delete_from_index(
+    spark: SparkSession,
+    index_path: str,
+    doc_ids,
+) -> None:
+    """Retract documents from the persisted index (takedowns,
+    re-crawls): an O(delete-batch) tombstone append — no base rewrite.
+    Tombstoned docs stop appearing in every later probe (bands,
+    shingle sets AND streaming epoch segments are all masked), and
+    the next ``compact_minhash_index`` folds them out of the base for
+    good. ``doc_ids`` is a one-column DataFrame or a list of ids.
+    Idempotent; deleting a never-indexed id is a no-op."""
+    from collection_templates_spark.operators.index_maintenance import (
+        append_tombstones,
+    )
+
+    append_tombstones(spark, index_path, doc_ids, "doc")
+
+
 def dedup_batch_against_index(
     spark: SparkSession,
     index_path: str,
@@ -268,6 +289,26 @@ def dedup_batch_against_index(
         hist_sets = hist_sets.select("doc", "sh").unionByName(
             spark.read.parquet(*seg_set_dirs).select("doc", "sh")
         )
+    # tombstone mask (delete_from_index): drop retracted docs from the
+    # BAND side before the probe join — a broadcast anti-join preserves
+    # the streamed side's partitioning, so a bucketed band table keeps
+    # its shuffle elision, and the bucket-size cap then counts only
+    # surviving candidates (probe ≡ rebuild-from-survivors, pinned by
+    # test). The sets side follows so verification never ships a
+    # deleted doc's shingles.
+    from collection_templates_spark.operators.index_maintenance import (
+        read_tombstones,
+    )
+
+    tomb = read_tombstones(spark, index_path, "doc")
+
+    def _mask(df: DataFrame) -> DataFrame:
+        if tomb is None:
+            return df
+        return df.join(F.broadcast(tomb), "doc", "left_anti")
+
+    hist_bands = _mask(hist_bands)
+    hist_sets = _mask(hist_sets)
 
     # The batch's sets feed band build AND verification; batch-sized, so
     # a lazy lineage cut is cheap insurance against double scan work.
@@ -289,7 +330,7 @@ def dedup_batch_against_index(
     joined = _probe(hist_bands)
     if seg_band_dirs:
         joined = joined.unionByName(
-            _probe(spark.read.parquet(*seg_band_dirs))
+            _probe(_mask(spark.read.parquet(*seg_band_dirs)))
         )
     if max_bucket_size is not None:
         # cap the JOINED per-key candidate count — |batch bucket| ×

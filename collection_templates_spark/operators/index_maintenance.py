@@ -80,6 +80,79 @@ def clear_layout(index_path: str) -> None:
         pass
 
 
+TOMBSTONE_DIR = "tombstones"
+
+
+def append_tombstones(
+    spark: SparkSession,
+    index_path: str,
+    ids,
+    id_col: str,
+) -> None:
+    """Record deleted ids as an append-only tombstone segment under
+    ``index_path/tombstones/`` — the retraction half of the index
+    delta story (takedowns, re-crawls). ``ids`` is a one-column
+    DataFrame (any column name) or a plain Python list. Deletes are
+    idempotent: re-tombstoning an id (or tombstoning one that was
+    never indexed) is a no-op at probe time, which is also what makes
+    the compaction GC crash-window safe (a tombstone that outlives
+    the base fold re-removes rows that are already gone)."""
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        df = spark.createDataFrame(
+            [(i,) for i in ids], f"{id_col} long"
+        )
+    df.coalesce(1).write.mode("append").parquet(
+        os.path.join(index_path, TOMBSTONE_DIR)
+    )
+
+
+def tombstone_files(index_path: str) -> list[str]:
+    """The tombstone segment data files currently on disk — the
+    snapshot compaction folds (files appended AFTER the snapshot
+    survive the fold's GC untouched)."""
+    d = os.path.join(index_path, TOMBSTONE_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+
+
+def read_tombstones(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str,
+    files: list[str] | None = None,
+):
+    """Distinct tombstoned ids (``files`` restricts to a compaction
+    snapshot), or None when no tombstone was ever written."""
+    fs = tombstone_files(index_path) if files is None else files
+    if not fs:
+        return None
+    return spark.read.parquet(*fs).select(id_col).distinct()
+
+
+def clear_tombstones(index_path: str) -> None:
+    """Drop all tombstone state (a full index rebuild starts clean)."""
+    shutil.rmtree(
+        os.path.join(index_path, TOMBSTONE_DIR), ignore_errors=True
+    )
+
+
+def _gc_tombstone_files(index_path: str, files: list[str]) -> None:
+    """Remove the folded tombstone snapshot (idempotent; crash-safe
+    because re-applying a folded tombstone is a no-op)."""
+    for f in files:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+
+
 def parquet_file_count(*dirs: str) -> int:
     """Data files under the given roots — the metadata-pressure metric
     compaction exists to shrink."""
@@ -133,19 +206,28 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> dict:
     v = _next_version(index_path, "vectors")
     new_rel = f"vectors_v{v}"
     new_dir = os.path.join(index_path, new_rel)
+    # fold the tombstone snapshot: deleted vectors leave the base for
+    # good (files appended after this listing survive the GC and keep
+    # masking at probe time — idempotent either way)
+    tomb_snapshot = tombstone_files(index_path)
+    vecs = spark.read.parquet(cur)
+    tomb = read_tombstones(spark, index_path, "vec_id", tomb_snapshot)
+    if tomb is not None:
+        vecs = vecs.join(F.broadcast(tomb), "vec_id", "left_anti")
     (
-        spark.read.parquet(cur)
-        .repartition(F.col("cluster"))
+        vecs.repartition(F.col("cluster"))
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(new_dir)
     )
     write_layout(index_path, {"vectors": new_rel})
     _gc([cur])
+    _gc_tombstone_files(index_path, tomb_snapshot)
     return {
         "files_before": files_before,
         "files_after": parquet_file_count(new_dir),
         "version": v,
+        "tombstones_folded": len(tomb_snapshot),
     }
 
 
@@ -225,6 +307,14 @@ def compact_minhash_index(
         sets = sets.select("doc", "sh").unionByName(
             spark.read.parquet(*seg_set_dirs).select("doc", "sh")
         )
+    # fold the tombstone snapshot: deleted docs leave band table AND
+    # shingle sets (epoch segments above the watermark keep being
+    # masked at probe time until their own fold)
+    tomb_snapshot = tombstone_files(index_path)
+    tomb = read_tombstones(spark, index_path, "doc", tomb_snapshot)
+    if tomb is not None:
+        bands = bands.join(F.broadcast(tomb), "doc", "left_anti")
+        sets = sets.join(F.broadcast(tomb), "doc", "left_anti")
 
     v = _next_version(index_path, "bands")
     new_band_rel, new_set_rel = f"bands_v{v}", f"shingles_v{v}"
@@ -278,11 +368,13 @@ def compact_minhash_index(
             os.remove(os.path.join(index_path, "_epochs", str(e)))
         except FileNotFoundError:
             pass
+    _gc_tombstone_files(index_path, tomb_snapshot)
     return {
         "files_before": files_before,
         "files_after": parquet_file_count(new_band_dir, new_set_dir),
         "epochs_folded": len(folded),
         "version": v,
+        "tombstones_folded": len(tomb_snapshot),
     }
 
 

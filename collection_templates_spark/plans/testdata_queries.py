@@ -2148,6 +2148,61 @@ def delta_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_delete_probe_for(spark: SparkSession, sf_dir: str):
+    """Index-build + tombstone-delete + batch-probe fill for
+    ``dedup_index_delete`` (own scratch index — the shared
+    _incremental_probe_for index must stay delete-free for
+    dedup_incremental/delta_pipeline). History = doc_id % 4 == 0
+    (bucketed like the shared index), tombstones = doc_id % 8 == 0
+    (half the history retracted), batch = odd doc_ids. Memo keyed like
+    _memo_df; delete_from_index is idempotent, so a re-fill appending
+    the same tombstones to a surviving scratch path stays correct."""
+    from collection_templates_spark.operators.incremental_dedup import (
+        build_minhash_index,
+        dedup_batch_against_index,
+        delete_from_index,
+        scratch_index_path,
+    )
+
+    key = (
+        sf_dir,
+        _table_fingerprint(sf_dir, "documents"),
+        spark.sparkContext.applicationId,
+        "tombstone",
+    )
+    if key not in _INCR_INDEX_MEMO:
+        docs = _t(spark, sf_dir, "documents")
+        history = docs.filter(F.col("doc_id") % 4 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        path = scratch_index_path()
+        build_minhash_index(history, path, bucket_bands=8)
+        delete_from_index(
+            spark,
+            path,
+            history.filter(F.col("doc_id") % 8 == 0).select("doc_id"),
+        )
+        pairs = dedup_batch_against_index(
+            spark, path, batch, max_bucket_size=None
+        ).localCheckpoint(eager=True)
+        _INCR_INDEX_MEMO[key] = (path, pairs)
+    return _INCR_INDEX_MEMO[key]
+
+
+def dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-delete probe of the persisted LSH index (round 14, r13
+    verdict #2 — the retraction half of the incremental story):
+    doc_id % 4 == 0 docs are indexed, then the % 8 == 0 half is
+    RETRACTED via ``delete_from_index`` (an O(delete-batch) tombstone
+    append — no base rewrite), and the odd-id batch probes the masked
+    index. Output is the surviving cross-pair set (doc_new=odd,
+    doc_old ≡ 4 mod 8, exact jaccard ≥ 0.5) — the from-scratch oracle
+    indexes only the survivors, so the hash match IS the
+    probe ≡ rebuild-from-survivors invariance at gate scale
+    (tests/test_index_tombstones.py pins it unit-scale, plus the
+    compaction fold and crash-window idempotence)."""
+    return _dedup_delete_probe_for(spark, sf_dir)[1]
+
+
 def text_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-substring mining (round 7): per doc, the
     coverage and longest run of 5-grams shared with ≥ 2 documents — the
@@ -3382,6 +3437,61 @@ def ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared IVF CTEs; equivalence to the direct ivf_cosine_topk run is
     pinned by tests/test_incremental_ann.py."""
     return _ann_index_probe_for(spark, sf_dir)[1]
+
+
+def _ann_delete_probe_for(spark: SparkSession, sf_dir: str):
+    """IVF build + tombstone-delete + probe fill for
+    ``ann_index_delete`` (own scratch index; the shared
+    _ann_index_probe_for index stays delete-free). Same even/odd
+    split as the shared fill, then vec_id % 8 == 0 is retracted —
+    the quantizer was trained on the FULL even half (the IVF
+    contract: deletes shrink lists, never retrain), which is exactly
+    what the oracle's list_pred-filtered CTE replays."""
+    from collection_templates_spark.operators.incremental_ann import (
+        ann_batch_against_index,
+        build_ivf_index,
+        delete_from_ivf_index,
+        scratch_ann_index_path,
+    )
+
+    key = (
+        sf_dir,
+        _embeddings_fingerprint(sf_dir),
+        spark.sparkContext.applicationId,
+        "tombstone",
+    )
+    if key not in _ANN_INDEX_MEMO:
+        emb = _t(spark, sf_dir, "embeddings")
+        history = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 16)
+        )
+        path = scratch_ann_index_path()
+        build_ivf_index(history, path)
+        delete_from_ivf_index(
+            spark,
+            path,
+            history.filter(F.col("vec_id") % 8 == 0).select("vec_id"),
+        )
+        topk = ann_batch_against_index(
+            spark, path, batch
+        ).localCheckpoint(eager=True)
+        _ANN_INDEX_MEMO[key] = (path, topk)
+    return _ANN_INDEX_MEMO[key]
+
+
+def ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-delete probe of the persisted IVF index (round 14, r13
+    verdict #2): the even-id half is indexed, the % 8 == 0 quarter is
+    RETRACTED via ``delete_from_ivf_index`` (tombstone append — the
+    inverted lists are not rewritten, the quantizer is untouched),
+    and the odd-id batch probes the masked index. The oracle replays
+    the IVF chain with the quantizer trained on the FULL even half
+    but the candidate lists restricted to survivors (list_pred) —
+    hash-matching it is the probe ≡ delete-aware-index invariance;
+    tests/test_index_tombstones.py pins probe ≡ same-centroid scan of
+    survivors plus the compaction fold."""
+    return _ann_delete_probe_for(spark, sf_dir)[1]
 
 
 def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5248,65 +5358,18 @@ def search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
-    # the sampling lever). Rotated for round 13 per the r12 verdict:
-    # the 11 new r13 rows lead, then the r9-stale remainder (the r9
-    # cohort rows NOT re-sampled in r12), then the r10 and r11 cohorts,
-    # and the 50 rows r12 just sampled at the back — so the r13 sample
-    # has ZERO overlap with r12's except the new rows. All 200 rows
-    # pass the identical local oracle (tools/check.py) every round; the
-    # full-bank artifact is CHECKLOCAL_r{N}.json.
-    # --- r13 new rows (never externally sampled) ---
-    "embedding_pca_power": embedding_pca_power,
-    "temporal_dtw": temporal_dtw,
-    "multimodal_phash_dedup": multimodal_phash_dedup,
-    "graph_ppr": graph_ppr,
-    "events_holt_forecast": events_holt_forecast,
-    "sketch_theta_difference": sketch_theta_difference,
-    "sketch_hll_sliding": sketch_hll_sliding,
-    "temporal_sax_words": temporal_sax_words,
-    "stats_breusch_pagan": stats_breusch_pagan,
-    "events_nelson_aalen": events_nelson_aalen,
-    "stats_durbin_watson": stats_durbin_watson,
-    "lineitem_skyline": lineitem_skyline,
-    "basket_item_similarity": basket_item_similarity,
-    "search_rrf": search_rrf,
-    "sketch_quantile_merge": sketch_quantile_merge,
-    "stats_levene": stats_levene,
-    "stats_jarque_bera": stats_jarque_bera,
-    "stats_grubbs": stats_grubbs,
-    "stats_permutation": stats_permutation,
-    "events_poisson_rate": events_poisson_rate,
-    "feature_mutual_information": feature_mutual_information,
-    "graph_shortest_paths": graph_shortest_paths,
-    "text_ngram_novelty": text_ngram_novelty,
-    "temporal_downsample_lttb": temporal_downsample_lttb,
-    "ltr_rank_metrics": ltr_rank_metrics_q,
-    "stats_srm_check": stats_srm_check,
-    "stats_power_analysis": stats_power_analysis,
-    "stats_tost": stats_tost,
-    "stats_mahalanobis": stats_mahalanobis,
-    "quality_ece": quality_ece,
-    # --- r9-stale (last driver-checked r9, skipped r10-r12) ---
-    "ann_ivf_recall": ann_ivf_recall,
-    "ann_pq_topk": ann_pq_topk,
-    "ann_pq_rerank": ann_pq_rerank,
-    "ann_respq_topk": ann_respq_topk,
-    "ann_respq_recall": ann_respq_recall,
-    "ann_pq_recall": ann_pq_recall,
-    "decontaminate_ngrams": decontaminate_ngrams,
-    "pack_sequences": pack_sequences_windows,
-    "text_repetition": text_repetition,
-    "redact_pii": redact_pii,
-    "decontaminate_spans": decontaminate_spans,
-    "split_assignment": split_assignment,
-    "sample_stratified": sample_stratified_q,
-    "mixture_plan": mixture_plan_q,
-    "agg_entity_pivot": agg_entity_pivot,
-    "agg_status_histogram": agg_status_histogram,
-    "agg_member_metrics": agg_member_metrics,
-    "agg_merge_collections": agg_merge_collections,
-    "date_daily_rollup": date_daily_rollup,
-    "agg_pivot_event_types": agg_pivot_event_types,
+    # the sampling lever). Rotated for round 14 per the r13 verdict
+    # #1: the new r14 rows lead, then the 19 parity-core rows with no
+    # external green since r9 (the r9-stale remainder the r13 sample
+    # missed), then the r10/r11-stale cohorts; the 50 rows each of r12
+    # and r13 just sampled sit at the back — so the r14 sample has
+    # ZERO overlap with r13's. All rows pass the identical local
+    # oracle (tools/check.py) every round; the full-bank artifact is
+    # CHECKLOCAL_r{N}.json.
+    # --- r14 new rows (never externally sampled) ---
+    "dedup_index_delete": dedup_index_delete,
+    "ann_index_delete": ann_index_delete,
+    # --- r9-stale parity core (no external green since r9) ---
     "agg_rollup_daily": agg_rollup_daily,
     "scalar_json_extract": scalar_json_extract,
     "join_inner_enrich": join_inner_enrich,
@@ -5479,6 +5542,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_recall": ann_lsh_recall,
+    # --- sampled by the r13 driver gate (freshest external): the 30
+    # r13-new rows + the 20 r9-stale rows the r13 sample re-covered ---
+    "embedding_pca_power": embedding_pca_power,
+    "temporal_dtw": temporal_dtw,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
+    "graph_ppr": graph_ppr,
+    "events_holt_forecast": events_holt_forecast,
+    "sketch_theta_difference": sketch_theta_difference,
+    "sketch_hll_sliding": sketch_hll_sliding,
+    "temporal_sax_words": temporal_sax_words,
+    "stats_breusch_pagan": stats_breusch_pagan,
+    "events_nelson_aalen": events_nelson_aalen,
+    "stats_durbin_watson": stats_durbin_watson,
+    "lineitem_skyline": lineitem_skyline,
+    "basket_item_similarity": basket_item_similarity,
+    "search_rrf": search_rrf,
+    "sketch_quantile_merge": sketch_quantile_merge,
+    "stats_levene": stats_levene,
+    "stats_jarque_bera": stats_jarque_bera,
+    "stats_grubbs": stats_grubbs,
+    "stats_permutation": stats_permutation,
+    "events_poisson_rate": events_poisson_rate,
+    "feature_mutual_information": feature_mutual_information,
+    "graph_shortest_paths": graph_shortest_paths,
+    "text_ngram_novelty": text_ngram_novelty,
+    "temporal_downsample_lttb": temporal_downsample_lttb,
+    "ltr_rank_metrics": ltr_rank_metrics_q,
+    "stats_srm_check": stats_srm_check,
+    "stats_power_analysis": stats_power_analysis,
+    "stats_tost": stats_tost,
+    "stats_mahalanobis": stats_mahalanobis,
+    "quality_ece": quality_ece,
+    "ann_ivf_recall": ann_ivf_recall,
+    "ann_pq_topk": ann_pq_topk,
+    "ann_pq_rerank": ann_pq_rerank,
+    "ann_respq_topk": ann_respq_topk,
+    "ann_respq_recall": ann_respq_recall,
+    "ann_pq_recall": ann_pq_recall,
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "pack_sequences": pack_sequences_windows,
+    "text_repetition": text_repetition,
+    "redact_pii": redact_pii,
+    "decontaminate_spans": decontaminate_spans,
+    "split_assignment": split_assignment,
+    "sample_stratified": sample_stratified_q,
+    "mixture_plan": mixture_plan_q,
+    "agg_entity_pivot": agg_entity_pivot,
+    "agg_status_histogram": agg_status_histogram,
+    "agg_member_metrics": agg_member_metrics,
+    "agg_merge_collections": agg_merge_collections,
+    "date_daily_rollup": date_daily_rollup,
+    "agg_pivot_event_types": agg_pivot_event_types,
 }
 
 
@@ -5497,7 +5612,7 @@ def memo_backed_queries() -> list[str]:
         r"_memo_df|_brute_topk_for|_lsh_topk_for|_ivf_topk_for|_pq_"
         r"|_respq_|_ivfpq_|_ivf_centroids_for|_perplexity_pairs_for"
         r"|_bigram_counts_for|_unigram_model_for|_incremental_probe_for"
-        r"|_lsh_cc_for|_ann_index_probe_for"
+        r"|_lsh_cc_for|_ann_index_probe_for|_delete_probe_for"
     )
     return sorted(
         name
@@ -6252,10 +6367,14 @@ def _ivf_common_ctes(
     dim: int = 64,
     corpus_pred: str = "TRUE",
     query_pred: str = "vec_id < 8",
+    list_pred: str = "TRUE",
 ) -> str:
     # corpus_pred restricts the indexed corpus (trainer init + lists);
     # query_pred selects the probing vectors — by default the classic
-    # in-corpus 8 queries, for the incremental row a DISJOINT batch
+    # in-corpus 8 queries, for the incremental row a DISJOINT batch;
+    # list_pred further restricts the CANDIDATE LISTS ONLY (the
+    # tombstone-delete row: quantizer trained on the full corpus,
+    # deleted vectors masked out of the inverted lists)
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
         f" WHERE {corpus_pred})",
@@ -6302,7 +6421,7 @@ def _ivf_common_ctes(
                        row_number() OVER (PARTITION BY e.vec_id
                            ORDER BY {rcos} DESC, c.cluster ASC) AS rn
                 FROM e CROSS JOIN {cf} c)
-            WHERE rn = 1)"""
+            WHERE rn = 1 AND ({list_pred}))"""
     )
     ctes.append(
         f"""probe AS (
@@ -7199,6 +7318,37 @@ ORACLE_SQL["delta_pipeline"] = (
     FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d'), event_type FROM events)
 """
 )
+
+# dedup_index_delete: exact cross-pair replay against the SURVIVING
+# history only — history = doc_id % 4 == 0, tombstoned = % 8 == 0, so
+# survivors are doc_id ≡ 4 (mod 8); the from-scratch oracle never sees
+# the deleted docs, making the hash match the probe ≡
+# rebuild-from-survivors invariance at gate scale.
+ORACLE_SQL["dedup_index_delete"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), cp AS (
+        SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 8 = 4
+        GROUP BY 1, 2
+    )
+    SELECT doc_new, doc_old,
+           round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+    FROM cp
+    JOIN sizes s1 ON s1.doc_id = doc_new
+    JOIN sizes s2 ON s2.doc_id = doc_old
+    WHERE round(c * 1.0 / (s1.n + s2.n - c), 6) >= 0.5
+"""
 
 # text_common_spans: the corpus-derived shared-gram set (distinct-doc
 # count >= 2 over 5-grams) + the same gaps-and-islands replay as
@@ -9231,6 +9381,21 @@ ORACLE_SQL["ann_incremental_topk"] = f"""
     WITH {_ivf_common_ctes(
         corpus_pred="vec_id % 2 = 0",
         query_pred="vec_id % 2 = 1 AND vec_id < 16",
+    )}
+    SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank, sim
+    FROM ivf
+"""
+
+
+# ann_index_delete oracle: the same chain with the quantizer trained
+# on the FULL even half (corpus_pred) but the candidate lists masked
+# to the surviving vectors (list_pred) — replaying exactly what a
+# tombstone delete does to a stable-quantizer IVF index.
+ORACLE_SQL["ann_index_delete"] = f"""
+    WITH {_ivf_common_ctes(
+        corpus_pred="vec_id % 2 = 0",
+        query_pred="vec_id % 2 = 1 AND vec_id < 16",
+        list_pred="vec_id % 8 <> 0",
     )}
     SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank, sim
     FROM ivf
