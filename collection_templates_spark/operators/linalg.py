@@ -104,19 +104,44 @@ def _batch_matrix(pdf: pd.DataFrame, dim: int) -> np.ndarray:
     )
 
 
-def power_iteration_top_component(
+def _rh_micro(x: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero rescale of micro² int64 values to micros —
+    the one rounding both engines replay exactly (the oracle's CASE
+    (x+500000)//1000000 expression)."""
+    half = _MICRO // 2
+    return np.where(
+        x >= 0, (x + half) // _MICRO, -((-x + half) // _MICRO)
+    ).astype(np.int64)
+
+
+def power_iteration_components(
     emb: DataFrame,
     vec_col: str = "embedding",
     dim: int = DIM_DEFAULT,
     iters: int = 3,
+    n_components: int = 2,
 ) -> DataFrame:
-    """Top principal component of the (centered) embedding table via
-    ``iters`` rounds of power iteration, fully deterministic (see
-    module docstring). Returns one row per dimension:
-    (pos, loading, mean_x, eigval, explained_var) — loading the 6dp
-    unit iterate, eigval ≈ ‖Cv‖ = ‖Σ cᵢ(cᵢ·v)‖/(n−1) after the final
-    round, explained_var = eigval / tr(C).
-    """
+    """Top ``n_components`` principal components via power iteration
+    with Hotelling deflation, fully deterministic (module docstring).
+    Component k is found by the same integer-micros ladder as the top
+    component, run on the matrix deflated by the previously-found
+    6dp iterates: ``c ← c − rh(d·vₚ)`` with ``d = rh(c·vₚ)`` — every
+    deflation step is exact int64 arithmetic on 6dp quantities, so
+    the whole K-component chain stays byte-replayable in SQL (the
+    ``embedding_pca_components`` oracle unrolls it).
+
+    Returns one row per (component, dimension):
+    (component, pos, loading, mean_x, eigval, explained_var,
+    cum_explained) — cum_explained the running explained-variance
+    curve (Σ eigvals so far / tr(C)), the "how many components do my
+    SemDeDup/IVF embeddings actually need" readout. Degenerate
+    inputs degrade: n < 2 → empty frame; a zero-variance residual at
+    component k → NULL loading/eigval rows for k, then stop.
+
+    Scale shape: identical to the top-component ladder — each pass is
+    an Arrow mapInPandas partial aggregate over the cached long
+    columns with an O(dim·partitions) driver reduce; deflation adds
+    O(K·dim) int64 numpy work per batch, never a new shuffle."""
     spark = emb.sparkSession
     raw = emb.select(
         *[
@@ -161,8 +186,8 @@ def power_iteration_top_component(
         sx[r["pos"]] += int(r["sx"])
         sxx[r["pos"]] += int(r["sxx"])
     out_schema = (
-        "pos int, loading double, mean_x double, "
-        "eigval double, explained_var double"
+        "component int, pos int, loading double, mean_x double, "
+        "eigval double, explained_var double, cum_explained double"
     )
     if n < 2:
         # Degenerate input (empty table or a single row): the sample
@@ -181,102 +206,147 @@ def power_iteration_top_component(
     trace = sum(
         sxx[j] - 2 * m[j] * sx[j] + n * m[j] * m[j] for j in range(dim)
     )
+    m_np = np.array(m, dtype=np.int64)
 
-    v = [_MICRO // 8] * dim  # v0 = 0.125 in micros
-    norm = 0.0
+    # per component: (v micros | None, norm) — filled by the ladder
+    found: list[tuple[list[int] | None, float]] = []
     try:
-        for _ in range(iters):
-            v_np = np.array(v, dtype=np.int64)
-            s_mv = sum(m[j] * v[j] for j in range(dim))  # m·v, micro²
-
-            def run_iter(
-                batches: Iterator[pd.DataFrame],
-                _v: np.ndarray = v_np,
-                _s_mv: int = s_mv,
-            ) -> Iterator[pd.DataFrame]:
-                wx = [0] * dim
-                sd = 0
-                any_rows = False
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    any_rows = True
-                    mat = _batch_matrix(pdf, dim)
-                    # d = round((x·v − m·v)/1e6) half-away, exact ints
-                    draw = mat @ _v - np.int64(_s_mv)
-                    half = _MICRO // 2
-                    d = np.where(
-                        draw >= 0,
-                        (draw + half) // _MICRO,
-                        -((-draw + half) // _MICRO),
-                    ).astype(np.int64)
-                    for j, s in enumerate(
-                        _chunked_exact_colsums(mat * d[:, None])
-                    ):
-                        wx[j] += s
-                    for lo in range(0, d.shape[0], _CHUNK):
-                        sd += int(d[lo : lo + _CHUNK].sum())
-                if any_rows:
-                    yield pd.DataFrame(
-                        {
-                            "pos": list(range(dim)),
-                            "wx": [str(x) for x in wx],
-                            "sd": [str(sd)] * dim,
-                        }
-                    )
-
-            wparts = raw.mapInPandas(
-                run_iter, "pos int, wx string, sd string"
-            ).collect()
-            w = [0] * dim
-            for r in wparts:
-                # w_j = Σ d·x_j − m_j·Σd (exact integer identity ≡
-                # the oracle's Σ d·c_j)
-                w[r["pos"]] += int(r["wx"]) - m[r["pos"]] * int(r["sd"])
-            # wr = round(w/1e12, 6) — w is micro²; exact driver math
-            wr = [_round_half_up(float(wj) / 1.0e12, 6) for wj in w]
-            ssq = sum(r * r for r in wr)  # exact Decimal
-            norm = math.sqrt(float(ssq))
-            if norm == 0.0:
-                # Zero-variance (constant) embeddings: Cv is the zero
-                # vector and the unit iterate is undefined — stop and
-                # emit NULL loading/eigval rows (the oracle's x/0 path
-                # yields NULL, not an error).
-                break
-            # 6dp unit components back to exact micros
-            v = [
-                int(_round_half_up(float(r) / norm, 6) * _MICRO)
-                for r in wr
+        for _comp in range(n_components):
+            prev = [
+                np.array(v, dtype=np.int64)
+                for v, _ in found
+                if v is not None
             ]
+            v = [_MICRO // 8] * dim  # v0 = 0.125 in micros
+            norm = 0.0
+            for _ in range(iters):
+                v_np = np.array(v, dtype=np.int64)
+
+                def run_iter(
+                    batches: Iterator[pd.DataFrame],
+                    _v: np.ndarray = v_np,
+                    _prev: list[np.ndarray] = prev,
+                ) -> Iterator[pd.DataFrame]:
+                    wx = [0] * dim
+                    any_rows = False
+                    for pdf in batches:
+                        if not len(pdf):
+                            continue
+                        any_rows = True
+                        # centered micros, then the exact-integer
+                        # deflation chain by the found components:
+                        # c ← c − rh(rh(c·vₚ) ⊗ vₚ). For component 0
+                        # this is bit-identical to the raw-matrix
+                        # identity the top-component ladder used
+                        # (c·v = x·v − m·v and Σd·c_j = Σd·x_j −
+                        # m_j·Σd are exact int equalities).
+                        c = _batch_matrix(pdf, dim) - m_np[None, :]
+                        for vp in _prev:
+                            dp = _rh_micro(c @ vp)
+                            c = c - _rh_micro(dp[:, None] * vp[None, :])
+                        d = _rh_micro(c @ _v)
+                        for j, s in enumerate(
+                            _chunked_exact_colsums(c * d[:, None])
+                        ):
+                            wx[j] += s
+                    if any_rows:
+                        yield pd.DataFrame(
+                            {
+                                "pos": list(range(dim)),
+                                "wx": [str(x) for x in wx],
+                            }
+                        )
+
+                wparts = raw.mapInPandas(
+                    run_iter, "pos int, wx string"
+                ).collect()
+                w = [0] * dim
+                for r in wparts:
+                    w[r["pos"]] += int(r["wx"])
+                # wr = round(w/1e12, 6) — w is micro²; exact driver math
+                wr = [_round_half_up(float(wj) / 1.0e12, 6) for wj in w]
+                ssq = sum(r * r for r in wr)  # exact Decimal
+                norm = math.sqrt(float(ssq))
+                if norm == 0.0:
+                    break
+                # 6dp unit components back to exact micros
+                v = [
+                    int(_round_half_up(float(r) / norm, 6) * _MICRO)
+                    for r in wr
+                ]
+            if norm == 0.0:
+                # Zero-variance residual: Cv is the zero vector and
+                # the unit iterate is undefined — emit NULL rows for
+                # this component (the oracle's x/0 path), then stop:
+                # every later component would be equally degenerate.
+                found.append((None, 0.0))
+                break
+            found.append((v, norm))
     finally:
         raw.unpersist()
-    if norm == 0.0:
-        rows = [(j, None, m[j] / float(_MICRO)) for j in range(dim)]
-        return spark.createDataFrame(
-            rows, "pos int, loading double, mean_x double"
-        ).select(
-            "pos",
-            "loading",
-            "mean_x",
-            F.lit(None).cast("double").alias("eigval"),
-            F.lit(None).cast("double").alias("explained_var"),
-        )
-    tv = float(trace) / 1.0e12
-    eigval = norm / float(n - 1)
-    explained = (
-        eigval / (tv / float(n - 1)) if trace else float("nan")
-    )
 
-    rows = [
-        (j, v[j] / float(_MICRO), m[j] / float(_MICRO)) for j in range(dim)
-    ]
-    out = spark.createDataFrame(
-        rows, "pos int, loading double, mean_x double"
-    )
+    tv = float(trace) / 1.0e12
+    rows = []
+    cum_norm = 0.0
+    for comp, (v, norm) in enumerate(found):
+        if v is None:
+            for j in range(dim):
+                rows.append(
+                    (comp, j, None, m[j] / float(_MICRO), None, None, None)
+                )
+            continue
+        cum_norm += norm
+        eigval = norm / float(n - 1)
+        if trace:
+            explained = eigval / (tv / float(n - 1))
+            cum = (cum_norm / float(n - 1)) / (tv / float(n - 1))
+        else:
+            explained = cum = float("nan")
+        for j in range(dim):
+            rows.append(
+                (
+                    comp,
+                    j,
+                    v[j] / float(_MICRO),
+                    m[j] / float(_MICRO),
+                    eigval,
+                    explained,
+                    cum,
+                )
+            )
+    out = spark.createDataFrame(rows, out_schema)
+    # in-engine 6dp rounding of the float readouts (same F.round the
+    # oracle's round() mirrors; loadings/means are exact 6dp already)
     return out.select(
+        "component",
         "pos",
         "loading",
         "mean_x",
-        F.round(F.lit(eigval), 6).alias("eigval"),
-        F.round(F.lit(explained), 6).alias("explained_var"),
+        F.round("eigval", 6).alias("eigval"),
+        F.round("explained_var", 6).alias("explained_var"),
+        F.round("cum_explained", 6).alias("cum_explained"),
+    )
+
+
+def power_iteration_top_component(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = DIM_DEFAULT,
+    iters: int = 3,
+) -> DataFrame:
+    """Top principal component of the (centered) embedding table via
+    ``iters`` rounds of power iteration, fully deterministic (see
+    module docstring). Returns one row per dimension:
+    (pos, loading, mean_x, eigval, explained_var) — loading the 6dp
+    unit iterate, eigval ≈ ‖Cv‖ = ‖Σ cᵢ(cᵢ·v)‖/(n−1) after the final
+    round, explained_var = eigval / tr(C).
+
+    The K=1 slice of :func:`power_iteration_components` (deflation is
+    vacuous for the first component, so the ladders are bit-identical
+    — pinned by the exact-replica test and the driver oracle)."""
+    out = power_iteration_components(
+        emb, vec_col, dim, iters, n_components=1
+    )
+    return out.select(
+        "pos", "loading", "mean_x", "eigval", "explained_var"
     )

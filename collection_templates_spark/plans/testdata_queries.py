@@ -5060,6 +5060,30 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 principal components via power iteration with exact-int64
+    Hotelling deflation (linalg.power_iteration_components, round 14,
+    r13 verdict #5): component k runs the same integer-micros ladder on
+    the matrix deflated by the previously-found 6dp iterates, and the
+    cum_explained column is the explained-variance curve — the "how
+    many components do SemDeDup/IVF embeddings actually need" audit.
+    Deflation is c ← c − rh(rh(c·vₚ)·vₚ), all exact int64 on 6dp
+    quantities, so the 3-component chain is byte-replayed by the
+    generated deflation oracle; orthogonality and the exact-replica
+    equivalence are pinned in tests/test_round14_ops.py."""
+    from collection_templates_spark.operators.linalg import (
+        power_iteration_components,
+    )
+
+    return power_iteration_components(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        dim=64,
+        iters=3,
+        n_components=3,
+    )
+
+
 def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Breusch–Pagan heteroscedasticity test (stats.breusch_pagan_1var)
     on the same daily-revenue ~ day-index fit as the DW row: squared
@@ -5369,6 +5393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r14 new rows (never externally sampled) ---
     "dedup_index_delete": dedup_index_delete,
     "ann_index_delete": ann_index_delete,
+    "embedding_pca_components": embedding_pca_components,
     # --- r9-stale parity core (no external green since r9) ---
     "agg_rollup_daily": agg_rollup_daily,
     "scalar_json_extract": scalar_json_extract,
@@ -13093,6 +13118,115 @@ def _pca_power_oracle_sql(dim: int = 64, iters: int = 3) -> str:
 
 
 ORACLE_SQL["embedding_pca_power"] = _pca_power_oracle_sql()
+
+
+def _pca_components_oracle_sql(
+    dim: int = 64, iters: int = 3, ncomp: int = 3
+) -> str:
+    """Generated deflation oracle mirroring
+    linalg.power_iteration_components: the _pca_power_oracle_sql
+    iteration triple replayed per component over matrices c1..cK,
+    where c(k+1) = ck − rh(rh(ck·vk)·vk) — the exact-int64 Hotelling
+    deflation by the found 6dp iterate (rh = half-away micro² → micro
+    rescale, the same CASE expression the d-step uses). Eigval /
+    explained / cum come from the per-component norms and the shared
+    trace; the cum sums norms left-to-right, the same order the
+    driver loop adds them."""
+
+    def rh(x: str) -> str:
+        return (
+            f"CASE WHEN ({x}) >= 0 THEN (({x}) + 500000) // 1000000 "
+            f"ELSE -((-({x}) + 500000) // 1000000) END"
+        )
+
+    ctes = []
+    for ci in range(1, ncomp + 1):
+        mat = f"c{ci}"
+        prev = "v0"
+        for k in range(1, iters + 1):
+            p = f"k{ci}it{k}"
+            ctes.append(f"""
+    {p}d AS MATERIALIZED (
+        SELECT vec_id, {rh("sum(c * v)")} AS d
+        FROM {mat} JOIN {prev} USING (pos) GROUP BY vec_id
+    ), {p}w AS MATERIALIZED (
+        SELECT pos,
+               CAST(round(CAST(sum(d * c) AS DOUBLE) / 1e12, 6)
+                    AS DECIMAL(15,6)) AS wr
+        FROM {mat} JOIN {p}d USING (vec_id) GROUP BY pos
+    ), {p}n AS MATERIALIZED (
+        SELECT sqrt(CAST(sum(CAST(wr AS DECIMAL(16,6)) * wr)
+                         AS DOUBLE)) AS norm
+        FROM {p}w
+    ), {p}v AS MATERIALIZED (
+        SELECT pos,
+               CAST(CAST(round(CAST(wr AS DOUBLE) / norm, 6)
+                         AS DECIMAL(7,6))
+                    * CAST(1000000 AS DECIMAL(19,0)) AS BIGINT) AS v
+        FROM {p}w, {p}n
+    )""")
+            prev = f"{p}v"
+        if ci < ncomp:
+            ctes.append(f"""
+    defl{ci} AS MATERIALIZED (
+        SELECT vec_id, {rh("sum(c * v)")} AS d
+        FROM {mat} JOIN {prev} USING (pos) GROUP BY vec_id
+    ), c{ci + 1} AS MATERIALIZED (
+        SELECT a.vec_id, a.pos, a.c - {rh("dd.d * vv.v")} AS c
+        FROM {mat} a
+        JOIN defl{ci} dd ON a.vec_id = dd.vec_id
+        JOIN {prev} vv ON a.pos = vv.pos
+    )""")
+    selects = []
+    for ci in range(1, ncomp + 1):
+        fv = f"k{ci}it{iters}v"
+        fn = f"k{ci}it{iters}n"
+        cum_expr = " + ".join(
+            f"k{c}it{iters}n.norm" for c in range(1, ci + 1)
+        )
+        norms = ", ".join(f"k{c}it{iters}n" for c in range(1, ci + 1))
+        selects.append(f"""
+    SELECT CAST({ci - 1} AS INT) AS component,
+           CAST(fv.pos AS INT) AS pos,
+           CAST(fv.v AS DOUBLE) / 1000000.0 AS loading,
+           CAST(mm.m AS DOUBLE) / 1000000.0 AS mean_x,
+           round({fn}.norm / CAST(nrow.n - 1 AS DOUBLE), 6) AS eigval,
+           round(({fn}.norm / CAST(nrow.n - 1 AS DOUBLE))
+                 / ((CAST(tr.t AS DOUBLE) / 1e12)
+                    / CAST(nrow.n - 1 AS DOUBLE)), 6) AS explained_var,
+           round((({cum_expr}) / CAST(nrow.n - 1 AS DOUBLE))
+                 / ((CAST(tr.t AS DOUBLE) / 1e12)
+                    / CAST(nrow.n - 1 AS DOUBLE)), 6) AS cum_explained
+    FROM {fv} fv
+    JOIN mm ON mm.pos = fv.pos, {norms}, nrow, tr""")
+    return f"""
+    WITH xr AS MATERIALIZED (
+        SELECT vec_id, i AS pos,
+               CAST(CAST(round(CAST(embedding[i + 1] AS DOUBLE), 6)
+                         AS DECIMAL(7,6))
+                    * CAST(1000000 AS DECIMAL(19,0)) AS BIGINT) AS x
+        FROM embeddings, LATERAL (SELECT unnest(range({dim})) AS i)
+    ), mm AS MATERIALIZED (
+        SELECT pos, count(*) AS n,
+               CAST(round(CAST(sum(x) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE), 0)
+                    AS BIGINT) AS m
+        FROM xr GROUP BY pos
+    ), c1 AS MATERIALIZED (
+        SELECT vec_id, xr.pos, x - m AS c
+        FROM xr JOIN mm ON xr.pos = mm.pos
+    ), nrow AS (
+        SELECT max(n) AS n FROM mm
+    ), v0 AS (
+        SELECT unnest(range({dim})) AS pos, CAST(125000 AS BIGINT) AS v
+    ),{",".join(ctes)}, tr AS (
+        SELECT sum(c * c) AS t FROM c1
+    )
+    {" UNION ALL ".join(selects)}
+    """
+
+
+ORACLE_SQL["embedding_pca_components"] = _pca_components_oracle_sql()
 
 
 # temporal_dtw oracle: the banded DP replayed as a recursive CTE — one

@@ -67,6 +67,120 @@ def test_power_iteration_single_row_degrades(spark):
     assert out.count() == 0
 
 
+def test_pca_components_replica_and_structure(spark):
+    """The 2-component deflation ladder replicated exactly in pure
+    Python (ints + byte-equivalent rounding) must reproduce the
+    distributed loadings bit-for-bit; on a cloud with two planted
+    orthogonal directions the components must recover them in variance
+    order, near-orthogonal, with a decreasing eigval / increasing
+    cum_explained curve."""
+    import math
+    import random
+
+    import numpy as np
+
+    from collection_templates_spark.operators.linalg import (
+        _MICRO,
+        _round_half_up,
+        power_iteration_components,
+    )
+
+    rng = random.Random(1414)
+    dim, n = 12, 300
+    vecs = []
+    for _ in range(n):
+        t1, t2 = rng.gauss(0, 1.0), rng.gauss(0, 1.0)
+        row = [0.0] * dim
+        for j in range(dim):
+            base = 0.5 * t1 if j < 3 else (0.25 * t2 if j < 6 else 0.0)
+            row[j] = float(np.float32(base + rng.gauss(0, 0.02) + 0.03))
+        vecs.append(row)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = power_iteration_components(
+        df, "embedding", dim=dim, iters=3, n_components=2
+    ).collect()
+    by_comp = {}
+    for r in got:
+        by_comp.setdefault(r.component, {})[r.pos] = r
+    assert set(by_comp) == {0, 1}
+
+    # ---- exact Python replica of the spec ----
+    X = [
+        [int(_round_half_up(float(np.float32(x)), 6) * _MICRO) for x in row]
+        for row in vecs
+    ]
+    m = [
+        int(_round_half_up(float(sum(r[j] for r in X)) / float(n), 0))
+        for j in range(dim)
+    ]
+    C = [[r[j] - m[j] for j in range(dim)] for r in X]
+
+    def rnd_micro(x):
+        h = _MICRO // 2
+        return (x + h) // _MICRO if x >= 0 else -((-x + h) // _MICRO)
+
+    comps = []
+    for _comp in range(2):
+        v = [_MICRO // 8] * dim
+        for _ in range(3):
+            d = [
+                rnd_micro(sum(c[j] * v[j] for j in range(dim))) for c in C
+            ]
+            w = [sum(d[i] * C[i][j] for i in range(n)) for j in range(dim)]
+            wr = [_round_half_up(float(wj) / 1.0e12, 6) for wj in w]
+            norm = math.sqrt(float(sum(r * r for r in wr)))
+            v = [
+                int(_round_half_up(float(r) / norm, 6) * _MICRO)
+                for r in wr
+            ]
+        comps.append(v)
+        # deflate by the found component
+        d = [rnd_micro(sum(c[j] * v[j] for j in range(dim))) for c in C]
+        C = [
+            [C[i][j] - rnd_micro(d[i] * v[j]) for j in range(dim)]
+            for i in range(n)
+        ]
+
+    for comp, v in enumerate(comps):
+        for j in range(dim):
+            assert by_comp[comp][j].loading == pytest.approx(
+                v[j] / float(_MICRO), abs=0
+            ), (comp, j)
+
+    # structure: planted directions recovered in variance order
+    l0 = [by_comp[0][j].loading for j in range(dim)]
+    l1 = [by_comp[1][j].loading for j in range(dim)]
+    assert sum(abs(x) for x in l0[:3]) > 0.9 * sum(abs(x) for x in l0)
+    assert sum(abs(x) for x in l1[3:6]) > 0.9 * sum(abs(x) for x in l1)
+    assert abs(sum(a * b for a, b in zip(l0, l1))) < 0.05
+    e0, e1 = by_comp[0][0], by_comp[1][0]
+    assert e0.eigval > e1.eigval > 0
+    assert e0.cum_explained < e1.cum_explained <= 1.0 + 1e-6
+    assert e1.cum_explained == pytest.approx(
+        e0.explained_var + e1.explained_var, abs=2e-6
+    )
+
+
+def test_pca_components_constant_embeddings_null_then_stop(spark):
+    from collection_templates_spark.operators.linalg import (
+        power_iteration_components,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = power_iteration_components(
+        df, "embedding", dim=4, iters=2, n_components=3
+    ).collect()
+    # component 0 degenerates -> NULL rows, later components not run
+    assert {r.component for r in rows} == {0}
+    assert all(r.loading is None and r.eigval is None for r in rows)
+
+
 def test_power_iteration_constant_embeddings_null_rows(spark):
     """Zero-variance cloud: Cv == 0, the unit iterate is undefined —
     the operator emits per-dimension rows with NULL loading/eigval
