@@ -461,6 +461,162 @@ def skyline_2d(
     )
 
 
+ALS_ALPHA = 40  # implicit-feedback confidence slope (Hu-Koren-Volinsky)
+ALS_LAMBDA_MICRO2 = 100_000_000_000  # λ = 0.1 in micro² units
+
+
+def _als_init_factors(ids: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic 6dp item-factor init in exact integer micros:
+    f0 = 0.1 + (id mod 17)·0.05, f1 = 0.05 + (id mod 13)·0.05 — all
+    multiples of 0.05, so the micros are exact and both engines build
+    byte-identical initial factors with pure integer arithmetic."""
+    i = F.col(id_col).cast("long")
+    return ids.select(
+        i.alias("fid"),
+        (F.lit(100000) + (i % 17) * 50000).cast("long").alias("f0u"),
+        (F.lit(50000) + (i % 13) * 50000).cast("long").alias("f1u"),
+    )
+
+
+def _als_solve_side(
+    inter: DataFrame,
+    fac: DataFrame,
+    solve_col: str,
+    other_col: str,
+    alpha: int,
+    lam_micro2: int,
+) -> DataFrame:
+    """One half-sweep of rank-2 implicit ALS: solve every ``solve_col``
+    entity's 2×2 normal equations given the other side's factors.
+
+    A = YᵀY + α·Σ_obs r·y yᵀ + λI accumulates EXACTLY — factors are
+    int64 micros, every product is int64, every sum is DECIMAL (≡
+    DuckDB's hugeint Sum); the YᵀY Gram over ALL entities is one 1-row
+    aggregate broadcast onto the per-entity correction (the classic
+    implicit-ALS trick that keeps the solve O(obs), never O(entities)).
+    The closed-form 2×2 solve is the only float step — the same
+    cast-exact-to-double / det / adjugate expressions in both engines —
+    and the result re-enters the next half-sweep as 6dp micros, so
+    error cannot compound (the linalg.py ladder discipline)."""
+    y = fac.select(
+        F.col("fid").alias(other_col),
+        F.col("f0u"),
+        F.col("f1u"),
+    )
+    gram = F.broadcast(
+        y.agg(
+            F.sum((F.col("f0u") * F.col("f0u")).cast("decimal(30,0)"))
+            .alias("g00"),
+            F.sum((F.col("f0u") * F.col("f1u")).cast("decimal(30,0)"))
+            .alias("g01"),
+            F.sum((F.col("f1u") * F.col("f1u")).cast("decimal(30,0)"))
+            .alias("g11"),
+        )
+    )
+    r = F.col("r").cast("long")
+    per = (
+        inter.join(F.broadcast(y), other_col)
+        .groupBy(solve_col)
+        .agg(
+            F.sum((r * F.col("f0u") * F.col("f0u")).cast("decimal(30,0)"))
+            .alias("s00"),
+            F.sum((r * F.col("f0u") * F.col("f1u")).cast("decimal(30,0)"))
+            .alias("s01"),
+            F.sum((r * F.col("f1u") * F.col("f1u")).cast("decimal(30,0)"))
+            .alias("s11"),
+            F.sum(
+                ((F.lit(1) + F.lit(alpha) * r) * F.col("f0u")).cast(
+                    "decimal(30,0)"
+                )
+            ).alias("b0"),
+            F.sum(
+                ((F.lit(1) + F.lit(alpha) * r) * F.col("f1u")).cast(
+                    "decimal(30,0)"
+                )
+            ).alias("b1"),
+        )
+    )
+    a00 = (
+        (F.col("g00") + F.lit(alpha) * F.col("s00") + F.lit(lam_micro2))
+        .cast("double")
+        / F.lit(1.0e12)
+    )
+    a01 = (
+        (F.col("g01") + F.lit(alpha) * F.col("s01")).cast("double")
+        / F.lit(1.0e12)
+    )
+    a11 = (
+        (F.col("g11") + F.lit(alpha) * F.col("s11") + F.lit(lam_micro2))
+        .cast("double")
+        / F.lit(1.0e12)
+    )
+    b0 = F.col("b0").cast("double") / F.lit(1.0e6)
+    b1 = F.col("b1").cast("double") / F.lit(1.0e6)
+    det = a00 * a11 - a01 * a01  # ≥ λ² > 0: A is PD by construction
+
+    def micro6(e):
+        return (
+            F.round(e, 6).cast("decimal(12,6)")
+            * F.lit(1000000).cast("decimal(19,0)")
+        ).cast("long")
+
+    return per.join(gram).select(
+        F.col(solve_col).alias("fid"),
+        micro6(F.try_divide(a11 * b0 - a01 * b1, det)).alias("f0u"),
+        micro6(F.try_divide(a00 * b1 - a01 * b0, det)).alias("f1u"),
+    )
+
+
+def als_implicit_rank2(
+    interactions: DataFrame,
+    user_col: str = "u",
+    item_col: str = "it",
+    rating_col: str = "r",
+    sweeps: int = 2,
+    alpha: int = ALS_ALPHA,
+    lam_micro2: int = ALS_LAMBDA_MICRO2,
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-iteration implicit-feedback ALS matrix factorization at
+    rank 2 (r13 verdict #4): the model-based recommender next to the
+    :func:`item_item_cosine` neighborhood method. ``interactions`` is
+    the (user, item, count) implicit matrix; returns the
+    (user_factors, item_factors) frames as (fid, f0u, f1u) int64
+    micros after ``sweeps`` alternating closed-form solves (Hu,
+    Koren & Volinsky, ICDM 2008 — c = 1 + α·r confidence, p ≡ 1).
+
+    Deterministic end to end (see :func:`_als_solve_side`): the whole
+    sweep chain is byte-replayable in SQL, which is what makes the
+    ``recsys_als_factors`` driver row oracle-checkable.
+
+    Scale shape: per half-sweep, ONE broadcast of the other side's
+    factor table onto the interaction list, one groupBy(solve side)
+    with map-side-combined DECIMAL sums, one 1-row Gram broadcast —
+    cost O(interactions + entities), never entities²; each factor
+    frame is lineage-cut so the alternation does not re-derive the
+    upstream chain per reference. A factor table is 2 longs + id per
+    entity; past the broadcast threshold (~10⁷ entities) drop the
+    hint and the factor join becomes a plain key-shuffle — the
+    aggregate shape is unchanged.
+    """
+    inter = interactions.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("it"),
+        F.col(rating_col).alias("r"),
+    ).localCheckpoint(eager=False)
+    items = _als_init_factors(
+        inter.select("it").distinct(), "it"
+    ).localCheckpoint(eager=False)
+    users = None
+    for _ in range(sweeps):
+        users = _als_solve_side(
+            inter, items, "u", "it", alpha, lam_micro2
+        ).localCheckpoint(eager=False)
+        items = _als_solve_side(
+            inter, users, "it", "u", alpha, lam_micro2
+        ).localCheckpoint(eager=False)
+    return users, items
+
+
 def item_item_cosine(
     lineitem: DataFrame,
     k: int = 5,

@@ -5365,6 +5365,48 @@ def basket_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_item_cosine(_t(spark, sf_dir, "lineitem"), k=5)
 
 
+def recsys_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration implicit-feedback ALS at rank 2
+    (product_analytics.als_implicit_rank2, round 14, r13 verdict #4):
+    the customer × part purchase-count matrix factorized by 2
+    alternating sweeps of exact-integer 2×2 normal-equation solves
+    (c = 1 + 40·r confidence, λ = 0.1, Hu-Koren-Volinsky) — the
+    model-based recommender next to basket_item_similarity's
+    neighborhood method. Factors are carried as 6dp micros between
+    half-sweeps, every accumulation is DECIMAL-exact and the
+    closed-form solve is the only float step, so the generated oracle
+    unrolls the whole 4-half-sweep chain; output is the factor table
+    for the custkey/partkey ≡ 0 (mod 20) cohorts."""
+    from collection_templates_spark.operators.product_analytics import (
+        als_implicit_rank2,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    inter = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it")
+        )
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    users, items = als_implicit_rank2(inter)
+
+    def _pick(df: DataFrame, entity: str) -> DataFrame:
+        return df.filter(F.col("fid") % 20 == 0).select(
+            F.lit(entity).alias("entity"),
+            F.col("fid").alias("id"),
+            (F.col("f0u").cast("double") / F.lit(1.0e6)).alias("f0"),
+            (F.col("f1u").cast("double") / F.lit(1.0e6)).alias("f1"),
+        )
+
+    return _pick(users, "user").unionByName(_pick(items, "item"))
+
+
 def search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (search.search_rrf_fusion) of the raw
     tf·idf and SMART-cosine rankings for 'spark hash join': score-free
@@ -5394,6 +5436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_index_delete": dedup_index_delete,
     "ann_index_delete": ann_index_delete,
     "embedding_pca_components": embedding_pca_components,
+    "recsys_als_factors": recsys_als_factors,
     # --- r9-stale parity core (no external green since r9) ---
     "agg_rollup_daily": agg_rollup_daily,
     "scalar_json_extract": scalar_json_extract,
@@ -13227,6 +13270,87 @@ def _pca_components_oracle_sql(
 
 
 ORACLE_SQL["embedding_pca_components"] = _pca_components_oracle_sql()
+
+
+def _als_oracle_sql(sweeps: int = 2, alpha: int = 40) -> str:
+    """Generated unrolled oracle for recsys_als_factors mirroring
+    product_analytics.als_implicit_rank2: per half-sweep a 1-row Gram
+    CTE (hugeint sums over int64 micro products ≡ Spark's DECIMAL
+    sums), a per-entity correction/b aggregate, and the closed-form
+    2×2 solve as the identical cast-exact-to-double expressions,
+    requantized to 6dp micros (the linalg ladder convention)."""
+    lam = 100_000_000_000
+
+    def solve() -> tuple[str, str]:
+        a00 = f"(CAST(g00 + {alpha} * s00 + {lam} AS DOUBLE) / 1e12)"
+        a01 = f"(CAST(g01 + {alpha} * s01 AS DOUBLE) / 1e12)"
+        a11 = f"(CAST(g11 + {alpha} * s11 + {lam} AS DOUBLE) / 1e12)"
+        b0 = "(CAST(b0 AS DOUBLE) / 1e6)"
+        b1 = "(CAST(b1 AS DOUBLE) / 1e6)"
+        det = f"({a00} * {a11} - {a01} * {a01})"
+
+        def micro6(x: str) -> str:
+            return (
+                f"CAST(CAST(round({x}, 6) AS DECIMAL(12,6)) "
+                f"* CAST(1000000 AS DECIMAL(19,0)) AS BIGINT)"
+            )
+
+        return (
+            micro6(f"({a11} * {b0} - {a01} * {b1}) / {det}"),
+            micro6(f"({a00} * {b1} - {a01} * {b0}) / {det}"),
+        )
+
+    x0, x1 = solve()
+    ctes = [
+        """inter AS MATERIALIZED (
+        SELECT o_custkey AS u, l_partkey AS it, count(*) AS r
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    )""",
+        """f0 AS MATERIALIZED (
+        SELECT it AS fid,
+               100000 + (it % 17) * 50000 AS f0u,
+               50000 + (it % 13) * 50000 AS f1u
+        FROM (SELECT DISTINCT it FROM inter)
+    )""",
+    ]
+    prev = "f0"
+    for t in range(1, 2 * sweeps + 1):
+        key, okey = ("u", "it") if t % 2 == 1 else ("it", "u")
+        ctes.append(f"""g{t} AS (
+        SELECT sum(f0u * f0u) AS g00, sum(f0u * f1u) AS g01,
+               sum(f1u * f1u) AS g11
+        FROM {prev}
+    ), s{t} AS (
+        SELECT {key} AS fid,
+               sum(r * f0u * f0u) AS s00, sum(r * f0u * f1u) AS s01,
+               sum(r * f1u * f1u) AS s11,
+               sum((1 + {alpha} * r) * f0u) AS b0,
+               sum((1 + {alpha} * r) * f1u) AS b1
+        FROM inter JOIN {prev} ON inter.{okey} = {prev}.fid
+        GROUP BY 1
+    ), f{t} AS MATERIALIZED (
+        SELECT fid, {x0} AS f0u, {x1} AS f1u
+        FROM s{t}, g{t}
+    )""")
+        prev = f"f{t}"
+    uf, itf = f"f{2 * sweeps - 1}", f"f{2 * sweeps}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT 'user' AS entity, fid AS id,
+           CAST(f0u AS DOUBLE) / 1000000.0 AS f0,
+           CAST(f1u AS DOUBLE) / 1000000.0 AS f1
+    FROM {uf} WHERE fid % 20 = 0
+    UNION ALL
+    SELECT 'item', fid,
+           CAST(f0u AS DOUBLE) / 1000000.0,
+           CAST(f1u AS DOUBLE) / 1000000.0
+    FROM {itf} WHERE fid % 20 = 0
+    """
+
+
+ORACLE_SQL["recsys_als_factors"] = _als_oracle_sql()
 
 
 # temporal_dtw oracle: the banded DP replayed as a recursive CTE — one

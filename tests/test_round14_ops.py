@@ -181,6 +181,94 @@ def test_pca_components_constant_embeddings_null_then_stop(spark):
     assert all(r.loading is None and r.eigval is None for r in rows)
 
 
+def test_als_implicit_matches_exact_python_replica(spark):
+    """The rank-2 implicit-ALS sweep chain replicated in pure Python
+    (exact ints for every accumulation, the same double closed-form
+    solve, byte-equivalent rounding) must reproduce the distributed
+    factors bit-for-bit; and on a 2-block interaction matrix the
+    learned factors must score observed (in-block) pairs above
+    unobserved (cross-block) pairs."""
+    from collection_templates_spark.operators.linalg import _round_half_up
+    from collection_templates_spark.operators.product_analytics import (
+        ALS_ALPHA,
+        ALS_LAMBDA_MICRO2,
+        als_implicit_rank2,
+    )
+
+    # 2-block matrix: users 0-9 buy items 100-109, users 10-19 buy
+    # items 200-209, with per-pair counts varying deterministically
+    rows = []
+    for u in range(20):
+        base = 100 if u < 10 else 200
+        for j in range(10):
+            if (u + j) % 3 != 0:
+                rows.append((u, base + j, 1 + (u * 7 + j) % 4))
+    inter = spark.createDataFrame(rows, "u long, it long, r long")
+    users, items = als_implicit_rank2(inter)
+    got_u = {r.fid: (r.f0u, r.f1u) for r in users.collect()}
+    got_i = {r.fid: (r.f0u, r.f1u) for r in items.collect()}
+
+    # ---- exact Python replica of the spec ----
+    M = 1_000_000
+    item_ids = sorted({it for _, it, _ in rows})
+    user_ids = sorted({u for u, _, _ in rows})
+    fac_i = {
+        i: (100000 + (i % 17) * 50000, 50000 + (i % 13) * 50000)
+        for i in item_ids
+    }
+    by_u = {}
+    by_i = {}
+    for u, it, r in rows:
+        by_u.setdefault(u, []).append((it, r))
+        by_i.setdefault(it, []).append((u, r))
+
+    def solve(obs, fac):
+        g00 = sum(f0 * f0 for f0, _ in fac.values())
+        g01 = sum(f0 * f1 for f0, f1 in fac.values())
+        g11 = sum(f1 * f1 for _, f1 in fac.values())
+        out = {}
+        for eid, lst in obs.items():
+            s00 = sum(r * fac[o][0] * fac[o][0] for o, r in lst)
+            s01 = sum(r * fac[o][0] * fac[o][1] for o, r in lst)
+            s11 = sum(r * fac[o][1] * fac[o][1] for o, r in lst)
+            b0 = sum((1 + ALS_ALPHA * r) * fac[o][0] for o, r in lst)
+            b1 = sum((1 + ALS_ALPHA * r) * fac[o][1] for o, r in lst)
+            a00 = float(g00 + ALS_ALPHA * s00 + ALS_LAMBDA_MICRO2) / 1e12
+            a01 = float(g01 + ALS_ALPHA * s01) / 1e12
+            a11 = float(g11 + ALS_ALPHA * s11 + ALS_LAMBDA_MICRO2) / 1e12
+            b0d = float(b0) / 1e6
+            b1d = float(b1) / 1e6
+            det = a00 * a11 - a01 * a01
+            x0 = (a11 * b0d - a01 * b1d) / det
+            x1 = (a00 * b1d - a01 * b0d) / det
+            out[eid] = (
+                int(_round_half_up(x0, 6) * M),
+                int(_round_half_up(x1, 6) * M),
+            )
+        return out
+
+    fac_u = None
+    for _ in range(2):
+        fac_u = solve(by_u, fac_i)
+        fac_i = solve(by_i, fac_u)
+    assert got_u == fac_u
+    assert got_i == fac_i
+
+    # block structure: observed pairs outrank cross-block pairs
+    def score(u, it):
+        fu, fi = got_u[u], got_i[it]
+        return fu[0] * fi[0] + fu[1] * fi[1]
+
+    in_block = [score(u, it) for u, it, _ in rows]
+    cross = [
+        score(u, it)
+        for u in user_ids
+        for it in item_ids
+        if (u < 10) != (it < 150)
+    ]
+    assert min(in_block) > max(cross)
+
+
 def test_power_iteration_constant_embeddings_null_rows(spark):
     """Zero-variance cloud: Cv == 0, the unit iterate is undefined —
     the operator emits per-dimension rows with NULL loading/eigval
