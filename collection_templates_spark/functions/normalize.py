@@ -7,12 +7,19 @@ Reference semantics:
 - ``extract_article_name`` / ``extract_id``  create_collections.py:609-630
 
 ``ens_normalize`` / ``unidecode`` are not available in this container; when
-importable they are used, otherwise ``_fallback_cure`` applies a documented
-simplification (lowercase NFC, strip ENS-disallowed punctuation/whitespace,
-reject non-Latin scripts) that reproduces the reference's golden cases
-(tests/test_wiki_api.py:135-148). The unidecode-if-Latin step
-(create_merged.py:171-175) is a no-op under the fallback — the goldens keep
-accented Latin characters.
+importable they are used, otherwise the fallback ``ens_cure`` applies an
+ENSIP-15-shape stdlib pipeline (r13 verdict #3): lowercase NFC → strip the
+"ignored" class (default-ignorable Cf format chars: ZWSP, soft hyphen,
+ZWJ/ZWNJ, BOM) → NFKC-fold the "mapped" compatibility subset (fullwidth
+forms, ligatures, super/subscripts) → strip ENS-disallowed punctuation →
+reject non-Latin scripts. This reproduces the reference's golden cases
+(tests/test_wiki_api.py:135-148) and the ignorable/fullwidth classes the
+real library maps. Remaining documented divergences (what stdlib cannot
+express, each rejected-not-mangled so no wrong name is ever emitted):
+emoji sequences (no emoji-validity data), ENSIP NSM rules for combining
+marks that survive casefold (İ → i+U+0307), and fraction folds that NFKC
+expands with U+2044. The unidecode-if-Latin step (create_merged.py:171-175)
+is a no-op under the fallback — the goldens keep accented Latin characters.
 
 Spark integration: these run as Python functions inside pandas UDFs applied
 to DISTINCT inputs, then joined back (Opt-6 — the reference's own
@@ -52,6 +59,18 @@ except ImportError:  # pragma: no cover
 
     def ens_cure(text: str) -> str:  # type: ignore[no-redef]
         cured = unicodedata.normalize("NFC", text).lower()
+        # ENSIP-15 "ignored" class via stdlib (r13 verdict #3): default-
+        # ignorable format characters (category Cf — ZWSP, soft hyphen,
+        # ZWJ/ZWNJ outside emoji, BOM) are removed, as the real
+        # ens_normalize mapping does, instead of rejecting the name.
+        cured = "".join(
+            ch for ch in cured if unicodedata.category(ch) != "Cf"
+        )
+        # ENSIP-15 "mapped" class subset via NFKC: compatibility forms
+        # (fullwidth letters/digits, ligatures, super/subscripts) fold
+        # to their canonical ASCII/Latin equivalents. NFKC can surface
+        # uppercase (e.g. roman numerals), so lowercase again.
+        cured = unicodedata.normalize("NFKC", cured).lower()
         cured = _CURE_STRIP.sub("", cured)
         if not cured:
             raise DisallowedSequence(f"nothing left after curing {text!r}")

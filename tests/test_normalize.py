@@ -58,14 +58,29 @@ def test_curate_member_adversarial():
     assert curate_member("日本語") is None  # CJK
     assert curate_member("abcΩabc") is None  # mixed Latin+Greek
     # DIVERGES: real ens_cure allows valid emoji names; fallback rejects
+    # (stdlib has no emoji-sequence validity data)
     assert curate_member("💎💎💎") is None
-    # DIVERGES: real ens_cure strips ignorables (U+200B); fallback rejects
-    assert curate_member("ab​cd") is None
-    # DIVERGES: real ens_cure NFKC-folds fullwidth forms; fallback rejects
-    assert curate_member("ｆｕｌｌｗｉｄｔｈ") is None
-    assert curate_member("Ａｂｃ (movie)") is None
+    # ENSIP-15 "ignored" class (r13 verdict #3): default-ignorable Cf
+    # characters are STRIPPED like the real mapping, not rejected
+    assert curate_member("ab​cd") == ("abcd", ["abcd"])  # U+200B inside
+    assert curate_member("soft­hyphen") == (  # U+00AD inside
+        "softhyphen",
+        ["softhyphen"],
+    )
+    # ENSIP-15 "mapped" class subset via NFKC: fullwidth forms fold
+    assert curate_member("ｆｕｌｌｗｉｄｔｈ") == (
+        "fullwidth",
+        ["fullwidth"],
+    )
+    assert curate_member("Ａｂｃ (movie)") == ("abc", ["abc"])
+    assert curate_member("ﬁnal ligature") == (
+        "finalligature",
+        ["final", "ligature"],
+    )
+    assert curate_member("x² + y²") == ("x2y2", ["x2", "y2"])
     # 'İ'.lower() yields i + combining U+0307; combining marks are outside
     # the fallback's allowed set (real ens_normalize maps this) — rejected
+    # (DIVERGES: stdlib NFKC cannot express the ENSIP NSM rules)
     assert curate_member("İstanbul") is None
     # min-length gate after curing, not before (P12)
     assert curate_member("xx") is None
