@@ -2141,3 +2141,99 @@ def breusch_pagan_1var(
         F.round(nn2 * r2, 6).alias("bp_stat"),
         (nn2 * r2 > F.lit(3.841)).alias("heteroscedastic_95"),
     )
+
+
+def ar2_yule_walker(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """AR(2) fit per group via Yule-Walker: the lag-0/1/2
+    autocovariances of the mean-centered series solve
+    [φ₁, φ₂] = [[c₀, c₁], [c₁, c₀]]⁻¹ [c₁, c₂] in closed form, with a
+    one-step-ahead forecast ŷ = ȳ + φ₁·d_n + φ₂·d_{n−1} — the
+    autoregressive companion to :func:`durbin_watson` (detects) and
+    Holt (smooths): it MODELS the serial correlation.
+
+    Determinism: the group mean is one double divide of an exact
+    DECIMAL sum; deviations round to 6dp and re-enter as DECIMAL, so
+    every autocovariance is an exact (19,6)×(18,6) → DECIMAL(38,12)
+    sum (the scale-12 product discipline); φ's and the forecast are
+    closed-form double ops on those exact aggregates; last/second-last
+    deviations pick by max_by over the unique (group, t) order.
+
+    Scale shape: one moment aggregate, one broadcast-joined centering
+    projection, one per-group lag window over the skinny series, one
+    final aggregate — no global sort, no join beyond the 1-row-per-
+    group broadcast."""
+    g = F.col(group_col).alias("g")
+    base = df.select(
+        g,
+        F.col(t_col).alias("t"),
+        F.col(y_col).cast("decimal(18,2)").alias("y"),
+    )
+    means = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    mean = F.col("sy").cast("double") / F.col("n").cast("double")
+    centered = base.join(F.broadcast(means), "g").select(
+        "g",
+        "t",
+        "n",
+        mean.alias("ybar"),
+        F.round(F.col("y").cast("double") - mean, 6)
+        .cast("decimal(18,6)")
+        .alias("d"),
+    )
+    w = Window.partitionBy("g").orderBy("t")
+    lagged = centered.select(
+        "g",
+        "t",
+        "n",
+        "ybar",
+        "d",
+        F.lag("d", 1).over(w).alias("d1"),
+        F.lag("d", 2).over(w).alias("d2"),
+    )
+
+    def cov(a: str, b: str):
+        # (19,6) x (18,6) -> exact DECIMAL(38,12), one >18-digit
+        # operand for DuckDB's int128 multiply (the DW convention)
+        return F.sum(
+            F.col(a).cast("decimal(19,6)") * F.col(b).cast("decimal(18,6)")
+        )
+
+    agg = lagged.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max("ybar").alias("ybar"),
+        cov("d", "d").alias("c0"),
+        cov("d", "d1").alias("c1"),
+        cov("d", "d2").alias("c2"),
+        F.max_by(F.col("d"), F.col("t")).alias("dlast"),
+        # null-guarded ordering: rows whose lag is NULL (the group's
+        # first row) drop out in BOTH engines (DuckDB's arg_max skips
+        # NULL values natively; Spark needs the explicit guard)
+        F.max_by(
+            F.col("d1"),
+            F.when(F.col("d1").isNotNull(), F.col("t")),
+        ).alias("dprev"),
+    )
+    g0 = F.col("c0").cast("double")
+    g1 = F.col("c1").cast("double")
+    g2 = F.col("c2").cast("double")
+    den = g0 * g0 - g1 * g1
+    phi1 = F.try_divide(g1 * (g0 - g2), den)
+    phi2 = F.try_divide(g0 * g2 - g1 * g1, den)
+    forecast = (
+        F.col("ybar")
+        + phi1 * F.col("dlast").cast("double")
+        + phi2 * F.col("dprev").cast("double")
+    )
+    return agg.select(
+        F.col("g"),
+        "n",
+        F.round(phi1, 6).alias("phi1"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(forecast, 2).alias("forecast_next"),
+    )

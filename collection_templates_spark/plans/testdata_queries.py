@@ -5365,6 +5365,26 @@ def basket_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_item_cosine(_t(spark, sf_dir, "lineitem"), k=5)
 
 
+def events_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule-Walker fit per event type (stats.ar2_yule_walker,
+    round 14): lag-0/1/2 autocovariances of the mean-centered daily
+    revenue series as exact DECIMAL(38,12) sums (the scale-12 product
+    discipline), closed-form φ₁/φ₂, and the one-step-ahead forecast —
+    the autoregressive MODEL next to durbin_watson (detects serial
+    correlation) and events_holt_forecast (smooths it)."""
+    from collection_templates_spark.operators.stats import ar2_yule_walker
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("y")
+    )
+    return ar2_yule_walker(
+        daily, "event_type", "day", "y"
+    ).withColumnRenamed("g", "event_type")
+
+
 def recsys_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration implicit-feedback ALS at rank 2
     (product_analytics.als_implicit_rank2, round 14, r13 verdict #4):
@@ -5437,6 +5457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_delete": ann_index_delete,
     "embedding_pca_components": embedding_pca_components,
     "recsys_als_factors": recsys_als_factors,
+    "events_ar2_forecast": events_ar2_forecast,
     # --- r9-stale parity core (no external green since r9) ---
     "agg_rollup_daily": agg_rollup_daily,
     "scalar_json_extract": scalar_json_extract,
@@ -13351,6 +13372,68 @@ def _als_oracle_sql(sweeps: int = 2, alpha: int = 40) -> str:
 
 
 ORACLE_SQL["recsys_als_factors"] = _als_oracle_sql()
+
+
+# events_ar2_forecast: exact-decimal autocovariances (the DW scale-12
+# product convention), closed-form Yule-Walker solve, forecast from the
+# max_by-picked last/second-last deviations (DuckDB arg_max skips NULL
+# values natively — the Spark side guards the ordering explicitly).
+ORACLE_SQL["events_ar2_forecast"] = """
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS t,
+               sum(CAST(value AS DECIMAL(18,2))) AS y
+        FROM events GROUP BY 1, 2
+    ), means AS (
+        SELECT g, count(*) AS n, sum(y) AS sy FROM daily GROUP BY g
+    ), centered AS (
+        SELECT d.g, t, n,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+               CAST(round(CAST(y AS DOUBLE)
+                          - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS d
+        FROM daily d JOIN means m ON d.g = m.g
+    ), lagged AS (
+        SELECT g, t, n, ybar, d,
+               lag(d, 1) OVER (PARTITION BY g ORDER BY t) AS d1,
+               lag(d, 2) OVER (PARTITION BY g ORDER BY t) AS d2
+        FROM centered
+    ), agg AS (
+        SELECT g, max(n) AS n, max(ybar) AS ybar,
+               sum(CAST(d AS DECIMAL(19,6))
+                   * CAST(d AS DECIMAL(18,6))) AS c0,
+               sum(CAST(d AS DECIMAL(19,6))
+                   * CAST(d1 AS DECIMAL(18,6))) AS c1,
+               sum(CAST(d AS DECIMAL(19,6))
+                   * CAST(d2 AS DECIMAL(18,6))) AS c2,
+               arg_max(d, t) AS dlast,
+               arg_max(d1, t) AS dprev
+        FROM lagged GROUP BY g
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           round((CAST(c1 AS DOUBLE)
+                  * (CAST(c0 AS DOUBLE) - CAST(c2 AS DOUBLE)))
+                 / NULLIF(CAST(c0 AS DOUBLE) * CAST(c0 AS DOUBLE)
+                          - CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE), 0),
+                 6) + CAST(0 AS DOUBLE) AS phi1,
+           round((CAST(c0 AS DOUBLE) * CAST(c2 AS DOUBLE)
+                  - CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE))
+                 / NULLIF(CAST(c0 AS DOUBLE) * CAST(c0 AS DOUBLE)
+                          - CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE), 0),
+                 6) + CAST(0 AS DOUBLE) AS phi2,
+           round(ybar
+                 + ((CAST(c1 AS DOUBLE)
+                     * (CAST(c0 AS DOUBLE) - CAST(c2 AS DOUBLE)))
+                    / NULLIF(CAST(c0 AS DOUBLE) * CAST(c0 AS DOUBLE)
+                             - CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE),
+                             0)) * CAST(dlast AS DOUBLE)
+                 + ((CAST(c0 AS DOUBLE) * CAST(c2 AS DOUBLE)
+                     - CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE))
+                    / NULLIF(CAST(c0 AS DOUBLE) * CAST(c0 AS DOUBLE)
+                             - CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE),
+                             0)) * CAST(dprev AS DOUBLE),
+                 2) AS forecast_next
+    FROM agg
+"""
 
 
 # temporal_dtw oracle: the banded DP replayed as a recursive CTE — one

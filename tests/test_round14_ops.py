@@ -181,6 +181,68 @@ def test_pca_components_constant_embeddings_null_then_stop(spark):
     assert all(r.loading is None and r.eigval is None for r in rows)
 
 
+def test_ar2_yule_walker_planted_process_and_replica(spark):
+    """On a planted AR(2) process the Yule-Walker fit must recover the
+    true coefficients; and an exact-decimal Python replica of the spec
+    must reproduce the distributed phi/forecast bit-for-bit."""
+    import random
+
+    from collection_templates_spark.operators.linalg import _round_half_up
+    from collection_templates_spark.operators.stats import ar2_yule_walker
+
+    rng = random.Random(909)
+    p1, p2 = 0.6, -0.3
+    d_prev, d_prev2 = 0.0, 0.0
+    ys = []
+    for _t in range(400):
+        e = rng.gauss(0, 1.0)
+        d = p1 * d_prev + p2 * d_prev2 + e
+        ys.append(round(100.0 + d, 2))
+        d_prev2, d_prev = d_prev, d
+    df = spark.createDataFrame(
+        [("a", t, f"{y:.2f}") for t, y in enumerate(ys)],
+        "g string, t long, y string",
+    ).selectExpr("g", "t", "CAST(y AS DECIMAL(18,2)) AS y")
+    row = ar2_yule_walker(df, "g", "t", "y").collect()[0]
+    assert row["n"] == 400
+    assert row["phi1"] == pytest.approx(p1, abs=0.15)
+    assert row["phi2"] == pytest.approx(p2, abs=0.15)
+
+    # ---- exact replica ----
+    from decimal import Decimal
+
+    n = len(ys)
+    sy = sum(Decimal(f"{y:.2f}") for y in ys)
+    ybar = float(sy) / float(n)
+    d6 = [_round_half_up(y - ybar, 6) for y in ys]
+    c0 = sum(a * a for a in d6)
+    c1 = sum(d6[i] * d6[i - 1] for i in range(1, n))
+    c2 = sum(d6[i] * d6[i - 2] for i in range(2, n))
+    g0, g1, g2 = float(c0), float(c1), float(c2)
+    den = g0 * g0 - g1 * g1
+    phi1 = (g1 * (g0 - g2)) / den
+    phi2 = (g0 * g2 - g1 * g1) / den
+    fc = ybar + phi1 * float(d6[-1]) + phi2 * float(d6[-2])
+    assert row["phi1"] == float(_round_half_up(phi1, 6))
+    assert row["phi2"] == float(_round_half_up(phi2, 6))
+    assert row["forecast_next"] == float(_round_half_up(fc, 2))
+
+
+def test_ar2_yule_walker_degenerate_groups(spark):
+    """1-row and constant groups degrade to NULL phis, never an error."""
+    from collection_templates_spark.operators.stats import ar2_yule_walker
+
+    rows = [("one", 0, "5.00")] + [
+        ("const", t, "7.00") for t in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, t long, y string"
+    ).selectExpr("g", "t", "CAST(y AS DECIMAL(18,2)) AS y")
+    got = {r["g"]: r for r in ar2_yule_walker(df, "g", "t", "y").collect()}
+    assert got["one"]["phi1"] is None
+    assert got["const"]["phi1"] is None  # c0 == 0 -> den == 0 -> NULL
+
+
 def test_als_implicit_matches_exact_python_replica(spark):
     """The rank-2 implicit-ALS sweep chain replicated in pure Python
     (exact ints for every accumulation, the same double closed-form
