@@ -617,6 +617,101 @@ def als_implicit_rank2(
     return users, items
 
 
+def als_rank_eval(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    train: DataFrame,
+    test: DataFrame,
+    k: int = 10,
+    user_col: str = "u",
+    item_col: str = "it",
+) -> DataFrame:
+    """Held-out ranking quality of an ALS factorization: for every test
+    user (one with ≥1 held-out interaction AND trained factors), rank
+    the items NOT in their training set by the exact integer factor
+    dot product, and report hit-rate@k / MRR@k against the held-out
+    items — the recommender eval loop next to the LTR train→metrics
+    pair.
+
+    Determinism: scores are exact int64 dots of 6dp-micro factors (no
+    float anywhere in the ranking), ordered (score DESC, item ASC);
+    reciprocal ranks accumulate as integers scaled by lcm(1..k), so
+    the MRR mean is one double divide of exact integers.
+
+    Scale shape: the brute ranking is ONE broadcast of the test-user
+    factor cohort against the item-factor table (the brute-topk shape
+    of similarity.py), an anti-join on the training pairs, and a
+    per-user window — cost O(cohort × items); at 100 TB the cohort is
+    the sampled eval set and the item side would go through the ANN
+    index instead of the full scan."""
+    import math as _math
+
+    uf = user_factors.select(
+        F.col("fid").alias("u"),
+        F.col("f0u").alias("uf0"),
+        F.col("f1u").alias("uf1"),
+    )
+    itf = item_factors.select(
+        F.col("fid").alias("it"),
+        F.col("f0u").alias("if0"),
+        F.col("f1u").alias("if1"),
+    )
+    test_pairs = test.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("it")
+    ).distinct()
+    train_pairs = train.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("it")
+    ).distinct()
+    cohort = test_pairs.select("u").distinct().join(uf, "u")
+    scored = (
+        itf.join(F.broadcast(cohort))
+        .withColumn(
+            "score",
+            F.col("uf0") * F.col("if0") + F.col("uf1") * F.col("if1"),
+        )
+        .join(train_pairs, ["u", "it"], "left_anti")
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("score"), F.asc("it"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    lcm = _math.lcm(*range(1, k + 1))
+    per_user = (
+        top.join(test_pairs, ["u", "it"])
+        .groupBy("u")
+        .agg(
+            F.min("rank").alias("first_rank"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    joined = cohort.select("u").join(per_user, "u", "left")
+    n_users = F.count(F.lit(1))
+    return joined.agg(
+        n_users.alias("n_users"),
+        F.count("first_rank").alias("n_hit_users"),
+        F.coalesce(F.sum("n_hits"), F.lit(0)).alias("hits_at_k"),
+        F.round(
+            F.try_divide(
+                F.count("first_rank").cast("double"),
+                n_users.cast("double"),
+            ),
+            6,
+        ).alias("hit_rate"),
+        F.round(
+            F.try_divide(
+                F.coalesce(
+                    F.sum(
+                        (F.lit(lcm) / F.col("first_rank")).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                ).cast("double"),
+                (n_users * F.lit(lcm)).cast("double"),
+            ),
+            6,
+        ).alias("mrr"),
+    )
+
+
 def item_item_cosine(
     lineitem: DataFrame,
     k: int = 5,

@@ -5427,6 +5427,43 @@ def recsys_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pick(users, "user").unionByName(_pick(items, "item"))
 
 
+def recsys_als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out ranking quality of the ALS factorization
+    (product_analytics.als_rank_eval, round 14): interactions split
+    (u + it) % 5, factors trained on the train side only, and every
+    mod-40 test user's non-train items ranked by the EXACT integer
+    factor dot product — hit-rate@10 / MRR@10 against the held-out
+    pairs, reciprocal ranks accumulated as lcm-scaled integers so the
+    means are single double divides. Completes the recommender
+    train → eval loop the way ltr_train_weights → ltr_rank_metrics
+    does for LTR; the oracle replays the trained chain plus the
+    ranking with the same 2520/rank integer trick."""
+    from collection_templates_spark.operators.product_analytics import (
+        als_implicit_rank2,
+        als_rank_eval,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    inter = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it")
+        )
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    train = inter.filter((F.col("u") + F.col("it")) % 5 != 0)
+    test = inter.filter(
+        ((F.col("u") + F.col("it")) % 5 == 0) & (F.col("u") % 40 == 0)
+    )
+    users_f, items_f = als_implicit_rank2(train)
+    return als_rank_eval(users_f, items_f, train, test, k=10)
+
+
 def search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (search.search_rrf_fusion) of the raw
     tf·idf and SMART-cosine rankings for 'spark hash join': score-free
@@ -5458,6 +5495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_components": embedding_pca_components,
     "recsys_als_factors": recsys_als_factors,
     "events_ar2_forecast": events_ar2_forecast,
+    "recsys_als_eval": recsys_als_eval,
     # --- r9-stale parity core (no external green since r9) ---
     "agg_rollup_daily": agg_rollup_daily,
     "scalar_json_extract": scalar_json_extract,
@@ -13293,13 +13331,18 @@ def _pca_components_oracle_sql(
 ORACLE_SQL["embedding_pca_components"] = _pca_components_oracle_sql()
 
 
-def _als_oracle_sql(sweeps: int = 2, alpha: int = 40) -> str:
-    """Generated unrolled oracle for recsys_als_factors mirroring
-    product_analytics.als_implicit_rank2: per half-sweep a 1-row Gram
-    CTE (hugeint sums over int64 micro products ≡ Spark's DECIMAL
-    sums), a per-entity correction/b aggregate, and the closed-form
-    2×2 solve as the identical cast-exact-to-double expressions,
-    requantized to 6dp micros (the linalg ladder convention)."""
+def _als_chain_ctes(
+    sweeps: int = 2, alpha: int = 40, inter_pred: str = "TRUE"
+) -> tuple[str, str, str]:
+    """The unrolled ALS sweep-chain CTEs mirroring
+    product_analytics.als_implicit_rank2 (shared by the factors and
+    eval oracles): per half-sweep a 1-row Gram CTE (hugeint sums over
+    int64 micro products ≡ Spark's DECIMAL sums), a per-entity
+    correction/b aggregate, and the closed-form 2×2 solve as the
+    identical cast-exact-to-double expressions, requantized to 6dp
+    micros (the linalg ladder convention). ``inter_pred`` filters the
+    training interactions (the eval oracle trains on the split).
+    Returns (ctes_sql, user_cte, item_cte)."""
     lam = 100_000_000_000
 
     def solve() -> tuple[str, str]:
@@ -13323,10 +13366,12 @@ def _als_oracle_sql(sweeps: int = 2, alpha: int = 40) -> str:
 
     x0, x1 = solve()
     ctes = [
-        """inter AS MATERIALIZED (
-        SELECT o_custkey AS u, l_partkey AS it, count(*) AS r
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        GROUP BY 1, 2
+        f"""inter AS MATERIALIZED (
+        SELECT u, it, r FROM (
+            SELECT o_custkey AS u, l_partkey AS it, count(*) AS r
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2)
+        WHERE {inter_pred}
     )""",
         """f0 AS MATERIALIZED (
         SELECT it AS fid,
@@ -13357,6 +13402,11 @@ def _als_oracle_sql(sweeps: int = 2, alpha: int = 40) -> str:
         prev = f"f{t}"
     uf, itf = f"f{2 * sweeps - 1}", f"f{2 * sweeps}"
     joined = ",\n    ".join(ctes)
+    return joined, uf, itf
+
+
+def _als_oracle_sql(sweeps: int = 2, alpha: int = 40) -> str:
+    joined, uf, itf = _als_chain_ctes(sweeps, alpha)
     return f"""
     WITH {joined}
     SELECT 'user' AS entity, fid AS id,
@@ -13372,6 +13422,62 @@ def _als_oracle_sql(sweeps: int = 2, alpha: int = 40) -> str:
 
 
 ORACLE_SQL["recsys_als_factors"] = _als_oracle_sql()
+
+
+def _als_eval_oracle_sql(sweeps: int = 2, alpha: int = 40) -> str:
+    """Held-out ranking-eval oracle: the ALS chain trained on the
+    (u + it) % 5 <> 0 split, then the brute exact-int ranking of
+    non-train items per test user, hit/MRR aggregation with the
+    lcm(1..10)=2520 integer reciprocal-rank trick (one double divide
+    at the end, matching als_rank_eval)."""
+    joined, uf, itf = _als_chain_ctes(
+        sweeps, alpha, inter_pred="(u + it) % 5 <> 0"
+    )
+    return f"""
+    WITH {joined},
+    allpairs AS MATERIALIZED (
+        SELECT o_custkey AS u, l_partkey AS it
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    ),
+    test_pairs AS (SELECT u, it FROM allpairs
+                   WHERE (u + it) % 5 = 0 AND u % 40 = 0),
+    train_pairs AS (SELECT u, it FROM allpairs WHERE (u + it) % 5 <> 0),
+    cohort AS MATERIALIZED (
+        SELECT t.u, f.f0u AS uf0, f.f1u AS uf1
+        FROM (SELECT DISTINCT u FROM test_pairs) t
+        JOIN {uf} f ON f.fid = t.u
+    ),
+    ranked AS MATERIALIZED (
+        SELECT u, it, row_number() OVER (
+                   PARTITION BY u ORDER BY score DESC, it ASC) AS rank
+        FROM (
+            SELECT c.u, i.fid AS it,
+                   c.uf0 * i.f0u + c.uf1 * i.f1u AS score
+            FROM cohort c CROSS JOIN {itf} i
+            WHERE NOT EXISTS (
+                SELECT 1 FROM train_pairs tp
+                WHERE tp.u = c.u AND tp.it = i.fid))
+    ),
+    per_user AS (
+        SELECT r.u, min(r.rank) AS first_rank, count(*) AS n_hits
+        FROM ranked r JOIN test_pairs tp ON tp.u = r.u AND tp.it = r.it
+        WHERE r.rank <= 10
+        GROUP BY r.u
+    )
+    SELECT count(*) AS n_users,
+           count(first_rank) AS n_hit_users,
+           coalesce(sum(n_hits), 0) AS hits_at_k,
+           round(CAST(count(first_rank) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS hit_rate,
+           round(CAST(coalesce(sum(CAST(2520 / first_rank AS BIGINT)),
+                               0) AS DOUBLE)
+                 / CAST(count(*) * 2520 AS DOUBLE), 6) AS mrr
+    FROM cohort c LEFT JOIN per_user p ON p.u = c.u
+    """
+
+
+ORACLE_SQL["recsys_als_eval"] = _als_eval_oracle_sql()
 
 
 # events_ar2_forecast: exact-decimal autocovariances (the DW scale-12

@@ -331,6 +331,32 @@ def test_als_implicit_matches_exact_python_replica(spark):
     assert min(in_block) > max(cross)
 
 
+def test_als_rank_eval_block_matrix(spark):
+    """On the 2-block matrix with some pairs held out, the ALS ranking
+    must place held-out IN-BLOCK items inside top-10 for every test
+    user (block scores dominate) — hit_rate 1.0 and MRR consistent
+    with the integer reciprocal-rank accumulation."""
+    from collection_templates_spark.operators.product_analytics import (
+        als_implicit_rank2,
+        als_rank_eval,
+    )
+
+    rows = []
+    for u in range(20):
+        base = 100 if u < 10 else 200
+        for j in range(10):
+            rows.append((u, base + j, 1 + (u * 7 + j) % 4))
+    inter = spark.createDataFrame(rows, "u long, it long, r long")
+    train = inter.filter((inter.u + inter.it) % 5 != 0)
+    test = inter.filter((inter.u + inter.it) % 5 == 0)
+    uf, itf = als_implicit_rank2(train)
+    m = als_rank_eval(uf, itf, train, test, k=10).collect()[0]
+    assert m["n_users"] == test.select("u").distinct().count()
+    assert m["hit_rate"] == 1.0  # every held-out item is in-block
+    assert 0 < m["mrr"] <= 1.0
+    assert m["hits_at_k"] >= m["n_hit_users"] == m["n_users"]
+
+
 def test_power_iteration_constant_embeddings_null_rows(spark):
     """Zero-variance cloud: Cv == 0, the unit iterate is undefined —
     the operator emits per-dimension rows with NULL loading/eigval
