@@ -5385,6 +5385,86 @@ def events_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("g", "event_type")
 
 
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (round 14): BUILDING-segment customers ⋈ orders
+    before the cut ⋈ lineitems shipped after it, per-order revenue
+    Σ price·(1−disc) as an exact DECIMAL sum, top-10 by (exact revenue
+    DESC, o_orderdate, l_orderkey) — the classic selective-dim
+    broadcast + selective-fact pushdown + TakeOrderedAndProject plan:
+    both date filters reach the parquet scans, the filtered customer
+    side broadcasts, and the top-k never globally sorts."""
+    cut = "1997-06-15"
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("rev_exact"))
+        .orderBy(
+            F.desc("rev_exact"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def agg_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (round 14): orders whose total quantity clears
+    the threshold (group-by-HAVING semi-join back onto the fact), with
+    customer enrichment and the top-20 by (o_totalprice DESC,
+    o_orderkey) — the aggregate-filter-rejoin pattern whose HAVING
+    side reuses the same partial-aggregate shuffle shape at any
+    scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+        )
+        .filter(F.col("qty") > 200)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.round(F.col("qty").cast("double"), 2).alias("total_qty"),
+        )
+    )
+
+
 def recsys_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration implicit-feedback ALS at rank 2
     (product_analytics.als_implicit_rank2, round 14, r13 verdict #4):
@@ -5496,6 +5576,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recsys_als_factors": recsys_als_factors,
     "events_ar2_forecast": events_ar2_forecast,
     "recsys_als_eval": recsys_als_eval,
+    "join_shipping_priority": join_shipping_priority,
+    "agg_large_orders": agg_large_orders,
     # --- r9-stale parity core (no external green since r9) ---
     "agg_rollup_daily": agg_rollup_daily,
     "scalar_json_extract": scalar_json_extract,
@@ -13478,6 +13560,47 @@ def _als_eval_oracle_sql(sweeps: int = 2, alpha: int = 40) -> str:
 
 
 ORACLE_SQL["recsys_als_eval"] = _als_eval_oracle_sql()
+
+
+# join_shipping_priority: top-10 rank on the EXACT decimal revenue
+# (rounded only at output), ties broken by date then the unique
+# orderkey — identical selection in both engines.
+ORACLE_SQL["join_shipping_priority"] = """
+    SELECT l_orderkey,
+           round(CAST(rev_exact AS DOUBLE), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority
+    FROM (
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(4,2))
+                      - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev_exact
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY rev_exact DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10)
+"""
+
+ORACLE_SQL["agg_large_orders"] = """
+    SELECT c.c_name, c.c_custkey, b.l_orderkey AS o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(CAST(b.qty AS DOUBLE), 2) AS total_qty
+    FROM (
+        SELECT l_orderkey,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200) b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, b.l_orderkey ASC
+    LIMIT 20
+"""
 
 
 # events_ar2_forecast: exact-decimal autocovariances (the DW scale-12

@@ -518,3 +518,64 @@ def test_round13_session2_plan_shapes(spark):
     # RRF: the fusion join of the two k-row rankings broadcasts
     p = _plan(spark, "search_rrf")
     assert "CartesianProduct" not in p, p
+
+
+def test_round14_plan_shapes(spark):
+    """Physical pins for the round-14 rows' scale claims."""
+    # Q3 shape: both date filters reach the parquet scans, the filtered
+    # customer dim broadcasts, and the top-10 is TakeOrderedAndProject
+    # (never a global sort)
+    p = _plan(spark, "join_shipping_priority")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "PushedFilters" in p and "LessThan(o_orderdate" in p, p
+    assert "GreaterThan(l_shipdate" in p, p
+    # Q18 shape: HAVING via partial-aggregated groupBy then join; the
+    # customer dim broadcasts; top-20 is TakeOrderedAndProject
+    p = _plan(spark, "agg_large_orders")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    # ALS: the row's final frame reads from lineage-cut checkpoints, so
+    # pin the half-sweep plan directly — the factor join broadcasts,
+    # the per-entity normal-equation aggregate is map-side combined,
+    # and the 1-row Gram rides a broadcast nested loop (never a
+    # cartesian over data)
+    import io as _io
+    import contextlib as _ctx
+
+    from pyspark.sql import functions as _F
+
+    from collection_templates_spark.operators.product_analytics import (
+        ALS_ALPHA,
+        ALS_LAMBDA_MICRO2,
+        _als_init_factors,
+        _als_solve_side,
+    )
+    from collection_templates_spark.sources.testdata import load_table
+
+    li = load_table(spark, "lineitem", SF)
+    orders = load_table(spark, "orders", SF)
+    inter = (
+        orders.join(
+            li, _F.col("o_orderkey") == _F.col("l_orderkey")
+        )
+        .groupBy(
+            _F.col("o_custkey").alias("u"), _F.col("l_partkey").alias("it")
+        )
+        .agg(_F.count(_F.lit(1)).alias("r"))
+    )
+    fac = _als_init_factors(inter.select("it").distinct(), "it")
+    half = _als_solve_side(inter, fac, "u", "it", ALS_ALPHA, ALS_LAMBDA_MICRO2)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        half.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_" in p, p
+    # AR(2): one lag window per group, the means broadcast, no
+    # cartesian beyond the 1-row-per-group broadcast join
+    p = _plan(spark, "events_ar2_forecast")
+    assert "Window" in p, p
+    assert "CartesianProduct" not in p, p
