@@ -76,8 +76,15 @@ def main() -> None:
     u_base = base("events", "user_id")
 
     def write(df: DataFrame, name: str) -> None:
+        # 32-way layout: the replicate-explode otherwise inherits the
+        # source's single partition and lands as ONE file with ONE row
+        # group — which serializes every later scan of the derived
+        # corpus into a single task (parquet splits at row-group
+        # granularity) and poisons scan-stage timing with an artifact
+        # no real multi-file corpus has (found in r14: ngram_novelty
+        # "sf10" was one core exploding 500k docs, 444 s vs 38 s).
         out = f"{dest}/{name}.parquet"
-        df.drop("___r").write.mode("overwrite").parquet(out)
+        df.drop("___r").repartition(32).write.mode("overwrite").parquet(out)
         print(f"wrote {out}")
 
     # tiny dims ride along unshifted (nationkeys stay in range)
