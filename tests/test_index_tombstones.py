@@ -213,3 +213,40 @@ def test_ann_rebuild_clears_tombstones(spark, tmp_path):
     delete_from_ivf_index(spark, idx, [1])
     build_ivf_index(_vecs(spark, range(16)), idx, n_clusters=4)
     assert tombstone_files(idx) == []
+
+
+# ---------------------------------------------------------------------------
+# Streaming probe path
+# ---------------------------------------------------------------------------
+
+
+def test_stream_probe_masks_tombstones(spark, tmp_path):
+    """The streaming delta pipeline probes through the same masked
+    path: a batch doc whose only near-dup in the index was tombstoned
+    must be ACCEPTED by the stream, not rejected against a retracted
+    document."""
+    import time
+
+    from collection_templates_spark.streaming.delta_stream import (
+        stream_delta_pipeline,
+    )
+
+    tmp = str(tmp_path)
+    drop, idx = f"{tmp}/drop", f"{tmp}/index"
+    accepted, ckpt = f"{tmp}/accepted", f"{tmp}/ckpt"
+    history = _docs(spark, _HISTORY)
+    build_minhash_index(history, idx)
+    # retract every near-dup of probe doc 301 (docs 1, 2, 6)
+    delete_from_index(spark, idx, [1, 2, 6])
+    batch = [
+        (301, "the quick brown fox jumps over the lazy dog tonight"),
+        (302, "watermarks bound state for late arriving streaming events"),
+    ]
+    _docs(spark, batch).coalesce(1).write.mode("append").parquet(drop)
+    time.sleep(1.1)
+    q = stream_delta_pipeline(
+        spark, drop, idx, accepted, ckpt, history.schema
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(accepted).collect())
+    assert got == [301, 302]  # 301's only matches were tombstoned
