@@ -90,22 +90,77 @@ def append_tombstones(
     id_col: str,
 ) -> None:
     """Record deleted ids as an append-only tombstone segment under
-    ``index_path/tombstones/`` — the retraction half of the index
-    delta story (takedowns, re-crawls). ``ids`` is a one-column
+    ``index_path/tombstones/cover=<E>/`` — the retraction half of the
+    index delta story (takedowns, re-crawls). ``ids`` is a one-column
     DataFrame (any column name) or a plain Python list. Deletes are
     idempotent: re-tombstoning an id (or tombstoning one that was
     never indexed) is a no-op at probe time, which is also what makes
     the compaction GC crash-window safe (a tombstone that outlives
-    the base fold re-removes rows that are already gone)."""
+    the base fold re-removes rows that are already gone).
+
+    ``cover=<E>`` stamps the segment with the highest epoch the delete
+    can reach (the max completed-epoch marker, or the published
+    watermark when everything is folded): a fold may GC a tombstone
+    only once its fold watermark passes E — without the stamp, a
+    tombstone masking an epoch segment that completed after the fold's
+    segment listing would be GC'd before any fold ever anti-joined it,
+    resurfacing the deleted doc (ADVICE r14). Note the masking window:
+    deleting an id and re-ingesting it later keeps the NEW copy masked
+    at probe time until a compaction folds the tombstone away — run
+    ``compact_*`` between a delete and a re-ingest of the same id."""
     if isinstance(ids, DataFrame):
-        df = ids.select(F.col(ids.columns[0]).alias(id_col))
+        # cast to long: the list branch writes long, and mixing physical
+        # int widths across tombstone segments makes multi-file schema
+        # resolution fragile (ADVICE r14)
+        df = ids.select(
+            F.col(ids.columns[0]).cast("long").alias(id_col)
+        )
     else:
         df = spark.createDataFrame(
             [(i,) for i in ids], f"{id_col} long"
         )
+    cover = _current_cover_epoch(index_path)
     df.coalesce(1).write.mode("append").parquet(
-        os.path.join(index_path, TOMBSTONE_DIR)
+        os.path.join(index_path, TOMBSTONE_DIR, f"cover={cover}")
     )
+
+
+def _current_cover_epoch(index_path: str) -> int:
+    """Highest epoch a tombstone appended NOW could be masking: the max
+    completed-epoch marker still on disk (unfolded segments), falling
+    back to the published watermark (all folded into base). -1 for
+    epoch-less indexes (the IVF vector dir), whose tombstones cover
+    only the base and are GC-safe at any fold."""
+    cover = -1
+    marker_dir = os.path.join(index_path, "_epochs")
+    if os.path.isdir(marker_dir):
+        for name in os.listdir(marker_dir):
+            try:
+                cover = max(cover, int(name))
+            except ValueError:
+                pass
+    layout_p = os.path.join(index_path, LAYOUT_FILE)
+    if os.path.exists(layout_p):
+        try:
+            with open(layout_p) as fh:
+                cover = max(
+                    cover, int(json.load(fh).get("epoch_watermark", -1))
+                )
+        except (ValueError, OSError, TypeError):
+            pass
+    return cover
+
+
+def _tombstone_cover(path: str) -> int:
+    """Cover epoch of a tombstone data file (from its ``cover=<E>``
+    path segment; legacy flat files cover only the base: -1)."""
+    for part in path.split(os.sep):
+        if part.startswith("cover="):
+            try:
+                return int(part.split("=", 1)[1])
+            except ValueError:
+                return -1
+    return -1
 
 
 def tombstone_files(index_path: str) -> list[str]:
@@ -115,11 +170,14 @@ def tombstone_files(index_path: str) -> list[str]:
     d = os.path.join(index_path, TOMBSTONE_DIR)
     if not os.path.isdir(d):
         return []
-    return sorted(
-        os.path.join(d, f)
-        for f in os.listdir(d)
-        if f.endswith(".parquet") and not f.startswith("_")
-    )
+    out = []
+    for root, _, files in os.walk(d):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+    return sorted(out)
 
 
 def read_tombstones(
@@ -308,8 +366,13 @@ def compact_minhash_index(
             spark.read.parquet(*seg_set_dirs).select("doc", "sh")
         )
     # fold the tombstone snapshot: deleted docs leave band table AND
-    # shingle sets (epoch segments above the watermark keep being
-    # masked at probe time until their own fold)
+    # shingle sets. Every tombstone on disk is anti-joined (masking is
+    # idempotent), but only those whose cover epoch this fold passes
+    # are GC'd below — a tombstone covering an epoch segment that
+    # completed after the segment listing above survives until the
+    # fold that actually folds that segment (ADVICE r14: the previous
+    # snapshot GC could resurface such a delete under concurrent
+    # ingest).
     tomb_snapshot = tombstone_files(index_path)
     tomb = read_tombstones(spark, index_path, "doc", tomb_snapshot)
     if tomb is not None:
@@ -368,13 +431,16 @@ def compact_minhash_index(
             os.remove(os.path.join(index_path, "_epochs", str(e)))
         except FileNotFoundError:
             pass
-    _gc_tombstone_files(index_path, tomb_snapshot)
+    covered = [
+        f for f in tomb_snapshot if _tombstone_cover(f) <= new_wm
+    ]
+    _gc_tombstone_files(index_path, covered)
     return {
         "files_before": files_before,
         "files_after": parquet_file_count(new_band_dir, new_set_dir),
         "epochs_folded": len(folded),
         "version": v,
-        "tombstones_folded": len(tomb_snapshot),
+        "tombstones_folded": len(covered),
     }
 
 

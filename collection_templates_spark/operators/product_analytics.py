@@ -465,6 +465,48 @@ ALS_ALPHA = 40  # implicit-feedback confidence slope (Hu-Koren-Volinsky)
 ALS_LAMBDA_MICRO2 = 100_000_000_000  # λ = 0.1 in micro² units
 
 
+def _round_div_half_away(num: int, den: int) -> int:
+    """round-half-away-from-zero of ``num / den`` for exact Python
+    ints, ``den > 0`` — the micro-requantization primitive of the ALS
+    solve (HALF_UP on the true rational, so it agrees with Spark's
+    BigDecimal HALF_UP and the oracle's HUGEINT division ladder by
+    construction: no float anywhere)."""
+    sign = -1 if num < 0 else 1
+    q, r = divmod(num if num >= 0 else -num, den)
+    return sign * (q + (1 if 2 * r >= den else 0))
+
+
+def _als_requant_batches(batches):
+    """Arrow mapInPandas kernel for the 2×2 normal-equation solve:
+    inputs are the EXACT integer Gram/confidence/b accumulations in
+    micro²/micro units (DECIMAL(38,0) → decimal.Decimal → int), the
+    output the 6dp-micro factors via Cramer's rule requantized in
+    unbounded Python integers — f = round_half_away(num·10¹² / det).
+
+    Why bignum and not a DECIMAL ladder Spark-side: det = A00·A11 −
+    A01² is micro⁴-scaled and grows with the global Gram (Σ over ALL
+    entities), so num·10¹² passes 38 digits around sf1 — exceeding
+    both DECIMAL(38) and int128. Python ints have no cap, the loop is
+    O(entities) per half-sweep, and the arithmetic is identical to
+    the oracle's in-range HUGEINT ladder (pinned by unit test)."""
+    import pandas as pd
+
+    scale = 10**12
+    for pdf in batches:
+        n = len(pdf)
+        f0 = [0] * n
+        f1 = [0] * n
+        cols = [pdf[c] for c in ("a00m", "a01m", "a11m", "b0m", "b1m")]
+        for i in range(n):
+            a00, a01, a11, b0, b1 = (int(c.iat[i]) for c in cols)
+            det = a00 * a11 - a01 * a01  # ≥ λ² > 0: A is PD
+            f0[i] = _round_div_half_away((a11 * b0 - a01 * b1) * scale, det)
+            f1[i] = _round_div_half_away((a00 * b1 - a01 * b0) * scale, det)
+        yield pd.DataFrame(
+            {"fid": pdf["fid"].astype("int64"), "f0u": f0, "f1u": f1}
+        )
+
+
 def _als_init_factors(ids: DataFrame, id_col: str) -> DataFrame:
     """Deterministic 6dp item-factor init in exact integer micros:
     f0 = 0.1 + (id mod 17)·0.05, f1 = 0.05 + (id mod 13)·0.05 — all
@@ -494,10 +536,14 @@ def _als_solve_side(
     DuckDB's hugeint Sum); the YᵀY Gram over ALL entities is one 1-row
     aggregate broadcast onto the per-entity correction (the classic
     implicit-ALS trick that keeps the solve O(obs), never O(entities)).
-    The closed-form 2×2 solve is the only float step — the same
-    cast-exact-to-double / det / adjugate expressions in both engines —
-    and the result re-enters the next half-sweep as 6dp micros, so
-    error cannot compound (the linalg.py ladder discipline)."""
+    The closed-form 2×2 solve is ALSO exact (r14 verdict #1: the old
+    cast-to-double requantization could disagree with the oracle by
+    one 6dp micro on a boundary double): Cramer numerators and det
+    stay scaled integers and f = round_half_away(num·10¹²/det) runs
+    in unbounded Python ints via :func:`_als_requant_batches` — the
+    chain now has ZERO float steps, so the factors re-entering the
+    next half-sweep are deterministic to the micro in any engine or
+    summation order."""
     y = fac.select(
         F.col("fid").alias(other_col),
         F.col("f0u"),
@@ -536,34 +582,21 @@ def _als_solve_side(
             ).alias("b1"),
         )
     )
-    a00 = (
+    d38 = "decimal(38,0)"
+    exact = per.join(gram).select(
+        F.col(solve_col).cast("long").alias("fid"),
         (F.col("g00") + F.lit(alpha) * F.col("s00") + F.lit(lam_micro2))
-        .cast("double")
-        / F.lit(1.0e12)
-    )
-    a01 = (
-        (F.col("g01") + F.lit(alpha) * F.col("s01")).cast("double")
-        / F.lit(1.0e12)
-    )
-    a11 = (
+        .cast(d38)
+        .alias("a00m"),
+        (F.col("g01") + F.lit(alpha) * F.col("s01")).cast(d38).alias("a01m"),
         (F.col("g11") + F.lit(alpha) * F.col("s11") + F.lit(lam_micro2))
-        .cast("double")
-        / F.lit(1.0e12)
+        .cast(d38)
+        .alias("a11m"),
+        F.col("b0").cast(d38).alias("b0m"),
+        F.col("b1").cast(d38).alias("b1m"),
     )
-    b0 = F.col("b0").cast("double") / F.lit(1.0e6)
-    b1 = F.col("b1").cast("double") / F.lit(1.0e6)
-    det = a00 * a11 - a01 * a01  # ≥ λ² > 0: A is PD by construction
-
-    def micro6(e):
-        return (
-            F.round(e, 6).cast("decimal(12,6)")
-            * F.lit(1000000).cast("decimal(19,0)")
-        ).cast("long")
-
-    return per.join(gram).select(
-        F.col(solve_col).alias("fid"),
-        micro6(F.try_divide(a11 * b0 - a01 * b1, det)).alias("f0u"),
-        micro6(F.try_divide(a00 * b1 - a01 * b0, det)).alias("f1u"),
+    return exact.mapInPandas(
+        _als_requant_batches, schema="fid long, f0u long, f1u long"
     )
 
 
@@ -584,9 +617,12 @@ def als_implicit_rank2(
     micros after ``sweeps`` alternating closed-form solves (Hu,
     Koren & Volinsky, ICDM 2008 — c = 1 + α·r confidence, p ≡ 1).
 
-    Deterministic end to end (see :func:`_als_solve_side`): the whole
-    sweep chain is byte-replayable in SQL, which is what makes the
-    ``recsys_als_factors`` driver row oracle-checkable.
+    Deterministic end to end with ZERO float steps (see
+    :func:`_als_solve_side`): every accumulation is exact-integer and
+    the solve requantizes through integer division, so the whole sweep
+    chain is byte-replayable (the oracle mirrors it with a HUGEINT
+    division ladder) — what makes the ``recsys_als_factors`` and
+    ``recsys_als_eval`` driver rows oracle-checkable boundary-free.
 
     Scale shape: per half-sweep, ONE broadcast of the other side's
     factor table onto the interaction list, one groupBy(solve side)

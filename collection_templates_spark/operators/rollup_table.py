@@ -92,10 +92,129 @@ def refresh_rollup(
     # materialize before writing: the merged plan READS rollup_path, which
     # the dynamic-overwrite below is about to rewrite
     merged = merged.localCheckpoint(eager=True)
+    _dynamic_overwrite(spark, merged, rollup_path)
+    return read_back()
+
+
+def _dynamic_overwrite(
+    spark: SparkSession, df: DataFrame, rollup_path: str
+) -> None:
     prev_conf = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.write.partitionBy("day").mode("overwrite").parquet(rollup_path)
+        df.write.partitionBy("day").mode("overwrite").parquet(rollup_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_conf)
-    return read_back()
+
+
+def retract_from_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    retracted: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> None:
+    """Queue event retractions (late-arriving corrections, GDPR
+    erasure — r14 verdict #5) against the rollup as an O(batch)
+    tombstone segment under ``rollup_path/tombstones/`` (the
+    index_maintenance segment/snapshot-GC machinery). ``retracted``
+    carries the event id plus its timestamp OR day — the day rides in
+    the tombstone so folding never needs the retracted row to still
+    exist in the base table (a GDPR flow deletes it there first).
+
+    Aggregate state is not maskable at read time (the retracted event
+    is already summed in), so visibility is at the next
+    :func:`refresh_rollup_with_deletes` — exactly the continuous-
+    aggregate invalidation-log semantics (TimescaleDB's
+    invalidation_log → next refresh window)."""
+    cols = set(retracted.columns)
+    if "day" in cols:
+        day = F.col("day")
+    else:
+        day = F.date_format(ts_col, "yyyy-MM-dd")
+    (
+        retracted.select(
+            F.col(id_col).cast("long").alias(id_col),
+            day.alias("day"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(f"{rollup_path}/tombstones")
+    )
+
+
+def refresh_rollup_with_deletes(
+    spark: SparkSession,
+    rollup_path: str,
+    base_events: DataFrame,
+    new_events: DataFrame | None = None,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Fold queued retractions (and optionally ingest a new batch) by
+    recomputing ONLY the affected days from the SURVIVING base events:
+    min/max/distinct are not invertible, so subtracting retracted
+    contributions from rolled state is impossible in general — the
+    exact refresh is a from-scratch recompute of the dirtied days,
+    which is also exact for ``approx_users`` (no estimate-merge).
+
+    Contract: ``base_events`` is the CURRENT full event table (new
+    batch already appended, retracted rows present or not — the
+    tombstone anti-join removes them either way); ``new_events`` only
+    widens the affected-day set. Days whose every event is retracted
+    lose their partition entirely (local-FS dir removal here; a
+    metastore deployment issues DROP PARTITION). The folded tombstone
+    SNAPSHOT is GC'd afterwards — segments appended concurrently
+    survive and fold at the next refresh, and re-folding a tombstone
+    is idempotent (anti-join of already-absent ids).
+
+    Scale shape: O(tombstones + affected-days' events), never
+    O(history) — the affected-day set is a broadcast filter that
+    partition-prunes the base scan on a day-partitioned event store,
+    and the rewrite is dynamic partition overwrite."""
+    import os
+    import shutil
+
+    from collection_templates_spark.operators.index_maintenance import (
+        _gc_tombstone_files,
+        tombstone_files,
+    )
+
+    tomb_snapshot = tombstone_files(rollup_path)
+    days = None
+    if tomb_snapshot:
+        tomb = spark.read.parquet(*tomb_snapshot).select(id_col, "day")
+        days = tomb.select("day").distinct()
+    if new_events is not None:
+        nd = new_events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).distinct()
+        days = nd if days is None else days.unionByName(nd).distinct()
+    if days is None:
+        return spark.read.parquet(rollup_path).withColumn(
+            "day", F.date_format("day", "yyyy-MM-dd")
+        )
+
+    affected = [r["day"] for r in days.collect()]
+    surviving = base_events.filter(
+        F.date_format("ts", "yyyy-MM-dd").isin(affected)
+    )
+    if tomb_snapshot:
+        surviving = surviving.join(
+            F.broadcast(tomb.select(id_col).distinct()),
+            id_col,
+            "left_anti",
+        )
+    recomputed = build_daily_rollup(surviving).localCheckpoint(eager=True)
+    _dynamic_overwrite(spark, recomputed, rollup_path)
+    still_there = {
+        r["day"] for r in recomputed.select("day").distinct().collect()
+    }
+    for d in affected:
+        if d not in still_there:
+            shutil.rmtree(
+                os.path.join(rollup_path, f"day={d}"), ignore_errors=True
+            )
+    _gc_tombstone_files(rollup_path, tomb_snapshot)
+    return spark.read.parquet(rollup_path).withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    )

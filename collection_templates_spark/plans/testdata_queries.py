@@ -1526,6 +1526,49 @@ def rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware rollup refresh (round 15; r14 verdict #5):
+    the day-partitioned continuous aggregate is built from ALL events,
+    then one day is fully erased (2024-01-11 — the GDPR shape) and two
+    neighbours lose their event_id ≡ 0 (mod 5) rows (late-arriving
+    corrections); ``retract_from_rollup`` queues the tombstone segment
+    and ``refresh_rollup_with_deletes`` folds it by recomputing ONLY
+    the three dirtied days from the surviving events
+    (operators/rollup_table.py — min/max are not invertible, so exact
+    retraction is an affected-day recompute, never state subtraction;
+    the emptied day's partition is dropped). The oracle is the rollup
+    of the surviving events directly — refresh ≡ recompute-from-
+    surviving, also pinned by tests/test_rollup_table.py.
+
+    Scale shape: O(tombstones + affected-days' events) — the
+    affected-day set partition-prunes the base scan; untouched
+    partitions are not read or rewritten."""
+    from collection_templates_spark.operators.rollup_table import (
+        refresh_rollup,
+        refresh_rollup_with_deletes,
+        retract_from_rollup,
+        scratch_rollup_path,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    path = scratch_rollup_path()
+    refresh_rollup(spark, path, ev)
+    day = F.date_format("ts", "yyyy-MM-dd")
+    retracted = ev.filter(
+        (day == "2024-01-11")
+        | (
+            day.isin("2024-01-10", "2024-01-12")
+            & (F.col("event_id") % 5 == 0)
+        )
+    ).select("event_id", "ts")
+    retract_from_rollup(spark, path, retracted)
+    out = refresh_rollup_with_deletes(spark, path, ev)
+    return out.select(
+        "day", "event_type", "n_events", "sum_value", "min_value",
+        "max_value",
+    )
+
+
 def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank with dangling-mass redistribution (round 7; r6 verdict
     #6) over the DIRECTED customer→supplier graph — suppliers have no
@@ -5495,7 +5538,10 @@ def _als_train_for(spark: SparkSession, sf_dir: str, split: str):
         "als",
         split,
         sf_dir,
+        # BOTH input tables (_als_interactions joins orders⋈lineitem;
+        # the driver can regenerate one without the other — ADVICE r14)
         _table_fingerprint(sf_dir, "lineitem"),
+        _table_fingerprint(sf_dir, "orders"),
         spark.sparkContext.applicationId,
     )
     if key not in _TRAINER_MEMO:
@@ -5519,9 +5565,11 @@ def recsys_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-based recommender next to basket_item_similarity's
     neighborhood method. Factors are carried as 6dp micros between
     half-sweeps, every accumulation is DECIMAL-exact and the
-    closed-form solve is the only float step, so the generated oracle
-    unrolls the whole 4-half-sweep chain; output is the factor table
-    for the custkey/partkey ≡ 0 (mod 20) cohorts."""
+    closed-form solve requantizes in exact integer arithmetic (zero
+    float steps anywhere, r14 verdict #1), so the generated oracle
+    unrolls the whole 4-half-sweep chain with a HUGEINT division
+    ladder; output is the factor table for the custkey/partkey ≡ 0
+    (mod 20) cohorts."""
     users, items = _als_train_for(spark, sf_dir, "all")
 
     def _pick(df: DataFrame, entity: str) -> DataFrame:
@@ -5827,6 +5875,51 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_merge_collections": agg_merge_collections,
     "date_daily_rollup": date_daily_rollup,
     "agg_pivot_event_types": agg_pivot_event_types,
+    # --- r15 new rows ---
+    "rollup_incremental_delete": rollup_incremental_delete,
+}
+
+# --- Round-15 rotation (r14 verdict #2) ------------------------------
+# The driver samples ~50 rows in INSERTION ORDER (the comment at the
+# top of the literal). Programmatic reorder: lead with the r15 new row
+# and the recsys_als_eval re-green (r14's one red, fixed by the
+# exact-integer solve), then every row NOT in r14's external sample in
+# its existing relative order (the r10/r11-stale cohorts already sit
+# ahead of the r12/r13-sampled ones there), and push the 49 rows r14
+# just sampled green to the back — zero overlap with r14's sample
+# except the deliberate ALS re-green.
+_R14_SAMPLED = frozenset(
+    """dedup_index_delete ann_index_delete embedding_pca_components
+    recsys_als_factors events_ar2_forecast recsys_als_eval
+    join_shipping_priority agg_large_orders agg_rollup_daily
+    scalar_json_extract join_inner_enrich join_left_default
+    join_semi_allowlist join_anti_archive snapshot_diff_merge
+    window_dup_count window_topk_per_group window_dedup_keep_first
+    window_sessionize window_session_native window_hopping
+    temporal_asof_join temporal_range_join set_union_membership
+    scalar_curate_name graph_transitive_closure dedup_exact
+    ann_incremental_topk sketch_hll_union events_markov_transitions
+    text_script_mix agg_weighted_median graph_label_propagation
+    snapshot_merge_upsert basket_item_pairs text_tfidf_top_terms
+    drift_welch_ttest text_zipf_fit dedup_cluster_report
+    events_conversion_lag drift_js_events stats_winsorize
+    text_token_pmi events_state_islands events_window_funnel
+    join_salted_skew layout_zorder_stats temporal_gap_fill
+    events_trailing_zscore quality_dynamic_threshold""".split()
+)
+_R15_FRONT = ("rollup_incremental_delete", "recsys_als_eval")
+QUERIES = {
+    **{k: QUERIES[k] for k in _R15_FRONT},
+    **{
+        k: v
+        for k, v in QUERIES.items()
+        if k not in _R14_SAMPLED and k not in _R15_FRONT
+    },
+    **{
+        k: v
+        for k, v in QUERIES.items()
+        if k in _R14_SAMPLED and k not in _R15_FRONT
+    },
 }
 
 
@@ -8349,6 +8442,20 @@ ORACLE_SQL["rollup_refresh"] = """
     UNION ALL
     SELECT day, event_type, n_events, sum_value, min_value, max_value
     FROM merged
+"""
+
+# rollup_incremental_delete: refresh-with-deletes ≡ rollup of the
+# surviving events (one fully-erased day + two partially-retracted
+# neighbours); same per-day 6dp sum rounding as rollup_refresh.
+ORACLE_SQL["rollup_incremental_delete"] = """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') <> '2024-01-11'
+      AND NOT (strftime(ts, '%Y-%m-%d') IN ('2024-01-10', '2024-01-12')
+               AND event_id % 5 = 0)
+    GROUP BY 1, 2
 """
 
 # text_top_terms oracle: tf × ln(N/df) with the same analyzer split.
@@ -13445,33 +13552,58 @@ def _als_chain_ctes(
     product_analytics.als_implicit_rank2 (shared by the factors and
     eval oracles): per half-sweep a 1-row Gram CTE (hugeint sums over
     int64 micro products ≡ Spark's DECIMAL sums), a per-entity
-    correction/b aggregate, and the closed-form 2×2 solve as the
-    identical cast-exact-to-double expressions, requantized to 6dp
-    micros (the linalg ladder convention). ``inter_pred`` filters the
+    correction/b aggregate, and the closed-form 2×2 solve as an EXACT
+    HUGEINT division ladder (see ``ladder`` below — zero float steps,
+    r14 verdict #1). ``inter_pred`` filters the
     training interactions (the eval oracle trains on the split).
     Returns (ctes_sql, user_cte, item_cte)."""
     lam = 100_000_000_000
 
-    def solve() -> tuple[str, str]:
-        a00 = f"(CAST(g00 + {alpha} * s00 + {lam} AS DOUBLE) / 1e12)"
-        a01 = f"(CAST(g01 + {alpha} * s01 AS DOUBLE) / 1e12)"
-        a11 = f"(CAST(g11 + {alpha} * s11 + {lam} AS DOUBLE) / 1e12)"
-        b0 = "(CAST(b0 AS DOUBLE) / 1e6)"
-        b1 = "(CAST(b1 AS DOUBLE) / 1e6)"
-        det = f"({a00} * {a11} - {a01} * {a01})"
-
-        def micro6(x: str) -> str:
-            return (
-                f"CAST(CAST(round({x}, 6) AS DECIMAL(12,6)) "
-                f"* CAST(1000000 AS DECIMAL(19,0)) AS BIGINT)"
+    def ladder(src: str) -> str:
+        """The EXACT solve (r14 verdict #1 — zero float steps): keep
+        Cramer numerators (micro³) and det (micro⁴) as HUGEINT and
+        compute f_u = round_half_away(|num|·10¹² / det) by three ×10⁴
+        floor-division steps, so no intermediate passes int128
+        (max is det·10⁴ ≈ 10³⁶ at sf0.01; the oracle only ever runs
+        at sf ≤ 0.01 — the Spark side uses unbounded Python ints,
+        product_analytics._als_requant_batches, same arithmetic).
+        Positive operands only (sign split out), where DuckDB ``//``
+        truncation ≡ floor; the final half-bit CASE is the HALF_UP
+        convention shared with Spark's BigDecimal round."""
+        steps = []
+        for side, n in (("0", "n0"), ("1", "n1")):
+            steps.append(
+                f"(q{side}a * 100000000 + q{side}b * 10000 + q{side}c"
+                f" + CASE WHEN 2 * r{side}c >= det THEN 1 ELSE 0 END)"
             )
-
-        return (
-            micro6(f"({a11} * {b0} - {a01} * {b1}) / {det}"),
-            micro6(f"({a00} * {b1} - {a01} * {b0}) / {det}"),
-        )
-
-    x0, x1 = solve()
+        return f"""SELECT fid,
+               CAST(sg0 * {steps[0]} AS BIGINT) AS f0u,
+               CAST(sg1 * {steps[1]} AS BIGINT) AS f1u
+        FROM (
+          SELECT *, (r0b * 10000) // det AS q0c, (r0b * 10000) % det AS r0c,
+                 (r1b * 10000) // det AS q1c, (r1b * 10000) % det AS r1c
+          FROM (
+            SELECT *, (r0a * 10000) // det AS q0b, (r0a * 10000) % det AS r0b,
+                   (r1a * 10000) // det AS q1b, (r1a * 10000) % det AS r1b
+            FROM (
+              SELECT *, (n0 * 10000) // det AS q0a, (n0 * 10000) % det AS r0a,
+                     (n1 * 10000) // det AS q1a, (n1 * 10000) % det AS r1a
+              FROM (
+                SELECT fid, a00m * a11m - a01m * a01m AS det,
+                       CASE WHEN a11m * b0m - a01m * b1m < 0
+                            THEN -1 ELSE 1 END AS sg0,
+                       abs(a11m * b0m - a01m * b1m) AS n0,
+                       CASE WHEN a00m * b1m - a01m * b0m < 0
+                            THEN -1 ELSE 1 END AS sg1,
+                       abs(a00m * b1m - a01m * b0m) AS n1
+                FROM (
+                  SELECT fid,
+                         CAST(g00 + {alpha} * s00 + {lam} AS HUGEINT) AS a00m,
+                         CAST(g01 + {alpha} * s01 AS HUGEINT) AS a01m,
+                         CAST(g11 + {alpha} * s11 + {lam} AS HUGEINT) AS a11m,
+                         CAST(b0 AS HUGEINT) AS b0m,
+                         CAST(b1 AS HUGEINT) AS b1m
+                  FROM {src}))))) """
     ctes = [
         f"""inter AS MATERIALIZED (
         SELECT u, it, r FROM (
@@ -13503,8 +13635,7 @@ def _als_chain_ctes(
         FROM inter JOIN {prev} ON inter.{okey} = {prev}.fid
         GROUP BY 1
     ), f{t} AS MATERIALIZED (
-        SELECT fid, {x0} AS f0u, {x1} AS f1u
-        FROM s{t}, g{t}
+        {ladder(f"s{t}, g{t}")}
     )""")
         prev = f"f{t}"
     uf, itf = f"f{2 * sweeps - 1}", f"f{2 * sweeps}"

@@ -244,3 +244,56 @@ def test_dedup_bucketed_compaction_swaps_catalog(spark, tmp_path):
     build_minhash_index(_docs(spark, _HISTORY), idx, bucket_bands=4)
     assert not os.path.exists(os.path.join(idx, "_layout.json"))
     assert spark.catalog.tableExists(old_table)
+
+
+def test_dedup_tombstone_covering_late_epoch_survives_fold(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14 (index_maintenance GC race): a tombstone masking a
+    doc that lives ONLY in an epoch segment completing after the
+    fold's segment listing must survive that fold's GC — the
+    cover-epoch stamp keeps it on disk until the fold that actually
+    folds its epoch, so the delete can never resurface under
+    concurrent streaming ingest."""
+    from collection_templates_spark.operators import (
+        incremental_dedup as _inc,
+    )
+    from collection_templates_spark.operators.incremental_dedup import (
+        delete_from_index,
+    )
+    from collection_templates_spark.operators.index_maintenance import (
+        tombstone_files,
+    )
+
+    idx = str(tmp_path / "idx")
+    probe = _docs(spark, _PROBE)
+    build_minhash_index(_docs(spark, _HISTORY), idx)
+    # doc 101 exists ONLY in epoch 0; the tombstone lands after the
+    # marker, so it is stamped cover=0
+    _write_epoch_segment(spark, idx, 0, _B1, marked=True)
+    delete_from_index(spark, idx, [101])
+    before = _pairs(dedup_batch_against_index(spark, idx, probe))
+    assert all(old != 101 for _, old, _ in before)
+
+    # the race: epoch 0 completed AFTER this fold listed segments —
+    # simulate with a stale (empty) listing while the tombstone
+    # snapshot below it still sees the cover=0 segment
+    monkeypatch.setattr(
+        _inc, "_completed_epoch_dirs", lambda *a, **k: []
+    )
+    compact_minhash_index(spark, idx)
+    monkeypatch.undo()
+
+    # the old snapshot GC deleted these files here — the cover stamp
+    # must keep them (epoch 0 is still unfolded)
+    assert tombstone_files(idx), "tombstone GC'd before its epoch folded"
+    mid = _pairs(dedup_batch_against_index(spark, idx, probe))
+    assert mid == before  # still masked
+
+    # the NEXT fold sees epoch 0, folds it, and only then GCs
+    stats = compact_minhash_index(spark, idx)
+    assert stats["epochs_folded"] == 1
+    assert tombstone_files(idx) == []
+    after = _pairs(dedup_batch_against_index(spark, idx, probe))
+    assert after == before
+    assert all(old != 101 for _, old, _ in after)

@@ -100,3 +100,120 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.table("rollup_stream").collect()))
     assert got == batch
+
+
+def _ev_id(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts string, event_type string, value double, "
+        "user_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_delete_refresh_equals_recompute_from_surviving(spark, tmp_path):
+    """r14 verdict #5: retraction-aware refresh ≡ from-scratch rollup
+    of the surviving events — exact for the non-invertible aggregates
+    (min/max) because dirtied days recompute wholesale; untouched days
+    keep their partitions byte-identical."""
+    from collection_templates_spark.operators.index_maintenance import (
+        tombstone_files,
+    )
+    from collection_templates_spark.operators.rollup_table import (
+        refresh_rollup_with_deletes,
+        retract_from_rollup,
+    )
+
+    path = str(tmp_path / "rollup")
+    rows = [
+        (1, "2024-01-01 10:00:00", "click", 1.0, 1),
+        (2, "2024-01-01 11:00:00", "click", 9.0, 2),  # day-1 max
+        (3, "2024-01-02 10:00:00", "view", 5.0, 1),
+        (4, "2024-01-02 12:00:00", "view", 2.0, 3),
+        (5, "2024-01-03 09:00:00", "click", 7.0, 1),
+    ]
+    base = _ev_id(spark, rows)
+    refresh_rollup(spark, path, base)
+
+    # retract the day-1 max and ALL of day-3 (GDPR user 1, say)
+    retract_from_rollup(
+        spark, path, base.filter(F.col("event_id").isin(2, 5))
+    )
+    assert tombstone_files(path)
+    out = refresh_rollup_with_deletes(spark, path, base)
+    got = {
+        (r.day, r.event_type): (r.n_events, r.sum_value, r.max_value)
+        for r in out.collect()
+    }
+    surv = base.filter(~F.col("event_id").isin(2, 5))
+    want = {
+        (r.day, r.event_type): (r.n_events, r.sum_value, r.max_value)
+        for r in build_daily_rollup(surv).collect()
+    }
+    assert got == want
+    assert got[("2024-01-01", "click")] == (1, 1.0, 1.0)  # max re-dropped
+    assert ("2024-01-03", "click") not in got  # emptied day gone
+    import os
+
+    assert not os.path.exists(os.path.join(path, "day=2024-01-03"))
+    assert tombstone_files(path) == []  # folded snapshot GC'd
+
+    # idempotent no-op when nothing is queued
+    again = refresh_rollup_with_deletes(spark, path, surv)
+    got2 = {
+        (r.day, r.event_type): (r.n_events, r.sum_value, r.max_value)
+        for r in again.collect()
+    }
+    assert got2 == want
+
+
+def test_delete_refresh_with_new_batch_and_crash_window(spark, tmp_path):
+    """Deletes + a new batch in one refresh; then the crash window —
+    a tombstone re-appended after its fold (GC crashed) re-folds as a
+    no-op. Retracted ids whose rows are ALREADY gone from the base
+    (GDPR deletes upstream first) still dirty their day via the
+    tombstone's own day column."""
+    from collection_templates_spark.operators.rollup_table import (
+        refresh_rollup_with_deletes,
+        retract_from_rollup,
+    )
+
+    path = str(tmp_path / "rollup")
+    rows = [
+        (1, "2024-01-01 10:00:00", "click", 1.0, 1),
+        (2, "2024-01-01 11:00:00", "click", 9.0, 2),
+        (3, "2024-01-02 10:00:00", "view", 5.0, 1),
+    ]
+    base = _ev_id(spark, rows)
+    refresh_rollup(spark, path, base)
+    # upstream already erased event 2 — the retraction frame is built
+    # from the tombstone request (id + day), not the base row
+    retract_from_rollup(
+        spark,
+        path,
+        spark.createDataFrame([(2, "2024-01-01")], "event_id long, day string"),
+    )
+    new_batch = _ev_id(spark, [(6, "2024-01-04 08:00:00", "view", 4.0, 9)])
+    base_after = base.filter(F.col("event_id") != 2).unionByName(new_batch)
+    out = refresh_rollup_with_deletes(
+        spark, path, base_after, new_events=new_batch
+    )
+    got = {
+        (r.day, r.event_type): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    assert got[("2024-01-01", "click")] == (1, 1.0)
+    assert got[("2024-01-04", "view")] == (1, 4.0)
+    assert got[("2024-01-02", "view")] == (1, 5.0)
+
+    # crash window: the same tombstone re-appended post-fold
+    retract_from_rollup(
+        spark,
+        path,
+        spark.createDataFrame([(2, "2024-01-01")], "event_id long, day string"),
+    )
+    out2 = refresh_rollup_with_deletes(spark, path, base_after)
+    got2 = {
+        (r.day, r.event_type): (r.n_events, r.sum_value)
+        for r in out2.collect()
+    }
+    assert got2 == got

@@ -245,15 +245,15 @@ def test_ar2_yule_walker_degenerate_groups(spark):
 
 def test_als_implicit_matches_exact_python_replica(spark):
     """The rank-2 implicit-ALS sweep chain replicated in pure Python
-    (exact ints for every accumulation, the same double closed-form
-    solve, byte-equivalent rounding) must reproduce the distributed
-    factors bit-for-bit; and on a 2-block interaction matrix the
-    learned factors must score observed (in-block) pairs above
-    unobserved (cross-block) pairs."""
-    from collection_templates_spark.operators.linalg import _round_half_up
+    (exact ints for every accumulation AND for the closed-form solve —
+    r15: f = round_half_away(num·10¹²/det) in bignum, zero float
+    steps) must reproduce the distributed factors bit-for-bit; and on
+    a 2-block interaction matrix the learned factors must score
+    observed (in-block) pairs above unobserved (cross-block) pairs."""
     from collection_templates_spark.operators.product_analytics import (
         ALS_ALPHA,
         ALS_LAMBDA_MICRO2,
+        _round_div_half_away,
         als_implicit_rank2,
     )
 
@@ -295,17 +295,13 @@ def test_als_implicit_matches_exact_python_replica(spark):
             s11 = sum(r * fac[o][1] * fac[o][1] for o, r in lst)
             b0 = sum((1 + ALS_ALPHA * r) * fac[o][0] for o, r in lst)
             b1 = sum((1 + ALS_ALPHA * r) * fac[o][1] for o, r in lst)
-            a00 = float(g00 + ALS_ALPHA * s00 + ALS_LAMBDA_MICRO2) / 1e12
-            a01 = float(g01 + ALS_ALPHA * s01) / 1e12
-            a11 = float(g11 + ALS_ALPHA * s11 + ALS_LAMBDA_MICRO2) / 1e12
-            b0d = float(b0) / 1e6
-            b1d = float(b1) / 1e6
+            a00 = g00 + ALS_ALPHA * s00 + ALS_LAMBDA_MICRO2
+            a01 = g01 + ALS_ALPHA * s01
+            a11 = g11 + ALS_ALPHA * s11 + ALS_LAMBDA_MICRO2
             det = a00 * a11 - a01 * a01
-            x0 = (a11 * b0d - a01 * b1d) / det
-            x1 = (a00 * b1d - a01 * b0d) / det
             out[eid] = (
-                int(_round_half_up(x0, 6) * M),
-                int(_round_half_up(x1, 6) * M),
+                _round_div_half_away((a11 * b0 - a01 * b1) * M**2, det),
+                _round_div_half_away((a00 * b1 - a01 * b0) * M**2, det),
             )
         return out
 

@@ -1,0 +1,71 @@
+"""Round-15 additions: the exact-integer ALS requantization (zero
+float steps — r14 verdict #1) and delete-aware incremental rollup
+refresh."""
+
+from __future__ import annotations
+
+
+def test_als_requant_ladder_equals_bignum_rounding():
+    """The oracle's HUGEINT three-step ×10⁴ division ladder must equal
+    Python-bignum round_half_away(num·10¹²/det) on adversarial values:
+    negatives, exact halves, |num| ≫ det, det near the sf0.01 scale
+    cap — if these agree, the Spark mapInPandas solve and the DuckDB
+    oracle solve agree by construction (same rational, same rounding
+    law), which is the whole r15 fix for the recsys_als_eval flake."""
+    import duckdb
+
+    from collection_templates_spark.operators.product_analytics import (
+        _round_div_half_away,
+    )
+
+    cases = [
+        (0, 7),
+        (1, 2 * 10**12),  # exactly half a micro -> rounds up (away)
+        (-1, 2 * 10**12),  # exactly half, negative -> away from zero
+        (3, 2 * 10**12),
+        (123456789, 987654321),
+        (-123456789, 987654321),
+        (10**26, 3 * 10**31),  # sf0.01-scale magnitudes
+        (-(10**26) + 7, 3 * 10**31),
+        (999_999_999_999, 10**12),  # just under 1 micro
+        (7 * 10**25 + 1, 2 * 10**25),
+    ]
+    con = duckdb.connect()
+    for num, det in cases:
+        expected = _round_div_half_away(num * 10**12, det)
+        q = f"""
+        SELECT CAST(sg * (qa * 100000000 + qb * 10000 + qc
+                   + CASE WHEN 2 * rc >= det THEN 1 ELSE 0 END)
+               AS BIGINT) AS f
+        FROM (
+          SELECT *, (rb * 10000) // det AS qc, (rb * 10000) % det AS rc
+          FROM (
+            SELECT *, (ra * 10000) // det AS qb, (ra * 10000) % det AS rb
+            FROM (
+              SELECT *, (n * 10000) // det AS qa, (n * 10000) % det AS ra
+              FROM (SELECT CAST({det} AS HUGEINT) AS det,
+                           CASE WHEN {num} < 0 THEN -1 ELSE 1 END AS sg,
+                           abs(CAST({num} AS HUGEINT)) AS n))))
+        """
+        got = con.execute(q).fetchone()[0]
+        assert got == expected, (num, det, got, expected)
+    con.close()
+
+
+def test_round_div_half_away_law():
+    """Half-away-from-zero on the true rational, exhaustively near the
+    boundary: agrees with Decimal ROUND_HALF_UP division."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from collection_templates_spark.operators.product_analytics import (
+        _round_div_half_away,
+    )
+
+    for num in range(-25, 26):
+        for det in range(1, 8):
+            want = int(
+                (Decimal(num) / Decimal(det)).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+            assert _round_div_half_away(num, det) == want, (num, det)
