@@ -24,6 +24,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# Rows added THIS round (update each round): the final line splits the
+# headline into carried_subtotal vs new_rows so round-over-round drift
+# on code-untouched rows is machine-checkable from BENCH_r{N}.json
+# alone (r14 verdict #6) instead of reconstructed from prose.
+NEW_ROWS_THIS_ROUND = frozenset(
+    {
+        "rollup_incremental_delete",
+        "join_exists_late_orders",
+        "agg_supplier_parts_distinct",
+        "join_sole_late_supplier",
+    }
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -113,6 +127,9 @@ def main() -> None:
             }
         )
     )
+    new_sum = round(
+        sum(v for k, v in per_query.items() if k in NEW_ROWS_THIS_ROUND), 3
+    )
     print(
         json.dumps(
             {
@@ -121,6 +138,11 @@ def main() -> None:
                 "unit": "sec",
                 "n": len(per_query),
                 "sf": sf,
+                "carried_subtotal": round(
+                    sum(per_query.values()) - new_sum, 3
+                ),
+                "new_rows": new_sum,
+                "n_new": len(NEW_ROWS_THIS_ROUND & set(per_query)),
             }
         )
     )

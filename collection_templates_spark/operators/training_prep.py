@@ -576,6 +576,60 @@ QUALITY_WEIGHTS: tuple[float, float, float, float, float] = (
 )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the RAG /
+    long-context ingestion primitive next to :func:`pack_sequences`
+    (packing fills contexts across documents; chunking splits one
+    document into retrievable windows). Tokens are the corpus
+    convention (lowercased split on single spaces, empties kept —
+    identical literal semantics in both engines); chunk k starts at
+    k·(window−overlap) and takes ``window`` tokens, the final chunk
+    keeping whatever tail remains rather than dropping it.
+
+    Columns: (id, chunk_idx, start_tok, n_tokens, chunk_text).
+
+    Determinism: pure positional arithmetic, no hashing, no floats.
+    Scale shape: zero shuffles — a per-row Generate (the chunk-start
+    explode) between two narrow projections, so the row growth
+    streams; the token array rides a single-element-array explode so
+    it is a Generate OUTPUT ATTRIBUTE, not a recomputed expression
+    (the repo's Generate-barrier rule — size() and slice() both
+    reference it downstream)."""
+    stride = window - overlap
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(F.split(F.lower(F.col(text_col)), " "))
+        ).alias("toks"),
+    )
+    step = base.select(
+        "id",
+        "toks",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.size("toks") - 1, F.lit(stride)
+            )
+        ).alias("chunk_idx", "start_tok"),
+    )
+    return step.select(
+        "id",
+        "chunk_idx",
+        "start_tok",
+        F.least(
+            F.lit(window), F.size("toks") - F.col("start_tok")
+        ).alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start_tok") + 1, window), " "
+        ).alias("chunk_text"),
+    )
+
+
 def quality_classifier(
     docs: DataFrame,
     weights: tuple[float, float, float, float, float] = QUALITY_WEIGHTS,

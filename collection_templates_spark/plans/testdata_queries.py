@@ -5508,6 +5508,165 @@ def agg_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (round 15;
+    training_prep.chunk_documents — the RAG/long-context ingestion
+    primitive next to pack_sequences): window 16, overlap 4 over the
+    space-token stream, final chunk keeps the tail. The gate row
+    md5-digests each chunk's text so the oracle pins exact chunk
+    CONTENT (boundaries AND token bytes) without shipping the corpus
+    through the compare."""
+    from collection_templates_spark.operators.training_prep import (
+        chunk_documents,
+    )
+
+    out = chunk_documents(
+        _t(spark, sf_dir, "documents"), window=16, overlap=4
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "start_tok",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def join_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (round 15): order-priority histogram of one
+    quarter's orders having AT LEAST ONE late line — the correlated
+    EXISTS becomes a left-semi join with a mixed equi + range
+    condition (this schema has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + 60 days). Catalyst hashes the equi part
+    and applies the range residually; the semi join never duplicates
+    orders, so no distinct is needed before the count."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def agg_supplier_parts_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape (round 15): distinct supplier count per
+    (brand, size) over the lineitem part↔supplier relation (this
+    schema has no partsupp table), excluding one brand, a size set,
+    and a supplier blocklist (negative account balance) — the NOT IN
+    becomes a broadcast anti-join BELOW the aggregation. Top-20 by
+    (supplier_cnt DESC, brand, size): the group key completes the
+    total order, so the limit is deterministic."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 5, 9, 14, 20, 28, 35, 42)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    rel = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        rel.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size")
+        )
+        .limit(20)
+    )
+
+
+def join_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (round 15): suppliers in one nation who were the
+    SOLE late shipper on a multi-supplier finished order (nation set:
+    n_nationkey ≡ 1 mod 3 — a single nation is empty at sf0.001 and a
+    0-row gate row checks nothing). The classic
+    double correlated subquery — EXISTS(another supplier on the order)
+    AND NOT EXISTS(another LATE supplier) — decorrelates into ONE
+    groupBy(orderkey) computing (distinct suppliers, distinct late
+    suppliers): given the candidate row is itself late, EXISTS-other ⟺
+    ns ≥ 2 and NOT-EXISTS-other-late ⟺ nl = 1. Spark-first shape: one
+    shuffle on l_orderkey shared by the aggregate and the re-join
+    (co-partitioned), nation and supplier broadcast; the oracle keeps
+    the textbook EXISTS/NOT EXISTS form so both derivations must
+    agree. Lateness is l_shipdate > o_orderdate + 60 days (no
+    commit/receipt dates in this schema)."""
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate", "o_orderstatus"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "late",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).cast("int"),
+        )
+    )
+    per = l.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("nl"),
+    )
+    cand = (
+        l.filter((F.col("late") == 1) & (F.col("o_orderstatus") == "F"))
+        .join(per, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("ns") >= 2) & (F.col("nl") == 1))
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_nationkey") % 3 == 1
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        cand.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
 def _als_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -5877,6 +6036,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pivot_event_types": agg_pivot_event_types,
     # --- r15 new rows ---
     "rollup_incremental_delete": rollup_incremental_delete,
+    "join_exists_late_orders": join_exists_late_orders,
+    "agg_supplier_parts_distinct": agg_supplier_parts_distinct,
+    "join_sole_late_supplier": join_sole_late_supplier,
+    "text_chunk_windows": text_chunk_windows,
 }
 
 # --- Round-15 rotation (r14 verdict #2) ------------------------------
@@ -5907,7 +6070,14 @@ _R14_SAMPLED = frozenset(
     join_salted_skew layout_zorder_stats temporal_gap_fill
     events_trailing_zscore quality_dynamic_threshold""".split()
 )
-_R15_FRONT = ("rollup_incremental_delete", "recsys_als_eval")
+_R15_FRONT = (
+    "rollup_incremental_delete",
+    "join_exists_late_orders",
+    "agg_supplier_parts_distinct",
+    "join_sole_late_supplier",
+    "text_chunk_windows",
+    "recsys_als_eval",
+)
 QUERIES = {
     **{k: QUERIES[k] for k in _R15_FRONT},
     **{
@@ -8442,6 +8612,84 @@ ORACLE_SQL["rollup_refresh"] = """
     UNION ALL
     SELECT day, event_type, n_events, sum_value, min_value, max_value
     FROM merged
+"""
+
+# text_chunk_windows: same positional arithmetic in list form; DuckDB
+# range(0,n,12) == Spark sequence(0,n-1,12) for n >= 1 (split of ''
+# yields [''], so n >= 1 always); 1-based inclusive list slice clamps
+# at the tail exactly like Spark's slice(length=16).
+ORACLE_SQL["text_chunk_windows"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest(len(toks), 1), 12)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 12 AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start_tok,
+           CAST(least(16, len(toks) - start) AS INT) AS n_tokens,
+           md5(array_to_string(toks[start + 1:start + 16], ' '))
+               AS chunk_md5
+    FROM s
+"""
+
+# Q4 shape: the textbook correlated EXISTS — DuckDB decorrelates it
+# itself, so the two engines take independent routes to the histogram.
+ORACLE_SQL["join_exists_late_orders"] = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+"""
+
+# Q16 shape: NOT IN blocklist + count(DISTINCT) per group; the limit's
+# order is total (count DESC, then the unique group key).
+ORACLE_SQL["agg_supplier_parts_distinct"] = """
+    SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 5, 9, 14, 20, 28, 35, 42)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+    LIMIT 20
+"""
+
+# Q21 shape: kept in the textbook EXISTS / NOT EXISTS form — the Spark
+# side decorrelates into one groupBy, so the derivations are
+# independent and must agree row-for-row.
+ORACLE_SQL["join_sole_late_supplier"] = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey
+      AND n_nationkey % 3 = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
 """
 
 # rollup_incremental_delete: refresh-with-deletes ≡ rollup of the

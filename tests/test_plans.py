@@ -579,3 +579,27 @@ def test_round14_plan_shapes(spark):
     p = _plan(spark, "events_ar2_forecast")
     assert "Window" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_round15_tpch_shape_plans(spark):
+    # Q4 shape: the EXISTS is a LEFT SEMI hash join (equi part hashed,
+    # the +60d range applied residually), order-date filter pushed to
+    # the parquet scan, no duplication before the histogram
+    p = _plan(spark, "join_exists_late_orders")
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "PushedFilters" in p and "GreaterThanOrEqual(o_orderdate" in p, p
+    # Q16 shape: blocklist NOT-IN as a broadcast ANTI join below the
+    # distinct-count aggregate; part dim broadcast; deterministic
+    # top-20 via TakeOrderedAndProject
+    p = _plan(spark, "agg_supplier_parts_distinct")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "In(p_size" in p, p
+    # Q21 shape: the decorrelated double-EXISTS — everything meets on
+    # l_orderkey (no cartesian anywhere), supplier⋈nation broadcast,
+    # map-side-combined distinct-supplier aggregate
+    p = _plan(spark, "join_sole_late_supplier")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_" in p, p

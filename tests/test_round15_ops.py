@@ -69,3 +69,37 @@ def test_round_div_half_away_law():
                 )
             )
             assert _round_div_half_away(num, det) == want, (num, det)
+
+
+def test_chunk_documents_boundaries_and_tail(spark):
+    """Window/overlap arithmetic: starts at k·stride, window-sized
+    slices, the final chunk keeps the tail (shorter, never dropped),
+    and a doc shorter than one window yields exactly one chunk."""
+    from collection_templates_spark.operators.training_prep import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, words), (2, "only three tokens")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # stride 3: starts 0,3,6,9 over 10 tokens
+    assert [r["start_tok"] for r in c1] == [0, 3, 6, 9]
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4, 1]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert c1[-1]["chunk_text"] == "w9"  # tail kept
+    # every token appears in some chunk
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"w{i}" for i in range(10)}
+    c2 = by_doc[2]
+    assert len(c2) == 1 and c2[0]["n_tokens"] == 3
+    assert c2[0]["chunk_text"] == "only three tokens"
