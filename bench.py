@@ -34,6 +34,18 @@ NEW_ROWS_THIS_ROUND = frozenset(
         "join_exists_late_orders",
         "agg_supplier_parts_distinct",
         "join_sole_late_supplier",
+        "text_chunk_windows",
+        "join_region_nation_revenue",
+        "agg_order_count_distribution",
+        "agg_promo_revenue_share",
+        "join_top_supplier_revenue",
+        "agg_small_qty_revenue",
+        "filter_disjunctive_revenue",
+        "agg_idle_customer_balance",
+        "join_nation_pair_volume",
+        "join_returned_revenue_top",
+        "pack_bucket_stats",
+        "embedding_outliers",
     }
 )
 

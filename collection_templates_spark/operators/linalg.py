@@ -350,3 +350,68 @@ def power_iteration_top_component(
     return out.select(
         "pos", "loading", "mean_x", "eigval", "explained_var"
     )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM_DEFAULT,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-group centroid-distance outliers — the embedding-QC sweep a
+    training pipeline runs before trusting labels (mislabeled /
+    corrupted / off-manifold vectors rank first): for every label, the
+    ``top_k`` vectors farthest (squared L2) from that label's mean
+    vector, with their exact integer distance and rank.
+
+    Exactness (the repo's integer-micros discipline, linalg module
+    docstring): components quantize to 6dp micros via
+    :func:`_micro_expr`; per-(label, dim) sums are exact int64; the
+    centroid micro is round(sum / n) — the one double divide both
+    engines replay identically (sum, n ≪ 2^53, the
+    power_iteration_components mean idiom); dist² = Σ_d (x − c)² is an
+    exact int64 (≤ dim · (4·10⁶)² ≈ 10¹⁵), so the ranking never sees a
+    float and (dist² DESC, id ASC) is a total order.
+
+    Scale shape: posexplode to (id, label, d, micro) rows → ONE
+    map-side-combined groupBy(label, d) for the centroids (|labels|·dim
+    rows out — broadcast), one broadcast join back, one groupBy(id) for
+    dist², one per-label window for the top-k. Cost O(rows · dim), no
+    all-pairs anywhere; at 100 TB the same plan holds as long as
+    |labels|·dim stays broadcast-sized (drop the hint past ~10⁷ cells
+    and the join becomes a plain shuffle on (label, d))."""
+    from pyspark.sql import Window
+
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("d", "e"),
+    ).select("vid", "lbl", "d", _micro_expr(F.col("e")).alias("x"))
+    cent = (
+        base.groupBy("lbl", "d")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "lbl",
+            "d",
+            F.round(F.col("s") / F.col("n"), 0).cast("long").alias("c"),
+        )
+    )
+    diff = F.col("x") - F.col("c")
+    dist = (
+        base.join(F.broadcast(cent), ["lbl", "d"])
+        .groupBy("vid", "lbl")
+        .agg(F.sum(diff * diff).alias("dist2"))
+    )
+    w = Window.partitionBy("lbl").orderBy(F.desc("dist2"), F.asc("vid"))
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("lbl").alias(label_col),
+            F.col("vid").alias(id_col),
+            "dist2",
+            "rank",
+        )
+    )

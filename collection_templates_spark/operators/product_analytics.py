@@ -634,11 +634,20 @@ def als_implicit_rank2(
     hint and the factor join becomes a plain key-shuffle — the
     aggregate shape is unchanged.
     """
+    # The interaction list is O(obs) — the ONE table here that scales
+    # with the corpus, re-read once per half-sweep. The default
+    # localCheckpoint level pins it DESERIALIZED in executor heap,
+    # which is exactly what OOMed the sf10 scale run (r15): checkpoint
+    # it DISK_ONLY instead — serialized, zero heap residency, still
+    # lineage-cut; the factor tables below stay at the default level
+    # because they are entity-sized (2 longs + id per entity).
+    from pyspark import StorageLevel
+
     inter = interactions.select(
         F.col(user_col).alias("u"),
         F.col(item_col).alias("it"),
         F.col(rating_col).alias("r"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     items = _als_init_factors(
         inter.select("it").distinct(), "it"
     ).localCheckpoint(eager=False)

@@ -1209,3 +1209,60 @@ def dsir_importance_weights(
         weight.alias("weight"),
         (weight > 0).cast("int").alias("prefers_target"),
     )
+
+
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def length_bucket_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    buckets: tuple[int, ...] = LENGTH_BUCKETS,
+) -> DataFrame:
+    """Length-bucketed batching audit: assign every document to the
+    smallest bucket that holds its token count (overflow clamps to the
+    last bucket and truncates) and report per-bucket doc count, token
+    mass, padding waste, and utilization — the padding-economics table
+    a batched trainer reads before fixing batch shapes
+    (:func:`pack_sequences` is the bin-packing alternative; this is
+    the bucketed-batching one, where every sequence in a bucket pads
+    to the bucket ceiling).
+
+    The bucket is an exact CASE ladder, NOT float log2 — a
+    power-of-two token count must never straddle a bucket edge on a
+    last-ulp rounding difference between engines. Utilization is the
+    one double divide of exact int64 sums (identical in both engines).
+
+    Scale shape: one projection + one map-side-combined groupBy on a
+    ≤ len(buckets)-value key — a single skinny exchange regardless of
+    corpus size."""
+    toks = F.size(F.split(F.lower(F.col(text_col)), " "))
+    b = F.when(toks <= buckets[0], buckets[0])
+    for cap in buckets[1:]:
+        b = b.when(toks <= cap, cap)
+    b = b.otherwise(buckets[-1])
+    eff = F.least(toks, F.lit(buckets[-1]))
+    return (
+        docs.select(
+            b.cast("int").alias("bucket"),
+            toks.cast("long").alias("ntok"),
+            eff.cast("long").alias("eff"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("sum_tokens"),
+            F.sum("eff").alias("used"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            (F.col("bucket") * F.col("n_docs") - F.col("used")).alias(
+                "pad_waste"
+            ),
+            F.round(
+                F.col("used") / (F.col("bucket") * F.col("n_docs")), 6
+            ).alias("utilization"),
+        )
+    )

@@ -5667,6 +5667,439 @@ def join_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (round 15): local-supplier volume per nation of
+    one region for one order year — the 6-way join whose signature is
+    the EXTRA non-FK equality c_nationkey = s_nationkey (customer and
+    supplier must share a nation). Spark-first plan: region⋈nation and
+    supplier broadcast (true dims), the orders date filter reaches the
+    parquet scan, and the only real shuffles are the two fact-side
+    joins; Catalyst is free to reorder around the broadcasts. Revenue
+    is the exact DECIMAL Σ price·(1−disc), rounded once at the edge."""
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)")
+        - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("rev_exact"))
+        .select(
+            "n_name",
+            F.round(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+def agg_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape (round 15): the customer-distribution histogram
+    — LEFT join customers to a FILTERED orders side (the filter lives
+    in the join, so customers with only filtered-out orders count as
+    zero, Q13's defining subtlety), then a two-level aggregate:
+    orders-per-customer, customers-per-order-count. Two shuffles total
+    (custkey, then the skinny c_count key); the zero bucket comes from
+    count(o_custkey) ignoring the left join's nulls."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey")
+    )
+    per = (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def agg_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (round 15): one month's promo revenue share —
+    the conditional-aggregate ratio (two exact DECIMAL sums out of one
+    scan, CASE inside the aggregate, one division at the edge). The
+    month filter reaches the lineitem scan; part broadcasts. Both
+    engines divide the same two exact decimals as doubles, so the 6dp
+    round is boundary-free; try_divide guards the empty-month
+    degenerate (repo convention)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-09-01")
+            & (F.col("l_shipdate") < "1997-10-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)")
+        - F.col("l_discount").cast("decimal(4,2)")
+    )
+    agg = (
+        li.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("promo"),
+            F.sum(rev).alias("total"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.try_divide(
+                F.col("promo").cast("double"), F.col("total").cast("double")
+            )
+            * F.lit(100.0),
+            6,
+        ).alias("promo_share"),
+        F.round(F.col("promo").cast("double"), 2).alias("promo_revenue"),
+        F.round(F.col("total").cast("double"), 2).alias("total_revenue"),
+    )
+
+
+def join_top_supplier_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q15 shape (round 15): the supplier(s) whose one-quarter
+    revenue equals the maximum — the view-then-scalar-max pattern. The
+    per-supplier aggregate is computed ONCE and reused for both the
+    max and the filter via a 1-row broadcast crossJoin (no self-join
+    re-aggregation, no global sort); equality compares exact DECIMALs,
+    so ties are exact, never float-adjacent."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)")
+        - F.col("l_discount").cast("decimal(4,2)")
+    )
+    per = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_exact"))
+    mx = per.agg(F.max("rev_exact").alias("mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_exact") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("rev_exact").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+def agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (round 15): average yearly revenue lost if
+    small-quantity orders (below 20% of the part's mean order size)
+    moved to bulk — the correlated per-part AVG. Decorrelated
+    Spark-first: ONE groupBy(partkey) over the brand-filtered join
+    computes (Σqty, n) per part, re-joined to the same rows; the 20%
+    comparison is cross-multiplied to exact integers
+    (5·qty·n < Σqty — no float avg, no boundary), the oracle keeps the
+    textbook correlated form so the derivations are independent."""
+    pt = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    joined = li.join(
+        F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per = joined.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sq"), F.count(F.lit(1)).alias("nq")
+    )
+    small = joined.join(per, F.col("l_partkey") == F.col("pk")).filter(
+        qty * F.col("nq") * F.lit(5) < F.col("sq")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            / F.lit(7.0),
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+def filter_disjunctive_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 shape (round 15): revenue under an OR of three
+    (brand, size-range, quantity-range) conjunctions — the disjunctive
+    predicate that defeats naive pushdown splitting. The shared
+    conjuncts Catalyst CAN factor (p_size ≥ 1, quantity bounds) reach
+    the scans; the residual OR evaluates post-join against the
+    broadcast part side; one exact DECIMAL sum out."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)")
+        - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .filter(cond)
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+def agg_idle_customer_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape (round 15): positive-balance-above-average
+    customers from a nation set who never ordered (this schema has no
+    c_phone, so the country-code IN becomes a c_nationkey IN). The
+    global-scalar threshold is a 1-row broadcast crossJoin, and the
+    comparison is CROSS-MULTIPLIED to exact decimals
+    (acctbal·n > Σbal — the avg never materializes as a float, so no
+    engine can disagree at the boundary); the NOT EXISTS is a
+    left-anti join onto DATE-FILTERED orders ("no order since the
+    cut" — every customer in this corpus has SOME order, so the
+    textbook never-ordered form would be a 0-row gate row that checks
+    nothing, the Q21 lesson; the filter reaches the orders scan below
+    the anti join)."""
+    keys = (1, 5, 9, 13, 17, 21, 24)
+    cs = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(*keys))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    bal = F.col("c_acctbal").cast("decimal(20,2)")
+    th = cs.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cand = cs.crossJoin(F.broadcast(th)).filter(
+        bal * F.col("n") > F.col("s")
+    )
+    idle = cand.join(
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("totacctbal"),
+    )
+
+
+def join_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (round 15): shipping volume between two nations
+    by year, in BOTH directions — the two-aliased-dimension pattern
+    (nation joined twice under different roles) plus a disjunctive
+    pair filter that only fixes the direction AFTER both joins.
+    Spark-first: supplier⋈nation and customer⋈nation are both
+    broadcast (pre-filtered to the two nations, so the fact rows
+    shrink at the join, not in a late filter); year() is evaluated
+    once in the aggregate key. Exact DECIMAL revenue."""
+    pair = ("NATION_3", "NATION_7")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("cnk"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            F.year("l_shipdate").alias("l_year"),
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)")
+        - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(rev).alias("rev_exact"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.round(F.col("rev_exact").cast("double"), 2).alias("volume"),
+        )
+    )
+
+
+def join_returned_revenue_top(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q10 shape (round 15): top-20 customers by revenue lost to
+    returned items in one quarter — date-filtered orders ⋈ R-flagged
+    lineitems ⋈ customer, per-customer exact DECIMAL revenue,
+    TakeOrderedAndProject on (revenue DESC, c_custkey ASC — the unique
+    key completes the total order). Both selective filters reach their
+    parquet scans; customer broadcasts."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-07-01")
+            & (F.col("o_orderdate") < "1997-10-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)")
+        - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.sum(rev).alias("rev_exact"))
+        .orderBy(F.desc("rev_exact"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+        )
+    )
+
+
+def pack_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit over the documents table
+    (training_prep.length_bucket_stats): per power-of-two token
+    bucket, doc count, token mass, padding waste, and utilization —
+    the padding-economics table next to pack_sequences' bin-packing."""
+    from collection_templates_spark.operators.training_prep import (
+        length_bucket_stats,
+    )
+
+    return length_bucket_stats(_t(spark, sf_dir, "documents"))
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outliers over the embeddings table
+    (linalg.centroid_outliers): top-5 farthest vectors per label by
+    exact integer squared distance — the embedding-QC sweep."""
+    from collection_templates_spark.operators.linalg import (
+        centroid_outliers,
+    )
+
+    return centroid_outliers(_t(spark, sf_dir, "embeddings"))
+
+
 def _als_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -6040,6 +6473,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_supplier_parts_distinct": agg_supplier_parts_distinct,
     "join_sole_late_supplier": join_sole_late_supplier,
     "text_chunk_windows": text_chunk_windows,
+    "join_region_nation_revenue": join_region_nation_revenue,
+    "agg_order_count_distribution": agg_order_count_distribution,
+    "agg_promo_revenue_share": agg_promo_revenue_share,
+    "join_top_supplier_revenue": join_top_supplier_revenue,
+    "agg_small_qty_revenue": agg_small_qty_revenue,
+    "filter_disjunctive_revenue": filter_disjunctive_revenue,
+    "agg_idle_customer_balance": agg_idle_customer_balance,
+    "join_nation_pair_volume": join_nation_pair_volume,
+    "join_returned_revenue_top": join_returned_revenue_top,
+    "pack_bucket_stats": pack_bucket_stats,
+    "embedding_outliers": embedding_outliers,
 }
 
 # --- Round-15 rotation (r14 verdict #2) ------------------------------
@@ -6076,6 +6520,17 @@ _R15_FRONT = (
     "agg_supplier_parts_distinct",
     "join_sole_late_supplier",
     "text_chunk_windows",
+    "join_region_nation_revenue",
+    "agg_order_count_distribution",
+    "agg_promo_revenue_share",
+    "join_top_supplier_revenue",
+    "agg_small_qty_revenue",
+    "filter_disjunctive_revenue",
+    "agg_idle_customer_balance",
+    "join_nation_pair_volume",
+    "join_returned_revenue_top",
+    "pack_bucket_stats",
+    "embedding_outliers",
     "recsys_als_eval",
 )
 QUERIES = {
@@ -8690,6 +9145,237 @@ ORACLE_SQL["join_sole_late_supplier"] = """
     GROUP BY s_name
     ORDER BY numwait DESC, s_name ASC
     LIMIT 100
+"""
+
+# Q5 shape: the textbook 6-way join with the extra c_nationkey =
+# s_nationkey equality; same exact-DECIMAL revenue idiom as Q3.
+ORACLE_SQL["join_region_nation_revenue"] = """
+    SELECT n_name,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(4,2))
+                             - CAST(l_discount AS DECIMAL(4,2))))
+                      AS DOUBLE), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+"""
+
+# Q13 shape: the priority filter must live in the LEFT JOIN condition
+# (customers whose only orders are filtered out land in the 0 bucket).
+ORACLE_SQL["agg_order_count_distribution"] = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey
+         AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey)
+    GROUP BY 1
+"""
+
+# Q14 shape: CASE-in-aggregate ratio; both engines divide the same two
+# exact decimals as doubles, so the 6dp round is boundary-free.
+ORACLE_SQL["agg_promo_revenue_share"] = """
+    WITH a AS (
+        SELECT sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(4,2))
+                                - CAST(l_discount AS DECIMAL(4,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(4,2))
+                      - CAST(l_discount AS DECIMAL(4,2)))) AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00')
+    SELECT round(CASE WHEN total IS NULL OR total = 0 THEN NULL
+                      ELSE CAST(promo AS DOUBLE)
+                           / CAST(total AS DOUBLE) END
+                 * 100.0, 6) AS promo_share,
+           round(CAST(promo AS DOUBLE), 2) AS promo_revenue,
+           round(CAST(total AS DOUBLE), 2) AS total_revenue
+    FROM a
+"""
+
+# Q15 shape: view-then-scalar-max; equality on exact decimals.
+ORACLE_SQL["join_top_supplier_revenue"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(4,2))
+                      - CAST(l_discount AS DECIMAL(4,2)))) AS rev_exact
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY 1)
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           round(CAST(rev_exact AS DOUBLE), 2) AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rev_exact = (SELECT max(rev_exact) FROM rev)
+"""
+
+# Q17 shape: kept in the textbook correlated-AVG form — the Spark side
+# decorrelates and cross-multiplies to exact integers, so the two
+# derivations are independent and must agree.
+ORACLE_SQL["agg_small_qty_revenue"] = """
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#3'
+      AND p_size <= 10
+      AND 5 * CAST(l_quantity AS DECIMAL(18,2))
+            * (SELECT count(*) FROM lineitem l2
+               WHERE l2.l_partkey = p_partkey) <
+          (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+# Q19 shape: disjunction of (brand, size, quantity) conjunctions.
+ORACLE_SQL["filter_disjunctive_revenue"] = """
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(4,2))
+                             - CAST(l_discount AS DECIMAL(4,2))))
+                      AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+# Q22 shape: the threshold comparison is cross-multiplied
+# (bal·n > Σbal) so the average never materializes as a float; the
+# (20,2) cast forces DuckDB's product into int128 (the r13 width rule).
+ORACLE_SQL["agg_idle_customer_balance"] = """
+    WITH cs AS (
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 5, 9, 13, 17, 21, 24)),
+    th AS (
+        SELECT sum(CAST(c_acctbal AS DECIMAL(20,2))) AS s,
+               count(*) AS n
+        FROM cs WHERE c_acctbal > 0)
+    SELECT c_nationkey, count(*) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS totacctbal
+    FROM cs, th
+    WHERE CAST(c_acctbal AS DECIMAL(20,2)) * n > s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY 1
+"""
+
+# Q7 shape: nation joined twice under different roles, direction fixed
+# by the pair disjunction after both joins; year() in the group key.
+ORACLE_SQL["join_nation_pair_volume"] = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(rev) AS DOUBLE), 2) AS volume
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(4,2))
+                  - CAST(l_discount AS DECIMAL(4,2))) AS rev
+        FROM supplier, lineitem, orders, customer,
+             nation n1, nation n2
+        WHERE s_suppkey = l_suppkey
+          AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY 1, 2, 3
+"""
+
+# Q10 shape: returned-item revenue per customer, top-20 total-ordered
+# by (exact revenue DESC, unique custkey).
+ORACLE_SQL["join_returned_revenue_top"] = """
+    SELECT c_custkey, c_name,
+           round(CAST(rev_exact AS DOUBLE), 2) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal
+    FROM (
+        SELECT c_custkey, c_name, c_acctbal,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(4,2))
+                      - CAST(l_discount AS DECIMAL(4,2)))) AS rev_exact
+        FROM customer, orders, lineitem
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY rev_exact DESC, c_custkey ASC
+        LIMIT 20)
+"""
+
+# pack_bucket_stats: exact CASE bucket ladder (no float log2), int64
+# sums, one double divide for utilization.
+ORACLE_SQL["pack_bucket_stats"] = """
+    WITH t AS (
+        SELECT len(string_split(lower(text), ' ')) AS ntok
+        FROM documents),
+    b AS (
+        SELECT ntok,
+               CASE WHEN ntok <= 16 THEN 16 WHEN ntok <= 32 THEN 32
+                    WHEN ntok <= 64 THEN 64 WHEN ntok <= 128 THEN 128
+                    WHEN ntok <= 256 THEN 256 WHEN ntok <= 512 THEN 512
+                    ELSE 1024 END AS bucket,
+               least(ntok, 1024) AS eff
+        FROM t)
+    SELECT CAST(bucket AS INT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+           CAST(bucket * count(*) - sum(eff) AS BIGINT) AS pad_waste,
+           round(CAST(sum(eff) AS DOUBLE) / (bucket * count(*)), 6)
+               AS utilization
+    FROM b GROUP BY bucket
+"""
+
+# embedding_outliers: the linalg integer-micros discipline — 6dp micro
+# quantization, exact int64 centroid sums, round(sum/n) centroid (the
+# PCA mean idiom), exact integer dist², total-order window.
+ORACLE_SQL["embedding_outliers"] = """
+    WITH base AS (
+        SELECT vec_id AS vid, label AS lbl, i AS d,
+               CAST(CAST(round(CAST(embedding[i + 1] AS DOUBLE), 6)
+                         AS DECIMAL(7,6))
+                    * CAST(1000000 AS DECIMAL(19,0)) AS BIGINT) AS x
+        FROM embeddings, LATERAL (SELECT unnest(range(64)) AS i)),
+    cent AS (
+        SELECT lbl, d,
+               CAST(round(CAST(sum(x) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE), 0) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2),
+    dist AS (
+        SELECT vid, lbl,
+               CAST(sum((x - c) * (x - c)) AS BIGINT) AS dist2
+        FROM base JOIN cent USING (lbl, d)
+        GROUP BY 1, 2)
+    SELECT lbl AS label, vid AS vec_id, dist2, rank
+    FROM (
+        SELECT vid, lbl, dist2,
+               row_number() OVER (
+                   PARTITION BY lbl
+                   ORDER BY dist2 DESC, vid ASC) AS rank
+        FROM dist)
+    WHERE rank <= 5
 """
 
 # rollup_incremental_delete: refresh-with-deletes ≡ rollup of the

@@ -603,3 +603,37 @@ def test_round15_tpch_shape_plans(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert "partial_" in p, p
+
+
+def test_round15_batch2_tpch_shape_plans(spark):
+    # Q5 shape: dims broadcast, date filter reaches the orders scan,
+    # and the extra c_nationkey = s_nationkey equality never degrades
+    # the plan to a cartesian
+    p = _plan(spark, "join_region_nation_revenue")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+    # Q19 shape: the OR-of-conjunctions keeps the broadcast hash join
+    # (residual filter), and the factorable p_size lower bound prunes
+    p = _plan(spark, "filter_disjunctive_revenue")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    # Q15 shape: the scalar max is a 1-row broadcast (nested-loop or
+    # exchange), NOT a re-aggregated self-join; one partial_sum pass
+    p = _plan(spark, "join_top_supplier_revenue")
+    assert "partial_" in p, p
+    assert p.count("FileScan parquet") <= 3, p  # lineitem once, not twice
+    # Q22 shape: anti join for NOT EXISTS, scalar threshold broadcast
+    p = _plan(spark, "agg_idle_customer_balance")
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p, p
+    # embedding outliers: centroid side broadcast back onto the
+    # exploded rows, map-side partial aggregates on both groupBys
+    p = _plan(spark, "embedding_outliers")
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_" in p, p
+    assert "CartesianProduct" not in p, p
+    # bucket stats: one skinny exchange, partial aggregation present
+    p = _plan(spark, "pack_bucket_stats")
+    assert "partial_count" in p or "partial_" in p, p
+    assert "Exchange" in p, p

@@ -103,3 +103,77 @@ def test_chunk_documents_boundaries_and_tail(spark):
     c2 = by_doc[2]
     assert len(c2) == 1 and c2[0]["n_tokens"] == 3
     assert c2[0]["chunk_text"] == "only three tokens"
+
+
+def test_length_bucket_stats_hand_computed(spark):
+    """Bucket edges, overflow truncation, and the utilization divide
+    on a hand-built corpus: 16 tokens sits IN the 16 bucket (edge
+    inclusive), 17 spills to 32, and an 1100-token doc clamps to 1024
+    with truncated token mass counted at full length but utilization
+    capped at the ceiling."""
+    from collection_templates_spark.operators.training_prep import (
+        length_bucket_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["a"] * 16)),   # exactly 16 -> bucket 16
+            (2, " ".join(["b"] * 17)),   # 17 -> bucket 32
+            (3, " ".join(["c"] * 32)),   # 32 -> bucket 32
+            (4, " ".join(["d"] * 1100)),  # overflow -> 1024, truncated
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["bucket"]: r for r in length_bucket_stats(docs).collect()
+    }
+    assert set(rows) == {16, 32, 1024}
+    assert rows[16]["n_docs"] == 1
+    assert rows[16]["sum_tokens"] == 16
+    assert rows[16]["pad_waste"] == 0
+    assert rows[16]["utilization"] == 1.0
+    assert rows[32]["n_docs"] == 2
+    assert rows[32]["sum_tokens"] == 49
+    assert rows[32]["pad_waste"] == 64 - 49
+    assert rows[32]["utilization"] == round(49 / 64, 6)
+    assert rows[1024]["sum_tokens"] == 1100  # full mass reported
+    assert rows[1024]["pad_waste"] == 0      # truncation, not padding
+    assert rows[1024]["utilization"] == 1.0
+
+
+def test_centroid_outliers_plants_the_outlier(spark):
+    """A planted far vector must rank 1 in its label with the exact
+    integer distance; ranks are dense per label and capped at top_k;
+    ties break by vec_id ascending."""
+    from collection_templates_spark.operators.linalg import (
+        centroid_outliers,
+    )
+
+    dim = 4
+    base = [0.1, 0.2, -0.1, 0.0]
+    rows = [
+        (1, base, 0),
+        (2, base, 0),
+        (3, [0.1, 0.2, -0.1, 0.9], 0),  # planted outlier in label 0
+        (4, base, 1),
+        (5, base, 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = centroid_outliers(emb, dim=dim, top_k=2).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    l0 = sorted(by_label[0], key=lambda r: r["rank"])
+    assert l0[0]["vec_id"] == 3 and l0[0]["rank"] == 1
+    # exact integer distance: centroid_d3 = round((0+0+900000)/3)
+    # = 300000; planted diff 600000^2, others 300000^2 each
+    assert l0[0]["dist2"] == 600000 * 600000
+    assert l0[1]["dist2"] == 300000 * 300000
+    # only top_k=2 rows for label 0 (the third-farthest is cut)
+    assert len(l0) == 2
+    # label 1 is all-identical: dist2 == 0, tie broken by vec_id
+    l1 = sorted(by_label[1], key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in l1] == [4, 5]
+    assert all(r["dist2"] == 0 for r in l1)
