@@ -44,6 +44,7 @@ NEW_ROWS_THIS_ROUND = frozenset(
         "agg_idle_customer_balance",
         "join_nation_pair_volume",
         "join_returned_revenue_top",
+        "mixture_materialize",
         "pack_bucket_stats",
         "embedding_outliers",
     }

@@ -1266,3 +1266,75 @@ def length_bucket_stats(
             ).alias("utilization"),
         )
     )
+
+
+def mixture_materialize(
+    docs: DataFrame,
+    plan: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a :func:`mixture_plan`: per group, pick documents in
+    deterministic hash order until the group's token target is covered
+    (the first doc to CROSS the budget is kept — budgets fill, never
+    silently undershoot), returning the selected docs with their pick
+    order and running token total. This is the step that turns the
+    planning table into an actual training corpus; min(target,
+    available) semantics — up-sampling epochs stay in the plan.
+
+    Determinism: the order key is the two-fold portable hash of
+    (salt, id) folded ``% 999983`` (the hash is near-monotone over
+    sequential ids — the r11 rank-by-hash rule), id tie-break, so the
+    per-group cumulative sum is over a total order and both engines
+    replay it exactly; token counts and cumsums are exact int64.
+
+    Scale shape: one window per group over (hash, id) — a single
+    shuffle on the group key; the plan side broadcasts (groups number
+    in the hundreds). The window is the budget cut, so no second pass
+    and no driver-side loop; skew = the largest group's partition,
+    the same bound sessionization already lives with."""
+    from collection_templates_spark.operators.dedup import (
+        portable_shingle_hash,
+    )
+
+    tok = F.coalesce(
+        bpe_ish_token_count(F.col(text_col)), F.lit(0)
+    ).cast("long")
+    hk = (
+        portable_shingle_hash(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        )
+        % 999983
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        tok.alias("n_tok"),
+        hk.alias("hk"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("hk"), F.asc("id"))
+    cum_before = F.coalesce(
+        F.sum("n_tok").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    tgt = plan.select(
+        F.col("grp").alias("tgrp"),
+        F.col("target_tokens_grp").alias("target"),
+    )
+    return (
+        base.withColumn("cum_before", cum_before)
+        .withColumn("pick_order", F.row_number().over(w))
+        .join(F.broadcast(tgt), F.col("grp") == F.col("tgrp"))
+        .filter(F.col("cum_before") < F.col("target"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "n_tok",
+            "pick_order",
+            (F.col("cum_before") + F.col("n_tok")).alias("cum_tokens"),
+        )
+    )

@@ -6077,6 +6077,24 @@ def join_returned_revenue_top(
     )
 
 
+def mixture_materialize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training mixture (round 15;
+    training_prep.mixture_materialize): per-language token targets for
+    an 8k budget (BELOW the corpus token mass, so the cumulative cut
+    actually bites — a never-cutting budget would be a filter that
+    checks nothing) turned into an actual document selection —
+    hash-ordered docs per language until the target is crossed, with
+    pick order and running token total."""
+    from collection_templates_spark.operators.training_prep import (
+        mixture_materialize,
+        mixture_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = mixture_plan(docs, target_tokens=8_000)
+    return mixture_materialize(docs, plan)
+
+
 def pack_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching audit over the documents table
     (training_prep.length_bucket_stats): per power-of-two token
@@ -6482,6 +6500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_idle_customer_balance": agg_idle_customer_balance,
     "join_nation_pair_volume": join_nation_pair_volume,
     "join_returned_revenue_top": join_returned_revenue_top,
+    "mixture_materialize": mixture_materialize_q,
     "pack_bucket_stats": pack_bucket_stats,
     "embedding_outliers": embedding_outliers,
 }
@@ -6529,6 +6548,7 @@ _R15_FRONT = (
     "agg_idle_customer_balance",
     "join_nation_pair_volume",
     "join_returned_revenue_top",
+    "mixture_materialize",
     "pack_bucket_stats",
     "embedding_outliers",
     "recsys_als_eval",
@@ -9323,6 +9343,60 @@ ORACLE_SQL["join_returned_revenue_top"] = """
         GROUP BY 1, 2, 3
         ORDER BY rev_exact DESC, c_custkey ASC
         LIMIT 20)
+"""
+
+# mixture_materialize: the mixture_plan target CTE replayed, then the
+# hash-ordered per-group cumulative budget cut — order key is the
+# two-fold portable hash % 999983 (rank-by-hash rule), id tie-break;
+# all counts and cumsums exact int64.
+ORACLE_SQL["mixture_materialize"] = """
+    WITH per AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(coalesce(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')), 0)) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT sum(pow(n_tokens, 0.5)) AS w_tot FROM per
+    ), targets AS (
+        SELECT lang,
+               CAST(floor(round(pow(n_tokens, 0.5) / w_tot, 9) * 8000)
+                    AS BIGINT) AS target
+        FROM per, tot
+    ), tokd AS (
+        SELECT doc_id, lang,
+               CAST(coalesce(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')), 0) AS BIGINT)
+                   AS n_tok
+        FROM documents
+    ), chars AS (
+        SELECT doc_id,
+               list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in
+                   string_split('mix:' || CAST(doc_id AS VARCHAR), '')])
+                   AS cs
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               (list_reduce(cs, (acc, x) -> (acc * 31 + x) % 2147483647)
+                    * 2147483648
+                + list_reduce(cs, (acc, x) -> (acc * 37 + x) % 2147483647))
+               % 999983 AS hk
+        FROM chars
+    ), ordered AS (
+        SELECT t.doc_id, t.lang, t.n_tok,
+               coalesce(sum(t.n_tok) OVER (
+                   PARTITION BY t.lang ORDER BY h.hk ASC, t.doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before,
+               CAST(row_number() OVER (
+                   PARTITION BY t.lang ORDER BY h.hk ASC, t.doc_id ASC)
+                   AS BIGINT) AS pick_order
+        FROM tokd t JOIN h USING (doc_id)
+    )
+    SELECT doc_id, lang, n_tok, pick_order,
+           CAST(cum_before + n_tok AS BIGINT) AS cum_tokens
+    FROM ordered JOIN targets USING (lang)
+    WHERE cum_before < target
 """
 
 # pack_bucket_stats: exact CASE bucket ladder (no float log2), int64

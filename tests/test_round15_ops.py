@@ -177,3 +177,38 @@ def test_centroid_outliers_plants_the_outlier(spark):
     l1 = sorted(by_label[1], key=lambda r: r["rank"])
     assert [r["vec_id"] for r in l1] == [4, 5]
     assert all(r["dist2"] == 0 for r in l1)
+
+
+def test_mixture_materialize_budget_crossing(spark):
+    """The doc that CROSSES the budget is kept (budgets fill, never
+    undershoot), everything after it is dropped, and the selection is
+    a prefix of the (hash, id) order: cum_before < target for every
+    kept row, pick_order is 1..k contiguous, and the last kept row's
+    cum_tokens >= target when the group has enough mass."""
+    from pyspark.sql import functions as F
+
+    from collection_templates_spark.operators.training_prep import (
+        mixture_materialize,
+    )
+
+    # 6 docs x 3 tokens each, one group; target 5 -> exactly 2 picked
+    docs = spark.createDataFrame(
+        [(i, "g", "aa bb cc") for i in range(6)],
+        "doc_id long, lang string, text string",
+    )
+    plan = spark.createDataFrame(
+        [("g", 5)], "grp string, target_tokens_grp long"
+    )
+    out = mixture_materialize(docs, plan).orderBy("pick_order").collect()
+    assert len(out) == 2
+    assert [r["pick_order"] for r in out] == [1, 2]
+    assert out[0]["cum_tokens"] == 3
+    assert out[1]["cum_tokens"] == 6  # crossed the 5-token budget, kept
+    # empty-target group selects nothing; missing-plan group selects
+    # nothing (inner join on the plan)
+    plan0 = spark.createDataFrame(
+        [("g", 0)], "grp string, target_tokens_grp long"
+    )
+    assert mixture_materialize(docs, plan0).count() == 0
+    other = docs.withColumn("lang", F.lit("h"))
+    assert mixture_materialize(other, plan).count() == 0
