@@ -44,6 +44,8 @@ NEW_ROWS_THIS_ROUND = frozenset(
         "agg_idle_customer_balance",
         "join_nation_pair_volume",
         "join_returned_revenue_top",
+        "agg_market_share",
+        "agg_nation_profit",
         "mixture_materialize",
         "pack_bucket_stats",
         "embedding_outliers",

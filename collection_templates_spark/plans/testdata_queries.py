@@ -6077,6 +6077,143 @@ def join_returned_revenue_top(
     )
 
 
+def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (round 15): one nation's share of a region's
+    order revenue by year — the GROUPED conditional-aggregate ratio
+    (Q14's CASE-in-aggregate, but per group): numerator and
+    denominator are exact DECIMAL sums out of the same scan, one
+    guarded double divide per year at the edge. Customers restricted
+    to the region (broadcast nation⋈region), the candidate supplier
+    nation tagged via a broadcast supplier join."""
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("sup_nk")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select(
+            "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)")
+        - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("sup_nk") == 7, rev).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("nat_rev"),
+        F.sum(rev).alias("all_rev"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.try_divide(
+                F.col("nat_rev").cast("double"),
+                F.col("all_rev").cast("double"),
+            ),
+            6,
+        ).alias("mkt_share"),
+        F.round(F.col("all_rev").cast("double"), 2).alias("total_revenue"),
+    )
+
+
+def agg_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (round 15): profit by supplier nation and year
+    over a part-name-filtered slice — the two-product expression
+    aggregate: Σ (price·(1−disc) − cost·qty), with p_retailprice·0.6
+    standing in for ps_supplycost (no partsupp in this schema). Both
+    products stay exact DECIMAL at deliberately TIGHT widths (see the
+    inline width note), nation and the filtered part broadcast, one
+    shuffle per fact join."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)")
+        - F.col("l_discount").cast("decimal(4,2)")
+    )
+    # Width discipline (the r13 chained-decimal rule): (12,2)×(2,1)
+    # ×(6,2) → (22,5), nowhere near the 38 cap, so Spark never
+    # silently shrinks the scale; DuckDB's per-element products stay
+    # inside int64. Wider casts here would LOOK safer and be wrong.
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.6).cast("decimal(2,1)")
+        * F.col("l_quantity").cast("decimal(6,2)")
+    )
+    return (
+        li.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(rev - cost).alias("profit_exact"))
+        .select(
+            "n_name",
+            "o_year",
+            F.round(F.col("profit_exact").cast("double"), 2).alias(
+                "profit"
+            ),
+        )
+    )
+
+
 def mixture_materialize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized training mixture (round 15;
     training_prep.mixture_materialize): per-language token targets for
@@ -6500,6 +6637,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_idle_customer_balance": agg_idle_customer_balance,
     "join_nation_pair_volume": join_nation_pair_volume,
     "join_returned_revenue_top": join_returned_revenue_top,
+    "agg_market_share": agg_market_share,
+    "agg_nation_profit": agg_nation_profit,
     "mixture_materialize": mixture_materialize_q,
     "pack_bucket_stats": pack_bucket_stats,
     "embedding_outliers": embedding_outliers,
@@ -6548,6 +6687,8 @@ _R15_FRONT = (
     "agg_idle_customer_balance",
     "join_nation_pair_volume",
     "join_returned_revenue_top",
+    "agg_market_share",
+    "agg_nation_profit",
     "mixture_materialize",
     "pack_bucket_stats",
     "embedding_outliers",
@@ -9343,6 +9484,58 @@ ORACLE_SQL["join_returned_revenue_top"] = """
         GROUP BY 1, 2, 3
         ORDER BY rev_exact DESC, c_custkey ASC
         LIMIT 20)
+"""
+
+# Q8 shape: grouped conditional-aggregate ratio — exact DECIMAL
+# numerator/denominator per year, one double divide at the edge.
+ORACLE_SQL["agg_market_share"] = """
+    WITH j AS (
+        SELECT year(o_orderdate) AS o_year, s_nationkey AS sup_nk,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(4,2))
+                  - CAST(l_discount AS DECIMAL(4,2))) AS rev
+        FROM lineitem, orders, customer, supplier, nation, region
+        WHERE l_orderkey = o_orderkey
+          AND o_custkey = c_custkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           round(CASE WHEN all_rev IS NULL OR all_rev = 0 THEN NULL
+                      ELSE CAST(nat_rev AS DOUBLE)
+                           / CAST(all_rev AS DOUBLE) END, 6)
+               AS mkt_share,
+           round(CAST(all_rev AS DOUBLE), 2) AS total_revenue
+    FROM (
+        SELECT o_year,
+               sum(CASE WHEN sup_nk = 7 THEN rev
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS nat_rev,
+               sum(rev) AS all_rev
+        FROM j GROUP BY 1)
+"""
+
+# Q9 shape: two exact DECIMAL products per row (widths chosen to stay
+# inside int64 per element in DuckDB and below Spark's 38 cap).
+ORACLE_SQL["agg_nation_profit"] = """
+    SELECT n_name, year(o_orderdate) AS o_year,
+           round(CAST(sum(
+               CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(4,2))
+                  - CAST(l_discount AS DECIMAL(4,2)))
+               - CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(0.6 AS DECIMAL(2,1))
+                 * CAST(l_quantity AS DECIMAL(6,2))
+           ) AS DOUBLE), 2) AS profit
+    FROM lineitem, part, supplier, orders, nation
+    WHERE l_partkey = p_partkey
+      AND l_suppkey = s_suppkey
+      AND l_orderkey = o_orderkey
+      AND s_nationkey = n_nationkey
+      AND p_name LIKE '%widget%'
+    GROUP BY 1, 2
 """
 
 # mixture_materialize: the mixture_plan target CTE replayed, then the
