@@ -618,11 +618,15 @@ def test_round15_batch2_tpch_shape_plans(spark):
     p = _plan(spark, "filter_disjunctive_revenue")
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
-    # Q15 shape: the scalar max is a 1-row broadcast (nested-loop or
-    # exchange), NOT a re-aggregated self-join; one partial_sum pass
+    # Q15 shape: single-pass — the global max is a window over the
+    # post-aggregate supplier table, so lineitem is scanned ONCE
+    # (formatted plans print "Scan parquet", not "FileScan parquet" —
+    # the first version of this pin counted the wrong token and was
+    # vacuous). 2 scans total: lineitem + supplier.
     p = _plan(spark, "join_top_supplier_revenue")
     assert "partial_" in p, p
-    assert p.count("FileScan parquet") <= 3, p  # lineitem once, not twice
+    assert "Window" in p, p
+    assert p.count(") Scan parquet") == 2, p
     # Q22 shape: anti join for NOT EXISTS, scalar threshold broadcast
     p = _plan(spark, "agg_idle_customer_balance")
     assert "LeftAnti" in p, p
