@@ -18,7 +18,18 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Shuffle partitions default to the core count (right for the sf0.1
+# bench contract); SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for runs
+# at other data scales — shuffle partitions must grow with data (the
+# sf100 measurement exhausted execution memory under 32 partitions:
+# 8g / 32 concurrent coarse partitions left hash aggregates nothing to
+# acquire), exactly as a cluster deployment sizes them per job.
+DEFAULT_SHUFFLE_PARTITIONS = int(
+    os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    )
+)
 
 
 def get_spark(
