@@ -399,9 +399,15 @@ def search_tfidf_cosine(
     # collapses every consumer onto one materialization; at 100 TB
     # this is the posting-list relation a real engine would persist
     # anyway (it IS the inverted index).
+    # DISK_ONLY storage: the posting list is O(doc × term) — the
+    # corpus-sized checkpoint class (r15 rule: deserialized heap
+    # residency is for entity-sized iterative state, not exploded
+    # corpus relations).
+    from pyspark import StorageLevel as _SL
+
     tf = toks.groupBy("doc", "token").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_SL.DISK_ONLY)
     n_docs = docs.count()
     # idf is also dual-consumed (weight join + query vector) but its
     # recompute from the checkpointed tf is one cheap aggregate — a

@@ -4871,6 +4871,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule: cut the heavy tokenize subtree, nothing else)."""
     from collection_templates_spark.operators.dedup import word_shingles
 
+    # DISK_ONLY: this is an O(doc × shingle) table — the corpus-sized
+    # class (the r15 ALS rule); the default deserialized level tried to
+    # pin tens of GB of exploded strings in the storage pool at sf100
+    # and OOMed the heap before the df aggregate even ran.
+    from pyspark import StorageLevel as _SL
+
     sh = (
         _t(spark, sf_dir, "documents")
         .select(
@@ -4878,7 +4884,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(word_shingles(F.col("text"), 3)).alias("s"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_SL.DISK_ONLY)
     )
     # a corpus-unique shingle (df == 1) belongs to exactly ONE doc, so
     # its owner comes out of the same df aggregate (min == only) — the
