@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections import Counter
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 END = "</w>"
@@ -187,4 +187,110 @@ def bpe_tokenize(
         .withColumn(
             "compression", F.round(F.col("n_pieces") / F.col("n_words"), 6)
         )
+    )
+
+
+def learn_bpe_merges_spark(
+    word_counts: DataFrame,
+    n_merges: int = 6,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Fully-distributed BPE merge learning — the scale path of
+    :func:`learn_bpe_merges` for when the word-frequency table itself
+    no longer fits a driver (100M-word multilingual vocabs): the token
+    sequences stay a DataFrame; each round is one map-side-combined
+    pair-count aggregate, a 1-ROW driver pull (the merge decision —
+    the PCA-moment idiom), and one shuffle-free-per-word rebuild.
+
+    The rebuild replicates the driver learner's greedy left-to-right
+    non-overlapping application EXACTLY, as relational algebra:
+    candidate positions (tok=a, next=b) form gaps-and-islands runs;
+    within a run of consecutive candidates the 1st, 3rd, … merge and
+    the positions they consume drop (for 'a a a a' under (a,a):
+    candidates at 0,1,2 → merge 0 and 2, consume 1 and 3 — the
+    textbook greedy pairing). Pair counting counts EVERY adjacency
+    (overlaps included), matching the classic counter.
+
+    Determinism: merge pick is (count DESC, pair lexicographic ASC), a
+    total order; everything else is integer counts and binary string
+    compares. Per-round state localCheckpoints (entity-sized: the
+    pruned vocab, never the corpus). Returns the merge table
+    (rank, left_sym, right_sym, pair_count) — rank is learn order.
+    """
+    spark = word_counts.sparkSession
+    words = word_counts.select(
+        "word",
+        F.col("n").cast("long").alias("n"),
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END))
+        ).alias("toks"),
+    ).localCheckpoint()
+    wspec = Window.partitionBy("word").orderBy("i")
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, int(n_merges) + 1):
+        ex = words.select(
+            "word", "n", F.posexplode("toks").alias("i", "t")
+        ).withColumn("nt", F.lead("t").over(wspec))
+        best = (
+            ex.filter(F.col("nt").isNotNull())
+            .groupBy(F.col("t").alias("a"), F.col("nt").alias("b"))
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or int(best[0]["c"]) < min_pair_count:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((rank, a, b, c))
+        cand = (
+            (F.col("t") == F.lit(a)) & (F.col("nt") == F.lit(b))
+        ).cast("int")
+        st = (
+            ex.withColumn("cand", cand)
+            .withColumn(
+                "isl",
+                F.when(
+                    F.col("cand") == 1,
+                    F.col("i")
+                    - F.row_number().over(
+                        Window.partitionBy("word", "cand").orderBy("i")
+                    ),
+                ),
+            )
+            .withColumn(
+                "start",
+                (F.col("cand") == 1)
+                & (
+                    F.row_number().over(
+                        Window.partitionBy("word", "isl").orderBy("i")
+                    )
+                    % 2
+                    == 1
+                ),
+            )
+            .withColumn(
+                "consumed",
+                F.coalesce(F.lag("start").over(wspec), F.lit(False)),
+            )
+        )
+        words = (
+            st.filter(~F.col("consumed"))
+            .select(
+                "word",
+                "n",
+                F.struct(
+                    "i",
+                    F.when(F.col("start"), F.concat("t", "nt"))
+                    .otherwise(F.col("t"))
+                    .alias("tok"),
+                ).alias("pt"),
+            )
+            .groupBy("word", "n")
+            .agg(F.array_sort(F.collect_list("pt")).alias("arr"))
+            .select("word", "n", F.col("arr.tok").alias("toks"))
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count long"
     )

@@ -276,6 +276,57 @@ def user_growth(
     )
 
 
+def rolling_distinct_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact trailing-``window_days`` distinct users per day (rolling
+    WAU/MAU) via COVER-SET expansion: COUNT(DISTINCT) over a sliding
+    range window has no native Spark form, and the textbook
+    day×activity range join re-reads every event once per covered day
+    with a non-equi condition no engine hashes. Instead each distinct
+    (user, active-day) emits the ``window_days`` days it covers, one
+    more distinct collapses multi-active users per covered day, and a
+    day-level count finishes.
+
+    Integer-exact (dedup + count, nothing floats). Scale shape: the
+    blow-up factor is exactly ``window_days`` (bounded, chosen); both
+    distincts key on (user, day) so the second rides the first's
+    hash partitioning where AQE keeps it — linear in activity, no
+    range join, no window function, no per-day fan-in. Covered days
+    past the corpus's last activity are clipped by a 1-row broadcast
+    max-day scalar so every reported day trails a full view of the
+    data that exists. Output: (day, rolling_users) for every day
+    covered by ≥1 active user.
+    """
+    active = df.select(
+        F.col(user_col).alias("uid"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).distinct()
+    mx = active.agg(F.max("day").alias("max_day"))
+    covered = (
+        active.select(
+            "uid",
+            "day",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(window_days) - 1))
+            ).alias("off"),
+        )
+        .select(
+            "uid", F.date_add(F.col("day"), F.col("off")).alias("day")
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("max_day"))
+        .select("uid", "day")
+        .distinct()
+    )
+    return covered.groupBy("day").agg(
+        F.count(F.lit(1)).alias("rolling_users")
+    )
+
+
 def pareto_abc(
     df: DataFrame,
     key_col: str,

@@ -2237,3 +2237,76 @@ def ar2_yule_walker(
         F.round(phi2, 6).alias("phi2"),
         F.round(forecast, 2).alias("forecast_next"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Weighted isotonic (PAVA) calibration of a probabilistic score —
+    the monotone-regression upgrade of :func:`calibration_bins`: the
+    fitted curve is the unique non-decreasing step function minimizing
+    the weighted squared error to the per-bin positive rates, i.e. the
+    calibration map isotonic-regression calibrators (Zadrozny/Elkan
+    2002) fit before trusting a classifier's probabilities.
+
+    Plan: one map-side-combined groupBy(bin) collapses the corpus to
+    ≤ ``n_bins`` integer rows (bin, n, positives); the PAVA
+    pool-adjacent sweep then runs driver-side over that bounded table
+    (the BPE-merge-pick / PCA-moment idiom: an O(n_bins) decision, not
+    data motion) with EXACT integer cross-multiplied comparisons — no
+    float enters until the final fitted value, which is one division
+    of two exact integers (bit-identical in any IEEE engine; the
+    minimax characterization max_{j≤i} min_{k≥i} mean(y[j..k]) makes
+    it independently SQL-checkable). The fitted steps broadcast-join
+    back onto the bin table.
+
+    Output per non-empty bin: (bin, n, pos, raw_rate, iso_rate), with
+    iso_rate non-decreasing in bin. Scale shape: one corpus aggregate
+    + one broadcast join; nothing downstream of the reduce exceeds
+    ``n_bins`` rows.
+    """
+    s = F.round(F.col(score_col).cast("double"), 6)
+    y = F.col(label_col).cast("boolean")
+    bin_id = F.least(
+        F.floor(s * F.lit(float(n_bins))).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        bin_id.alias("bin"), y.cast("long").alias("pos")
+    )
+    g = (
+        base.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np"))
+        .localCheckpoint()
+    )
+    rows = sorted(g.collect(), key=lambda r: r["bin"])
+    # PAVA: pool while the left block's rate exceeds the right's.
+    # Rates compare as exact integer cross-products; a pooled block's
+    # fitted value is the one float step (sum_pos / sum_n of ints).
+    blocks: list[list] = []
+    for r in rows:
+        blocks.append([int(r["np"]), int(r["n"]), [int(r["bin"])]])
+        while (
+            len(blocks) > 1
+            and blocks[-2][0] * blocks[-1][1]
+            > blocks[-1][0] * blocks[-2][1]
+        ):
+            p2, n2, b2 = blocks.pop()
+            p1, n1, b1 = blocks.pop()
+            blocks.append([p1 + p2, n1 + n2, b1 + b2])
+    fit = [
+        (b, p / n) for p, n, bs in blocks for b in bs
+    ]
+    spark = df.sparkSession
+    iso = spark.createDataFrame(fit, "bin int, iso double")
+    raw = F.col("np").cast("double") / F.col("n").cast("double")
+    return g.join(F.broadcast(iso), "bin").select(
+        "bin",
+        "n",
+        F.col("np").alias("pos"),
+        (F.round(raw, 6) + F.lit(0.0)).alias("raw_rate"),
+        (F.round(F.col("iso"), 6) + F.lit(0.0)).alias("iso_rate"),
+    )

@@ -6388,6 +6388,108 @@ def search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (round 15): per ship-delay bucket (this schema
+    has no l_shipmode, so the mode IN becomes a derived
+    days-from-order bucket — the synthetic corpus ships before the
+    order date too, so 'early' is a real bucket), counts of
+    high-priority (1-URGENT/2-HIGH) vs lower-priority order lines
+    shipped in 1997. The Q12 plan essence: a large⋈large equi join
+    (neither side broadcastable) feeding a CASE-conditional aggregate
+    whose group key is computed, not stored — the filter reaches the
+    lineitem scan, the join keys only on l_orderkey, and both
+    conditional sums ride one map-side-combined aggregate."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    dd = F.datediff(
+        F.to_date(F.col("l_shipdate")), F.to_date(F.col("o_orderdate"))
+    )
+    bucket = (
+        F.when(dd <= 0, "early")
+        .when(dd <= 30, "1-30")
+        .when(dd <= 90, "31-90")
+        .otherwise("90+")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("delay_bucket")).agg(
+        F.sum(high.cast("long")).alias("high_line_count"),
+        F.sum((~high).cast("long")).alias("low_line_count"),
+    )
+
+
+def window_sliding_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact trailing-7-day distinct users per day
+    (product_analytics.rolling_distinct_users): the rolling-WAU row —
+    sliding COUNT(DISTINCT) realized as cover-set expansion (factor-7
+    explode + two (user, day)-keyed distincts), never a day×activity
+    range join and never a window function."""
+    from collection_templates_spark.operators.product_analytics import (
+        rolling_distinct_users,
+    )
+
+    return rolling_distinct_users(
+        _t(spark, sf_dir, "events"), window_days=7
+    )
+
+
+def quality_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted isotonic (PAVA) calibration of the quality_logistic
+    score against the lang='en' label (stats.isotonic_calibration,
+    100 bins): the monotone-regression upgrade of
+    quality_calibration's raw reliability diagram. The corpus
+    collapses to ≤100 integer bin rows map-side; PAVA pools with
+    exact cross-multiplied integer compares; the oracle re-derives
+    the same fit INDEPENDENTLY via the minimax characterization
+    max_{j≤i} min_{k≥i} mean(y[j..k]) — two different algorithms,
+    one unique optimum."""
+    from collection_templates_spark.operators.stats import (
+        isotonic_calibration,
+    )
+    from collection_templates_spark.operators.training_prep import (
+        quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = quality_classifier(docs, passthrough=("lang",)).select(
+        "score", (F.col("lang") == "en").alias("is_en")
+    )
+    return isotonic_calibration(labeled, "score", "is_en", n_bins=100)
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (functions/bpe.py::
+    learn_bpe_merges_spark): 6 merges over the pruned
+    (min_count=2, top-1500) word-frequency table of the documents
+    corpus — the trainer itself as a hash-checked bank row (the
+    driver-side trainer is pinned by unit tests only; this variant
+    keeps the vocab distributed and is the 100M-word scale path).
+    The oracle unrolls all 6 rounds as gaps-and-islands CTEs —
+    pair-count argmax + greedy non-overlapping rebuild — entirely
+    independently of the Spark loop."""
+    from collection_templates_spark.functions.bpe import (
+        bpe_word_counts,
+        learn_bpe_merges_spark,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = bpe_word_counts(docs, min_count=2, max_words=1500)
+    return learn_bpe_merges_spark(wc, n_merges=6)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
@@ -6653,6 +6755,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_materialize": mixture_materialize_q,
     "pack_bucket_stats": pack_bucket_stats,
     "embedding_outliers": embedding_outliers,
+    "agg_ship_delay_priority": agg_ship_delay_priority,
+    "window_sliding_distinct_users": window_sliding_distinct_users,
+    "quality_isotonic_calibration": quality_isotonic_calibration,
+    "bpe_train_merges": bpe_train_merges,
 }
 
 # --- Round-15 rotation (r14 verdict #2) ------------------------------
@@ -6684,6 +6790,10 @@ _R14_SAMPLED = frozenset(
     events_trailing_zscore quality_dynamic_threshold""".split()
 )
 _R15_FRONT = (
+    "agg_ship_delay_priority",
+    "window_sliding_distinct_users",
+    "quality_isotonic_calibration",
+    "bpe_train_merges",
     "rollup_incremental_delete",
     "join_exists_late_orders",
     "agg_supplier_parts_distinct",
@@ -15599,3 +15709,169 @@ ORACLE_SQL["stats_breusch_pagan"] = """
             > 3.841) AS heteroscedastic_95
     FROM agg
 """
+
+
+# agg_ship_delay_priority: Q12-shape conditional aggregate; the delay
+# bucket derives from integer day arithmetic on midnight-aligned
+# timestamps (exact in both engines).
+ORACLE_SQL["agg_ship_delay_priority"] = """
+    WITH j AS (
+        SELECT date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS dd,
+               o_orderpriority IN ('1-URGENT', '2-HIGH') AS high
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT CASE WHEN dd <= 0 THEN 'early'
+                WHEN dd <= 30 THEN '1-30'
+                WHEN dd <= 90 THEN '31-90'
+                ELSE '90+' END AS delay_bucket,
+           CAST(sum(CASE WHEN high THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_line_count,
+           CAST(sum(CASE WHEN high THEN 0 ELSE 1 END) AS BIGINT)
+               AS low_line_count
+    FROM j GROUP BY 1
+"""
+
+# window_sliding_distinct_users: the cover-set identity — a user
+# counts toward day d iff active in [d-6, d], i.e. iff one of their
+# active days covers d. Both derivations are dedup+count integer-exact.
+ORACLE_SQL["window_sliding_distinct_users"] = """
+    WITH pud AS (
+        SELECT DISTINCT user_id AS uid, CAST(ts AS DATE) AS day
+        FROM events
+    ), mx AS (SELECT max(day) AS md FROM pud),
+    cov AS (
+        SELECT DISTINCT uid, day + CAST(i AS INT) AS d
+        FROM pud, LATERAL (SELECT unnest(range(0, 7)) AS i) _, mx
+        WHERE day + CAST(i AS INT) <= md
+    )
+    SELECT d AS day, CAST(count(*) AS BIGINT) AS rolling_users
+    FROM cov GROUP BY 1
+"""
+
+# quality_isotonic_calibration: the minimax characterization of
+# weighted isotonic regression — fit(i) = max_{j<=i} min_{k>=i}
+# weighted-mean(y, bins j..k) — computed over prefix sums of the
+# 100-bin integer aggregate (B^3/6 ~ 1.7e5 triples at B=100). The
+# Spark side runs PAVA; both land on the unique L2 optimum, and every
+# fitted value is one division of the same two exact integers.
+ORACLE_SQL["quality_isotonic_calibration"] = f"""
+    WITH scores AS ({_quality_logistic_oracle_sql()}),
+    lab AS (
+        SELECT s.doc_id, s.score, d.lang = 'en' AS y
+        FROM scores s JOIN documents d USING (doc_id)
+    ), bb AS (
+        SELECT least(CAST(floor(round(CAST(score AS DOUBLE), 6)
+                                * CAST(100 AS DOUBLE)) AS INT), 99)
+                   AS bin,
+               CASE WHEN y THEN 1 ELSE 0 END AS pos
+        FROM lab WHERE score IS NOT NULL AND y IS NOT NULL
+    ), g AS (
+        SELECT bin, count(*) AS n, sum(pos) AS np FROM bb GROUP BY bin
+    ), o AS (
+        SELECT bin, n, np, row_number() OVER (ORDER BY bin) AS r
+        FROM g
+    ), c AS (
+        SELECT r, sum(n) OVER (ORDER BY r) AS cn,
+               sum(np) OVER (ORDER BY r) AS cp
+        FROM o
+    ), seg AS (
+        SELECT j.r AS jr, k.r AS kr,
+               CAST(k.cp - coalesce(j0.cp, 0) AS DOUBLE)
+               / CAST(k.cn - coalesce(j0.cn, 0) AS DOUBLE) AS m
+        FROM c k JOIN c j ON j.r <= k.r
+        LEFT JOIN c j0 ON j0.r = j.r - 1
+    ), mn AS (
+        SELECT o.r AS ir, s.jr, min(s.m) AS mnv
+        FROM o JOIN seg s ON s.jr <= o.r AND s.kr >= o.r
+        GROUP BY 1, 2
+    ), iso AS (
+        SELECT ir AS r, max(mnv) AS v FROM mn GROUP BY ir
+    )
+    SELECT o.bin, CAST(o.n AS BIGINT) AS n, CAST(o.np AS BIGINT) AS pos,
+           round(CAST(o.np AS DOUBLE) / CAST(o.n AS DOUBLE), 6)
+           + CAST(0 AS DOUBLE) AS raw_rate,
+           round(iso.v, 6) + CAST(0 AS DOUBLE) AS iso_rate
+    FROM o JOIN iso USING (r)
+"""
+
+
+def _bpe_train_oracle_sql(
+    n_merges: int = 6, min_count: int = 2, max_words: int = 1500
+) -> str:
+    """Unrolled-round oracle for bpe_train_merges: each round is
+    (pair-count argmax with the (count DESC, pair ASC) total order) +
+    (greedy non-overlapping rebuild via gaps-and-islands — candidate
+    runs merge at odd in-run positions, the consumed successor drops),
+    exactly the classic BPE trainer's semantics, derived independently
+    of the Spark loop. All counts are integers; pair picks compare
+    binary strings; nothing floats."""
+    parts = [
+        f"""
+    WITH wc AS MATERIALIZED (
+        SELECT word, count(*) AS n
+        FROM (
+            SELECT unnest(string_split(trim(regexp_replace(
+                       lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+            FROM documents
+        ) _ WHERE word <> ''
+        GROUP BY word HAVING count(*) >= {min_count}
+        ORDER BY n DESC, word ASC LIMIT {max_words}
+    ), w0 AS MATERIALIZED (
+        SELECT word, CAST(n AS BIGINT) AS n,
+               list_append(string_split(word, ''), '</w>') AS toks
+        FROM wc
+    )"""
+    ]
+    for t in range(n_merges):
+        parts.append(
+            f""", p{t} AS (
+        SELECT toks[i] AS a, toks[i + 1] AS b, sum(n) AS c
+        FROM w{t}, LATERAL (SELECT unnest(range(1, len(toks))) AS i) _
+        GROUP BY 1, 2
+    ), b{t} AS MATERIALIZED (
+        SELECT a, b, c FROM p{t} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ), tk{t} AS (
+        SELECT word, n, CAST(i AS INT) AS i, toks[i] AS t
+        FROM w{t},
+             LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) _
+    ), c1{t} AS (
+        SELECT *, lead(t) OVER (PARTITION BY word ORDER BY i) AS nt
+        FROM tk{t}
+    ), c2{t} AS (
+        SELECT *, CASE WHEN t = (SELECT a FROM b{t})
+                        AND nt = (SELECT b FROM b{t})
+                       THEN 1 ELSE 0 END AS cand
+        FROM c1{t}
+    ), c3{t} AS (
+        SELECT *, CASE WHEN cand = 1 THEN i - row_number() OVER (
+                       PARTITION BY word, cand ORDER BY i) END AS isl
+        FROM c2{t}
+    ), c4{t} AS (
+        SELECT *, cand = 1 AND row_number() OVER (
+                      PARTITION BY word, isl ORDER BY i) % 2 = 1
+                  AS start
+        FROM c3{t}
+    ), c5{t} AS (
+        SELECT *, coalesce(lag(start) OVER (
+                      PARTITION BY word ORDER BY i), false) AS consumed
+        FROM c4{t}
+    ), w{t + 1} AS MATERIALIZED (
+        SELECT word, n,
+               list(CASE WHEN start THEN t || nt ELSE t END
+                    ORDER BY i) AS toks
+        FROM c5{t} WHERE NOT consumed GROUP BY word, n
+    )"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT {t + 1} AS \"rank\", a AS left_sym, b AS right_sym,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{t}"
+        for t in range(n_merges)
+    )
+    parts.append(f"\n    {unions}")
+    return "".join(parts)
+
+
+ORACLE_SQL["bpe_train_merges"] = _bpe_train_oracle_sql()

@@ -212,3 +212,141 @@ def test_mixture_materialize_budget_crossing(spark):
     assert mixture_materialize(docs, plan0).count() == 0
     other = docs.withColumn("lang", F.lit("h"))
     assert mixture_materialize(other, plan).count() == 0
+
+
+def test_learn_bpe_merges_spark_equals_driver_learner(spark):
+    """The distributed trainer must replicate the driver learner
+    EXACTLY — same greedy non-overlapping rebuild, same
+    (count DESC, pair ASC) pick — on the Sennrich toy corpus AND on a
+    word table engineered with overlapping runs ('aaaa' under (a,a))
+    where greedy-vs-overlap semantics diverge."""
+    from collection_templates_spark.functions.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_spark,
+    )
+
+    for counts in (
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        [("aaaa", 3), ("aaa", 2), ("ab", 7), ("baaab", 1)],
+        [("xy", 1)],
+    ):
+        want = learn_bpe_merges(counts, n_merges=5)
+        wc = spark.createDataFrame(counts, "word string, n long")
+        got = [
+            (r["left_sym"], r["right_sym"])
+            for r in learn_bpe_merges_spark(
+                wc, n_merges=5, min_pair_count=2
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want, (counts, got, want)
+
+
+def test_learn_bpe_merges_spark_stops_below_min_count(spark):
+    from collection_templates_spark.functions.bpe import (
+        learn_bpe_merges_spark,
+    )
+
+    wc = spark.createDataFrame([("ab", 2), ("cd", 1)], "word string, n long")
+    out = learn_bpe_merges_spark(wc, n_merges=10, min_pair_count=2).collect()
+    # (a,b) count 2 and its follow-ups (ab,</w>) count 2 survive;
+    # anything at count 1 must not be learned.
+    assert all(r["pair_count"] >= 2 for r in out)
+    assert len(out) < 10
+
+
+def test_isotonic_calibration_pava_properties(spark):
+    """iso_rate must be (a) non-decreasing in bin, (b) the L2-optimal
+    fit per the minimax characterization computed independently in
+    Python bignums, (c) equal to raw_rate when raw rates are already
+    monotone."""
+    from fractions import Fraction
+
+    from collection_templates_spark.operators.stats import (
+        isotonic_calibration,
+    )
+
+    # scores chosen so bins are 10,30,50,70 with non-monotone rates
+    rows = []
+    for s, lab, k in [
+        (0.105, True, 8), (0.105, False, 2),   # bin 10: 0.8
+        (0.305, True, 1), (0.305, False, 9),   # bin 30: 0.1
+        (0.505, True, 5), (0.505, False, 5),   # bin 50: 0.5
+        (0.705, True, 9), (0.705, False, 1),   # bin 70: 0.9
+    ]:
+        rows += [(s, lab)] * k
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = {
+        r["bin"]: r
+        for r in isotonic_calibration(df, "score", "y", n_bins=100).collect()
+    }
+    assert sorted(out) == [10, 30, 50, 70]
+    iso = [out[b]["iso_rate"] for b in sorted(out)]
+    assert iso == sorted(iso)
+    # independent minimax fit over the binned integers
+    bins = [(8, 10), (1, 10), (5, 10), (9, 10)]
+    pre_p = [0] * (len(bins) + 1)
+    pre_n = [0] * (len(bins) + 1)
+    for i, (p, n) in enumerate(bins):
+        pre_p[i + 1] = pre_p[i] + p
+        pre_n[i + 1] = pre_n[i] + n
+    for i in range(len(bins)):
+        v = max(
+            min(
+                Fraction(pre_p[k + 1] - pre_p[j], pre_n[k + 1] - pre_n[j])
+                for k in range(i, len(bins))
+            )
+            for j in range(i + 1)
+        )
+        got = iso[i]
+        assert abs(got - round(float(v), 6)) < 1e-12, (i, got, v)
+    # already-monotone input: iso == raw
+    df2 = spark.createDataFrame(
+        [(0.105, True)] * 2 + [(0.105, False)] * 8 + [(0.905, True)] * 9
+        + [(0.905, False)] * 1,
+        "score double, y boolean",
+    )
+    for r in isotonic_calibration(df2, "score", "y", n_bins=100).collect():
+        assert r["iso_rate"] == r["raw_rate"]
+
+
+def test_rolling_distinct_users_bruteforce(spark):
+    """Cover-set expansion == the O(days x activity) brute force on a
+    frame with multi-active users, gaps, and window-spanning churn."""
+    import datetime as dt
+    import random
+
+    from collection_templates_spark.operators.product_analytics import (
+        rolling_distinct_users,
+    )
+
+    rng = random.Random(15)
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (f"u{rng.randrange(9)}",
+         base + dt.timedelta(days=rng.randrange(25),
+                             hours=rng.randrange(24)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        r["day"]: r["rolling_users"]
+        for r in rolling_distinct_users(df, window_days=7).collect()
+    }
+    active = {(u, ts.date()) for u, ts in rows}
+    days = sorted({d for _, d in active})
+    last = max(days)
+    want = {}
+    for d in days:
+        for off in range(7):
+            day = d + dt.timedelta(days=off)
+            if day <= last:
+                want.setdefault(day, set())
+    for u, d in active:
+        for off in range(7):
+            day = d + dt.timedelta(days=off)
+            if day in want:
+                want[day].add(u)
+    want = {d: len(s) for d, s in want.items()}
+    assert got == want
