@@ -6490,6 +6490,191 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges_spark(wc, n_merges=6)
 
 
+def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (round 15, completing the 22-shape sweep with
+    Q11/Q20 below): for each PROMO part, the EUROPE supplier(s)
+    offering the minimum observed line price — the correlated-min
+    subquery decorrelated Spark-first (this schema has no partsupp, so
+    the cost table derives from lineitem: min l_extendedprice per
+    (part, supplier)). The Q15 one-pass idiom again: the per-part min
+    is a window over the POST-AGGREGATE (part x supplier) table —
+    catalog-sized, never the corpus — so lineitem is scanned once;
+    both dimension sides broadcast PRE-FILTERED (region prune reaches
+    the supplier join, the part prune reaches the fact scan). Min and
+    the tie equality compare exact DECIMAL(18,2); top-100 is
+    total-ordered ((s_acctbal DESC, n_name, s_name, p_partkey) —
+    s_name is unique per supplier, so the prefix is deterministic)."""
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pt = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == "PROMO") & F.col("p_size").between(1, 15)
+        )
+        .select("p_partkey", "p_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    cost = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name",
+                 "s_acctbal", "n_name")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "c"
+            )
+        )
+    )
+    mn = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("mc", F.min("c").over(mn))
+        .filter(F.col("c") == F.col("mc"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_name",
+            F.round(F.col("c").cast("double"), 2).alias("min_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def agg_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (round 15): parts whose revenue through ASIA
+    suppliers exceeds a GLOBAL-scalar threshold — here 2x the average
+    part's value, which keeps the HAVING scale-free (TPC-H's fixed
+    0.0001 fraction selects nothing once the catalog outgrows 10^4
+    parts). Money is folded to integer CENTS per row
+    (CAST(DECIMAL(18,2) x 100 AS BIGINT) — exact at 2dp), so the
+    per-part sums, the global total, and the cross-multiplied compare
+    (val x n_parts > 2 x total) are pure integer arithmetic: HUGEINT
+    in the oracle, DECIMAL(38,0) operands here — no decimal-width
+    double fallback (DuckDB converts >38-width decimal products to
+    DOUBLE silently) and no float boundary. The global scalar is a
+    window over the post-aggregate part table (one lineitem scan)."""
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_regionkey") == 2
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.lit(100).cast("decimal(3,0)")
+    ).cast("long")
+    per = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(cents).alias("val_c"))
+    )
+    w = Window.partitionBy()
+    return (
+        per.withColumn("tot_c", F.sum("val_c").over(w))
+        .withColumn("np", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("val_c").cast("decimal(38,0)") * F.col("np")
+            > F.col("tot_c").cast("decimal(38,0)") * F.lit(2)
+        )
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.round(F.col("val_c").cast("double") / F.lit(100.0), 2).alias(
+                "part_value"
+            ),
+        )
+    )
+
+
+def join_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (round 15): EUROPE suppliers who DOMINATED some
+    PROMO part's 1997 shipments (their quantity > half the part's
+    total — the availqty > 0.5 x shipped correlated threshold, with
+    the inequality flipped onto this schema's lineitem-only facts).
+    The textbook double-nested EXISTS decorrelates to: one
+    (part, supplier) integer-quantity aggregate off the pruned fact
+    scan, a per-part window total (the same one-pass idiom), the
+    cross-multiplied dominance filter 2q > tot (l_quantity is
+    integer-valued 1..50, so everything is int64), and a DISTINCT
+    semi-join-shaped collapse onto the broadcast supplier dimension —
+    lineitem scanned once, no correlated re-scan per supplier."""
+    pt = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    sp = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_regionkey") == 3
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        sp.withColumn("tq", F.sum("q").over(w))
+        .filter(F.col("q") * 2 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        dom.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
@@ -6759,6 +6944,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_sliding_distinct_users": window_sliding_distinct_users,
     "quality_isotonic_calibration": quality_isotonic_calibration,
     "bpe_train_merges": bpe_train_merges,
+    "join_min_cost_supplier": join_min_cost_supplier,
+    "agg_part_value_share": agg_part_value_share,
+    "join_dominant_supplier": join_dominant_supplier,
 }
 
 # --- Round-15 rotation (r14 verdict #2) ------------------------------
@@ -6790,6 +6978,9 @@ _R14_SAMPLED = frozenset(
     events_trailing_zscore quality_dynamic_threshold""".split()
 )
 _R15_FRONT = (
+    "join_min_cost_supplier",
+    "agg_part_value_share",
+    "join_dominant_supplier",
     "agg_ship_delay_priority",
     "window_sliding_distinct_users",
     "quality_isotonic_calibration",
@@ -15875,3 +16066,75 @@ def _bpe_train_oracle_sql(
 
 
 ORACLE_SQL["bpe_train_merges"] = _bpe_train_oracle_sql()
+
+
+# Q2 shape oracle: the textbook CORRELATED-min form (the Spark side
+# decorrelates via a window over the aggregate — independent
+# derivations of the same set). cost is MATERIALIZED: it is referenced
+# by the outer query AND per-part by the correlated subquery.
+ORACLE_SQL["join_min_cost_supplier"] = """
+    WITH cost AS MATERIALIZED (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               min(CAST(l_extendedprice AS DECIMAL(18,2))) AS c
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name,
+           CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+           round(CAST(c.c AS DOUBLE), 2) AS min_cost
+    FROM part, supplier, nation, region, cost c
+    WHERE p_partkey = c.pk AND s_suppkey = c.sk
+      AND p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND c.c = (SELECT min(c2.c)
+                 FROM cost c2, supplier s2, nation n2, region r2
+                 WHERE c2.pk = p_partkey AND c2.sk = s2.s_suppkey
+                   AND s2.s_nationkey = n2.n_nationkey
+                   AND n2.n_regionkey = r2.r_regionkey
+                   AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+# Q11 shape oracle: scalar subqueries for the global total and part
+# count (the Spark side uses one window over the same aggregate).
+# Integer cents end to end; the cross-multiply runs in HUGEINT.
+ORACLE_SQL["agg_part_value_share"] = """
+    WITH v AS MATERIALIZED (
+        SELECT l_partkey,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS val_c
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_regionkey = 2
+        GROUP BY 1
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+           round(CAST(val_c AS DOUBLE) / 100.0, 2) AS part_value
+    FROM v
+    WHERE CAST(val_c AS HUGEINT) * (SELECT count(*) FROM v)
+          > 2 * (SELECT CAST(sum(val_c) AS HUGEINT) FROM v)
+"""
+
+# Q20 shape oracle: the textbook nested-EXISTS form with a correlated
+# per-part total (the Spark side decorrelates via the per-part window).
+# Pure integer quantities.
+ORACLE_SQL["join_dominant_supplier"] = """
+    WITH sp AS MATERIALIZED (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS BIGINT)) AS q
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 3
+      AND EXISTS (
+        SELECT 1 FROM sp
+        WHERE sp.l_suppkey = s_suppkey
+          AND 2 * sp.q > (SELECT sum(q) FROM sp s2
+                          WHERE s2.l_partkey = sp.l_partkey))
+"""

@@ -641,3 +641,33 @@ def test_round15_batch2_tpch_shape_plans(spark):
     p = _plan(spark, "pack_bucket_stats")
     assert "partial_count" in p or "partial_" in p, p
     assert "Exchange" in p, p
+
+
+def test_round15_batch3_tpch_shape_plans(spark):
+    # Q2 shape: single lineitem scan (the per-part min is a window over
+    # the aggregate, not a rejoined second view), both dims broadcast,
+    # part prune pushed, deterministic top-100
+    p = _plan(spark, "join_min_cost_supplier")
+    assert p.count(") Scan parquet") == 5, p  # li + part + sup + nat + reg
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "EqualTo(p_type,PROMO)" in p, p
+    assert "CartesianProduct" not in p, p
+    # Q11 shape: global scalar via window over the post-aggregate part
+    # table — ONE lineitem scan, supplier side broadcast, map-side
+    # partial aggregation below the exchange
+    p = _plan(spark, "agg_part_value_share")
+    assert p.count(") Scan parquet") == 3, p  # li + sup + nat
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" in p, p
+    assert "partial_" in p, p
+    assert "CartesianProduct" not in p, p
+    # Q20 shape: decorrelated nested-EXISTS — pruned fact scan (date
+    # filter pushed), per-part window total, no correlated re-scan
+    p = _plan(spark, "join_dominant_supplier")
+    assert p.count(") Scan parquet") == 4, p  # li + part + sup + nat
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "Window" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
