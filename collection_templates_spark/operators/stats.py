@@ -2310,3 +2310,69 @@ def isotonic_calibration(
         (F.round(raw, 6) + F.lit(0.0)).alias("raw_rate"),
         (F.round(F.col("iso"), 6) + F.lit(0.0)).alias("iso_rate"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a boolean label via the
+    Mann–Whitney identity AUC = U⁺/(n₁·n₀) with midranks for ties —
+    equivalently P(s⁺ > s⁻) + ½·P(s⁺ = s⁻): the threshold-free
+    companion of :func:`isotonic_calibration` (calibration says the
+    probabilities are honest; AUC says the ORDERING separates).
+
+    Everything up to the final division is integer-exact on DOUBLED
+    units (2·R⁺ = Σ c₁·(2·cum_before + cnt + 1) — midranks are
+    half-integers, so doubling clears them): the per-value products run
+    in DECIMAL(38,0) (HUGEINT in the oracle — c₁·cum can pass 2⁶³ on a
+    10¹¹-row corpus), and AUC = (2R⁺ − n₁(n₁+1)) / (2n₁n₀) is ONE
+    division of two exact integers, bit-identical in any IEEE engine.
+
+    Scale shape: the ks_test/mann_whitney skinny-table pattern — one
+    map-side-combined groupBy(score), one cumulative window over the
+    DISTINCT-score table (bounded by score quantization, not the
+    corpus), one single-row reduce. Output: (n_pos, n_neg, auc, gini)
+    with gini = 2·AUC − 1 (+0.0 guards the −0.0 round split).
+    """
+    s = F.round(F.col(score_col).cast("double"), 6)
+    y = F.col(label_col).cast("boolean")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("v"), y.alias("y")
+    )
+    at_v = base.groupBy("v").agg(
+        F.sum(F.col("y").cast("long")).alias("c1"),
+        F.sum((~F.col("y")).cast("long")).alias("c0"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cnt = F.col("c1") + F.col("c0")
+    ranked = at_v.withColumn(
+        "cum_before",
+        F.coalesce(F.sum(cnt).over(w), F.lit(0).cast("long")),
+    )
+    two_r = (
+        F.col("c1").cast("decimal(19,0)")
+        * (F.lit(2) * F.col("cum_before") + cnt + F.lit(1)).cast(
+            "decimal(19,0)"
+        )
+    )
+    agg = ranked.groupBy().agg(
+        F.sum("c1").alias("n_pos"),
+        F.sum("c0").alias("n_neg"),
+        F.sum(two_r).alias("two_r_pos"),
+    )
+    n1 = F.col("n_pos").cast("decimal(38,0)")
+    n0 = F.col("n_neg").cast("decimal(38,0)")
+    u2 = F.col("two_r_pos") - n1 * (n1 + F.lit(1))
+    auc = F.try_divide(
+        u2.cast("double"), (F.lit(2) * n1 * n0).cast("double")
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (F.round(auc, 6) + F.lit(0.0)).alias("auc"),
+        (F.round(F.lit(2.0) * auc - F.lit(1.0), 6) + F.lit(0.0)).alias(
+            "gini"
+        ),
+    )

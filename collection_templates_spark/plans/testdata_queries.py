@@ -6479,15 +6479,21 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the vocab distributed and is the 100M-word scale path).
     The oracle unrolls all 6 rounds as gaps-and-islands CTEs —
     pair-count argmax + greedy non-overlapping rebuild — entirely
-    independently of the Spark loop."""
+    independently of the Spark loop. The learned 6-row merge table is
+    a deterministic pure function of the documents corpus, so it
+    memoizes through the trainer-memo convention (_memo_df) like the
+    other trained artifacts (codebooks, ALS factors)."""
     from collection_templates_spark.functions.bpe import (
         bpe_word_counts,
         learn_bpe_merges_spark,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    wc = bpe_word_counts(docs, min_count=2, max_words=1500)
-    return learn_bpe_merges_spark(wc, n_merges=6)
+    def build():
+        docs = _t(spark, sf_dir, "documents")
+        wc = bpe_word_counts(docs, min_count=2, max_words=1500)
+        return learn_bpe_merges_spark(wc, n_merges=6)
+
+    return _memo_df(spark, sf_dir, "bpe_merges", build, table="documents")
 
 
 def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6673,6 +6679,26 @@ def join_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
         .orderBy("s_suppkey")
     )
+
+
+def quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact midrank ROC-AUC (stats.roc_auc) of the quality_logistic
+    score against the lang='en' label — the threshold-free ranking
+    companion of quality_isotonic_calibration (one says the ORDER
+    separates, the other that the probabilities are honest). Integer-
+    exact to the last division via the Mann-Whitney identity on
+    doubled units; the oracle re-derives the same midrank rank-sum in
+    HUGEINT."""
+    from collection_templates_spark.operators.stats import roc_auc
+    from collection_templates_spark.operators.training_prep import (
+        quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = quality_classifier(docs, passthrough=("lang",)).select(
+        "score", (F.col("lang") == "en").alias("is_en")
+    )
+    return roc_auc(labeled, "score", "is_en")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6947,6 +6973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_min_cost_supplier": join_min_cost_supplier,
     "agg_part_value_share": agg_part_value_share,
     "join_dominant_supplier": join_dominant_supplier,
+    "quality_roc_auc": quality_roc_auc,
 }
 
 # --- Round-15 rotation (r14 verdict #2) ------------------------------
@@ -6978,6 +7005,7 @@ _R14_SAMPLED = frozenset(
     events_trailing_zscore quality_dynamic_threshold""".split()
 )
 _R15_FRONT = (
+    "quality_roc_auc",
     "join_min_cost_supplier",
     "agg_part_value_share",
     "join_dominant_supplier",
@@ -16137,4 +16165,45 @@ ORACLE_SQL["join_dominant_supplier"] = """
         WHERE sp.l_suppkey = s_suppkey
           AND 2 * sp.q > (SELECT sum(q) FROM sp s2
                           WHERE s2.l_partkey = sp.l_partkey))
+"""
+
+
+# quality_roc_auc: the Mann-Whitney midrank identity on doubled units,
+# HUGEINT until the single final division (the Spark side mirrors in
+# DECIMAL(38,0)); +0.0 guards the -0.0 round split on gini.
+ORACLE_SQL["quality_roc_auc"] = f"""
+    WITH scores AS ({_quality_logistic_oracle_sql()}),
+    lab AS (
+        SELECT s.score, d.lang = 'en' AS y
+        FROM scores s JOIN documents d USING (doc_id)
+    ), base AS (
+        SELECT round(CAST(score AS DOUBLE), 6) AS v, y
+        FROM lab WHERE score IS NOT NULL AND y IS NOT NULL
+    ), at_v AS (
+        SELECT v, sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0
+        FROM base GROUP BY v
+    ), r AS (
+        SELECT *, coalesce(sum(c1 + c0) OVER (
+            ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS cumb
+        FROM at_v
+    ), agg AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
+               CAST(sum(c0) AS BIGINT) AS n_neg,
+               sum(CAST(c1 AS HUGEINT)
+                   * (2 * cumb + c1 + c0 + 1)) AS two_r
+        FROM r
+    ), fin AS (
+        SELECT n_pos, n_neg,
+               CAST(two_r - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+                    AS DOUBLE)
+               / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
+                   AS araw
+        FROM agg
+    )
+    SELECT n_pos, n_neg,
+           round(araw, 6) + CAST(0 AS DOUBLE) AS auc,
+           round(2.0 * araw - 1.0, 6) + CAST(0 AS DOUBLE) AS gini
+    FROM fin
 """

@@ -350,3 +350,37 @@ def test_rolling_distinct_users_bruteforce(spark):
                 want[day].add(u)
     want = {d: len(s) for d, s in want.items()}
     assert got == want
+
+
+def test_roc_auc_bruteforce_with_ties(spark):
+    """AUC == P(s+ > s-) + 0.5 P(s+ == s-) by exhaustive pair count,
+    on a frame dense with ties; degenerate one-class input -> NULL auc
+    (try_divide), not an error."""
+    from fractions import Fraction
+
+    from collection_templates_spark.operators.stats import roc_auc
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (round(rng.choice([0.1, 0.25, 0.25, 0.5, 0.7, 0.7, 0.9]), 6),
+         rng.random() < 0.4)
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    r = roc_auc(df, "score", "y").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    num = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    want = Fraction(num, 2 * len(pos) * len(neg))
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    assert abs(r["auc"] - round(float(want), 6)) < 1e-12
+    assert abs(r["gini"] - round(float(2 * want - 1), 6)) < 1e-9
+    # one-class degenerate
+    df1 = spark.createDataFrame([(0.5, True), (0.7, True)],
+                                "score double, y boolean")
+    r1 = roc_auc(df1, "score", "y").collect()[0]
+    assert r1["auc"] is None and r1["n_neg"] == 0
