@@ -6580,8 +6580,14 @@ def agg_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (val x n_parts > 2 x total) are pure integer arithmetic: HUGEINT
     in the oracle, DECIMAL(38,0) operands here — no decimal-width
     double fallback (DuckDB converts >38-width decimal products to
-    DOUBLE silently) and no float boundary. The global scalar is a
-    window over the post-aggregate part table (one lineitem scan)."""
+    DOUBLE silently) and no float boundary. The global scalar does
+    NOT use the Q15 window idiom: that window is unpartitioned over
+    the GROUP table, fine at supplier/nation cardinality but a
+    single-task buffer of the whole part CATALOG here (2e8 rows at
+    100 TB). Instead the per-part aggregate localCheckpoints
+    (catalog-sized, the ALS-factor convention), the scalar is a tiny
+    reduce of the checkpoint, and a 1-row broadcast crossJoin carries
+    it back — one fact scan, no giant window, no re-derivation."""
     sup = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -6605,11 +6611,13 @@ def agg_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(cents).alias("val_c"))
+        .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy()
+    tot = per.agg(
+        F.sum("val_c").alias("tot_c"), F.count(F.lit(1)).alias("np")
+    )
     return (
-        per.withColumn("tot_c", F.sum("val_c").over(w))
-        .withColumn("np", F.count(F.lit(1)).over(w))
+        per.crossJoin(F.broadcast(tot))
         .filter(
             F.col("val_c").cast("decimal(38,0)") * F.col("np")
             > F.col("tot_c").cast("decimal(38,0)") * F.lit(2)

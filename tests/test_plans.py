@@ -654,14 +654,15 @@ def test_round15_batch3_tpch_shape_plans(spark):
     assert "TakeOrderedAndProject" in p, p
     assert "EqualTo(p_type,PROMO)" in p, p
     assert "CartesianProduct" not in p, p
-    # Q11 shape: global scalar via window over the post-aggregate part
-    # table — ONE lineitem scan, supplier side broadcast, map-side
-    # partial aggregation below the exchange
+    # Q11 shape: the per-part aggregate localCheckpoints (ONE lineitem
+    # scan happened at checkpoint time), the global scalar is a tiny
+    # reduce of the checkpoint carried back as a 1-row broadcast — no
+    # unpartitioned window over the part catalog, no cartesian
     p = _plan(spark, "agg_part_value_share")
-    assert p.count(") Scan parquet") == 3, p  # li + sup + nat
-    assert "BroadcastHashJoin" in p, p
-    assert "Window" in p, p
-    assert "partial_" in p, p
+    assert p.count(") Scan parquet") == 0, p  # lineage cut at checkpoint
+    assert "ExistingRDD" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "Window" not in p, p
     assert "CartesianProduct" not in p, p
     # Q20 shape: decorrelated nested-EXISTS — pruned fact scan (date
     # filter pushed), per-part window total, no correlated re-scan
