@@ -2376,3 +2376,66 @@ def roc_auc(
             "gini"
         ),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa chance-corrected agreement between two categorical
+    labelings — the inter-annotator / model-vs-truth summary that the
+    raw confusion matrix (text_langid_confusion) doesn't give: how much
+    better than marginal chance the two columns agree.
+
+    Single-division exact: kappa = (po − pe)/(1 − pe) algebraically
+    equals (n·Σdiag − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k) — numerator and
+    denominator are integer forms over the confusion counts (row/col
+    marginals r_k, c_k), carried in DECIMAL(38,0) (HUGEINT in oracles:
+    n² passes 2⁶³ beyond ~3e9 pairs), so the only float is the final
+    division + round. Degenerate pe = 1 (both sides constant) yields
+    NULL via try_divide, not an error.
+
+    Scale shape: one map-side-combined groupBy((a, b)) collapses the
+    corpus to a class×class table; marginals, the diagonal, and the
+    cross-term are reduces/joins over that bounded table — nothing
+    downstream of the first aggregate exceeds |classes|² rows.
+    Output: (n_pairs, n_agree, kappa).
+    """
+    a = F.col(a_col)
+    b = F.col(b_col)
+    cm = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .select(a.alias("a"), b.alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cm.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0)).alias(
+            "diag"
+        ),
+    )
+    ra = cm.groupBy("a").agg(F.sum("c").alias("r"))
+    cb = cm.groupBy("b").agg(F.sum("c").alias("col_n"))
+    rc = (
+        ra.join(cb, F.col("a") == F.col("b"))
+        .agg(
+            F.sum(
+                F.col("r").cast("decimal(19,0)")
+                * F.col("col_n").cast("decimal(19,0)")
+            ).alias("sum_rc")
+        )
+    )
+    n = F.col("n").cast("decimal(19,0)")
+    num = n * F.col("diag").cast("decimal(19,0)") - F.col("sum_rc")
+    den = n * n - F.col("sum_rc")
+    return tot.crossJoin(F.broadcast(rc)).select(
+        F.col("n").alias("n_pairs"),
+        F.col("diag").alias("n_agree"),
+        (
+            F.round(F.try_divide(num.cast("double"), den.cast("double")), 6)
+            + F.lit(0.0)
+        ).alias("kappa"),
+    )

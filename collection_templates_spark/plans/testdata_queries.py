@@ -6709,6 +6709,26 @@ def quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(labeled, "score", "is_en")
 
 
+def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (stats.cohens_kappa) between the marker-word
+    language-ID prediction and the corpus ground-truth lang label —
+    the chance-corrected scalar on top of text_langid_confusion's
+    matrix. Integer-exact to the single final division (the n·diag −
+    Σr·c identity, DECIMAL(38,0)/HUGEINT); the oracle replays the
+    pinned langid tie rules and re-derives kappa independently."""
+    from collection_templates_spark.operators.stats import cohens_kappa
+    from collection_templates_spark.operators.text_analysis import (
+        language_id,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("lang").alias("actual"),
+        language_id(F.col("text")).alias("predicted"),
+    )
+    return cohens_kappa(pairs, "actual", "predicted")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALEST-EXTERNALLY-CHECKED queries FIRST (the driver samples ~50
     # of the bank per round in INSERTION ORDER — this dict's order is
@@ -6982,6 +7002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_part_value_share": agg_part_value_share,
     "join_dominant_supplier": join_dominant_supplier,
     "quality_roc_auc": quality_roc_auc,
+    "text_langid_kappa": text_langid_kappa,
 }
 
 # --- Round-15 rotation (r14 verdict #2) ------------------------------
@@ -7013,6 +7034,7 @@ _R14_SAMPLED = frozenset(
     events_trailing_zscore quality_dynamic_threshold""".split()
 )
 _R15_FRONT = (
+    "text_langid_kappa",
     "quality_roc_auc",
     "join_min_cost_supplier",
     "agg_part_value_share",
@@ -16214,4 +16236,52 @@ ORACLE_SQL["quality_roc_auc"] = f"""
            round(araw, 6) + CAST(0 AS DOUBLE) AS auc,
            round(2.0 * araw - 1.0, 6) + CAST(0 AS DOUBLE) AS gini
     FROM fin
+"""
+
+
+# text_langid_kappa: the langid replay (same pinned tie rules as
+# text_langid_confusion) + the single-division kappa identity in
+# HUGEINT; +0.0 guards the -0.0 round split (kappa can be negative).
+ORACLE_SQL["text_langid_kappa"] = """
+    WITH s AS (
+        SELECT lang,
+               len(list_filter(string_split(lower(text),' '), t -> t IN
+                   ('der','die','das','und','ist','nicht','mit','ein'))) AS s_de,
+               len(list_filter(string_split(lower(text),' '), t -> t IN
+                   ('the','and','of','to','in','is','that','with'))) AS s_en,
+               len(list_filter(string_split(lower(text),' '), t -> t IN
+                   ('el','la','los','las','es','no','por','para'))) AS s_es,
+               len(list_filter(string_split(lower(text),' '), t -> t IN
+                   ('le','la','les','et','est','pas','pour','dans'))) AS s_fr,
+               len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+        FROM documents
+    ), pred AS (
+        SELECT lang AS a,
+               CASE WHEN cjk > 0 THEN 'zh'
+                    WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0
+                        THEN 'und'
+                    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de
+                        THEN 'fr'
+                    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                    WHEN s_en >= s_de THEN 'en'
+                    ELSE 'de' END AS b
+        FROM s
+    ), cm AS (
+        SELECT a, b, count(*) AS c FROM pred GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+                   AS diag
+        FROM cm
+    ), ra AS (SELECT a, sum(c) AS r FROM cm GROUP BY a),
+    cb AS (SELECT b, sum(c) AS cn FROM cm GROUP BY b),
+    rc AS (
+        SELECT sum(CAST(r AS HUGEINT) * cn) AS src
+        FROM ra JOIN cb ON a = b
+    )
+    SELECT n AS n_pairs, diag AS n_agree,
+           round(CAST(CAST(n AS HUGEINT) * diag - src AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n - src AS DOUBLE), 6)
+           + CAST(0 AS DOUBLE) AS kappa
+    FROM tot, rc
 """

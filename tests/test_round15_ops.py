@@ -384,3 +384,40 @@ def test_roc_auc_bruteforce_with_ties(spark):
                                 "score double, y boolean")
     r1 = roc_auc(df1, "score", "y").collect()[0]
     assert r1["auc"] is None and r1["n_neg"] == 0
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """Kappa against the textbook 2x2 worked example, the
+    perfect-agreement and independence edges, and the pe=1 degenerate
+    (both columns constant -> NULL via try_divide)."""
+    from fractions import Fraction
+
+    from collection_templates_spark.operators.stats import cohens_kappa
+
+    # classic worked example: raters agree 20+15 of 50,
+    # marginals A: 25/25, B: 30/20 -> pe = (25*30 + 25*20)/2500 = 0.5
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n_pairs"] == 50 and r["n_agree"] == 35
+    want = (Fraction(35, 50) - Fraction(1, 2)) / (1 - Fraction(1, 2))
+    assert r["kappa"] == round(float(want), 6)  # 0.4
+    # perfect agreement -> 1.0
+    df2 = spark.createDataFrame(
+        [("x", "x")] * 3 + [("y", "y")] * 4, "a string, b string"
+    )
+    assert cohens_kappa(df2, "a", "b").collect()[0]["kappa"] == 1.0
+    # both constant -> pe = 1 -> NULL, not an error
+    df3 = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    assert cohens_kappa(df3, "a", "b").collect()[0]["kappa"] is None
+    # disjoint labels: diag 0, sum_rc 0 -> kappa = 0/n^2 = 0.0 exactly
+    df4 = spark.createDataFrame(
+        [("x", "y")] * 4 + [("y", "z")] * 2, "a string, b string"
+    )
+    r4 = cohens_kappa(df4, "a", "b").collect()[0]
+    # marginals DO overlap on 'y' here: r_y=2, c_y=4 -> src=8
+    want4 = Fraction(6 * 0 - 8, 36 - 8)
+    assert r4["kappa"] == round(float(want4), 6)
