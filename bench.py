@@ -49,6 +49,16 @@ NEW_ROWS_THIS_ROUND = frozenset(
         "mixture_materialize",
         "pack_bucket_stats",
         "embedding_outliers",
+        # session-2 additions (batch 3)
+        "agg_ship_delay_priority",
+        "window_sliding_distinct_users",
+        "quality_isotonic_calibration",
+        "bpe_train_merges",
+        "join_min_cost_supplier",
+        "agg_part_value_share",
+        "join_dominant_supplier",
+        "quality_roc_auc",
+        "text_langid_kappa",
     }
 )
 
