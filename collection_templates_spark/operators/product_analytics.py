@@ -283,47 +283,92 @@ def rolling_distinct_users(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Exact trailing-``window_days`` distinct users per day (rolling
-    WAU/MAU) via COVER-SET expansion: COUNT(DISTINCT) over a sliding
-    range window has no native Spark form, and the textbook
-    day×activity range join re-reads every event once per covered day
-    with a non-equi condition no engine hashes. Instead each distinct
-    (user, active-day) emits the ``window_days`` days it covers, one
-    more distinct collapses multi-active users per covered day, and a
-    day-level count finishes.
+    WAU/MAU) via per-user COVERAGE-INTERVAL MERGING: sliding
+    COUNT(DISTINCT) has no native Spark form, the textbook
+    day×activity range join re-reads every event per covered day, and
+    the first cut here (cover-set expansion: explode each active day
+    into the ``window_days`` days it covers + a second global
+    distinct) measured SUPERLINEAR at the sf100 third decade (1.20 —
+    the ×7 row blow-up and the second billion-row distinct cross the
+    spill threshold while the answer itself is day-cardinality).
 
-    Integer-exact (dedup + count, nothing floats). Scale shape: the
-    blow-up factor is exactly ``window_days`` (bounded, chosen); both
-    distincts key on (user, day) so the second rides the first's
-    hash partitioning where AQE keeps it — linear in activity, no
-    range join, no window function, no per-day fan-in. Covered days
-    past the corpus's last activity are clipped by a 1-row broadcast
-    max-day scalar so every reported day trails a full view of the
-    data that exists. Output: (day, rolling_users) for every day
-    covered by ≥1 active user.
+    This form never expands rows: a user covers day d iff active in
+    [d−w+1, d], so their covered days are a UNION OF INTERVALS
+    [day, day+w−1] — merged per user by gaps-and-islands over their
+    sorted active days (new island when the gap exceeds ``w``), each
+    island contributing +1 at its start and −1 after its clipped end,
+    and a prefix sum over the DAY SPINE (a bounded dimension:
+    sequence(min_day, max_day), thousands of rows) finishes. One
+    shuffle on (uid) for the island window, one skinny groupBy(day)
+    of 2 deltas per island, one dimension-sized cumulative window —
+    linear in activity with constant ~2, zero blow-up, no giant
+    distinct. Integer-exact throughout. Output: (day, rolling_users)
+    for every day covered by ≥1 active user (count-0 gap days are
+    omitted, matching the cover-set semantics).
     """
+    w = int(window_days)
     active = df.select(
         F.col(user_col).alias("uid"),
         F.to_date(F.col(ts_col)).alias("day"),
     ).distinct()
-    mx = active.agg(F.max("day").alias("max_day"))
-    covered = (
-        active.select(
-            "uid",
-            "day",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(int(window_days) - 1))
-            ).alias("off"),
+    uw = Window.partitionBy("uid").orderBy("day")
+    isl = (
+        active.withColumn("prev", F.lag("day").over(uw))
+        .withColumn(
+            "brk",
+            (
+                F.col("prev").isNull()
+                | (F.datediff(F.col("day"), F.col("prev")) > F.lit(w))
+            ).cast("int"),
         )
-        .select(
-            "uid", F.date_add(F.col("day"), F.col("off")).alias("day")
+        .withColumn(
+            "isl",
+            F.sum("brk").over(
+                uw.rowsBetween(Window.unboundedPreceding, 0)
+            ),
         )
-        .crossJoin(F.broadcast(mx))
-        .filter(F.col("day") <= F.col("max_day"))
-        .select("uid", "day")
-        .distinct()
     )
-    return covered.groupBy("day").agg(
-        F.count(F.lit(1)).alias("rolling_users")
+    mx = active.agg(
+        F.min("day").alias("min_day"), F.max("day").alias("max_day")
+    )
+    spans = (
+        isl.groupBy("uid", "isl")
+        .agg(F.min("day").alias("s"), F.max("day").alias("e"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "s",
+            F.least(
+                F.date_add(F.col("e"), w - 1), F.col("max_day")
+            ).alias("e2"),
+        )
+    )
+    deltas = spans.select(
+        F.col("s").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        spans.select(
+            F.date_add(F.col("e2"), 1).alias("day"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    dd = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
+    spine = mx.select(
+        F.explode(
+            F.sequence(F.col("min_day"), F.col("max_day"))
+        ).alias("day")
+    )
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(dd, "day", "left")
+        .withColumn(
+            "rolling_users",
+            F.sum(F.coalesce(F.col("delta"), F.lit(0))).over(cum),
+        )
+        .filter(F.col("rolling_users") > 0)
+        .select("day", F.col("rolling_users").cast("long").alias(
+            "rolling_users"
+        ))
     )
 
 
