@@ -328,28 +328,42 @@ def rolling_distinct_users(
             ),
         )
     )
-    mx = active.agg(
-        F.min("day").alias("min_day"), F.max("day").alias("max_day")
-    )
-    spans = (
+    # The ONE pass over the corpus ends here: the island table is
+    # entity-sized (≤ one row per user per activity gap), and every
+    # downstream reference (the day scalar, the clip, both deltas, the
+    # spine) reads the checkpoint — without it, the unionAll/scalar
+    # branches each re-derive the corpus distinct + per-user window
+    # (observed: 9 source references, 1 reused exchange).
+    spans0 = (
         isl.groupBy("uid", "isl")
         .agg(F.min("day").alias("s"), F.max("day").alias("e"))
-        .crossJoin(F.broadcast(mx))
-        .select(
-            "s",
-            F.least(
-                F.date_add(F.col("e"), w - 1), F.col("max_day")
-            ).alias("e2"),
-        )
+        .select("s", "e")
+        .localCheckpoint(eager=True)
+    )
+    # corpus min/max day derive from the islands exactly: every user's
+    # first/last active day is some island's s/e
+    mx = spans0.agg(
+        F.min("s").alias("min_day"), F.max("e").alias("max_day")
+    )
+    spans = spans0.crossJoin(F.broadcast(mx)).select(
+        "s",
+        F.least(
+            F.date_add(F.col("e"), w - 1), F.col("max_day")
+        ).alias("e2"),
     )
     deltas = spans.select(
-        F.col("s").alias("day"), F.lit(1).alias("d")
-    ).unionAll(
-        spans.select(
-            F.date_add(F.col("e2"), 1).alias("day"),
-            F.lit(-1).alias("d"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("day"), F.lit(1).alias("d")
+                ),
+                F.struct(
+                    F.date_add(F.col("e2"), 1).alias("day"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.day", "x.d")
     dd = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
     spine = mx.select(
         F.explode(

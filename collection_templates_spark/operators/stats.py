@@ -2422,9 +2422,16 @@ def cohens_kappa(
     rc = (
         ra.join(cb, F.col("a") == F.col("b"))
         .agg(
-            F.sum(
-                F.col("r").cast("decimal(19,0)")
-                * F.col("col_n").cast("decimal(19,0)")
+            # coalesce: fully DISJOINT label sets make this an empty
+            # join — sum() would be NULL and poison kappa, but the
+            # true cross-term is 0 (every r_k·c_k product has a zero
+            # factor), giving kappa = 0 exactly
+            F.coalesce(
+                F.sum(
+                    F.col("r").cast("decimal(19,0)")
+                    * F.col("col_n").cast("decimal(19,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
             ).alias("sum_rc")
         )
     )

@@ -6432,9 +6432,12 @@ def window_sliding_distinct_users(
 ) -> DataFrame:
     """Exact trailing-7-day distinct users per day
     (product_analytics.rolling_distinct_users): the rolling-WAU row —
-    sliding COUNT(DISTINCT) realized as cover-set expansion (factor-7
-    explode + two (user, day)-keyed distincts), never a day×activity
-    range join and never a window function."""
+    sliding COUNT(DISTINCT) realized as per-user coverage-interval
+    merging (gaps-and-islands over active days, ±1 island-edge deltas,
+    prefix sum over the bounded day spine), never a day×activity range
+    join and never a row blow-up. The ORACLE derives the same answer
+    via the independent cover-set identity (a user counts toward day d
+    iff one of their active days covers d)."""
     from collection_templates_spark.operators.product_analytics import (
         rolling_distinct_users,
     )
@@ -16276,7 +16279,9 @@ ORACLE_SQL["text_langid_kappa"] = """
     ), ra AS (SELECT a, sum(c) AS r FROM cm GROUP BY a),
     cb AS (SELECT b, sum(c) AS cn FROM cm GROUP BY b),
     rc AS (
-        SELECT sum(CAST(r AS HUGEINT) * cn) AS src
+        -- coalesce: disjoint label sets -> empty join, true cross-term 0
+        SELECT coalesce(sum(CAST(r AS HUGEINT) * cn),
+                        CAST(0 AS HUGEINT)) AS src
         FROM ra JOIN cb ON a = b
     )
     SELECT n AS n_pairs, diag AS n_agree,

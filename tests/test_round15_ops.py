@@ -413,11 +413,17 @@ def test_cohens_kappa_hand_computed(spark):
     # both constant -> pe = 1 -> NULL, not an error
     df3 = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
     assert cohens_kappa(df3, "a", "b").collect()[0]["kappa"] is None
-    # disjoint labels: diag 0, sum_rc 0 -> kappa = 0/n^2 = 0.0 exactly
+    # partially-overlapping marginals ('y' appears on both sides:
+    # r_y=2, c_y=4 -> src=8), diag 0 -> negative kappa
     df4 = spark.createDataFrame(
         [("x", "y")] * 4 + [("y", "z")] * 2, "a string, b string"
     )
     r4 = cohens_kappa(df4, "a", "b").collect()[0]
-    # marginals DO overlap on 'y' here: r_y=2, c_y=4 -> src=8
     want4 = Fraction(6 * 0 - 8, 36 - 8)
     assert r4["kappa"] == round(float(want4), 6)
+    # fully DISJOINT label sets: the marginal join is EMPTY, true
+    # cross-term 0 -> kappa = (n*0 - 0)/(n^2 - 0) = 0.0 exactly, not
+    # NULL (the coalesce in the sum_rc aggregate)
+    df5 = spark.createDataFrame([("x", "y")] * 4, "a string, b string")
+    r5 = cohens_kappa(df5, "a", "b").collect()[0]
+    assert r5["kappa"] == 0.0
