@@ -42,8 +42,10 @@ term keeps either ranker from reaching the ideal ordering, exactly
 like human grades over an ML ranking.
 
 Scale shape: judgment tables are bounded by construction (|queries| ×
-matched docs — human-annotation-sized); building them is |queries|
-pushdown-pruned scans unioned. Training is ONE map-side-combined
+matched docs — human-annotation-sized); building them is ONE corpus
+scan whose per-query match counts explode into the judged rows
+(round 15 — previously |queries| unioned scans, each re-running the
+text normalization). Training is ONE map-side-combined
 moment aggregate; evaluation is per-query windows over the bounded
 judgment table. Nothing here touches unbounded state.
 """
@@ -101,7 +103,16 @@ def ltr_judgments(
         F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     )
     padded = F.concat(F.lit(" "), norm, F.lit(" "))
-    parts = []
+    # ONE corpus scan for all queries (round 15, guide §2.2/§6.2): the
+    # old shape unioned one filtered scan per query, so the parquet
+    # text column was read — and the \s+ regexp normalization run —
+    # |queries| times per consumer. Here every query's (mt, mb) counts
+    # are computed in a single projection (codegen CSE evaluates
+    # ``padded`` once per row) and exploded into the same
+    # (query, doc_id, ...) rows; the mt >= 1 filter sits above the
+    # Generate on its output attributes (the r13 Generate-barrier
+    # idiom), so rows and values are identical to the union form.
+    per_q = []
     for q in queries:
         terms = q.split()
         bigrams = [f" {a} {b} " for a, b in zip(terms, terms[1:])]
@@ -113,18 +124,24 @@ def ltr_judgments(
             lambda a, b: a + b,
             [padded.contains(bg).cast("int") for bg in bigrams],
         )
-        parts.append(
-            docs.select(
+        per_q.append(
+            F.struct(
                 F.lit(q).alias("query"),
-                F.col(id_col).alias("doc_id"),
                 mt.alias("mt"),
                 mb.alias("mb"),
-                F.col(chars_col).alias("nc"),
                 F.lit(len(terms)).alias("ntt"),
                 F.lit(len(bigrams)).alias("ntb"),
-            ).filter(F.col("mt") >= 1)
+            )
         )
-    j = reduce(lambda a, b: a.unionByName(b), parts)
+    j = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(chars_col).alias("nc"),
+            F.explode(F.array(*per_q)).alias("e"),
+        )
+        .select("doc_id", "nc", "e.query", "e.mt", "e.mb", "e.ntt", "e.ntb")
+        .filter(F.col("mt") >= 1)
+    )
     # graded match feature: mean of term coverage and exact-phrase
     # (bigram) coverage — ~7 levels, so the judged pool's top-k holds
     # genuine (ov, sat) trade-offs instead of a constant-ov plateau

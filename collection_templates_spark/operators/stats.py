@@ -815,34 +815,25 @@ def bootstrap_mean_ci(
     base = df.filter(F.col(value_col).isNotNull()).select(
         v.alias("vd"), h.alias("h")
     )
-    bit = lambda j: F.shiftright(F.col("h"), j) % 2 == 1  # noqa: E731
+    # SQL-string construction, same rationale as permutation_mean_test:
+    # the 2b-accumulator Column chain cost seconds of py4j round trips
+    # per invocation; one selectExpr parse yields identical Catalyst
+    # trees (and therefore identical results).
     aggs = [
-        F.sum(F.col("vd").cast(dec)).alias("s_all"),
-        F.count(F.lit(1)).alias("n_all"),
+        f"sum(CAST(vd AS {dec})) AS s_all",
+        "count(1) AS n_all",
     ]
     for j in range(b):
-        aggs.append(F.sum(F.when(bit(j), F.col("vd"))).alias(f"s{j}"))
-        aggs.append(
-            F.sum(F.when(bit(j), 1).otherwise(0)).alias(f"c{j}")
-        )
-    m = base.groupBy().agg(*aggs)
-    reps = m.select(
-        "s_all",
-        "n_all",
-        F.explode(
-            F.array(
-                *[
-                    F.round(
-                        F.try_divide(
-                            F.col(f"s{j}").cast("double"),
-                            F.col(f"c{j}").cast("double"),
-                        ),
-                        9,
-                    )
-                    for j in range(b)
-                ]
-            )
-        ).alias("rep_mean"),
+        bit = f"(shiftright(h, {j}) % 2) = 1"
+        aggs.append(f"sum(CASE WHEN {bit} THEN vd END) AS s{j}")
+        aggs.append(f"sum(CASE WHEN {bit} THEN 1 ELSE 0 END) AS c{j}")
+    m = base.selectExpr(*aggs)
+    rep = ", ".join(
+        f"round(try_divide(CAST(s{j} AS DOUBLE), CAST(c{j} AS DOUBLE)), 9)"
+        for j in range(b)
+    )
+    reps = m.selectExpr(
+        "s_all", "n_all", f"explode(array({rep})) AS rep_mean"
     )
     mean = F.col("s_all").cast("double") / F.col("n_all").cast("double")
     out = reps.groupBy("s_all", "n_all").agg(
@@ -1505,43 +1496,46 @@ def permutation_mean_test(
     base = df.filter(
         F.col(value_col).isNotNull() & g.isin([group_a, group_b])
     ).select(v.alias("vd"), h.alias("h"), g.alias("g"))
-    bit = lambda j: F.shiftright(F.col("h"), j) % 2 == 1  # noqa: E731
+    # The 2b+4 accumulators and the b-term extreme count are built as
+    # SQL strings, not Column chains: the Column form costs ~2,600 py4j
+    # round trips (~3-4 s of DRIVER time per invocation, measured this
+    # round) while one selectExpr parse of the same expressions is
+    # ~100 ms. The parsed Catalyst trees are identical — CASE WHEN for
+    # F.when, the same casts/try_divide/round — so results are
+    # bit-for-bit unchanged (`0.0D`/`1.0D` keep the literals DOUBLE;
+    # a bare `0.0` would parse as DECIMAL).
+    ga = group_a.replace("'", "''")
     aggs = [
-        F.sum("vd").alias("s_all"),
-        F.count(F.lit(1)).alias("n_all"),
-        F.sum(F.when(F.col("g") == group_a, F.col("vd"))).alias("s_a"),
-        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("c_a"),
+        "sum(vd) AS s_all",
+        "count(1) AS n_all",
+        f"sum(CASE WHEN g = '{ga}' THEN vd END) AS s_a",
+        f"sum(CASE WHEN g = '{ga}' THEN 1 ELSE 0 END) AS c_a",
     ]
     for j in range(b):
-        aggs.append(F.sum(F.when(bit(j), F.col("vd"))).alias(f"s{j}"))
-        aggs.append(F.sum(F.when(bit(j), 1).otherwise(0)).alias(f"c{j}"))
-    m = base.groupBy().agg(*aggs)
+        bit = f"(shiftright(h, {j}) % 2) = 1"
+        aggs.append(f"sum(CASE WHEN {bit} THEN vd END) AS s{j}")
+        aggs.append(f"sum(CASE WHEN {bit} THEN 1 ELSE 0 END) AS c{j}")
+    m = base.selectExpr(*aggs)
 
-    def diff(s_col: F.Column, c_col: F.Column) -> F.Column:
-        sa = s_col.cast("double")
-        ca = c_col.cast("double")
-        st = F.col("s_all").cast("double")
-        nt = F.col("n_all").cast("double")
-        return F.round(
-            F.try_divide(sa, ca) - F.try_divide(st - sa, nt - ca), 9
+    def diff(s: str, c: str) -> str:
+        return (
+            f"round(try_divide(CAST({s} AS DOUBLE), CAST({c} AS DOUBLE))"
+            f" - try_divide(CAST(s_all AS DOUBLE) - CAST({s} AS DOUBLE),"
+            f" CAST(n_all AS DOUBLE) - CAST({c} AS DOUBLE)), 9)"
         )
 
-    d_obs = diff(F.col("s_a"), F.col("c_a"))
-    extreme = [
-        (
-            F.abs(diff(F.col(f"s{j}"), F.col(f"c{j}"))) >= F.abs(d_obs)
-        ).cast("int")
+    d_obs = diff("s_a", "c_a")
+    n_ext = " + ".join(
+        f"CAST((abs({diff(f's{j}', f'c{j}')}) >= abs({d_obs})) AS INT)"
         for j in range(b)
-    ]
-    n_ext = sum(extreme[1:], extreme[0])
-    return m.select(
-        F.col("n_all").cast("long").alias("n"),
-        F.lit(b).alias("b"),
-        (d_obs + F.lit(0.0)).alias("diff_obs"),
-        n_ext.cast("long").alias("n_extreme"),
-        F.round(
-            (n_ext.cast("double") + F.lit(1.0)) / F.lit(float(b + 1)), 6
-        ).alias("p_value"),
+    )
+    return m.selectExpr(
+        "CAST(n_all AS BIGINT) AS n",
+        f"{b} AS b",
+        f"({d_obs} + 0.0D) AS diff_obs",
+        f"CAST({n_ext} AS BIGINT) AS n_extreme",
+        f"round((CAST({n_ext} AS DOUBLE) + 1.0D) / {float(b + 1)}D, 6)"
+        " AS p_value",
     )
 
 

@@ -60,3 +60,31 @@ def test_events_ts_value_matches_duckdb(spark):
     assert got.rstrip("0").rstrip(".") == want.rstrip("0").rstrip("."), (
         f"spark={got!r} duckdb={want!r}"
     )
+
+
+def test_load_table_memo_hits_and_invalidates(spark, tmp_path):
+    """The DataFrame-handle memo returns the same unresolved plan for an
+    unchanged source, and misses when the file content fingerprint
+    (size/mtime) changes — the driver regenerates /root/testdata
+    mid-round, so a stale handle would read the old layout."""
+    import shutil
+
+    from collection_templates_spark.sources.testdata import _DF_MEMO
+
+    src = os.path.join(SF_DIR, "region.parquet")
+    work = tmp_path / "sfX"
+    work.mkdir()
+    shutil.copy(src, work / "region.parquet")
+
+    a = load_table(spark, "region", str(work))
+    b = load_table(spark, "region", str(work))
+    assert a is b  # warm hit: same handle, zero re-resolution
+
+    # regenerate: same bytes, fresh mtime -> fingerprint miss
+    os.utime(work / "region.parquet")
+    c = load_table(spark, "region", str(work))
+    assert c is not a
+    assert c.count() == a.count()
+    # and the memo holds both generations under distinct keys
+    keys = [k for k in _DF_MEMO if k[1].startswith(str(work))]
+    assert len(keys) == 2
