@@ -509,30 +509,32 @@ def hash_sampled_quantiles(
 
     Output: one row per requested quantile — (q, est_q, exact_q,
     abs_err, rel_err), errors computed on raw doubles then rounded.
+
+    Single scan (r15): both percentile states accumulate in ONE pass —
+    ``percentile`` skips NULLs, so the sampled side is the same
+    aggregate over a ``when``-guarded input (identical values to the
+    old filtered-scan form; the guard is the old filter) — instead of
+    two full table scans joined on the quantile index. At 100 TB that
+    is one corpus pass, not two.
     """
     p = F.lit(_P31).cast("double")
     u = _numeric_mix(key).cast("double") / p
     qs_arr = F.array(*[F.lit(float(q)) for q in quantiles])
     val = F.col(value_col).cast("double")
-    samp = (
-        df.filter(u < F.lit(1.0 / sample_mod))
-        .agg(F.percentile(val, qs_arr).alias("p"))
-        .select(F.posexplode("p").alias("i", "est"))
-    )
-    full = df.agg(F.percentile(val, qs_arr).alias("p")).select(
-        F.posexplode("p").alias("i", "exact")
-    )
-    return (
-        samp.join(full, "i")
-        .select(
-            F.element_at(qs_arr, F.col("i") + 1).alias("q"),
-            F.round("est", 4).alias("est_q"),
-            F.round("exact", 4).alias("exact_q"),
-            F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
-            F.round(
-                F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6
-            ).alias("rel_err"),
-        )
+    both = df.agg(
+        F.percentile(
+            F.when(u < F.lit(1.0 / sample_mod), val), qs_arr
+        ).alias("ps"),
+        F.percentile(val, qs_arr).alias("pf"),
+    ).select(F.posexplode(F.arrays_zip("ps", "pf")).alias("i", "z"))
+    est = F.col("z.ps")
+    exact = F.col("z.pf")
+    return both.select(
+        F.element_at(qs_arr, F.col("i") + 1).alias("q"),
+        F.round(est, 4).alias("est_q"),
+        F.round(exact, 4).alias("exact_q"),
+        F.round(F.abs(est - exact), 4).alias("abs_err"),
+        F.round(F.abs(est - exact) / exact, 6).alias("rel_err"),
     )
 
 

@@ -133,22 +133,36 @@ def contamination_spans(
         .withColumn("___hit", F.lit(1))
     )
     marked = g.join(F.broadcast(b), "g", "left")
-    base = marked.groupBy("doc").agg(
-        F.count("*").alias("n_grams"),
-        F.sum(F.coalesce("___hit", F.lit(0))).alias("n_contaminated"),
-    )
+    # Single consumption of the marked subtree (r15): same one-window-
+    # pass + two-level-aggregate shape as common_substring_spans below —
+    # hit rows get the pos − rank-among-hits island key, non-hit rows
+    # collapse into a per-doc NULL group, and one (doc, grp) → doc
+    # aggregation ladder (both reusing the window's doc partitioning)
+    # yields totals, hit count and max run without a second explode pass
+    # or the base⋈islands join.
     w = Window.partitionBy("doc").orderBy("pos")
-    islands = (
-        marked.filter(F.col("___hit") == 1)
-        .withColumn("___grp", F.col("pos") - F.row_number().over(w))
+    runs = (
+        marked.withColumn(
+            "___grp",
+            F.when(
+                F.col("___hit") == 1,
+                F.col("pos") - F.count("___hit").over(w),
+            ),
+        )
         .groupBy("doc", "___grp")
         .agg(F.count("*").alias("___run"))
-        .groupBy("doc")
-        .agg(F.max("___run").alias("max_contaminated_run"))
     )
-    return base.join(islands, "doc", "left").withColumn(
-        "max_contaminated_run",
-        F.coalesce("max_contaminated_run", F.lit(0).cast("long")),
+    return runs.groupBy("doc").agg(
+        F.sum("___run").alias("n_grams"),
+        F.sum(
+            F.when(F.col("___grp").isNotNull(), F.col("___run")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_contaminated"),
+        F.coalesce(
+            F.max(F.when(F.col("___grp").isNotNull(), F.col("___run"))),
+            F.lit(0).cast("long"),
+        ).alias("max_contaminated_run"),
     )
 
 
@@ -199,22 +213,39 @@ def common_substring_spans(
         .withColumn("___hit", F.lit(1))
     )
     marked = g.join(shared, "g", "left")
-    base = marked.groupBy("doc").agg(
-        F.count("*").alias("n_grams"),
-        F.sum(F.coalesce("___hit", F.lit(0))).alias("n_shared"),
-    )
+    # Single consumption of the join subtree (r15): the doc totals, the
+    # shared count and the gaps-and-islands run length all come out of ONE
+    # window pass + a two-level aggregate. ``___grp`` is the classic
+    # pos − rank-among-hits island key, computed for hit rows only (the
+    # windowed count skips NULL ``___hit``); non-hit rows collapse into a
+    # per-doc NULL group, so the (doc, grp) counts feed n_grams (sum of
+    # all groups), n_shared (sum of non-NULL groups) and max_shared_run
+    # (max of non-NULL groups) without re-running the corpus join for a
+    # second branch or joining base⋈islands back together. Both
+    # aggregates reuse the window's doc partitioning — no new Exchange.
     w = Window.partitionBy("doc").orderBy("pos")
-    islands = (
-        marked.filter(F.col("___hit") == 1)
-        .withColumn("___grp", F.col("pos") - F.row_number().over(w))
+    runs = (
+        marked.withColumn(
+            "___grp",
+            F.when(
+                F.col("___hit") == 1,
+                F.col("pos") - F.count("___hit").over(w),
+            ),
+        )
         .groupBy("doc", "___grp")
         .agg(F.count("*").alias("___run"))
-        .groupBy("doc")
-        .agg(F.max("___run").alias("max_shared_run"))
     )
-    return base.join(islands, "doc", "left").withColumn(
-        "max_shared_run",
-        F.coalesce("max_shared_run", F.lit(0).cast("long")),
+    return runs.groupBy("doc").agg(
+        F.sum("___run").alias("n_grams"),
+        F.sum(
+            F.when(F.col("___grp").isNotNull(), F.col("___run")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_shared"),
+        F.coalesce(
+            F.max(F.when(F.col("___grp").isNotNull(), F.col("___run"))),
+            F.lit(0).cast("long"),
+        ).alias("max_shared_run"),
     )
 
 
@@ -1166,46 +1197,94 @@ def dsir_importance_weights(
     columns + (n_tokens, lp_target, lp_raw, weight, prefers_target)
     with sums rounded 4dp and weight = round(lp_t − lp_r, 4).
 
-    Scale shape: two vocab-bounded model aggregates (target and raw
-    pools — each ONE shuffle), both broadcast; the corpus is exploded
-    once per scoring pass with a doc-keyed partial-combined
-    re-aggregation. At 100 TB the models come from samples; the scoring
-    pass shape is unchanged.
+    Scale shape (r15 single-pass rewrite): each pool's token counts are
+    ONE explode+shuffle materialized at vocab size (eager local
+    checkpoint — the model is tiny, its input is the corpus pass worth
+    saving); the two Laplace models ride as ONE combined broadcast
+    (full-outer on token, a miss on either side IS that model's OOV
+    floor); the corpus is exploded ONCE and both log-probability sums
+    accumulate in the same doc-keyed partial-combined re-aggregation —
+    no second scoring pass, no st⋈sr doc-keyed join. Per-token lps are
+    the same 9dp-rounded values ``score_names`` produces, so the output
+    is bit-identical to the two-pass form. At 100 TB the models come
+    from samples; the scoring pass shape is unchanged.
     """
     from collection_templates_spark.functions.langmodel import (
         TOKEN_SPLIT_RE,
-        score_names,
-        word_frequency_model,
+        corpus_tokens,
+        unigram_model_from_counts,
     )
 
-    model_t = word_frequency_model(target, text_col)
-    model_r = word_frequency_model(raw, text_col)
+    def pool_counts(docs: DataFrame) -> DataFrame:
+        return (
+            corpus_tokens(docs, text_col)
+            .groupBy("token")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+
+    counts_t = pool_counts(target)
+    counts_r = pool_counts(raw)
+    # same denominator score_names derives from the model rows
+    # (sum(n) + count(*) — the model carries counts unchanged)
+    denom_t = counts_t.agg((F.sum("n") + F.count("*")).alias("___dt"))
+    denom_r = counts_r.agg((F.sum("n") + F.count("*")).alias("___dr"))
+    comb = (
+        unigram_model_from_counts(counts_t)
+        .select("token", F.col("log_prob").alias("___mt"))
+        .join(
+            unigram_model_from_counts(counts_r).select(
+                "token", F.col("log_prob").alias("___mr")
+            ),
+            "token",
+            "full_outer",
+        )
+        .select(F.col("token").alias("___tok"), "___mt", "___mr")
+    )
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
         lambda x: x != F.lit(""),
     )
-    # n_tokens rides as a grouping key (score_names drops the token
-    # array itself and groups by every other column)
+    # n_tokens rides as a grouping key, exactly as it did through
+    # score_names (which groups by every non-token column)
     names = corpus.select(
         *id_cols,
         F.size(toks).cast("long").alias("n_tokens"),
         toks.alias("tokens"),
     )
-    st = score_names(names, model_t).select(
+    lp_t = F.round(
+        F.coalesce(
+            F.col("___mt"),
+            F.log(F.lit(1.0) / F.col("___dt").cast("double")),
+        ),
+        9,
+    )
+    lp_r = F.round(
+        F.coalesce(
+            F.col("___mr"),
+            F.log(F.lit(1.0) / F.col("___dr").cast("double")),
+        ),
+        9,
+    )
+    scored = (
+        names.withColumn("___tok", F.explode_outer("tokens"))
+        .join(F.broadcast(denom_t))
+        .join(F.broadcast(denom_r))
+        .join(F.broadcast(comb), "___tok", "left")
+        .groupBy(*id_cols, "n_tokens")
+        .agg(
+            F.sum(F.when(F.col("___tok").isNotNull(), lp_t)).alias("___st"),
+            F.sum(F.when(F.col("___tok").isNotNull(), lp_r)).alias("___sr"),
+        )
+    )
+    lp_target = F.round("___st", 4)
+    lp_raw = F.round("___sr", 4)
+    weight = F.round(lp_target - lp_raw, 4) + F.lit(0.0)
+    return scored.select(
         *id_cols,
         "n_tokens",
-        F.round("log_probability", 4).alias("lp_target"),
-    )
-    sr = score_names(names, model_r).select(
-        *id_cols, F.round("log_probability", 4).alias("lp_raw")
-    )
-    out = st.join(sr, list(id_cols))
-    weight = F.round(F.col("lp_target") - F.col("lp_raw"), 4) + F.lit(0.0)
-    return out.select(
-        *id_cols,
-        "n_tokens",
-        "lp_target",
-        "lp_raw",
+        lp_target.alias("lp_target"),
+        lp_raw.alias("lp_raw"),
         weight.alias("weight"),
         (weight > 0).cast("int").alias("prefers_target"),
     )

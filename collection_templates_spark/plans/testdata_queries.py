@@ -3212,14 +3212,18 @@ def basket_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (support ≥ 2) with their lift — the frequent-itemset primitive at
     the pair level. Self-equi-join on the order key: per-order fan-out
     is basket² (TPC-H baskets are ≤ 7 lines), never corpus²; item
-    supports broadcast for the lift denominator."""
+    supports broadcast for the lift denominator. The order count rides
+    as a broadcast 1-row aggregate (the Q11 broadcast-scalar shape, r15)
+    instead of a driver ``collect`` — no separate job, no serialized
+    driver action, and the basket distinct exchange is shared with the
+    pair/support branches instead of re-run."""
     li = _t(spark, sf_dir, "lineitem")
     basket = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
     n_orders = basket.select("o").distinct().agg(
-        F.count(F.lit(1)).alias("n")
-    ).collect()[0]["n"]
+        F.count(F.lit(1)).cast("double").alias("___n")
+    )
     a = basket.select("o", F.col("p").alias("p1"))
     b = basket.select("o", F.col("p").alias("p2"))
     pairs = (
@@ -3232,19 +3236,20 @@ def basket_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = basket.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
     s1 = F.broadcast(sup.select(F.col("p").alias("p1"), F.col("s").alias("s1")))
     s2 = F.broadcast(sup.select(F.col("p").alias("p2"), F.col("s").alias("s2")))
-    n = float(n_orders)
+    n = F.col("___n")
     return (
         pairs.join(s1, "p1")
         .join(s2, "p2")
+        .join(F.broadcast(n_orders))
         .select(
             "p1",
             "p2",
             F.col("support").cast("long").alias("support"),
             F.round(
-                (F.col("support").cast("double") / F.lit(n))
+                (F.col("support").cast("double") / n)
                 / (
-                    (F.col("s1").cast("double") / F.lit(n))
-                    * (F.col("s2").cast("double") / F.lit(n))
+                    (F.col("s1").cast("double") / n)
+                    * (F.col("s2").cast("double") / n)
                 ),
                 6,
             ).alias("lift"),
@@ -3257,23 +3262,28 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabetically) — the classic keyword extractor. Rides the memoized
     perplexity pair stream for the token explode; df and N are
     vocab-bounded / scalar aggregates; top-k is the engine's partial
-    group-limit (one window above the rank filter)."""
+    group-limit (one window above the rank filter). N rides as a
+    broadcast 1-row aggregate (the Q11 broadcast-scalar shape, r15)
+    instead of a driver ``collect`` — one job instead of two, no
+    serialized driver action in the query path."""
     pairs = _perplexity_pairs_for(spark, sf_dir)
     tf = pairs.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = float(
-        pairs.select("doc").distinct().agg(
-            F.count(F.lit(1)).alias("n")
-        ).collect()[0]["n"]
+    n_docs = pairs.select("doc").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("___n")
     )
-    scored = tf.join(F.broadcast(df_tbl), "token").select(
-        F.col("doc").alias("doc_id"),
-        "token",
-        F.round(
-            F.col("tf").cast("double")
-            * F.log(F.lit(n_docs) / F.col("df").cast("double")),
-            6,
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col("doc").alias("doc_id"),
+            "token",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("___n") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("token")
