@@ -312,24 +312,37 @@ def hits(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts via degree-ordered edge orientation —
     the join formulation of Suri & Vassilvitskii (WWW 2011) / the
     Chiba–Nishizeki arboricity bound.
 
-    Plan: distinct undirected edges (min, max); one degree aggregate;
-    each edge oriented AWAY from its (degree, id)-smaller endpoint, so
-    every node's out-degree is O(√m) no matter how skewed the real
-    degree distribution is — a hub of degree 10⁶ contributes wedges only
-    through its (few) higher-keyed neighbors. Wedges are the oriented
-    self-join on the tail (Σ outdeg² ≤ m^1.5 rows TOTAL — the bound that
-    makes the operator safe on power-law graphs where the naive wedge
-    count Σ deg² explodes); one more join against the oriented edges
-    finds each triangle exactly once, and a posexplode + count rolls the
-    per-corner credit up per node. The oriented edge set is eagerly
-    checkpointed — three consumers, computed once. Nodes in no triangle
-    are absent (callers left-join and zero-fill).
+    Plan: distinct undirected edges (min, max); one degree aggregate
+    (node-sized, eagerly checkpointed — it feeds BOTH endpoint joins,
+    and without the cut each join side re-runs the union+aggregate over
+    the edge table); each edge oriented AWAY from its (degree,
+    id)-smaller endpoint, so every node's out-degree is O(√m) no matter
+    how skewed the real degree distribution is — a hub of degree 10⁶
+    contributes wedges only through its (few) higher-keyed neighbors.
+    Wedges are bucket-collect over the checkpointed oriented edges
+    (r15; repo rule: prefer bucket-collect over bucket self-joins): one
+    shuffle groups each tail's out-neighbors into a kv-sorted array
+    (O(√m)-bounded, never hot) and posexplode + slice-explode
+    enumerates the ordered pairs — same Σ outdeg² ≤ m^1.5 row bound as
+    the old self-join with one Exchange of o instead of two and no
+    sorts. One more join against the oriented edges finds each triangle
+    exactly once, and a posexplode + count rolls the per-corner credit
+    up per node. Nodes in no triangle are absent (callers left-join and
+    zero-fill).
+
+    ``assume_canonical``: the caller promises ``edges`` is already the
+    distinct (a < b) canonical edge set behind a lineage cut (e.g.
+    clustering_coefficient's checkpoint) — skips a redundant
+    distinct+checkpoint of identical rows.
 
     No reference counterpart (the reference's graph work is the ontology
     BFS, SURVEY §2.3 J13); this is the LLM/graph-analytics extension
@@ -339,20 +352,24 @@ def triangle_count(
     # without the lineage cut the whole upstream edge construction runs
     # once per consumer (measured 3× the projection cost on the
     # co-purchase bank row).
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if assume_canonical:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
     )
     keyed = e.join(
         deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
@@ -369,16 +386,24 @@ def triangle_count(
         .otherwise(F.struct(F.col("da").alias("kd"), F.col("a").alias("kn")))
         .alias("kv"),
     ).localCheckpoint(eager=True)
-    wedges = (
-        o.alias("x")
-        .join(o.alias("y"), F.col("x.u") == F.col("y.u"))
-        .filter(F.col("x.kv") < F.col("y.kv"))
-        .select(
-            F.col("x.u").alias("t1"),
-            F.col("x.v").alias("t2"),
-            F.col("y.v").alias("t3"),
-        )
+    onb = o.groupBy("u").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("kv"), F.col("v")))
+        ).alias("___nb")
     )
+    wedges = onb.select(
+        F.col("u").alias("t1"),
+        F.posexplode("___nb").alias("___i", "___x"),
+        "___nb",
+    ).select(
+        "t1",
+        F.col("___x.v").alias("t2"),
+        F.explode(
+            F.slice(
+                F.col("___nb"), F.col("___i") + F.lit(2), F.size("___nb")
+            )
+        ).alias("___y"),
+    ).select("t1", "t2", F.col("___y.v").alias("t3"))
     tri = wedges.join(
         o.select(F.col("u").alias("t2"), F.col("v").alias("t3")),
         ["t2", "t3"],
@@ -534,12 +559,24 @@ def link_prediction_jaccard(
     is one exact-input division rounded to 6dp; top-k orders by
     (jaccard desc, cn desc, a, b) — total.
 
-    Plan: one distinct + degree aggregate, one capped wedge self-join,
-    one count aggregate, an anti-join against the edge set (existing
-    edges are not "predictions"), two degree joins, TakeOrdered. The
-    degree joins carry NO broadcast hint: the degree table is O(|nodes|),
-    so a forced hint would override Catalyst's size-based choice and OOM
-    on a billion-node graph — AQE still broadcasts it when it is small.
+    Plan: one distinct + degree aggregate (node-sized, eagerly
+    checkpointed — it feeds the center filter AND both final degree
+    joins, and without the cut each consumer re-runs the union+aggregate
+    over the edge table; measured 4 copies of the subtree in the r15
+    before-plan), one capped wedge enumeration, one count aggregate, an
+    anti-join against the edge set (existing edges are not
+    "predictions"), two degree joins, TakeOrdered. Wedges are
+    bucket-collect (repo rule: prefer bucket-collect over bucket
+    self-joins): the capped adjacency groups ONCE per center into a
+    sorted neighbor array and pairs are enumerated by posexplode +
+    slice-explode (plain codegen'd expressions, no interpreted
+    higher-order lambda, no second shuffle of the adjacency, and the
+    degree-cap semi-join runs once instead of once per join side).
+    ``max_center_degree`` bounds every array at 64 so a bucket is never
+    hot. The degree joins carry NO broadcast hint: the degree table is
+    O(|nodes|), so a forced hint would override Catalyst's size-based
+    choice and OOM on a billion-node graph — AQE still broadcasts it
+    when it is small.
     """
     e = (
         edges.select(
@@ -556,11 +593,18 @@ def link_prediction_jaccard(
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
     centers = deg.filter(F.col("d") <= max_center_degree).select("n")
     adjc = adj.join(centers, "n", "left_semi")
-    wedges = (
-        adjc.alias("x")
-        .join(adjc.alias("y"), "n")
-        .filter(F.col("x.nbr") < F.col("y.nbr"))
-        .select(F.col("x.nbr").alias("a"), F.col("y.nbr").alias("b"))
+    nbrs = adjc.groupBy("n").agg(
+        F.sort_array(F.collect_list("nbr")).alias("___nb")
+    )
+    wedges = nbrs.select(
+        F.posexplode("___nb").alias("___i", "a"), "___nb"
+    ).select(
+        "a",
+        F.explode(
+            F.slice(
+                F.col("___nb"), F.col("___i") + F.lit(2), F.size("___nb")
+            )
+        ).alias("b"),
     )
     cn = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cn"))
     fresh = cn.join(e, ["a", "b"], "left_anti")
@@ -604,10 +648,17 @@ def degree_assortativity(
     are exact integer sums; r = (S_jk/M − (S_sum/2M)²) / (S_sq/2M −
     (S_sum/2M)²) is one exact-input formula rounded 6dp.
 
-    Scale shape: one distinct + degree aggregate, two degree joins onto
-    the edge table (no broadcast hint — the degree table is O(|nodes|);
-    AQE broadcasts it when small, shuffles it when not), one single-row
-    reduce. Output: (n_nodes, n_edges, assortativity).
+    Scale shape: one distinct + degree aggregate (node-sized, eagerly
+    checkpointed — three consumers), ONE degree join onto the edge table
+    (r15: Σ(j+k) = Σd², Σ(j²+k²) = Σd³ and M = Σd/2 are pure degree
+    moments — every node of degree d lies on d edges, contributing d,
+    d² to those edge sums — so only Σjk needs the edge pairing, and even
+    that needs a single join: attach d_a per edge, pre-aggregate Σd_a by
+    b, then weight the node-sized partial by d_b; all sums stay exact
+    integers, identical to the two-join form), two single-row reduces.
+    No broadcast hint on the degree join — the degree table is
+    O(|nodes|); AQE broadcasts it when small, shuffles it when not.
+    Output: (n_nodes, n_edges, assortativity).
     """
     e = (
         edges.select(
@@ -624,22 +675,27 @@ def degree_assortativity(
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    keyed = e.join(
-        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
-    ).join(
-        deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b"
+    moments = deg.groupBy().agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        # coalesce: an empty graph must report n_edges = 0 (the old
+        # count(*) form), not NULL
+        F.coalesce(F.sum("d"), F.lit(0)).alias("s_d"),
+        F.sum(F.col("d") * F.col("d")).alias("s_sum"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).alias("s_sq"),
     )
-    agg = keyed.groupBy().agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum(F.col("da") * F.col("db")).alias("s_jk"),
-        F.sum(F.col("da") + F.col("db")).alias("s_sum"),
-        F.sum(
-            F.col("da") * F.col("da") + F.col("db") * F.col("db")
-        ).alias("s_sq"),
-        F.count_distinct("a").alias("_na"),
+    sjk = (
+        e.join(
+            deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+        )
+        .groupBy("b")
+        .agg(F.sum("da").alias("___sda"))
+        .join(
+            deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b"
+        )
+        .groupBy()
+        .agg(F.sum(F.col("db") * F.col("___sda")).alias("s_jk"))
     )
-    nodes = deg.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
-    m = F.col("m").cast("double")
+    m = F.col("s_d").cast("double") / F.lit(2.0)
     mean_term = F.col("s_sum").cast("double") / (F.lit(2.0) * m)
     r = F.try_divide(
         F.col("s_jk").cast("double") / m - mean_term * mean_term,
@@ -647,11 +703,11 @@ def degree_assortativity(
         - mean_term * mean_term,
     )
     return (
-        agg.withColumn("_k", F.lit(1))
-        .join(F.broadcast(nodes.withColumn("_k", F.lit(1))), "_k")
+        moments.withColumn("_k", F.lit(1))
+        .join(F.broadcast(sjk.withColumn("_k", F.lit(1))), "_k")
         .select(
             F.col("n_nodes").cast("long").alias("n_nodes"),
-            F.col("m").cast("long").alias("n_edges"),
+            (F.col("s_d") / F.lit(2)).cast("long").alias("n_edges"),
             F.round(r, 6).alias("assortativity"),
         )
     )
@@ -680,7 +736,11 @@ def clustering_coefficient(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    tri = triangle_count(e, "a", "b")
+    # e is already the distinct (a < b) canonical set behind a lineage
+    # cut — assume_canonical skips triangle_count's redundant
+    # distinct+checkpoint of identical rows (r15: one Exchange + one
+    # materialization job less)
+    tri = triangle_count(e, "a", "b", assume_canonical=True)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))

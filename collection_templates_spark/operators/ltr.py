@@ -176,6 +176,24 @@ def ltr_judgments(
     return feats.select("query", "doc_id", rel.alias("rel"), "ov", "sat")
 
 
+def _judged_checkpoint(judged: DataFrame) -> DataFrame:
+    """Eager DISK_ONLY lineage cut on the judged table for the two eval
+    rows, where it feeds BOTH the training-moment aggregate and the
+    scoring windows (r15, guide §2.2/§5): without the cut each consumer
+    re-scans the corpus text column, re-runs the \\s+ normalization +
+    contains() match chain AND the interpreted noise-hash fold. The
+    judged relation is O(matched docs × |queries|) and 5 narrow columns
+    — far smaller than the text it derives from, so materializing it
+    once is the cheap side of the trade at any scale (unlike the
+    shingle-array chains where the explode OUTGROWS its input).
+    DISK_ONLY by the round's storage rule: corpus-proportional
+    checkpoints stay out of the heap (search.py posting-list
+    precedent)."""
+    from pyspark import StorageLevel as _SL
+
+    return judged.localCheckpoint(eager=True, storageLevel=_SL.DISK_ONLY)
+
+
 def _weights(judged: DataFrame) -> DataFrame:
     """UNROUNDED pointwise OLS weights rel ~ ov + sat on exact DECIMAL
     moments (the stats.ols_regression_2var arithmetic verbatim, kept
@@ -258,7 +276,7 @@ def ltr_ndcg_eval(
     rank_feature weighting, which is precisely what the reference's
     A/B measures. All rankings tie-break on doc_id — total order.
     Output per query: (query, n_judged, ndcg_base, ndcg_ltr), 6dp."""
-    judged = ltr_judgments(docs, queries, **kwargs)
+    judged = _judged_checkpoint(ltr_judgments(docs, queries, **kwargs))
     w = _weights(judged)
     scored = judged.join(F.broadcast(w))
     scored = scored.select(
@@ -344,7 +362,7 @@ def ltr_rank_metrics(
     (stated, not null). Scale shape: judged tables are bounded
     (queries × matched docs); two windows + one groupBy.
     """
-    judged = ltr_judgments(docs, queries, **kwargs)
+    judged = _judged_checkpoint(ltr_judgments(docs, queries, **kwargs))
     w = _weights(judged)
     scored = judged.join(F.broadcast(w)).select(
         "query",
