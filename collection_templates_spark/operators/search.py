@@ -182,14 +182,41 @@ def search_corpus_stemmed(
         .select("___tok", suffix_stem_udf(F.col("___tok")).alias("___term"))
         .filter(F.col("___term").isin(terms))
     )
-    # tf per (doc, term); df per term; N — all from one exploded pass
+    # tf per (doc, term); df per term; N — all from one exploded pass.
+    # Eager DISK_ONLY lineage cut on tf (r15): it feeds BOTH the df
+    # aggregate and the per-term scoring join, and the stem UDF above is
+    # nondeterministic (the quarantine convention), so the two consumers
+    # can NOT share the subtree via runtime exchange reuse — without the
+    # cut the corpus explode, the (id, tok) aggregation AND the Python
+    # stem all ran twice (16 Scan-parquet before-plan, r15). tf is
+    # O(matching docs × |query terms|) — query-result-sized, far smaller
+    # than the token stream it derives from; DISK_ONLY by the round's
+    # storage rule for corpus-proportional checkpoints.
+    from pyspark import StorageLevel as _SL
+
     tf = (
         tf_raw.join(F.broadcast(vocab_terms), "___tok")
         .groupBy("___id", "___term")
         .agg(F.sum("___tfr").alias("___tf"))
+        .localCheckpoint(eager=True, storageLevel=_SL.DISK_ONLY)
     )
     df_t = tf.groupBy("___term").agg(F.count("*").alias("___df"))
-    n_docs = docs.agg(F.count("*").alias("___n"))
+    # ONE corpus-stats aggregate carries N and every feature pivot (the
+    # old shape scanned docs once for N and once more for the pivots).
+    # Eagerly checkpointed — it is ONE row, and its two broadcast
+    # consumers project different columns, so they could not share a
+    # BroadcastExchange otherwise (r15, guide §2.2).
+    n_docs = docs.agg(
+        F.count("*").alias("___n"),
+        *[
+            F.exp(
+                F.avg(
+                    F.when(F.col(c) > 0, F.log(F.col(c).cast("double")))
+                )
+            ).alias(f"___pivot_{c}")
+            for c in feature_cols
+        ],
+    ).localCheckpoint(eager=True)
 
     idf = F.log(
         F.lit(1.0)
@@ -220,19 +247,9 @@ def search_corpus_stemmed(
         bm25.withColumnRenamed("___id", id_col), id_col, "inner"
     )
     if feature_cols:
-        pivots = docs.agg(
-            *[
-                F.exp(
-                    F.avg(
-                        F.when(
-                            F.col(c) > 0, F.log(F.col(c).cast("double"))
-                        )
-                    )
-                ).alias(f"___pivot_{c}")
-                for c in feature_cols
-            ]
+        scored = scored.join(
+            F.broadcast(n_docs.select(*[f"___pivot_{c}" for c in feature_cols]))
         )
-        scored = scored.join(F.broadcast(pivots))
         for c in feature_cols:
             scored = scored.withColumn(
                 f"sat_{c}",

@@ -1518,7 +1518,9 @@ def rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lifecycle (PID-owned naming + orphan reaping) lives in the operator
     # module — the bank stays pure (r7 verdict #7 / advice #3).
     path = scratch_rollup_path()
-    refresh_rollup(spark, path, hist)
+    # read_result=False: the build step's read-back is never queried —
+    # the refresh below re-reads the path itself (r15, guide §5.3)
+    refresh_rollup(spark, path, hist, read_result=False)
     out = refresh_rollup(spark, path, batch)
     return out.select(
         "day", "event_type", "n_events", "sum_value", "min_value",
@@ -1552,7 +1554,7 @@ def rollup_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     path = scratch_rollup_path()
-    refresh_rollup(spark, path, ev)
+    refresh_rollup(spark, path, ev, read_result=False)
     day = F.date_format("ts", "yyyy-MM-dd")
     retracted = ev.filter(
         (day == "2024-01-11")
