@@ -630,8 +630,16 @@ def spearman_rho(
     """
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
-    base = df.filter(x.isNotNull() & y.isNotNull()).select(
-        x.alias("x"), y.alias("y")
+    # eager cut: base feeds THREE consumers (both rank tables + the
+    # join-back), and its upstream — typically an aggregated series with
+    # divergent pushed-down filters — cannot be deduped by runtime
+    # exchange reuse, so without the cut the whole input subtree runs
+    # three times (6 parquet scans in the r15 before-plan). The paired
+    # table is bounded by the series convention — heap is fine.
+    base = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .select(x.alias("x"), y.alias("y"))
+        .localCheckpoint(eager=True)
     )
 
     def rank_table(col: str) -> DataFrame:
@@ -705,7 +713,15 @@ def kendall_tau(
     base = df.filter(x.isNotNull() & y.isNotNull()).select(
         x.alias("x"), y.alias("y")
     )
-    g = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("m"))
+    # eager cut: g feeds both sides of the pair join (a nested-loop join
+    # on the lexicographic inequality — no exchange for runtime reuse to
+    # dedup) plus the tie aggregate; distinct tuples are bounded by the
+    # series convention — heap is fine (r15).
+    g = (
+        base.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
+    )
     lex_lt = (F.col("a.x") < F.col("b.x")) | (
         (F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y"))
     )
