@@ -144,3 +144,81 @@ def test_assortativity_regular_graph_is_null(spark):
     r = degree_assortativity(df).collect()[0]
     assert r.assortativity is None
     assert (r.n_nodes, r.n_edges) == (4, 4)
+
+
+def test_wedge_rewrites_match_brute_force(spark):
+    # r15: the wedge self-joins in triangle_count /
+    # link_prediction_jaccard became sorted-adjacency bucket-collect
+    # enumeration (posexplode + slice-explode) and assortativity's
+    # Σ(j+k)/Σ(j²+k²)/M became degree moments with a single-join Σjk —
+    # pin all three against a brute-force Python reference on a random
+    # multigraph-free graph (dupes + self-loop-free by construction)
+    from itertools import combinations
+
+    from collection_templates_spark.operators.graph import (
+        link_prediction_jaccard,
+        triangle_count,
+    )
+
+    rng = random.Random(17)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(90)
+        }
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    # triangles per node, brute: iterate unordered triples once
+    tri = {}
+    for a, b, c in combinations(nodes, 3):
+        if b in adj.get(a, ()) and c in adj.get(a, ()) and c in adj.get(b, ()):
+            for n in (a, b, c):
+                tri[n] = tri.get(n, 0) + 1
+    got_tri = {
+        r.node: r.n_triangles for r in triangle_count(df).collect()
+    }
+    assert got_tri == tri
+
+    # link prediction, brute: non-adjacent pairs sharing >=1 neighbor
+    deg = {n: len(s) for n, s in adj.items()}
+    cn = {}
+    for c in nodes:
+        for a, b in combinations(sorted(adj.get(c, ())), 2):
+            cn[(a, b)] = cn.get((a, b), 0) + 1
+    scored = [
+        (
+            round(k / (deg[a] + deg[b] - k), 6),
+            k,
+            a,
+            b,
+        )
+        for (a, b), k in cn.items()
+        if b not in adj[a]
+    ]
+    scored.sort(key=lambda t: (-t[0], -t[1], t[2], t[3]))
+    expect = [
+        (a, b, k, j) for (j, k, a, b) in scored[:10]
+    ]
+    got = [
+        (r.a, r.b, r.cn, r.jaccard)
+        for r in link_prediction_jaccard(df, max_center_degree=64, k=10).collect()
+    ]
+    assert got == expect
+
+    # assortativity, brute (two-orientation Pearson of endpoint degrees)
+    m = len(edges)
+    s_jk = sum(deg[a] * deg[b] for a, b in edges)
+    s_sum = sum(deg[a] + deg[b] for a, b in edges)
+    s_sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+    mean_term = s_sum / (2.0 * m)
+    num = s_jk / m - mean_term * mean_term
+    den = s_sq / (2.0 * m) - mean_term * mean_term
+    r = degree_assortativity(df).collect()[0]
+    assert (r.n_nodes, r.n_edges) == (len(adj), m)
+    assert abs(r.assortativity - round(num / den, 6)) <= 1e-9
