@@ -27,40 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Rows added THIS round (update each round): the final line splits the
 # headline into carried_subtotal vs new_rows so round-over-round drift
 # on code-untouched rows is machine-checkable from BENCH_r{N}.json
-# alone (r14 verdict #6) instead of reconstructed from prose.
-NEW_ROWS_THIS_ROUND = frozenset(
-    {
-        "rollup_incremental_delete",
-        "join_exists_late_orders",
-        "agg_supplier_parts_distinct",
-        "join_sole_late_supplier",
-        "text_chunk_windows",
-        "join_region_nation_revenue",
-        "agg_order_count_distribution",
-        "agg_promo_revenue_share",
-        "join_top_supplier_revenue",
-        "agg_small_qty_revenue",
-        "filter_disjunctive_revenue",
-        "agg_idle_customer_balance",
-        "join_nation_pair_volume",
-        "join_returned_revenue_top",
-        "agg_market_share",
-        "agg_nation_profit",
-        "mixture_materialize",
-        "pack_bucket_stats",
-        "embedding_outliers",
-        # session-2 additions (batch 3)
-        "agg_ship_delay_priority",
-        "window_sliding_distinct_users",
-        "quality_isotonic_calibration",
-        "bpe_train_merges",
-        "join_min_cost_supplier",
-        "agg_part_value_share",
-        "join_dominant_supplier",
-        "quality_roc_auc",
-        "text_langid_kappa",
-    }
-)
+# alone (r14 verdict #6) instead of reconstructed from prose. Round 16
+# is an optimization round: no new rows, so carried_subtotal == value
+# and the r15 new-row set (28 rows) is carried like everything else.
+NEW_ROWS_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def main() -> None:
@@ -129,6 +99,7 @@ def main() -> None:
     with open(side, "w") as f:
         json.dump(
             {
+                "per_query": per_query,
                 "runs": runs,
                 "wall_all_runs": total,
                 "sf": sf,
@@ -137,21 +108,39 @@ def main() -> None:
             f,
         )
 
-    # Per-query detail first (its own line), then a COMPACT final line: the
-    # driver's tail capture parses the LAST stdout line, and r6 proved a
-    # ~4 KB 81-entry map overflows it ("parsed": null in BENCH_r06.json).
-    # Full detail also lands in bench_runs.json alongside the raw runs.
-    print(
-        json.dumps(
-            {
-                "metric": "per_query_min_wall",
-                "unit": "sec",
-                "queries": per_query,
-                "memo_backed": memoized,
-                "sf": sf,
-            }
+    # Per-query detail as SMALL COMPLETE JSON lines (<1 KB each), then a
+    # COMPACT final line. The driver's capture window is 2000 bytes and it
+    # parses the LAST stdout line: r5's 69-entry in-line map parsed, r6's
+    # 81-entry map overflowed ("parsed": null in BENCH_r06.json), and the
+    # r15 single ~8 KB detail line was truncated mid-line — so a 255-entry
+    # map can NEVER ride one line through that window. Chunking keeps every
+    # line individually parseable for any multi-line reader (r15 verdict
+    # #2's fallback option); the authoritative full map lives in
+    # bench_runs.json ("per_query") alongside the raw runs, committed each
+    # round as BENCH_RUNS_r{N}.json.
+    chunk: dict[str, float] = {}
+    chunks: list[dict[str, float]] = []
+    for k in sorted(per_query):
+        chunk[k] = per_query[k]
+        if len(json.dumps(chunk)) > 800:
+            chunks.append(chunk)
+            chunk = {}
+    if chunk:
+        chunks.append(chunk)
+    for i, c in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_min_wall",
+                    "part": i + 1,
+                    "parts": len(chunks),
+                    "unit": "sec",
+                    "queries": c,
+                    "sf": sf,
+                }
+            )
         )
-    )
+    print(json.dumps({"metric": "memo_backed", "memo_backed": memoized}))
     new_sum = round(
         sum(v for k, v in per_query.items() if k in NEW_ROWS_THIS_ROUND), 3
     )
@@ -168,6 +157,7 @@ def main() -> None:
                 ),
                 "new_rows": new_sum,
                 "n_new": len(NEW_ROWS_THIS_ROUND & set(per_query)),
+                "queries_file": "bench_runs.json",
             }
         )
     )

@@ -559,11 +559,13 @@ def link_prediction_jaccard(
     is one exact-input division rounded to 6dp; top-k orders by
     (jaccard desc, cn desc, a, b) — total.
 
-    Plan: one distinct + degree aggregate (node-sized, eagerly
-    checkpointed — it feeds the center filter AND both final degree
-    joins, and without the cut each consumer re-runs the union+aggregate
-    over the edge table; measured 4 copies of the subtree in the r15
-    before-plan), one capped wedge enumeration, one count aggregate, an
+    Plan: one distinct + degree aggregate (node-sized, NOT checkpointed
+    — an eager cut was tried and REJECTED at +0.7 s, r15: the subtree
+    is deterministic, so AQE's runtime exchange reuse already dedups
+    the consumers and the serial materialization job is pure cost; the
+    initial explain shows 4 copies, but only non-reusable subtrees —
+    nondeterministic UDFs, divergent pushdown — actually re-run), one
+    capped wedge enumeration, one count aggregate, an
     anti-join against the edge set (existing edges are not
     "predictions"), two degree joins, TakeOrdered. Wedges are
     bucket-collect (repo rule: prefer bucket-collect over bucket
@@ -648,8 +650,10 @@ def degree_assortativity(
     are exact integer sums; r = (S_jk/M − (S_sum/2M)²) / (S_sq/2M −
     (S_sum/2M)²) is one exact-input formula rounded 6dp.
 
-    Scale shape: one distinct + degree aggregate (node-sized, eagerly
-    checkpointed — three consumers), ONE degree join onto the edge table
+    Scale shape: one distinct + degree aggregate (node-sized, NOT
+    checkpointed — tried and REJECTED at +0.17 s, r15: the subtree is
+    deterministic so runtime exchange reuse covers its consumers and
+    the materialization job is pure cost), ONE degree join onto the edge table
     (r15: Σ(j+k) = Σd², Σ(j²+k²) = Σd³ and M = Σd/2 are pure degree
     moments — every node of degree d lies on d edges, contributing d,
     d² to those edge sums — so only Σjk needs the edge pairing, and even

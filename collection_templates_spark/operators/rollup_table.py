@@ -210,17 +210,46 @@ def refresh_rollup_with_deletes(
     # skips a per-row string format over the whole base scan and (b)
     # reaches the parquet scan as PushedFilters min/max on ts, so a
     # ts-clustered event store row-group-prunes instead of full-scanning
-    # (guide §6.2; this is the partition-pruning claim in the docstring,
-    # now true for plain sorted parquet too, not only day-partitioned
-    # stores).
+    # (guide §6.2). Day bounds are built with to_timestamp on the day
+    # STRING — parsed in spark.sql.session.timeZone, the same zone
+    # date_format buckets by, and constant-folded to a pushable literal.
+    # NEVER naive Python datetime literals: py4j converts those via
+    # time.mktime in the driver's OS timezone, which silently shifts
+    # the window on non-UTC hosts (r15 ADVICE — reproduced with
+    # TZ=America/New_York: a 01:00-UTC event fell outside its day).
     import datetime as _dt
 
-    cond = F.lit(False)
-    for d in sorted(affected):
-        d0 = _dt.datetime.strptime(d, "%Y-%m-%d")
-        d1 = d0 + _dt.timedelta(days=1)
-        cond = cond | (
-            (F.col("ts") >= F.lit(d0)) & (F.col("ts") < F.lit(d1))
+    def _day_range(d: str) -> F.Column:
+        d1 = (_dt.date.fromisoformat(d) + _dt.timedelta(days=1)).isoformat()
+        return (F.col("ts") >= F.to_timestamp(F.lit(d))) & (
+            F.col("ts") < F.to_timestamp(F.lit(d1))
+        )
+
+    if len(affected) <= 64:
+        cond = F.lit(False)
+        for d in sorted(affected):
+            cond = cond | _day_range(d)
+    else:
+        # A retraction set spanning years (GDPR erasure of a long-active
+        # user) would build an O(days)-deep Or tree — planning/codegen
+        # cost grows with history, contradicting the operator's
+        # "never O(history)" contract (r15 ADVICE). Past 64 days, prune
+        # with ONE pushable [min_day, max_day+1) envelope and keep the
+        # exact day-set membership as the old isin form on top.
+        lo, hi = min(affected), max(affected)
+        cond = (
+            (F.col("ts") >= F.to_timestamp(F.lit(lo)))
+            & (
+                F.col("ts")
+                < F.to_timestamp(
+                    F.lit(
+                        (
+                            _dt.date.fromisoformat(hi) + _dt.timedelta(days=1)
+                        ).isoformat()
+                    )
+                )
+            )
+            & F.date_format("ts", "yyyy-MM-dd").isin(affected)
         )
     surviving = base_events.filter(cond)
     if tomb_snapshot:

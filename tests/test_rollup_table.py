@@ -217,3 +217,97 @@ def test_delete_refresh_with_new_batch_and_crash_window(spark, tmp_path):
         for r in out2.collect()
     }
     assert got2 == got
+
+
+def test_delete_refresh_day_window_immune_to_os_timezone(spark, tmp_path):
+    """r15 ADVICE (medium): the affected-day ts-range filter must be
+    built in the SESSION timezone, not the driver OS timezone — naive
+    Python datetime literals convert via time.mktime in the OS zone,
+    silently shifting the window on non-UTC hosts and dropping
+    affected-day events near midnight. Reproduction: OS TZ set to
+    America/New_York (UTC-5), an affected-day event at 01:00 UTC —
+    a naive-literal window [05:00, 05:00+1d) UTC would exclude it."""
+    import os
+    import time as _time
+
+    from collection_templates_spark.operators.rollup_table import (
+        refresh_rollup_with_deletes,
+        retract_from_rollup,
+    )
+
+    path = str(tmp_path / "rollup")
+    rows = [
+        (1, "2024-01-01 01:00:00", "click", 1.0, 1),  # 01:00 UTC
+        (2, "2024-01-01 11:00:00", "click", 9.0, 2),
+        (3, "2024-01-02 10:00:00", "view", 5.0, 1),
+    ]
+    base = _ev_id(spark, rows)
+    refresh_rollup(spark, path, base)
+    retract_from_rollup(spark, path, base.filter(F.col("event_id") == 2))
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        out = refresh_rollup_with_deletes(spark, path, base)
+        got = {
+            (r.day, r.event_type): (r.n_events, r.sum_value)
+            for r in out.collect()
+        }
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+    # the 01:00-UTC survivor must still be counted in its day
+    assert got[("2024-01-01", "click")] == (1, 1.0)
+    assert got[("2024-01-02", "view")] == (1, 5.0)
+
+
+def test_delete_refresh_envelope_fallback_past_64_days(spark, tmp_path):
+    """r15 ADVICE (low): past 64 affected days the per-day Or tree is
+    replaced by ONE [min, max+1) envelope plus the exact isin — same
+    rows, O(1)-in-history planning. 70 affected days exercises the
+    fallback branch; result must equal a from-scratch rollup of the
+    surviving events."""
+    import datetime
+
+    from collection_templates_spark.operators.rollup_table import (
+        refresh_rollup_with_deletes,
+        retract_from_rollup,
+    )
+
+    path = str(tmp_path / "rollup")
+    d0 = datetime.datetime(2024, 1, 1, 6, 0, 0)
+    # two events per day over 70 days; the even-id one of each day is
+    # retracted, so ALL 70 days are affected (> 64 ⇒ envelope branch)
+    # while every day keeps a survivor
+    rows = [
+        (
+            2 * i + j,
+            (d0 + datetime.timedelta(days=i, hours=j)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            ),
+            "click",
+            float(i % 7 + j),
+            i % 5,
+        )
+        for i in range(70)
+        for j in (0, 1)
+    ]
+    base = _ev_id(spark, rows)
+    refresh_rollup(spark, path, base)
+    retract_from_rollup(spark, path, base.filter(F.col("event_id") % 2 == 0))
+    out = refresh_rollup_with_deletes(spark, path, base)
+    got = {
+        (r.day, r.event_type): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    surv = base.filter(F.col("event_id") % 2 == 1)
+    want = {
+        (r.day, r.event_type): (r.n_events, r.sum_value)
+        for r in build_daily_rollup(surv).collect()
+    }
+    assert got == want
+    assert len(got) == 70
