@@ -153,9 +153,18 @@ def pagerank(
     ranks = nodes.join(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("___n")).alias("pr")
     )
+    # outdeg ⋈ edges is LOOP-INVARIANT: joining it once here (r16,
+    # guide §2.2) removes one SortMergeJoin + its sort from EVERY
+    # sweep — the unrolled plan shrinks by a join per iteration, which
+    # is also driver-side analysis/AQE-stage cost (this family is
+    # plan-floor-bound at bench scale: sf0.001 ≈ half the sf0.1 wall).
+    # Inner-join order is exact: sources without out-edges appear in
+    # neither e nor outdeg⋈e, so per-edge contributions are identical.
     e = edges.select(
         F.col(src_col).alias("___src"), F.col(dst_col).alias("___dst")
-    )
+    ).join(
+        outdeg.select(F.col("node").alias("___src"), "___out"), "___src"
+    ).localCheckpoint(eager=False)
     for _ in range(iterations):
         if redistribute_dangling:
             # The rank iterate is consumed TWICE per sweep here (the
@@ -167,8 +176,7 @@ def pagerank(
             # simple variant has a single consumer and needs no cut.
             ranks = ranks.localCheckpoint(eager=False)
         contribs = (
-            ranks.join(outdeg, "node")
-            .join(e, ranks["node"] == e["___src"])
+            ranks.join(e, ranks["node"] == e["___src"])
             .select(
                 F.col("___dst").alias("node"),
                 F.round(F.col("pr") / F.col("___out"), 9).alias("___c"),
@@ -441,17 +449,26 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
+    # LAZY checkpoints throughout (r16): this row is job-floor-bound —
+    # at bench scale sf0.001 measured SLOWER than sf0.1 (2.0 s vs
+    # 1.8 s), i.e. the serialized per-sweep eager-checkpoint jobs WERE
+    # the cost, not data. Lazy keeps every plan cut (each sweep's plan
+    # still ends at the previous sweep's ExistingRDD) but materializes
+    # all of them inside the single final action instead of 1 + sweeps
+    # driver-blocking jobs. und is multi-consumed (every sweep) and
+    # labels single-consumed (next sweep) — both materialize exactly
+    # once either way.
     und = (
         edges.select(F.col(left).alias("a"), F.col(right).alias("b"))
         .unionByName(
             edges.select(F.col(right).alias("a"), F.col(left).alias("b"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("community")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("node").orderBy(
         F.desc("___n"), F.asc("community")
     )
@@ -471,7 +488,7 @@ def label_propagation(
             freq.withColumn("___rn", F.row_number().over(w))
             .filter(F.col("___rn") == 1)
             .select("node", "community")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -822,7 +839,16 @@ def bfs_layers(
         )
         if fresh.isEmpty():
             break
-        dist = dist.unionByName(fresh).localCheckpoint(eager=True)
+        # dist is a pure union of ALREADY-checkpointed leaves (seed set
+        # + every sweep's fresh) — re-checkpointing the union each
+        # sweep was one extra driver-blocking job per sweep that only
+        # re-wrote bytes already sitting in block storage (r16; the
+        # r15 A/B that rejected removing the FRESH checkpoint measured
+        # lineage recompute, a different cut). Union is partition
+        # concatenation: consumers rescan the cached leaf blocks, and
+        # the partition count is bounded by the same AQE byte sizing
+        # that sized each leaf.
+        dist = dist.unionByName(fresh)
         frontier = fresh
     return (
         dist.groupBy("hop")
@@ -902,6 +928,12 @@ def weighted_sssp(
         )
         if fresh.isEmpty():
             break
+        # dist's checkpoint stays EAGER (r16 A/B): a lazy cut here
+        # measured SLOWER (+0.10 s paired, +0.79 s bench) — the
+        # anti-join rewrite is multi-consumed and deferring its
+        # materialization into the next sweep's fresh job serializes
+        # the two shuffles back-to-back in one job instead of
+        # pipelining across jobs.
         dist = (
             dist.join(fresh, "node", "left_anti")
             .unionByName(fresh)
@@ -971,14 +1003,18 @@ def personalized_pagerank(
         eager=False
     )
     ranks = base.select("node", F.col("___r").alias("pr"))
+    # loop-invariant outdeg ⋈ edges joined ONCE (the pagerank r16
+    # rewrite): one SortMergeJoin fewer per sweep, smaller unrolled
+    # plan for the analysis/AQE driver floor that dominates this row.
     e = edges.select(
         F.col(src_col).alias("___src"), F.col(dst_col).alias("___dst")
-    )
+    ).join(
+        outdeg.select(F.col("node").alias("___src"), "___out"), "___src"
+    ).localCheckpoint(eager=False)
     d = float(damping)
     for _ in range(iterations):
         contribs = (
-            ranks.join(outdeg, "node")
-            .join(e, ranks["node"] == e["___src"])
+            ranks.join(e, ranks["node"] == e["___src"])
             .select(
                 F.col("___dst").alias("node"),
                 F.round(F.col("pr") / F.col("___out"), 9).alias("___c"),

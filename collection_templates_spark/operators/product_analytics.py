@@ -790,8 +790,11 @@ def als_rank_eval(
 
     Determinism: scores are exact int64 dots of 6dp-micro factors (no
     float anywhere in the ranking), ordered (score DESC, item ASC);
-    reciprocal ranks accumulate as integers scaled by lcm(1..k), so
-    the MRR mean is one double divide of exact integers.
+    reciprocal ranks accumulate as integers scaled by lcm(1..k), the
+    6dp HALF_UP rounding of both means is exact integer arithmetic
+    ((2·a·10⁶ + b) div (2·b)), and the only float step anywhere is the
+    final division of that integer by 10⁶ — correctly rounded IEEE,
+    identical in every engine and engine version (r16).
 
     Scale shape: the brute ranking is ONE broadcast of the test-user
     factor cohort against the item-factor table (the brute-topk shape
@@ -840,29 +843,44 @@ def als_rank_eval(
         )
     )
     joined = cohort.select("u").join(per_user, "u", "left")
-    n_users = F.count(F.lit(1))
-    return joined.agg(
-        n_users.alias("n_users"),
+    # The final metrics carry the ONLY remaining engine-sensitive step
+    # this row ever had: round(double, 6). Spark rounds via the exact
+    # BigDecimal expansion of the double; DuckDB multiplies by 10^6 in
+    # floating point first, and that implementation has changed across
+    # DuckDB releases — the one axis a local sweep cannot vary (r16;
+    # the row was externally hash-red two rounds while bit-stable over
+    # 9 local configs × master/partitions/memory, ALS_SWEEP artifact).
+    # So the 6dp rounding itself is now EXACT INTEGER arithmetic in
+    # both engines — round_half_up(a/b, 6) ≡ (2·a·10⁶ + b) div (2·b)
+    # for a ≥ 0, b > 0 — and the only float step left is one double
+    # division by 10⁶ of an exact integer, correctly rounded IEEE in
+    # every engine. Values are identical to the old round() wherever
+    # the old rounding was unambiguous (everywhere observed; the new
+    # form removes only the ambiguity).
+    aggd = joined.agg(
+        F.count(F.lit(1)).alias("n_users"),
         F.count("first_rank").alias("n_hit_users"),
         F.coalesce(F.sum("n_hits"), F.lit(0)).alias("hits_at_k"),
-        F.round(
-            F.try_divide(
-                F.count("first_rank").cast("double"),
-                n_users.cast("double"),
-            ),
-            6,
+        F.coalesce(
+            F.sum((F.lit(lcm) / F.col("first_rank")).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("___rr"),
+    )
+    return aggd.select(
+        "n_users",
+        "n_hit_users",
+        "hits_at_k",
+        F.expr(
+            """CASE WHEN n_users = 0 THEN NULL ELSE
+                 CAST((2 * n_hit_users * 1000000 + n_users)
+                      DIV (2 * n_users) AS DOUBLE) / 1000000.0
+               END"""
         ).alias("hit_rate"),
-        F.round(
-            F.try_divide(
-                F.coalesce(
-                    F.sum(
-                        (F.lit(lcm) / F.col("first_rank")).cast("long")
-                    ),
-                    F.lit(0).cast("long"),
-                ).cast("double"),
-                (n_users * F.lit(lcm)).cast("double"),
-            ),
-            6,
+        F.expr(
+            f"""CASE WHEN n_users = 0 THEN NULL ELSE
+                 CAST((2 * ___rr * 1000000 + n_users * {lcm})
+                      DIV (2 * n_users * {lcm}) AS DOUBLE) / 1000000.0
+               END"""
         ).alias("mrr"),
     )
 

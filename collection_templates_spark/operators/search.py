@@ -14,8 +14,6 @@ single window for top-k.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,20 +40,32 @@ def search_corpus(
     Deterministic: ranking on 6dp-rounded score with id tie-break.
     """
     terms = [t for t in query.lower().split() if t]
-    n_docs = docs.count()
 
-    # document frequencies: one tiny aggregation, result folded into literals
-    df_row = docs.agg(
+    # N and the document frequencies ride as ONE broadcast 1-row
+    # aggregate joined in-plan (the Q11 broadcast-scalar shape, r15) —
+    # previously a docs.count() plus a .collect()[0] driver action per
+    # invocation (×2 retrievals inside search_rrf_fusion), i.e. two
+    # serialized driver jobs before the scoring job could even be
+    # submitted (guide §5.3). idf moves from a Python-math literal to
+    # the same in-plan F.log over exact integers the (externally green)
+    # stemmed and cosine retrievers already use.
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum((_term_tf(F.col(text_col), t) > 0).cast("long")).alias(t)
-            for t in terms
-        ]
-    ).collect()[0]
-    idf = {t: math.log((n_docs + 1) / ((df_row[t] or 0) + 1)) for t in terms}
+            F.sum((_term_tf(F.col(text_col), t) > 0).cast("long")).alias(
+                f"__df_{i}"
+            )
+            for i, t in enumerate(terms)
+        ],
+    )
 
     score = None
-    for t in terms:
-        part = _term_tf(F.col(text_col), t) * F.lit(idf[t])
+    for i, t in enumerate(terms):
+        idf_t = F.log(
+            (F.col("__n").cast("double") + F.lit(1.0))
+            / (F.col(f"__df_{i}").cast("double") + F.lit(1.0))
+        )
+        part = _term_tf(F.col(text_col), t) * idf_t
         score = part if score is None else score + part
     if rank_col is not None:
         score = score + F.lit(rank_boost) * F.log2(F.col(rank_col) + 1)
@@ -63,7 +73,8 @@ def search_corpus(
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
     # no global sort); the row_number window then runs over only k rows.
     top = (
-        docs.withColumn("score", F.round(score, 6))
+        docs.join(F.broadcast(stats))
+        .withColumn("score", F.round(score, 6))
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -425,17 +436,21 @@ def search_tfidf_cosine(
     tf = toks.groupBy("doc", "token").agg(
         F.count(F.lit(1)).alias("tf")
     ).localCheckpoint(eager=True, storageLevel=_SL.DISK_ONLY)
-    n_docs = docs.count()
+    # N rides as a broadcast 1-row count aggregate (guide §5.3) — a
+    # docs.count() here was a serialized driver job before any scoring
+    # work could be submitted. Counting docs, not distinct tf.doc:
+    # token-less documents still belong in N.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
     # idf is also dual-consumed (weight join + query vector) but its
     # recompute from the checkpointed tf is one cheap aggregate — a
     # second eager cut here MEASURED SLOWER (6.3 s → 7.5 s at sf1)
     idf = tf.groupBy("token").agg(
         F.count(F.lit(1)).alias("df_t")
-    ).select(
+    ).join(F.broadcast(n_docs)).select(
         "token",
         F.round(
             F.log(
-                (F.lit(float(n_docs)) + F.lit(1.0))
+                (F.col("__n").cast("double") + F.lit(1.0))
                 / (F.col("df_t").cast("double") + F.lit(1.0))
             ),
             9,

@@ -15290,15 +15290,27 @@ def _als_eval_oracle_sql(sweeps: int = 2, alpha: int = 40) -> str:
         WHERE r.rank <= 10
         GROUP BY r.u
     )
-    SELECT count(*) AS n_users,
-           count(first_rank) AS n_hit_users,
-           coalesce(sum(n_hits), 0) AS hits_at_k,
-           round(CAST(count(first_rank) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 6) AS hit_rate,
-           round(CAST(coalesce(sum(CAST(2520 / first_rank AS BIGINT)),
-                               0) AS DOUBLE)
-                 / CAST(count(*) * 2520 AS DOUBLE), 6) AS mrr
-    FROM cohort c LEFT JOIN per_user p ON p.u = c.u
+    SELECT n_users, n_hit_users, hits_at_k,
+           -- round_half_up(a/b, 6) as EXACT integer arithmetic:
+           -- (2*a*10^6 + b) // (2*b), then ONE double divide by 10^6
+           -- of an exact integer (correctly rounded IEEE — identical
+           -- in every engine/version). round(DOUBLE, 6) is the one
+           -- construct whose implementation varies across DuckDB
+           -- releases; als_rank_eval mirrors this form (r16).
+           CASE WHEN n_users = 0 THEN NULL ELSE
+             CAST((2 * n_hit_users * 1000000 + n_users)
+                  // (2 * n_users) AS DOUBLE) / 1000000.0
+           END AS hit_rate,
+           CASE WHEN n_users = 0 THEN NULL ELSE
+             CAST((2 * rr_sum * 1000000 + n_users * 2520)
+                  // (2 * n_users * 2520) AS DOUBLE) / 1000000.0
+           END AS mrr
+    FROM (
+        SELECT count(*) AS n_users,
+               count(first_rank) AS n_hit_users,
+               coalesce(sum(n_hits), 0) AS hits_at_k,
+               coalesce(sum(2520 // first_rank), 0) AS rr_sum
+        FROM cohort c LEFT JOIN per_user p ON p.u = c.u)
     """
 
 

@@ -52,6 +52,7 @@ CONFIGS = [
 _CHILD = r"""
 import json, sys
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 label, master, sp, mem, sf_dir, qname = sys.argv[1:7]
 from pyspark.sql import SparkSession
 b = SparkSession.builder.appName("als-env-sweep-" + label)
@@ -107,6 +108,12 @@ def main() -> int:
     for k in list(env):
         if k.startswith("SPARK_GRAFT_"):
             env.pop(k)
+    # Spark's python workers resolve imports from PYTHONPATH/cwd, not
+    # from the driver's sys.path inserts — run from the repo root and
+    # export it so executors can unpickle package functions.
+    env["PYTHONPATH"] = "/root/repo:/root/repo/tools:" + env.get(
+        "PYTHONPATH", ""
+    )
     for label, master, sp, mem in CONFIGS:
         t0 = time.time()
         p = subprocess.run(
@@ -115,7 +122,7 @@ def main() -> int:
                 master or "-", sp or "-", mem or "-", sf_dir, qname,
             ],
             capture_output=True, text=True, env=env,
-            cwd="/root/repo/tools", timeout=900,
+            cwd="/root/repo", timeout=900,
         )
         line = next(
             (
