@@ -371,11 +371,15 @@ def token_pmi(
 
     if pairs is None:
         pairs = bigram_pair_stream(docs, text_col=text_col)
+    # corpus totals ride as a broadcast 1-row aggregate (guide §5.3,
+    # the Q11 broadcast-scalar shape) — previously a .collect()[0]
+    # driver job serialized before the pmi job could be submitted
     totals = pairs.agg(
-        F.count(F.lit(1)).alias("n_tok"), F.count("prev").alias("n_pair")
-    ).collect()[0]
-    n_tok = float(totals["n_tok"])
-    n_pair = float(totals["n_pair"])
+        F.count(F.lit(1)).alias("___n_tok"),
+        F.count("prev").alias("___n_pair"),
+    )
+    n_tok = F.col("___n_tok").cast("double")
+    n_pair = F.col("___n_pair").cast("double")
     uni = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("n1"))
     bi = (
         pairs.filter(F.col("prev").isNotNull())
@@ -389,12 +393,13 @@ def token_pmi(
     ub = F.broadcast(
         uni.select(F.col("token").alias("token"), F.col("n1").alias("n_b"))
     )
-    p_pair = F.col("n2").cast("double") / F.lit(n_pair)
-    p_a = F.col("n_a").cast("double") / F.lit(n_tok)
-    p_b = F.col("n_b").cast("double") / F.lit(n_tok)
+    p_pair = F.col("n2").cast("double") / n_pair
+    p_a = F.col("n_a").cast("double") / n_tok
+    p_b = F.col("n_b").cast("double") / n_tok
     return (
         bi.join(ua, "prev")
         .join(ub, "token")
+        .join(F.broadcast(totals))
         .select(
             "prev",
             "token",

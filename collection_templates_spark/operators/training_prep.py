@@ -384,6 +384,7 @@ def mixture_plan(
     alpha: float = 0.5,
     group_col: str = "lang",
     text_col: str = "text",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based mixture planning (the multilingual-pretraining
     resampling rule, weight ∝ tokens^alpha): given a token budget, compute
@@ -401,11 +402,19 @@ def mixture_plan(
     (languages/domains number in the hundreds). All native expressions;
     doubles rounded for cross-engine comparability.
     """
+    # token_count_col: callers that ALSO tokenize for a downstream step
+    # (mixture_materialize) pass one precomputed per-doc count column so
+    # the regexp tokenizer runs over the corpus ONCE, not once per
+    # consumer (r16, guide §2.2 — plan + materialize shared a full
+    # corpus regexp_count pass each).
+    cnt = (
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else F.coalesce(bpe_ish_token_count(F.col(text_col)), F.lit(0))
+    )
     per = docs.groupBy(F.col(group_col).alias("grp")).agg(
         F.count("*").alias("n_docs"),
-        F.sum(
-            F.coalesce(bpe_ish_token_count(F.col(text_col)), F.lit(0))
-        ).alias("n_tokens"),
+        F.sum(cnt).alias("n_tokens"),
     )
     w_raw = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
     per = per.withColumn("w_raw", w_raw)
@@ -1354,6 +1363,7 @@ def mixture_materialize(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "mix",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Materialize a :func:`mixture_plan`: per group, pick documents in
     deterministic hash order until the group's token target is covered
@@ -1378,9 +1388,17 @@ def mixture_materialize(
         portable_shingle_hash,
     )
 
-    tok = F.coalesce(
-        bpe_ish_token_count(F.col(text_col)), F.lit(0)
-    ).cast("long")
+    # token_count_col: share ONE tokenizer pass with mixture_plan (r16,
+    # see mixture_plan) — the per-doc count is the same expression both
+    # steps need, and the regexp is the row's linear-cost asymptote
+    # (0.83 second-decade exponent, docs/SCALE.md).
+    tok = (
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else F.coalesce(
+            bpe_ish_token_count(F.col(text_col)), F.lit(0)
+        ).cast("long")
+    )
     hk = (
         portable_shingle_hash(
             F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))

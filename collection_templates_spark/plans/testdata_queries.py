@@ -6245,14 +6245,33 @@ def mixture_materialize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks nothing) turned into an actual document selection —
     hash-ordered docs per language until the target is crossed, with
     pick order and running token total."""
+    from pyspark import StorageLevel as _SL
+
     from collection_templates_spark.operators.training_prep import (
+        bpe_ish_token_count,
         mixture_materialize,
         mixture_plan,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    plan = mixture_plan(docs, target_tokens=8_000)
-    return mixture_materialize(docs, plan)
+    # ONE tokenizer pass (r16, guide §2.2): plan and materialize both
+    # need the per-doc BPE-ish count, and each recomputed the corpus
+    # regexp independently (scans are not deduped by exchange reuse).
+    # The narrow (id, lang, n_tok) table is checkpointed DISK_ONLY
+    # (corpus-sized → the r15 storage rule) and feeds both steps.
+    counted = docs.select(
+        "doc_id",
+        "lang",
+        F.coalesce(bpe_ish_token_count(F.col("text")), F.lit(0))
+        .cast("long")
+        .alias("___n_tok"),
+    ).localCheckpoint(eager=True, storageLevel=_SL.DISK_ONLY)
+    plan = mixture_plan(
+        counted, target_tokens=8_000, token_count_col="___n_tok"
+    )
+    return mixture_materialize(
+        counted, plan, token_count_col="___n_tok"
+    )
 
 
 def pack_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7020,35 +7039,72 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid_kappa": text_langid_kappa,
 }
 
-# --- Round-15 rotation (r14 verdict #2) ------------------------------
-# The driver samples ~50 rows in INSERTION ORDER (the comment at the
-# top of the literal). Programmatic reorder: lead with the r15 new row
-# and the recsys_als_eval re-green (r14's one red, fixed by the
-# exact-integer solve), then every row NOT in r14's external sample in
-# its existing relative order (the r10/r11-stale cohorts already sit
-# ahead of the r12/r13-sampled ones there), and push the 49 rows r14
-# just sampled green to the back — zero overlap with r14's sample
-# except the deliberate ALS re-green.
-_R14_SAMPLED = frozenset(
-    """dedup_index_delete ann_index_delete embedding_pca_components
-    recsys_als_factors events_ar2_forecast recsys_als_eval
-    join_shipping_priority agg_large_orders agg_rollup_daily
-    scalar_json_extract join_inner_enrich join_left_default
-    join_semi_allowlist join_anti_archive snapshot_diff_merge
-    window_dup_count window_topk_per_group window_dedup_keep_first
-    window_sessionize window_session_native window_hopping
-    temporal_asof_join temporal_range_join set_union_membership
-    scalar_curate_name graph_transitive_closure dedup_exact
-    ann_incremental_topk sketch_hll_union events_markov_transitions
-    text_script_mix agg_weighted_median graph_label_propagation
-    snapshot_merge_upsert basket_item_pairs text_tfidf_top_terms
-    drift_welch_ttest text_zipf_fit dedup_cluster_report
-    events_conversion_lag drift_js_events stats_winsorize
-    text_token_pmi events_state_islands events_window_funnel
-    join_salted_skew layout_zorder_stats temporal_gap_fill
-    events_trailing_zscore quality_dynamic_threshold""".split()
+# r16 rotation (r15 verdict #8): the driver samples ~50 rows in
+# INSERTION ORDER — recsys_als_eval leads (externally red r14/r15;
+# the r16 fix needs an external check), then the 6 rows whose last
+# external green was r10, then the 50-row r11-stale cohort (57 rows
+# ahead of the sample boundary, zero overlap with the r15 sample);
+# the 50 rows r15 just checked move to the back.
+_R16_FRONT = (
+    "recsys_als_eval",
+    "wiki_pipeline_funnel",
+    "related_collections",
+    "graph_pagerank_dangling",
+    "rollup_refresh",
+    "sketch_theta_intersection",
+    "sketch_bloom_fpr",
+    "stats_ks_test",
+    "stats_chi_square",
+    "stats_correlation",
+    "events_anomaly_mad",
+    "events_cusum_changepoint",
+    "events_attribution",
+    "customer_rfm_segments",
+    "events_top_paths",
+    "graph_kcore",
+    "graph_link_prediction",
+    "text_readability",
+    "text_entropy",
+    "quality_gopher_rules",
+    "sample_reservoir",
+    "ann_sq8_recall",
+    "text_rake_keywords",
+    "stats_ols_regression",
+    "text_feature_hashing",
+    "decontaminate_fuzzy",
+    "events_ewma",
+    "search_phrase_match",
+    "stats_mann_whitney",
+    "agg_gini_concentration",
+    "text_langid_confusion",
+    "temporal_ohlc",
+    "events_autocorrelation",
+    "stats_benford",
+    "graph_assortativity",
+    "corpus_dsir_weights",
+    "events_interval_coverage",
+    "graph_clustering_coeff",
+    "text_heaps_fit",
+    "events_seasonal_decompose",
+    "events_pattern_runs",
+    "text_lexical_diversity",
+    "text_perplexity_kn",
+    "ann_knn_accuracy",
+    "graph_hits",
+    "text_common_spans",
+    "window_rank_functions",
+    "window_range_moving_sum",
+    "agg_unpivot",
+    "dedup_fuzzy_names",
+    "agg_percentile_bands",
+    "agg_boolean",
+    "scalar_array_functions",
+    "agg_grouping_sets",
+    "corpus_report",
+    "export_manifest",
+    "text_boilerplate",
 )
-_R15_FRONT = (
+_R15_SAMPLED = (
     "text_langid_kappa",
     "quality_roc_auc",
     "join_min_cost_supplier",
@@ -7078,19 +7134,36 @@ _R15_FRONT = (
     "pack_bucket_stats",
     "embedding_outliers",
     "recsys_als_eval",
+    "corpus_cross_source_overlap",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "agg_pricing_summary",
+    "filter_pushdown_revenue",
+    "text_stats",
+    "text_language_id",
+    "text_fingerprint",
+    "text_token_frequencies",
+    "text_chunking",
+    "ann_label_centroids",
+    "window_running_total",
+    "search_bm25ish",
+    "search_stemmed_ltr",
+    "quality_report",
+    "multimodal_features",
+    "text_word_model",
+    "scalar_log_probability",
 )
 QUERIES = {
-    **{k: QUERIES[k] for k in _R15_FRONT},
+    **{k: QUERIES[k] for k in _R16_FRONT},
     **{
         k: v
         for k, v in QUERIES.items()
-        if k not in _R14_SAMPLED and k not in _R15_FRONT
+        if k not in _R16_FRONT and k not in _R15_SAMPLED
     },
-    **{
-        k: v
-        for k, v in QUERIES.items()
-        if k in _R14_SAMPLED and k not in _R15_FRONT
-    },
+    **{k: QUERIES[k] for k in _R15_SAMPLED if k not in _R16_FRONT},
 }
 
 

@@ -1,6 +1,7 @@
 """exact_dedup hash-keyed shuffle (r3 verdict #5) and the no-cache-leak
 contract of the dedup pair operators (r3 verdict #7)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from collection_templates_spark.operators.dedup import (
@@ -80,6 +81,7 @@ def test_embedding_dup_planes_autosize():
         assert n / 2**p <= 64, (n, p)
 
 
+@pytest.mark.slow
 def test_embedding_dup_pairs_recall_vs_brute_force(spark):
     """The embedding near-dup leg: sign-LSH bucketed candidates must
     recover ≥90% of the true cosine-≥τ pairs, with zero false positives
@@ -109,6 +111,7 @@ def test_embedding_dup_pairs_recall_vs_brute_force(spark):
     assert len(got) >= 0.9 * len(truth), (len(got), len(truth))
 
 
+@pytest.mark.slow
 def test_pair_operators_leave_no_persistent_rdds(spark):
     """r3 verdict: the pair operators persisted shingle sets with no
     unpersist, accumulating cache across a long-lived session. Pin the

@@ -2,6 +2,7 @@
 final document, asserting curation, member validation, ranks, status counts
 and top-k against hand-computed values."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from collection_templates_spark.plans.pipeline import PipelineInputs, run_pipeline
@@ -111,6 +112,7 @@ def test_minimum_slice(spark, tmp_path):
     assert ops == {"Q100": "insert"}
 
 
+@pytest.mark.slow
 def test_minimum_slice_mapping_from_sqlite(spark, tmp_path):
     """Same slice, but the wikimapper mapping arrives through the S4
     sqlite source (rowid-partitioned read + flag pushdown + _→space

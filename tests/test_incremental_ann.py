@@ -3,6 +3,7 @@ probe ≡ direct ivf_cosine_topk with the same centroids, O(batch) append
 round-trip, persisted-quantizer fidelity, and the static-partition-
 filter plan shape that makes probe IO proportional to probed lists."""
 
+import pytest
 import contextlib
 import io
 
@@ -47,6 +48,7 @@ def test_index_probe_equals_direct_ivf(spark, tmp_path):
     assert got == want and len(got) == 18
 
 
+@pytest.mark.slow
 def test_load_centroids_round_trip(spark, tmp_path):
     path = str(tmp_path / "ivf")
     cents = build_ivf_index(
@@ -71,6 +73,7 @@ def test_append_then_probe_finds_new_vector(spark, tmp_path):
     assert top[0].neighbor_id == 200 and top[0].sim == 1.0
 
 
+@pytest.mark.slow
 def test_probe_scan_prunes_unprobed_partitions(spark, tmp_path):
     # the probed-cluster set must reach the vectors scan as a partition
     # filter — that is the O(probed lists) IO contract
@@ -87,6 +90,7 @@ def test_probe_scan_prunes_unprobed_partitions(spark, tmp_path):
     assert pf and any("cluster" in ln and " IN " in ln for ln in pf), p
 
 
+@pytest.mark.slow
 def test_two_appends_accumulate(spark, tmp_path):
     path = str(tmp_path / "ivf")
     build_ivf_index(_vectors(spark, 16), path, n_clusters=4, iterations=2)

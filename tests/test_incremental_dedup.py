@@ -112,6 +112,7 @@ def test_batch_internal_pairs_not_emitted(spark, tmp_path):
     assert out.count() == 0  # 301↔302 is batch-internal, not cross
 
 
+@pytest.mark.slow
 def test_joined_bucket_cap_drops_hot_bucket(spark, tmp_path):
     # 10 identical history docs: every band bucket the batch doc probes
     # joins to 10 rows, so a cap of 5 drops them all; None restores the
@@ -131,6 +132,7 @@ def test_joined_bucket_cap_drops_hot_bucket(spark, tmp_path):
     assert uncapped.count() == 10
 
 
+@pytest.mark.slow
 def test_bucketed_index_probe_skips_history_shuffle(spark, tmp_path):
     """bucket_bands: the persisted band table is bucketed on band_hash,
     so the probe's candidate join reads history bucket-aligned (scan

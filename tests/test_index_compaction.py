@@ -4,6 +4,7 @@ results EXACTLY while the data-file count drops, the epoch-fold must
 respect markers and the watermark, and every crash window of the
 versioned-dir + atomic-pointer protocol must leave a valid index."""
 
+import pytest
 import os
 import shutil
 
@@ -76,6 +77,7 @@ def _topk(df):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_ann_compaction_probe_invariant_and_fewer_files(spark, tmp_path):
     idx = str(tmp_path / "ann")
     corpus = _vecs(spark, range(40), 1)
@@ -100,6 +102,7 @@ def test_ann_compaction_probe_invariant_and_fewer_files(spark, tmp_path):
     assert not os.path.exists(os.path.join(idx, "vectors"))
 
 
+@pytest.mark.slow
 def test_ann_append_after_compaction_matches_uncompacted(spark, tmp_path):
     """build + append + compact + append ≡ build + append + append —
     compaction is invisible to every later operation."""
@@ -176,6 +179,7 @@ def _write_epoch_segment(spark, idx, epoch, rows, marked=True):
         open(f"{idx}/_epochs/{epoch}", "w").close()
 
 
+@pytest.mark.slow
 def test_dedup_compaction_folds_marked_epochs_only(spark, tmp_path):
     idx = str(tmp_path / "idx")
     build_minhash_index(_docs(spark, _HISTORY), idx)
@@ -196,6 +200,7 @@ def test_dedup_compaction_folds_marked_epochs_only(spark, tmp_path):
     assert os.path.exists(f"{idx}/bands_epochs/epoch=1")
 
 
+@pytest.mark.slow
 def test_dedup_stale_marker_after_fold_is_ignored(spark, tmp_path):
     """GC-crash window: a folded epoch whose marker+segment survive a
     crashed cleanup must NOT double-count — the watermark, not the GC,
@@ -222,6 +227,7 @@ def test_dedup_stale_marker_after_fold_is_ignored(spark, tmp_path):
     assert _pairs(dedup_batch_against_index(spark, idx, probe)) == before
 
 
+@pytest.mark.slow
 def test_dedup_bucketed_compaction_swaps_catalog(spark, tmp_path):
     idx = str(tmp_path / "idx")
     build_minhash_index(_docs(spark, _HISTORY), idx, bucket_bands=4)
@@ -246,6 +252,7 @@ def test_dedup_bucketed_compaction_swaps_catalog(spark, tmp_path):
     assert spark.catalog.tableExists(old_table)
 
 
+@pytest.mark.slow
 def test_dedup_tombstone_covering_late_epoch_survives_fold(
     spark, tmp_path, monkeypatch
 ):

@@ -5,6 +5,7 @@ append tombstone segments; every later probe masks the deleted ids
 asks for); compaction folds tombstones out of the base for good and
 the crash window (tombstone outliving the fold's GC) is idempotent."""
 
+import pytest
 import os
 
 from collection_templates_spark.operators.incremental_ann import (
@@ -87,6 +88,7 @@ def test_dedup_delete_probe_equals_survivor_rebuild(spark, tmp_path):
     assert any(doc_old == 2 for _, doc_old, _ in got)
 
 
+@pytest.mark.slow
 def test_dedup_delete_bucketed_index(spark, tmp_path):
     """The broadcast anti-join mask must not break the bucketed
     (catalog-table) probe path."""
@@ -107,6 +109,7 @@ def test_dedup_delete_bucketed_index(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_dedup_compaction_folds_tombstones(spark, tmp_path):
     idx = str(tmp_path / "idx")
     batch = _docs(spark, _PROBE)
@@ -128,6 +131,7 @@ def test_dedup_compaction_folds_tombstones(spark, tmp_path):
     assert lay_bands.filter(lay_bands.doc.isin(1, 6)).count() == 0
 
 
+@pytest.mark.slow
 def test_dedup_tombstone_crash_window_idempotent(spark, tmp_path):
     """A tombstone that survives the fold's GC (crash between pointer
     flip and file removal) re-masks rows that are already gone — the
@@ -143,6 +147,7 @@ def test_dedup_tombstone_crash_window_idempotent(spark, tmp_path):
     assert _pairs(dedup_batch_against_index(spark, idx, batch)) == before
 
 
+@pytest.mark.slow
 def test_dedup_rebuild_clears_tombstones(spark, tmp_path):
     idx = str(tmp_path / "idx")
     build_minhash_index(_docs(spark, _HISTORY), idx)
@@ -187,6 +192,7 @@ def test_ann_delete_probe_equals_survivor_scan(spark, tmp_path):
     assert all(n not in dead for _, _, n, _ in got)
 
 
+@pytest.mark.slow
 def test_ann_compaction_folds_tombstones(spark, tmp_path):
     idx = str(tmp_path / "ann")
     history = _vecs(spark, range(32))
@@ -207,6 +213,7 @@ def test_ann_compaction_folds_tombstones(spark, tmp_path):
     assert base.filter(base.vec_id.isin(3, 7)).count() == 0
 
 
+@pytest.mark.slow
 def test_ann_rebuild_clears_tombstones(spark, tmp_path):
     idx = str(tmp_path / "ann")
     build_ivf_index(_vecs(spark, range(16)), idx, n_clusters=4)
@@ -220,6 +227,7 @@ def test_ann_rebuild_clears_tombstones(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_stream_probe_masks_tombstones(spark, tmp_path):
     """The streaming delta pipeline probes through the same masked
     path: a batch doc whose only near-dup in the index was tombstoned

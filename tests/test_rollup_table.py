@@ -1,5 +1,6 @@
 """Incremental daily rollup (continuous-aggregate pattern)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from collection_templates_spark.operators.rollup_table import (
@@ -166,6 +167,7 @@ def test_delete_refresh_equals_recompute_from_surviving(spark, tmp_path):
     assert got2 == want
 
 
+@pytest.mark.slow
 def test_delete_refresh_with_new_batch_and_crash_window(spark, tmp_path):
     """Deletes + a new batch in one refresh; then the crash window —
     a tombstone re-appended after its fold (GC crashed) re-folds as a
@@ -265,6 +267,7 @@ def test_delete_refresh_day_window_immune_to_os_timezone(spark, tmp_path):
     assert got[("2024-01-02", "view")] == (1, 5.0)
 
 
+@pytest.mark.slow
 def test_delete_refresh_envelope_fallback_past_64_days(spark, tmp_path):
     """r15 ADVICE (low): past 64 affected days the per-day Or tree is
     replaced by ONE [min, max+1) envelope plus the exact isin — same

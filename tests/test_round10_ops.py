@@ -289,6 +289,7 @@ def test_cross_source_overlap_jaccard(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_nonbucketed_rebuild_drops_stale_catalog(spark, tmp_path):
     # build bucketed, then rebuild the SAME path non-bucketed: the
     # stale bucketed catalog entry must not survive to describe plain
@@ -317,6 +318,7 @@ def test_nonbucketed_rebuild_drops_stale_catalog(spark, tmp_path):
     assert {(p.doc_new, p.doc_old) for p in pairs} == {(100, 0)}
 
 
+@pytest.mark.slow
 def test_delta_pipeline_append_is_idempotent(spark):
     # the memoized index is shared across invocations; re-running the
     # pipeline must not stack duplicate doc_ids into bands/shingles

@@ -1,6 +1,7 @@
 """Property tests for the round-13 operators: algebraic identities and
 randomized equivalence against brute-force Python references."""
 
+import pytest
 import math
 import random
 
@@ -946,6 +947,7 @@ def test_theta_difference_exact_below_k_and_bounded_above(spark):
     assert abs(gb[("Y", "X")].n_est - 3000) < 3000 * 0.5
 
 
+@pytest.mark.slow
 def test_hll_sliding_equals_direct_window_sketch(spark):
     """The trailing-window register merge equals the registers a direct
     single pass over the window's events would build (the max-merge

@@ -1,5 +1,6 @@
 """Skew utilities + stateful streaming sessionization."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from collection_templates_spark.operators.skew import (
@@ -37,6 +38,7 @@ def test_split_heavy_hitters(spark):
     assert {r.k for r in cold.select("k").distinct().collect()} == {"cold1", "cold2"}
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_stream(spark, tmp_path):
     """File-source stream through applyInPandasWithState: sessions closed by
     the 30-min gap appear in the output; the open tail session does not

@@ -290,6 +290,7 @@ def test_ivf_ann_recall(spark):
     assert recall >= 0.7, f"IVF recall {recall}"
 
 
+@pytest.mark.slow
 def test_pq_adc_recall_and_separable_clusters(spark):
     """PQ-ADC sanity: on cleanly clustered vectors the codes must separate
     the clusters perfectly (recall 1.0); on the driver corpus the 16x64
@@ -430,6 +431,7 @@ def test_pq_rerank_refinement(spark):
     assert r_ref > r_plain and r_ref >= 0.85, (r_plain, r_ref)
 
 
+@pytest.mark.slow
 def test_residual_ivfpq_beats_raw_on_clustered_vectors(spark):
     """The residual encoding's whole point: on clustered data, raw-vector
     PQ codes re-describe the cluster layout and cannot rank within a

@@ -73,6 +73,7 @@ def _batch_replay(spark, tmp, batches):
     return accepted, idx
 
 
+@pytest.mark.slow
 def test_stream_matches_sequential_batch_replay(spark, tmp_path):
     tmp = str(tmp_path)
     batches = [BATCH1, BATCH2]
@@ -105,6 +106,7 @@ def test_stream_matches_sequential_batch_replay(spark, tmp_path):
     assert (91, 12) in p_stream and (92, 1) in p_stream
 
 
+@pytest.mark.slow
 def test_stream_rerun_is_idempotent(spark, tmp_path):
     tmp = str(tmp_path)
     drop, idx, accepted_dir, ckpt = _run_stream(spark, tmp, [BATCH1])
@@ -123,6 +125,7 @@ def test_stream_rerun_is_idempotent(spark, tmp_path):
     assert os.listdir(os.path.join(idx, "_epochs"))
 
 
+@pytest.mark.slow
 def test_unmarked_epoch_segment_is_invisible_to_probe(spark, tmp_path):
     """r11-advice crash window #2: a crash AFTER the epoch's index
     segment write but BEFORE the marker must not make the recovery
@@ -192,6 +195,7 @@ def test_epoch_replay_overwrites_instead_of_duplicating(spark, tmp_path):
     assert raw.count() == 1
 
 
+@pytest.mark.slow
 def test_index_rebuild_clears_epoch_segments(spark, tmp_path):
     """Compaction contract: build_minhash_index(overwrite) subsumes and
     removes any streaming epoch segments + markers."""
@@ -203,6 +207,7 @@ def test_index_rebuild_clears_epoch_segments(spark, tmp_path):
     assert not os.path.isdir(f"{idx}/_epochs")
 
 
+@pytest.mark.slow
 def test_watermarked_stream_routes_late_rows(spark, tmp_path):
     """r11 verdict #5: out-of-order batch arrival under a watermark
     policy — rows with event time strictly below (max completed-epoch

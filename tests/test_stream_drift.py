@@ -95,6 +95,7 @@ def test_stream_psi_matches_batch_replay(spark, tmp_path):
     assert psis[0] < 0.05 and psis[2] > 0.3
 
 
+@pytest.mark.slow
 def test_stream_rerun_is_idempotent(spark, tmp_path):
     ref_path, state = _run(spark, str(tmp_path))
     before = sorted(
@@ -114,6 +115,7 @@ def test_stream_rerun_is_idempotent(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_unmarked_epoch_invisible(spark, tmp_path):
     ref_path, state = _run(spark, str(tmp_path))
     epochs = sorted(

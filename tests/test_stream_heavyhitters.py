@@ -5,6 +5,7 @@ additivity + candidate union), a planted hot key takes rank 1 as soon
 as it floods, reruns are idempotent, and unmarked (crashed) epochs are
 invisible."""
 
+import pytest
 import os
 
 from collection_templates_spark.streaming.heavyhitters_stream import (
@@ -88,6 +89,7 @@ def _batch_topk(spark, tmp2, upto):
     ]
 
 
+@pytest.mark.slow
 def test_stream_topk_matches_batch_replay_and_flood(spark, tmp_path):
     tmp = str(tmp_path)
     state = _run(spark, tmp)
@@ -107,6 +109,7 @@ def test_stream_topk_matches_batch_replay_and_flood(spark, tmp_path):
     assert final[0][2] >= 120
 
 
+@pytest.mark.slow
 def test_stream_topk_rerun_idempotent_and_marker_gated(spark, tmp_path):
     tmp = str(tmp_path)
     state = _run(spark, tmp)

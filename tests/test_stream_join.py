@@ -1,5 +1,6 @@
 """Stream-stream interval join equals the batch banded range join."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from collection_templates_spark.operators.temporal import range_join_binned
@@ -95,6 +96,7 @@ def test_stream_dedup_matches_batch_exact_dedup(spark, tmp_path):
     assert norm == ["something else entirely", "the quick brown fox"]
 
 
+@pytest.mark.slow
 def test_windowed_counts_watermark_drops_late_data(spark, tmp_path):
     """Append-mode windowed counts finalize a window once the watermark
     passes its end; a record arriving after that is DROPPED, not merged —

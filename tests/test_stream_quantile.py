@@ -4,6 +4,7 @@ epoch's quantile estimates equal the batch-mode sketch over batches
 alarm fires exactly when the shifted batch arrives, reruns are
 idempotent, and unmarked (crashed) epochs are invisible."""
 
+import pytest
 import os
 
 from collection_templates_spark.operators.sketches import (
@@ -83,6 +84,7 @@ def test_stream_quantiles_match_batch_replay_and_alarm(spark, tmp_path):
     assert not by_epoch[epochs[2]][0.5].alarm  # median barely moves
 
 
+@pytest.mark.slow
 def test_stream_quantile_rerun_idempotent_and_marker_gated(
     spark, tmp_path
 ):
@@ -113,6 +115,7 @@ def test_stream_quantile_rerun_idempotent_and_marker_gated(
     assert epochs[-1] not in left
 
 
+@pytest.mark.slow
 def test_stream_quantile_state_compaction(spark, tmp_path):
     """Mid-stream state compaction: fold the sketch segments into a
     base (watermark gating, markers retained for the output log), then

@@ -1,5 +1,6 @@
 """As-of join and banded range join (custom temporal operators)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from collection_templates_spark.operators.temporal import (
@@ -32,6 +33,7 @@ def test_as_of_join_backward(spark):
     assert out == {100: 1, 101: 3, 200: None}
 
 
+@pytest.mark.slow
 def test_range_join_binned_matches_naive(spark):
     import random
 
