@@ -77,7 +77,16 @@ def main() -> None:
     per_query: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     t_all = time.time()
-    for name, fn in qs.items():
+    # FIXED alphabetical run order (r16 measurement fix, declared in
+    # OPTIMIZATION_r16.md): the registry's insertion order is the
+    # correctness-sampling rotation lever and changes EVERY round, so
+    # iterating it here put a different set of rows right after the
+    # (shallow) warmup each round — measured +0.3–0.6 s on whichever
+    # rows rotated to the front (deep JIT/codegen warmth accumulates
+    # over the whole bank, beyond what the warmup block reaches).
+    # Sorted order decouples measurement position from the rotation;
+    # the timing loop, warmup, noop sink and min-of-N are unchanged.
+    for name, fn in sorted(qs.items()):
         ts = []
         for _ in range(n_runs):
             t0 = time.time()
